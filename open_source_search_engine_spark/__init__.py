@@ -1,0 +1,57 @@
+"""open_source_search_engine_spark — a PySpark-native full-text index + BM25 engine.
+
+A from-scratch rebuild of the capabilities of the Gigablast-fork reference
+engine (frostytear/open-source-search-engine) on idiomatic Spark:
+
+- ``functions.hashing``   — 48-bit termIds via position-indexed tabulation
+  hashing (structure of ``/root/reference/hash.h:55-163``; table constants are
+  regenerated, not copied).
+- ``functions.tokenizer`` — vectorized source-code tokenizer + bigram shingles
+  (semantics of ``/root/reference/Words.cpp:169-358`` and
+  ``/root/reference/Phrases.cpp:109-263``).
+- ``functions.varint``    — delta+varint compressed posting blocks (the
+  18/12/6-byte Posdb prefix compression of ``/root/reference/Posdb.h:44-48``
+  re-expressed columnar).
+- ``operators.index_build`` — corpus → postings → salted repartition →
+  sort-merge → compressed segments + stats + resumable manifest
+  (the Rdb dump/merge pipeline of ``/root/reference/RdbDump.cpp`` /
+  ``/root/reference/RdbBase.cpp:1318-1663`` as Spark jobs).
+- ``operators.query_engine`` — BM25 top-k with block-max pruning (the
+  docid-vote intersection + WAND analog of
+  ``/root/reference/PosdbTable.cpp:3462-5097``).
+- ``operators.dedup`` / ``similarity`` / ``textstats`` / ``multimodal`` —
+  the training-data-pipeline operator set (exact/MinHash/SimHash/Jaccard
+  dedup, ANN search, language-ID/quality/token stats, binary-column
+  plumbing).
+
+Everything here derives from public knowledge only: the PySpark API and the
+reference repo's observable behavior.
+"""
+
+__version__ = "0.1.0"
+
+TERMID_BITS = 48
+TERMID_MASK = (1 << TERMID_BITS) - 1  # termId space, cf. /root/reference/termid_mask.h:4
+DOCID_BITS = 38
+DOCID_MASK = (1 << DOCID_BITS) - 1  # docId space, cf. /root/reference/Titledb.h:8-10
+
+# Field ("hashGroup") codes for the source-code corpus — the analog of the
+# reference's HASHGROUP_* (/root/reference/Posdb.h:75-88) remapped for code:
+# BODY -> file content, TITLE -> path basename, INURL -> repo/path tokens,
+# META_LANG -> language tag.
+FIELD_BODY = 0
+FIELD_TITLE = 1
+FIELD_URL = 9
+FIELD_LANG = 4
+
+FIELD_NAMES = {
+    FIELD_BODY: "body",
+    FIELD_TITLE: "title",
+    FIELD_URL: "url",
+    FIELD_LANG: "lang",
+}
+
+# BM25 parameters (the rebuild's ranking function per BASELINE.json north_rule;
+# replaces the reference's proximity formula at PosdbTable.cpp:273-545).
+BM25_K1 = 1.2
+BM25_B = 0.75

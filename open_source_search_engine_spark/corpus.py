@@ -1,0 +1,99 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Shape fixed by BASELINE.json input_hint: ``(repo, path, commit, lang,
+content)``. Zipfian token draws over a per-lang keyword vocabulary plus a
+long-tail ident vocabulary, with planted rare terms / phrases for the query
+fixtures and hot stop-terms at Zipf rank 1-5 to exercise build-side skew
+(SURVEY.md §7.6 risk 1). Pure Python + numpy, seeded — no external data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+LANGS = ["py", "cpp", "h", "java", "js", "go", "rs"]
+_LANG_OF_EXT = {e: e for e in LANGS}
+
+# Hot stop-terms first (Zipf rank 1-5), then common code vocabulary.
+_CORE_VOCAB = (
+    "if return 0 the for while else def class import open file read write "
+    "binary search tree hash table index key value node list array map set "
+    "buffer stream socket parse token query merge sort scan filter join "
+    "count sum min max len size data result error state config handle "
+    "thread lock mutex queue stack heap cache flush commit begin end "
+    "init free alloc copy move swap test assert check valid input output"
+).split()
+
+PLANTED_RARE = ["binsearch_rare7", "qzx_unique_marker", "frobnicate_once"]
+PLANTED_PHRASES = [
+    "binary search tree",
+    "open file handle",
+    "to be or not to be",  # stop-word bigram exercise
+]
+
+
+def _rng_for(i: int, seed: int) -> np.random.Generator:
+    return np.random.default_rng(np.random.SeedSequence([seed, i]))
+
+
+def make_corpus_rows(n_docs: int, seed: int = 42) -> list[dict]:
+    """Generate ``n_docs`` deterministic corpus rows."""
+    vocab = list(_CORE_VOCAB) + [f"v{k}" for k in range(800)]
+    nv = len(vocab)
+    # Zipf-ish weights: w_r ∝ 1/(r+1)
+    ranks = np.arange(nv, dtype=np.float64)
+    weights = 1.0 / (ranks + 1.0)
+    weights /= weights.sum()
+
+    rows: list[dict] = []
+    for i in range(n_docs):
+        rng = _rng_for(i, seed)
+        ext = LANGS[i % len(LANGS)]
+        repo = f"org{i % 7}/repo{i % 23}"
+        pkg = f"pkg{i % 13}"
+        path = f"src/{pkg}/mod{i}.{ext}"
+        n_lines = int(rng.integers(5, 60))
+        lines: list[str] = []
+        for _ in range(n_lines):
+            k = int(rng.integers(3, 9))
+            toks = [vocab[j] for j in rng.choice(nv, size=k, p=weights)]
+            lines.append(f"{toks[0]} {toks[1]}({', '.join(toks[2:])});  // {toks[-1]}")
+        # plant rare terms / phrases deterministically in a doc subset
+        if i % 97 == 0:
+            lines.append(f"{PLANTED_RARE[i % len(PLANTED_RARE)]} = 1;")
+        if i % 11 == 0:
+            lines.append(PLANTED_PHRASES[i % len(PLANTED_PHRASES)] + ";")
+        content = "\n".join(lines)
+        commit = hashlib.sha1(f"{repo}/{path}/{seed}".encode()).hexdigest()
+        rows.append(
+            {
+                "repo": repo,
+                "path": path,
+                "commit": commit,
+                "lang": _LANG_OF_EXT[ext],
+                "content": content,
+            }
+        )
+    return rows
+
+
+def corpus_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Corpus as a Spark DataFrame (deterministic, generated on the driver for
+    test scales; bench scales replicate via Spark — see bench.py)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("commit", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+            T.StructField("content", T.StringType(), False),
+        ]
+    )
+    df = spark.createDataFrame(make_corpus_rows(n_docs, seed), schema)
+    if partitions:
+        df = df.repartition(partitions)
+    return df

@@ -1,0 +1,32 @@
+"""BM25 scoring primitives shared by the Spark engine and the oracle.
+
+The rebuild's ranking function per BASELINE.json north_rule (replaces the
+reference's proximity formula, /root/reference/PosdbTable.cpp:273-545).
+Both executors call exactly these functions and sum contributions in the
+same canonical order, so scores are bit-identical, not merely close.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import BM25_B, BM25_K1
+
+
+def bm25_tfnorm(tf, dl, avgdl: float, k1: float = BM25_K1, b: float = BM25_B) -> np.ndarray:
+    """idf-independent term factor: tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)).
+
+    Monotone in tf and bounded by (k1+1) — the property the block-max
+    metadata (max_tfnorm) relies on for WAND pruning."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / max(float(avgdl), 1e-9)))
+
+
+def bm25_idf(df, n_docs: int) -> np.ndarray:
+    """idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — SURVEY.md §7.3; replaces the
+    reference's RdbMap-estimate term-frequency weight
+    (/root/reference/Msg3a.cpp:967-997) with an exact-df form."""
+    df = np.asarray(df, dtype=np.float64)
+    n = float(n_docs)
+    return np.log1p((n - df + 0.5) / (df + 0.5))

@@ -1,0 +1,155 @@
+"""Position-indexed tabulation hashing for termIds and docIds.
+
+Structure mirrors the reference's tabulation hash family
+(``/root/reference/hash.h:55-163``: ``h ^= table[(pos+i) & 0xff][byte]`` over a
+256x256 uint64 table), which is what makes termIds order-sensitive and lets a
+bigram id be computed as a *continued* hash of the second word starting at the
+first word's hash and position. The 256x256 table constants are NOT copied
+from the reference's ``g_hashtab.inc``; they are regenerated deterministically
+with splitmix64 (public-domain PRNG). All ids in this engine — index build,
+query parser, and the pure-Python oracle — flow through this module, so
+rank-identity is preserved end-to-end.
+
+All hashes are unsigned 64-bit internally; public helpers return Python ints.
+``termid`` = ``hash & TERMID_MASK`` (48 bits, /root/reference/termid_mask.h:4);
+``docid`` = ``hash64b(url) & DOCID_MASK`` (38 bits, /root/reference/Titledb.h:67-80).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import DOCID_MASK, TERMID_MASK
+
+_U64 = np.uint64
+_MASK64 = _U64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64_stream(seed: int, n: int) -> np.ndarray:
+    """Deterministic uint64 stream (splitmix64, public domain)."""
+    out = np.empty(n, dtype=np.uint64)
+    golden = _U64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        x = np.uint64(seed)
+        for i in range(n):
+            x = (x + golden) & _MASK64
+            z = x
+            z = ((z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)) & _MASK64
+            z = ((z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)) & _MASK64
+            out[i] = z ^ (z >> _U64(31))
+    return out
+
+
+# 256 positions x 256 byte values. Regenerated constant — same shape/role as
+# the reference's g_hashtab but different values (we never claim bit-equality
+# with the C++ engine; the oracle shares this table).
+HASHTAB: np.ndarray = _splitmix64_stream(0x5EED_CAFE_F00D_0042, 256 * 256).reshape(256, 256)
+HASHTAB.setflags(write=False)
+
+_START_HASH = int(HASHTAB[255, 255])  # nonzero start so hash("") != 0
+
+
+def hash64_bytes(data: bytes, start: int = _START_HASH, pos: int = 0) -> int:
+    """Tabulation hash of raw bytes with a position offset.
+
+    ``pos`` makes the hash continuable: hash64_bytes(b, hash64_bytes(a), len(a))
+    equals hash64_bytes(a+b) — the property the reference uses to build
+    two-word phrase ids (/root/reference/Phrases.cpp:109-263).
+    """
+    h = np.uint64(start & 0xFFFFFFFFFFFFFFFF)
+    if data:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        idx = (np.arange(pos, pos + len(arr)) & 0xFF).astype(np.intp)
+        h = h ^ np.bitwise_xor.reduce(HASHTAB[idx, arr])
+    return int(h)
+
+
+def hash64_lower(text: str, start: int = _START_HASH, pos: int = 0) -> int:
+    """Case-folded text hash — the wordId hash (hash64Lower_utf8 analog,
+    /root/reference/hash.h:125-163). Lowercasing is Python ``str.lower`` over
+    the whole token (documented deviation from the reference's per-codepoint
+    UTF-8 path; the oracle uses the same fold so ids stay consistent)."""
+    return hash64_bytes(text.lower().encode("utf-8"), start, pos)
+
+
+def hash64b(text: str) -> int:
+    """URL/byte hash used for docIds (hash64b analog,
+    /root/reference/Titledb.h:67-80) — same table, distinct start constant."""
+    return hash64_bytes(text.encode("utf-8"), start=int(HASHTAB[0, 0]) ^ 0xA5A5A5A5A5A5A5A5)
+
+
+def termid_for_token(token: str) -> int:
+    """termId of a plain (BODY) token: 48-bit masked wordId."""
+    return hash64_lower(token) & TERMID_MASK
+
+
+def prefix_hash(field_name: str) -> int:
+    """Field-prefix hash — how ``title:``, ``inurl:``, ``lang:`` terms get
+    their own termlists (/root/reference/XmlDoc_Indexing.cpp:1750-1762,
+    /root/reference/Query.cpp:1667-1683)."""
+    return hash64_lower(field_name.replace(" ", ""))
+
+
+def termid_with_prefix(token: str, field_name: str) -> int:
+    """Prefixed termId = continued hash of the wordId bytes seeded by the
+    field prefix hash (hash64(wordId, prefixHash) analog)."""
+    wid = hash64_lower(token)
+    return hash64_bytes(wid.to_bytes(8, "little"), start=prefix_hash(field_name)) & TERMID_MASK
+
+
+# Stop-word bigram salt — behavioral constant from the reference
+# (/root/reference/Phrases.cpp:253-262): bigrams of two stop words get their
+# id XOR-salted so they don't collide with content phrases.
+STOPWORD_BIGRAM_SALT = 0x768867
+
+
+def bigram_id(tok1: str, tok2: str, both_stop: bool = False) -> int:
+    """Two-word phrase termId: continued hash of tok2 starting at tok1's hash
+    and byte position (/root/reference/Phrases.cpp:109-263)."""
+    b1 = tok1.lower().encode("utf-8")
+    h = hash64_bytes(b1)
+    h = hash64_bytes(tok2.lower().encode("utf-8"), start=h, pos=len(b1))
+    if both_stop:
+        h ^= STOPWORD_BIGRAM_SALT
+    return h & TERMID_MASK
+
+
+def docid_for_url(url: str) -> int:
+    """docId = hash64b(url) & DOCID_MASK (/root/reference/Titledb.h:67-80)."""
+    return hash64b(url) & DOCID_MASK
+
+
+class TokenHasher:
+    """Batch token → termid hasher with a dict cache.
+
+    Corpora are Zipfian, so unique tokens per Arrow batch are a small fraction
+    of total tokens; caching makes the per-unique-token Python cost amortize
+    to near-zero. Used inside the tokenizer's pandas UDF (vectorized path —
+    no per-row Spark Python UDFs anywhere, per BASELINE input_hint).
+    """
+
+    def __init__(self) -> None:
+        self._cache: dict[str, int] = {}
+        self._bigram_cache: dict[tuple[str, str, bool], int] = {}
+
+    def termids(self, tokens: list[str]) -> np.ndarray:
+        cache = self._cache
+        out = np.empty(len(tokens), dtype=np.int64)
+        for i, t in enumerate(tokens):
+            v = cache.get(t)
+            if v is None:
+                v = termid_for_token(t)
+                cache[t] = v
+            out[i] = v
+        return out
+
+    def bigram_ids(self, pairs: list[tuple[str, str, bool]]) -> np.ndarray:
+        cache = self._bigram_cache
+        out = np.empty(len(pairs), dtype=np.int64)
+        for i, p in enumerate(pairs):
+            v = cache.get(p)
+            if v is None:
+                v = bigram_id(*p)
+                cache[p] = v
+            out[i] = v
+        return out

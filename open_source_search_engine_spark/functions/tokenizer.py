@@ -1,0 +1,237 @@
+"""Source-code tokenizer + bigram shingler (vectorized, batch-oriented).
+
+Re-expresses the reference tokenizer's semantics for a source-code corpus:
+
+- token split on identifier/number runs with the ``c++`` / ``c#`` trailing
+  operator rule and the ``bob's`` apostrophe rule
+  (/root/reference/Words.cpp:169-358, C++/C# special case at 288-293) and the
+  ``3.14`` / ``1,000`` digit-separator rule kept as one token;
+- a running word-position cursor: +1 per token, +2 across a punctuation run,
+  +LINE_UNITS at line/statement boundaries, capped at 18 bits
+  (/root/reference/XmlDoc.cpp:20055-20142, Posdb wordpos field
+  /root/reference/Posdb.h:268-283);
+- per-line density rank ``MAX_DENSITY - (words_in_line - 1)``, floor 1
+  (/root/reference/XmlDoc.cpp:20144-20206; "sentence" → source line);
+- two-word bigram shingles at the first word's position, with the stop-word
+  XOR salt (/root/reference/Phrases.cpp:109-263, salt at 253-262);
+- possessive strip: ``bob's`` additionally indexed as ``bob`` flagged as a
+  synonym-kind term (/root/reference/XmlDoc_Indexing.cpp:1974-2018).
+
+Deviations for the code corpus (documented, mirrored by the oracle):
+``_`` counts as an identifier character (so ``binsearch_rare7`` is one term);
+``;`` is a statement boundary like a newline; HTML/section logic is dropped
+(no HTML in the corpus — SURVEY.md §2.3 R5).
+
+Everything is plain numpy/pandas on batches — this module is called from
+Arrow-batched pandas UDFs only, never row-at-a-time Spark UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+from .. import FIELD_BODY, FIELD_LANG, FIELD_TITLE, FIELD_URL
+from .hashing import TokenHasher
+
+# Position-cursor constants (XmlDoc.cpp:20055-20142 analog).
+LINE_UNITS = 30          # SENT_UNITS analog: gap at '\n' or ';'
+PUNCT_UNITS = 2          # gap across a non-space punctuation run
+FIELD_GAP = 100          # m_dist += 100 between fields (XmlDoc_Indexing.cpp:2082)
+MAX_WORDPOS = (1 << 18) - 1  # 18-bit wordpos (Posdb.h:268-283)
+
+MAX_DENSITY = 31         # MAXDENSITYRANK (Posdb.h:65-73)
+
+# Term kinds (the F-bits analog, Posdb.h:24-27: 0=original; we add 1=bigram
+# shingle — a separate termlist in the reference — and 2=synonym-ish, used for
+# the possessive-stripped form).
+KIND_UNIGRAM = 0
+KIND_BIGRAM = 1
+KIND_SYNONYM = 2
+
+# Query/phrasing stop words: a compact English set (role of
+# /root/reference/query_stop_words.en.txt + StopWords.cpp:188-252) extended
+# with ubiquitous code keywords — these are the skew-heavy hot terms.
+STOP_WORDS = frozenset(
+    """a an and are as at be but by for from has have if in into is it its of on
+    or that the to was were will with not no this then than so do does did done
+    i you he she we they them his her our your
+    def return else elif while break continue pass import class try except
+    void int char bool float double long const static public private new
+    null nullptr true false let var function"""
+    .split()
+)
+
+# Token scanner: identifier (with `_`), optional trailing `++`/`+`/`#`
+# (c++/c#), optional possessive `'s`; or a number with `.`/`,` separators.
+_TOKEN_RE = re.compile(r"[a-z_][a-z0-9_]*(?:\+\+|\+|#)?(?:'s)?|[0-9]+(?:[.,][0-9]+)*")
+_LINE_BREAK_RE = re.compile(r"[\n;]")
+_NON_SPACE_PUNCT_RE = re.compile(r"[^\sa-z0-9_]")
+
+
+@dataclass
+class TokenizedField:
+    """Flat arrays for one field of one document."""
+
+    tokens: list[str] = dc_field(default_factory=list)      # unigram surface forms
+    positions: list[int] = dc_field(default_factory=list)
+    densities: list[int] = dc_field(default_factory=list)
+    kinds: list[int] = dc_field(default_factory=list)
+    bigram_pairs: list[tuple[str, str, bool]] = dc_field(default_factory=list)
+    bigram_positions: list[int] = dc_field(default_factory=list)
+    n_words: int = 0          # dl: unigram count (BM25 doc length)
+    end_cursor: int = 0
+
+
+def tokenize_text(text: str, start_cursor: int = 0, per_line_density: bool = True) -> TokenizedField:
+    """Scan one field string into tokens/positions/densities/bigrams."""
+    out = TokenizedField()
+    low = text.lower()
+    cursor = start_cursor
+    prev_end = 0
+    prev_tok: str | None = None
+    line_no = 0
+    line_of_token: list[int] = []
+
+    for m in _TOKEN_RE.finditer(low):
+        gap = low[prev_end:m.start()]
+        if gap:
+            n_breaks = len(_LINE_BREAK_RE.findall(gap))
+            if n_breaks:
+                cursor += LINE_UNITS * n_breaks
+                line_no += n_breaks
+                prev_tok = None  # bigrams do not cross line/statement boundaries
+            elif _NON_SPACE_PUNCT_RE.search(gap):
+                cursor += PUNCT_UNITS
+        tok = m.group(0)
+        pos = min(cursor, MAX_WORDPOS)
+
+        possessive = tok.endswith("'s")
+        if possessive:
+            base = tok[:-2]
+            tok = base + "'s"
+        out.tokens.append(tok)
+        out.positions.append(pos)
+        out.kinds.append(KIND_UNIGRAM)
+        line_of_token.append(line_no)
+        out.n_words += 1
+        if possessive and len(tok) > 2:
+            # bob's -> also index "bob" at the same position, synonym kind
+            out.tokens.append(tok[:-2])
+            out.positions.append(pos)
+            out.kinds.append(KIND_SYNONYM)
+            line_of_token.append(line_no)
+
+        if prev_tok is not None:
+            both_stop = prev_tok in STOP_WORDS and tok in STOP_WORDS
+            out.bigram_pairs.append((prev_tok, tok, both_stop))
+            out.bigram_positions.append(prev_pos)
+        prev_tok = tok
+        prev_pos = pos
+        cursor = min(cursor + 1, MAX_WORDPOS)
+        prev_end = m.end()
+
+    # trailing text may still contain line breaks that advance the cursor
+    tail = low[prev_end:]
+    cursor += LINE_UNITS * len(_LINE_BREAK_RE.findall(tail))
+    out.end_cursor = min(cursor, MAX_WORDPOS)
+
+    # density rank: per source line for body, whole-string for short fields
+    # (XmlDoc.cpp:20144-20206: per-sentence body, per-string title/linktext)
+    if per_line_density:
+        counts: dict[int, int] = {}
+        for ln, k in zip(line_of_token, out.kinds):
+            if k == KIND_UNIGRAM:
+                counts[ln] = counts.get(ln, 0) + 1
+        out.densities = [max(1, MAX_DENSITY - (counts[ln] - 1)) for ln in line_of_token]
+    else:
+        d = max(1, MAX_DENSITY - (out.n_words - 1))
+        out.densities = [d] * len(out.tokens)
+    return out
+
+
+def code_tokens(text: str) -> list[str]:
+    """Plain lowercase token list (no positions) — shared by dedup/minhash
+    ops and the oracle."""
+    return _TOKEN_RE.findall(text.lower())
+
+
+_PATH_SPLIT_RE = re.compile(r"[a-z0-9_+#]+")
+
+
+def _basename(path: str) -> str:
+    return path.rsplit("/", 1)[-1]
+
+
+def index_document(
+    repo: str,
+    path: str,
+    lang: str,
+    content: str,
+    hasher: TokenHasher,
+) -> dict[str, np.ndarray]:
+    """Tokenize all fields of one document into flat posting arrays.
+
+    Field fan-out order and the +FIELD_GAP position gap mirror hashAll
+    (/root/reference/XmlDoc_Indexing.cpp:222-462, gap at 2082):
+    BODY=content, TITLE=path basename, URL=repo+path tokens, LANG=language.
+    Returns dict of equal-length arrays: termid(int64), wordpos(int32),
+    field(int8), density(int8), kind(int8); plus scalar doc lengths
+    per field under 'dl_body','dl_title','dl_url'.
+    """
+    fields = [
+        (FIELD_BODY, content, True),
+        (FIELD_TITLE, _basename(path), False),
+        (FIELD_URL, repo + "/" + path, False),
+        (FIELD_LANG, lang, False),
+    ]
+    termids: list[np.ndarray] = []
+    positions: list[np.ndarray] = []
+    fcodes: list[np.ndarray] = []
+    densities: list[np.ndarray] = []
+    kinds: list[np.ndarray] = []
+    dl = {FIELD_BODY: 0, FIELD_TITLE: 0, FIELD_URL: 0}
+
+    cursor = 0
+    for fcode, text, per_line in fields:
+        tf = tokenize_text(text, start_cursor=cursor, per_line_density=per_line)
+        cursor = min(tf.end_cursor + FIELD_GAP, MAX_WORDPOS)
+        if fcode in dl:
+            dl[fcode] = tf.n_words
+        n_uni = len(tf.tokens)
+        n_big = len(tf.bigram_pairs)
+        if n_uni:
+            termids.append(hasher.termids(tf.tokens))
+            positions.append(np.asarray(tf.positions, dtype=np.int32))
+            fcodes.append(np.full(n_uni, fcode, dtype=np.int8))
+            densities.append(np.asarray(tf.densities, dtype=np.int8))
+            kinds.append(np.asarray(tf.kinds, dtype=np.int8))
+        if n_big:
+            termids.append(hasher.bigram_ids(tf.bigram_pairs))
+            positions.append(np.asarray(tf.bigram_positions, dtype=np.int32))
+            fcodes.append(np.full(n_big, fcode, dtype=np.int8))
+            densities.append(np.full(n_big, MAX_DENSITY, dtype=np.int8))
+            kinds.append(np.full(n_big, KIND_BIGRAM, dtype=np.int8))
+
+    if termids:
+        res = {
+            "termid": np.concatenate(termids),
+            "wordpos": np.concatenate(positions),
+            "field": np.concatenate(fcodes),
+            "density": np.concatenate(densities),
+            "kind": np.concatenate(kinds),
+        }
+    else:
+        res = {
+            "termid": np.empty(0, dtype=np.int64),
+            "wordpos": np.empty(0, dtype=np.int32),
+            "field": np.empty(0, dtype=np.int8),
+            "density": np.empty(0, dtype=np.int8),
+            "kind": np.empty(0, dtype=np.int8),
+        }
+    res["dl_body"] = dl[FIELD_BODY]
+    res["dl_title"] = dl[FIELD_TITLE]
+    res["dl_url"] = dl[FIELD_URL]
+    return res

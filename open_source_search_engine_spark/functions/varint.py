@@ -1,0 +1,115 @@
+"""Delta + varint compressed posting blocks (numpy-vectorized codec).
+
+The reference compresses its 18-byte Posdb keys to 12/6 bytes by sharing key
+prefixes within a sorted termlist (/root/reference/Posdb.h:44-48,
+/root/reference/RdbList.h:35-47, ~35% savings). Re-expressed columnar per
+BASELINE.json north_rule: a posting block is a ``binary`` cell holding one
+sorted run of (docid, tf, positions[]) for one (termid, field):
+
+    layout:  varint n_docs
+             varint docid deltas   (first delta from 0; docids sorted unique)
+             varint tf per doc     (tf = number of positions)
+             varint position deltas per doc (first from 0, ascending)
+
+Both encode and decode are numpy-vectorized (no per-value Python loop — the
+loops below are over the ≤10 varint byte slots, not over values), so they run
+at memory speed inside Arrow-batched UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bm25 import bm25_tfnorm  # noqa: F401  (re-export: block max_tfnorm users)
+
+_U64 = np.uint64
+
+
+def encode_varints(vals: np.ndarray) -> np.ndarray:
+    """LEB128-encode a uint64 array → uint8 array (vectorized)."""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
+    nb = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        nb += (v >= _U64(1 << (7 * k))).astype(np.int64)
+    ends = np.cumsum(nb)
+    offs = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for j in range(10):
+        mask = nb > j
+        if not mask.any():
+            break
+        chunk = ((v[mask] >> _U64(7 * j)) & _U64(0x7F)).astype(np.uint8)
+        cont = (nb[mask] > j + 1).astype(np.uint8) << 7
+        out[offs[mask] + j] = chunk | cont
+    return out
+
+
+def decode_varints(buf: np.ndarray) -> np.ndarray:
+    """Decode a uint8 LEB128 stream → uint64 array (vectorized)."""
+    b = np.ascontiguousarray(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.nonzero(is_end)[0]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    pos_in_group = np.arange(len(b)) - np.repeat(starts, ends - starts + 1)
+    contrib = (b & 0x7F).astype(np.uint64) << (_U64(7) * pos_in_group.astype(np.uint64))
+    return np.add.reduceat(contrib, starts)
+
+
+def encode_block(docids: np.ndarray, tfs: np.ndarray, positions: np.ndarray) -> bytes:
+    """Encode one block. ``docids`` sorted strictly ascending; ``tfs[i]``
+    positions for doc i are the next tfs[i] entries of ``positions``
+    (ascending within each doc)."""
+    docids = np.asarray(docids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    positions = np.asarray(positions, dtype=np.int64)
+    n = len(docids)
+    head = encode_varints(np.array([n], dtype=np.uint64))
+    d_doc = np.empty(n, dtype=np.uint64)
+    if n:
+        d_doc[0] = docids[0]
+        d_doc[1:] = np.diff(docids).astype(np.uint64)
+    # per-doc position deltas: first position absolute, rest diffs
+    d_pos = np.empty(len(positions), dtype=np.uint64)
+    if len(positions):
+        d_pos[:] = positions
+        d_pos[1:] = (positions[1:] - positions[:-1]).astype(np.uint64)
+        firsts = np.cumsum(tfs)[:-1] if n > 1 else np.empty(0, dtype=np.int64)
+        d_pos[firsts] = positions[firsts]  # reset delta at doc boundaries
+    parts = [head, encode_varints(d_doc), encode_varints(tfs.astype(np.uint64)),
+             encode_varints(d_pos)]
+    return b"".join(p.tobytes() for p in parts)
+
+
+def decode_block(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one block → (docids int64, tfs int64, positions int64)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    vals = decode_varints(b)
+    n = int(vals[0])
+    d_doc = vals[1 : 1 + n]
+    tfs = vals[1 + n : 1 + 2 * n].astype(np.int64)
+    d_pos = vals[1 + 2 * n :].astype(np.int64)
+    docids = np.cumsum(d_doc.astype(np.int64))
+    positions = _cumsum_with_resets(d_pos, tfs) if len(d_pos) else d_pos
+    return docids, tfs, positions
+
+
+def _cumsum_with_resets(deltas: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Cumulative sum of position deltas that restarts at each doc boundary."""
+    n = len(deltas)
+    if n == 0:
+        return deltas
+    starts = np.zeros(len(tfs), dtype=np.int64)
+    starts[1:] = np.cumsum(tfs)[:-1]
+    # segmented cumsum: global cumsum minus the cumsum value just before each
+    # segment start, broadcast over the segment
+    csum = np.cumsum(deltas)
+    seg_base = np.zeros(len(tfs), dtype=np.int64)
+    seg_base[1:] = csum[starts[1:] - 1]
+    return csum - np.repeat(seg_base, tfs)

@@ -1,0 +1,2 @@
+"""Spark operators: index build, compaction, query serving, dedup/similarity/
+text-stats pipeline ops."""

@@ -1,0 +1,525 @@
+"""Corpus → compressed inverted-index segments (the build pipeline).
+
+Spark re-expression of the reference's indexing path (SURVEY.md §3.2):
+
+    corpus scan → tokenize/shingle Arrow UDF        (XmlDoc hashAll analog,
+                                                     /root/reference/XmlDoc_Indexing.cpp:222-462)
+    → salted repartition on (termid, field, salt)   (Msg4 shard shuffle analog,
+                                                     /root/reference/Msg4Out.cpp:488-587;
+                                                     salt = explicit hot-term skew
+                                                     handling per BASELINE north_rule)
+    → sortWithinPartitions(termid, field, salt, docid, wordpos)
+                                                    (RdbDump sorted-file dump,
+                                                     /root/reference/RdbDump.cpp)
+    → streaming block encode (mapInPandas)          (delta+varint posting blocks —
+                                                     the 18/12/6-byte Posdb prefix
+                                                     compression re-expressed,
+                                                     /root/reference/Posdb.h:44-48)
+    → write segments/gen=<chunk>/bucket=<pmod(termid,NB)>
+
+Each build *chunk* (a docid-hash slice of the corpus) is one generation —
+the Rdb numbered-file analog — recorded in a manifest with lineage + metrics
+(rows in, postings out, bytes, terms/sec), making builds resumable per chunk:
+re-running skips chunks whose manifest row says done (north_rule checkpoint
+requirement). ``compact_segments`` merges generations/salt-runs per term and
+records merge fan-in (/root/reference/RdbBase.cpp:1318-1663 analog).
+
+Scale notes (100 TB design):
+- the only wide shuffles are the posting repartition (keyed by termid+salt so
+  stop-term keys spread over ceil(tf/target) reducers) and the exact-df
+  aggregation (map-side partial aggregation applies; docid slices make df
+  additive across chunks so no global distinct is ever recomputed);
+- everything between shuffle boundaries is Arrow-batched numpy — no per-row
+  Python anywhere;
+- block metadata (min/max docid, max_tf) lands in parquet columns, so query
+  pruning is plain predicate pushdown + partition pruning on bucket.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .. import FIELD_BODY, FIELD_TITLE, FIELD_URL
+from ..functions.hashing import TokenHasher, docid_for_url
+from ..functions.tokenizer import KIND_UNIGRAM, index_document
+from ..functions.varint import encode_block
+from ..sources import catalog
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("termid", T.LongType(), False),
+        T.StructField("docid", T.LongType(), False),
+        T.StructField("field", T.IntegerType(), False),
+        T.StructField("wordpos", T.IntegerType(), False),
+        T.StructField("kind", T.IntegerType(), False),
+    ]
+)
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("termid", T.LongType(), False),
+        T.StructField("field", T.IntegerType(), False),
+        T.StructField("salt", T.IntegerType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("min_docid", T.LongType(), False),
+        T.StructField("max_docid", T.LongType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("n_postings", T.LongType(), False),
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("postings", T.BinaryType(), False),
+    ]
+)
+
+BLOCK_DOCS_DEFAULT = 128
+
+
+# --------------------------------------------------------------------------
+# identity + tokenize
+# --------------------------------------------------------------------------
+
+def with_doc_identity(corpus: DataFrame) -> DataFrame:
+    """Add url, docid, content_sha256 (per-row invariant per BASELINE
+    input_hint; docid = hash64b(url) & DOCID_MASK mirrors
+    /root/reference/Titledb.h:67-80)."""
+
+    @F.pandas_udf(T.LongType())
+    def docid_udf(urls: pd.Series) -> pd.Series:
+        return urls.map(docid_for_url).astype("int64")
+
+    return (
+        corpus.withColumn("url", F.concat_ws("/", "repo", "path"))
+        .withColumn("docid", docid_udf("url"))
+        .withColumn("content_sha256", F.sha2("content", 256))
+    )
+
+
+def tokenize_postings(corpus_with_id: DataFrame) -> DataFrame:
+    """corpus rows → posting rows via the vectorized tokenizer.
+
+    mapInPandas keeps the explode inside Arrow batches (one output table per
+    input batch) — the reference's per-doc "metalist" (XmlDoc.cpp:12699)
+    becomes a columnar batch instead of a per-doc buffer."""
+    cols = ["docid", "repo", "path", "lang", "content"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hasher = TokenHasher()
+        for pdf in batches:
+            outs = []
+            for docid, repo, path, lang, content in zip(
+                pdf["docid"].values, pdf["repo"].values, pdf["path"].values,
+                pdf["lang"].values, pdf["content"].values,
+            ):
+                arrs = index_document(repo, path, lang, content, hasher)
+                n = len(arrs["termid"])
+                if not n:
+                    continue
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "termid": arrs["termid"],
+                            "docid": np.full(n, docid, dtype=np.int64),
+                            "field": arrs["field"].astype(np.int32),
+                            "wordpos": arrs["wordpos"].astype(np.int32),
+                            "kind": arrs["kind"].astype(np.int32),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return corpus_with_id.select(cols).mapInPandas(gen, POSTINGS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# salted repartition + streaming block encode
+# --------------------------------------------------------------------------
+
+def salted(postings: DataFrame, hot_threshold: int, target_group_rows: int) -> DataFrame:
+    """Add the skew-busting salt column: hot termids (chunk-local posting
+    count > hot_threshold) get salt = pmod(docid, S) with S sized so each
+    salted sub-group holds ~target_group_rows postings. The reference
+    sidesteps this by doc-sharding every termlist (Hostdb.cpp:1499-1512);
+    a termid-keyed build shuffle must handle it explicitly (north_rule)."""
+    counts = postings.groupBy("termid").count().filter(F.col("count") > hot_threshold)
+    hot = counts.collect()  # bounded: stop-term vocabulary is small
+    if not hot:
+        return postings.withColumn("salt", F.lit(0))
+    mapping = {}
+    for r in hot:
+        mapping[r["termid"]] = int(min(256, max(1, (r["count"] + target_group_rows - 1) // target_group_rows)))
+    map_items: list = []
+    for tid, s in mapping.items():
+        map_items.extend([F.lit(tid), F.lit(s)])
+    salt_map = F.create_map(*map_items)
+    return postings.withColumn(
+        "salt",
+        F.pmod("docid", F.coalesce(salt_map[F.col("termid")], F.lit(1))).cast("int"),
+    )
+
+
+def _encode_group(termid: int, field: int, salt: int,
+                  docids: np.ndarray, positions: np.ndarray,
+                  block_docs: int) -> list[tuple]:
+    """Encode one sorted (termid, field, salt) run into block rows."""
+    uniq, starts = np.unique(docids, return_index=True)
+    tfs = np.diff(np.append(starts, len(docids)))
+    rows = []
+    for b0 in range(0, len(uniq), block_docs):
+        b1 = min(b0 + block_docs, len(uniq))
+        p0, p1 = starts[b0], (starts[b1] if b1 < len(uniq) else len(docids))
+        blk_doc = uniq[b0:b1]
+        blk_tf = tfs[b0:b1]
+        blk_pos = positions[p0:p1]
+        buf = encode_block(blk_doc, blk_tf, blk_pos)
+        rows.append(
+            (int(termid), int(field), int(salt), b0 // block_docs,
+             int(blk_doc[0]), int(blk_doc[-1]), int(len(blk_doc)),
+             int(blk_tf.sum()), int(blk_tf.max()), buf)
+        )
+    return rows
+
+
+def encode_segments(postings_salted: DataFrame, *, partitions: int,
+                    block_docs: int = BLOCK_DOCS_DEFAULT) -> DataFrame:
+    """Shuffle postings to (termid, field, salt) owners, sort, and stream-
+    encode each run into delta+varint blocks.
+
+    Uses repartition + sortWithinPartitions + mapInPandas rather than
+    groupBy().applyInPandas: one Arrow stream per partition amortizes UDF
+    overhead over millions of tiny termid groups, and a carry buffer stitches
+    groups split across Arrow batches (same reason RdbDump writes one file
+    per memtable, not one per termlist)."""
+
+    part = (
+        postings_salted.repartition(partitions, "termid", "field", "salt")
+        .sortWithinPartitions("termid", "field", "salt", "docid", "wordpos")
+        .select("termid", "field", "salt", "docid", "wordpos")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+
+        def flush(pdf: pd.DataFrame) -> pd.DataFrame:
+            t = pdf["termid"].values
+            f = pdf["field"].values
+            s = pdf["salt"].values
+            d = pdf["docid"].values
+            p = pdf["wordpos"].values.astype(np.int64)
+            # group boundaries on (termid, field, salt)
+            change = np.empty(len(t), dtype=bool)
+            change[0] = True
+            change[1:] = (t[1:] != t[:-1]) | (f[1:] != f[:-1]) | (s[1:] != s[:-1])
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], len(t))
+            rows: list[tuple] = []
+            for a, b in zip(starts, ends):
+                rows.extend(_encode_group(t[a], f[a], s[a], d[a:b], p[a:b], block_docs))
+            return pd.DataFrame(rows, columns=[x.name for x in SEGMENT_SCHEMA])
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            t = pdf["termid"].values
+            f = pdf["field"].values
+            s = pdf["salt"].values
+            last_key = (t[-1], f[-1], s[-1])
+            same_last = (t == last_key[0]) & (f == last_key[1]) & (s == last_key[2])
+            cut = int(len(pdf) - same_last[::-1].argmin()) if not same_last.all() else 0
+            if cut == 0:
+                carry = pdf  # whole batch is one (possibly continuing) group
+                continue
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+            out = flush(pdf.iloc[:cut])
+            if len(out):
+                yield out
+        if carry is not None and len(carry):
+            out = flush(carry)
+            if len(out):
+                yield out
+
+    return part.mapInPandas(gen, SEGMENT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# build orchestration (chunked, resumable)
+# --------------------------------------------------------------------------
+
+def _manifest_path(index_dir: str) -> str:
+    return catalog.table_path(index_dir, "manifest")
+
+
+def load_manifest(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    if not catalog.table_exists(index_dir, "manifest"):
+        return None
+    return catalog.read_table(spark, index_dir, "manifest")
+
+
+def _done_chunks(spark: SparkSession, index_dir: str) -> set[int]:
+    m = load_manifest(spark, index_dir)
+    if m is None:
+        return set()
+    return {r["chunk"] for r in m.filter(F.col("status") == "done").select("chunk").collect()}
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    n_chunks: int = 1,
+    partitions: int | None = None,
+    n_buckets: int = catalog.N_BUCKETS_DEFAULT,
+    block_docs: int = BLOCK_DOCS_DEFAULT,
+    hot_threshold: int = 100_000,
+    target_group_rows: int = 50_000,
+    stop_after_chunks: int | None = None,
+) -> dict:
+    """Full build: chunked, resumable, metric-recording.
+
+    ``n_chunks`` slices the corpus by ``pmod(docid, n_chunks)`` — each slice
+    is one generation. Because chunks partition the docid space, per-chunk
+    exact df and dl stats are additive, so a resumed build finalizes to
+    byte-identical stats. ``stop_after_chunks`` exists for the resume test
+    (kill-halfway simulation). Returns build metrics."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    corpus_id = with_doc_identity(corpus)
+    done = _done_chunks(spark, index_dir)
+    metrics: dict = {"chunks": [], "docs": 0, "postings": 0, "bytes": 0, "elapsed": 0.0}
+    processed = 0
+    for chunk in range(n_chunks):
+        if chunk in done:
+            continue
+        if stop_after_chunks is not None and processed >= stop_after_chunks:
+            break
+        t0 = time.time()
+        part = corpus_id.filter(F.pmod("docid", F.lit(n_chunks)) == chunk)
+        part = part.persist()
+        n_docs = part.count()
+
+        # docmap + postings
+        catalog.write_table(
+            part.select("docid", "repo", "path", "lang", "content_sha256"),
+            index_dir, f"docmap/gen={chunk}",
+        )
+        postings = tokenize_postings(part).persist()
+        n_postings = postings.count()
+
+        # doc_stats: dl per (docid, field) = unigram count
+        doc_stats = (
+            postings.filter(F.col("kind") == KIND_UNIGRAM)
+            .groupBy("docid", "field").agg(F.count("*").alias("dl"))
+        )
+        catalog.write_table(doc_stats, index_dir, f"doc_stats/gen={chunk}")
+
+        # exact per-chunk df (additive across chunks: docid-disjoint slices)
+        term_stats = (
+            postings.select("termid", "docid").distinct()
+            .groupBy("termid").agg(F.count("*").alias("df"))
+        )
+        catalog.write_table(term_stats, index_dir, f"term_stats_partial/gen={chunk}")
+
+        # salted encode → segments
+        seg = encode_segments(
+            salted(postings, hot_threshold, target_group_rows),
+            partitions=partitions, block_docs=block_docs,
+        ).withColumn("bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
+        catalog.write_table(seg, index_dir, f"segments/gen={chunk}",
+                            partition_by=["bucket"])
+
+        seg_read = catalog.read_table(spark, index_dir, f"segments/gen={chunk}")
+        bytes_out = seg_read.agg(F.sum(F.length("postings"))).collect()[0][0] or 0
+        elapsed = time.time() - t0
+
+        manifest_row = spark.createDataFrame(
+            [
+                (
+                    chunk,
+                    f"pmod(docid,{n_chunks})=={chunk}",
+                    int(n_docs),
+                    int(n_postings),
+                    int(bytes_out),
+                    float(n_postings / elapsed if elapsed > 0 else 0.0),
+                    "done",
+                    1,
+                    float(time.time()),
+                )
+            ],
+            "chunk int, lineage string, rows_in long, postings_out long, "
+            "bytes_out long, terms_per_sec double, status string, attempt int, ts double",
+        )
+        manifest_row.write.mode("append").parquet(_manifest_path(index_dir))
+        postings.unpersist()
+        part.unpersist()
+        processed += 1
+        metrics["chunks"].append(
+            {"chunk": chunk, "docs": n_docs, "postings": n_postings,
+             "bytes": bytes_out, "elapsed": elapsed}
+        )
+        metrics["docs"] += n_docs
+        metrics["postings"] += n_postings
+        metrics["bytes"] += bytes_out
+        metrics["elapsed"] += elapsed
+
+    if stop_after_chunks is None or len(_done_chunks(spark, index_dir)) == n_chunks:
+        finalize_stats(spark, index_dir)
+    return metrics
+
+
+def finalize_stats(spark: SparkSession, index_dir: str) -> None:
+    """Merge chunk-partial stats into the serving stats tables."""
+    term_stats = (
+        spark.read.parquet(catalog.table_path(index_dir, "term_stats_partial"))
+        .groupBy("termid").agg(F.sum("df").alias("df"))
+    )
+    catalog.write_table(term_stats, index_dir, "term_stats")
+
+    doc_stats = spark.read.parquet(catalog.table_path(index_dir, "doc_stats"))
+    docmap = spark.read.parquet(catalog.table_path(index_dir, "docmap"))
+    n_docs = docmap.count()
+    sums = {
+        r["field"]: (r["s"], r["c"])
+        for r in doc_stats.groupBy("field")
+        .agg(F.sum("dl").alias("s"), F.count("*").alias("c"))
+        .collect()
+    }
+
+    def avgdl(field: int) -> float:
+        s, _ = sums.get(field, (0, 0))
+        # denominator is ALL docs (docs without the field have dl 0), exactly
+        # like the oracle's python-int sum / N — bit-identical parity
+        return (int(s) if s else 0) / max(n_docs, 1)
+
+    globals_df = spark.createDataFrame(
+        [(n_docs, avgdl(FIELD_BODY), avgdl(FIELD_TITLE), avgdl(FIELD_URL))],
+        "n_docs long, avgdl_body double, avgdl_title double, avgdl_url double",
+    )
+    catalog.write_table(globals_df, index_dir, "globals")
+
+
+# --------------------------------------------------------------------------
+# compaction (M4 analog)
+# --------------------------------------------------------------------------
+
+def compact_segments(spark: SparkSession, index_dir: str, *,
+                     partitions: int | None = None,
+                     block_docs: int = BLOCK_DOCS_DEFAULT,
+                     max_run_blocks: int = 1 << 20) -> dict:
+    """Merge all generations + salt runs of each (termid, field) into one
+    docid-sorted run (salt=0) under ``compacted/`` — the RdbMerge analog
+    (/root/reference/RdbBase.cpp:1318-1663). Records merge fan-in.
+
+    Terms whose merged run would exceed ``max_run_blocks`` blocks keep their
+    salted runs (the 90 MB termlist-cap spirit of /root/reference/Msg2.cpp:23);
+    the query engine treats runs as independent sorted streams either way."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    seg = spark.read.parquet(catalog.table_path(index_dir, "segments"))
+
+    fanin = (
+        seg.groupBy("termid", "field")
+        .agg(F.count("*").alias("n_blocks"),
+             F.countDistinct("salt").alias("n_salts"))
+    )
+
+    # decode → re-encode per (termid, field): same streaming pattern as build
+    part = (
+        seg.repartition(partitions, "termid", "field")
+        .sortWithinPartitions("termid", "field", "salt", "block_id")
+        .select("termid", "field", "postings")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.varint import decode_block
+
+        carry: pd.DataFrame | None = None
+
+        def flush(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows: list[tuple] = []
+            t = pdf["termid"].values
+            f = pdf["field"].values
+            change = np.empty(len(t), dtype=bool)
+            change[0] = True
+            change[1:] = (t[1:] != t[:-1]) | (f[1:] != f[:-1])
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], len(t))
+            for a, b in zip(starts, ends):
+                docs_l, tfs_l, pos_l = [], [], []
+                for buf in pdf["postings"].values[a:b]:
+                    d, tf, p = decode_block(bytes(buf))
+                    docs_l.append(d)
+                    tfs_l.append(tf)
+                    pos_l.append(p)
+                docids = np.concatenate(docs_l)
+                tfs = np.concatenate(tfs_l)
+                # merge runs: sort docs, positions stay grouped per doc
+                order = np.argsort(docids, kind="stable")
+                pos_starts = np.zeros(len(tfs), dtype=np.int64)
+                pos_starts[1:] = np.cumsum(tfs)[:-1]
+                pos_all = np.concatenate(pos_l)
+                pos_sorted = np.concatenate(
+                    [pos_all[pos_starts[i]: pos_starts[i] + tfs[i]] for i in order]
+                ) if len(order) else pos_all
+                d_sorted = docids[order]
+                t_sorted = tfs[order]
+                # expand to flat (docid, pos) stream for _encode_group
+                flat_doc = np.repeat(d_sorted, t_sorted)
+                rows.extend(
+                    _encode_group(t[a], f[a], 0, flat_doc, pos_sorted, block_docs)
+                )
+            return pd.DataFrame(rows, columns=[x.name for x in SEGMENT_SCHEMA])
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            t = pdf["termid"].values
+            f = pdf["field"].values
+            same_last = (t == t[-1]) & (f == f[-1])
+            cut = int(len(pdf) - same_last[::-1].argmin()) if not same_last.all() else 0
+            if cut == 0:
+                carry = pdf
+                continue
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+            out = flush(pdf.iloc[:cut])
+            if len(out):
+                yield out
+        if carry is not None and len(carry):
+            out = flush(carry)
+            if len(out):
+                yield out
+
+    n_buckets = catalog.N_BUCKETS_DEFAULT
+    compacted = part.mapInPandas(gen, SEGMENT_SCHEMA).withColumn(
+        "bucket", F.pmod("termid", F.lit(n_buckets)).cast("int")
+    )
+    catalog.write_table(compacted, index_dir, "compacted", partition_by=["bucket"])
+
+    stats = fanin.agg(
+        F.max("n_blocks").alias("max_fanin"),
+        F.avg("n_blocks").alias("avg_fanin"),
+        F.count("*").alias("n_termlists"),
+    ).collect()[0]
+    return {
+        "max_fanin": int(stats["max_fanin"]),
+        "avg_fanin": float(stats["avg_fanin"]),
+        "n_termlists": int(stats["n_termlists"]),
+    }
+
+
+def serving_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Compacted segments if present, else the raw generations."""
+    if catalog.table_exists(index_dir, "compacted"):
+        return spark.read.parquet(catalog.table_path(index_dir, "compacted"))
+    return spark.read.parquet(catalog.table_path(index_dir, "segments"))

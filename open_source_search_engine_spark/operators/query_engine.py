@@ -1,0 +1,271 @@
+"""BM25 top-k query serving over compressed posting segments.
+
+Spark re-expression of the reference's query path (SURVEY.md §3.1): the
+Msg39 shard fan-out + PosdbTable intersection + TopTree collapse into one
+DataFrame plan —
+
+    segments scan (bucket partition-pruned + termid predicate pushdown)
+    → block-level pruning                      (block-max WAND analog of
+                                                getMaxPossibleScore,
+                                                /root/reference/PosdbTable.cpp:4102-4261,
+                                                + rarest-term docid-range zig-zag,
+                                                /root/reference/PosdbTable.cpp:4803-5097)
+    → vectorized block decode (mapInPandas)
+    → spec match join + conjunctive membership  (docid-vote intersection,
+                                                /root/reference/PosdbTable.cpp:4803+;
+                                                anti-join = delDocIdVotes,
+                                                /root/reference/PosdbTable.cpp:4703-4801)
+    → per-(term,field) weighted BM25, summed in canonical (termid, field)
+      order via sort_array + aggregate          (JVM-side; bit-identical to the
+                                                oracle's loop)
+    → orderBy(score desc, docid asc).limit(k)   (TopTree + Msg3a shard merge,
+                                                /root/reference/TopTree.cpp:184-420,
+                                                /root/reference/Msg3a.cpp:661-949)
+    → join docmap for repo/path/content_sha256  (Msg20 title-rec lookup analog)
+
+Pruning is lossless and testable: ``prune=False`` must produce identical
+output (the WAND on/off gate in FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.window import Window
+
+from .. import BM25_B, BM25_K1, FIELD_BODY, FIELD_TITLE, FIELD_URL
+from ..functions.bm25 import bm25_idf
+from ..plans.plan import FIELD_WEIGHTS, QueryPlan, parse_query
+from ..sources import catalog
+from .index_build import serving_segments
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("termid", T.LongType(), False),
+        T.StructField("field", T.IntegerType(), False),
+        T.StructField("docid", T.LongType(), False),
+        T.StructField("tf", T.LongType(), False),
+    ]
+)
+
+
+@dataclass
+class IndexHandle:
+    """Driver-side handle: small stats loaded once, segments lazy."""
+
+    index_dir: str
+    n_docs: int
+    avgdl: dict  # field -> float
+
+    @classmethod
+    def open(cls, spark: SparkSession, index_dir: str) -> "IndexHandle":
+        g = catalog.read_table(spark, index_dir, "globals").collect()[0]
+        return cls(
+            index_dir=index_dir,
+            n_docs=int(g["n_docs"]),
+            avgdl={FIELD_BODY: g["avgdl_body"], FIELD_TITLE: g["avgdl_title"],
+                   FIELD_URL: g["avgdl_url"]},
+        )
+
+
+def _term_dfs(spark: SparkSession, index_dir: str, termids: list[int]) -> dict[int, int]:
+    rows = (
+        catalog.read_table(spark, index_dir, "term_stats")
+        .filter(F.col("termid").isin([int(t) for t in termids]))
+        .collect()
+    )
+    return {r["termid"]: r["df"] for r in rows}
+
+
+def _decode_udf(include_tids: list[int]):
+    """mapInPandas decoder: segment block rows → (termid, field, docid, tf)."""
+    tid_set = set(int(t) for t in include_tids)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.varint import decode_block
+
+        for pdf in batches:
+            outs = []
+            for tid, field, buf in zip(
+                pdf["termid"].values, pdf["field"].values, pdf["postings"].values
+            ):
+                if int(tid) not in tid_set:
+                    continue
+                d, tf, _ = decode_block(bytes(buf))
+                n = len(d)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "termid": np.full(n, tid, dtype=np.int64),
+                            "field": np.full(n, field, dtype=np.int32),
+                            "docid": d,
+                            "tf": tf,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return gen
+
+
+def _spec_table(spark: SparkSession, plan: QueryPlan, dfs: dict[int, int], n_docs: int):
+    """Small broadcast table: one row per (spec, concrete field) with the
+    driver-precomputed weight*idf product — identical floats to the oracle."""
+    rows = []
+    include = plan.required + plan.optional
+    n_required = len(plan.required)
+    for spec_id, t in enumerate(include):
+        idf = float(bm25_idf(dfs.get(t.termid, 0), n_docs))
+        fields = [t.field] if t.field is not None else [FIELD_BODY, FIELD_TITLE, FIELD_URL]
+        for f in fields:
+            w = t.weight * FIELD_WEIGHTS.get(f, 0.0)
+            rows.append((spec_id, int(t.termid), int(f), float(w * idf),
+                         bool(t.required)))
+    df = spark.createDataFrame(
+        rows, "spec_id int, termid long, field int, wid double, required boolean"
+    )
+    return df, n_required
+
+
+def topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str | QueryPlan,
+    k: int = 10,
+    *,
+    cursor: tuple[float, int] | None = None,
+    prune: bool = True,
+    handle: IndexHandle | None = None,
+) -> DataFrame:
+    """Top-k BM25 search. Returns DataFrame
+    (rank, docid, score, repo, path, content_sha256)."""
+    plan = parse_query(query) if isinstance(query, str) else query
+    if not plan.required:
+        return spark.createDataFrame(
+            [], "rank int, docid long, score double, repo string, path string, "
+            "content_sha256 string")
+    h = handle or IndexHandle.open(spark, index_dir)
+
+    all_tids = sorted({t.termid for t in plan.terms})
+    include = plan.required + plan.optional
+    include_tids = sorted({t.termid for t in include})
+    exclude_tids = sorted({t.termid for t in plan.excluded})
+    dfs = _term_dfs(spark, index_dir, all_tids)
+
+    seg = serving_segments(spark, h.index_dir)
+    n_buckets = catalog.N_BUCKETS_DEFAULT
+    buckets = sorted({t % n_buckets for t in all_tids})
+    seg = seg.filter(F.col("bucket").isin(buckets)).filter(
+        F.col("termid").isin([int(t) for t in all_tids])
+    )
+
+    if prune and len(plan.required) > 1:
+        seg = _block_range_prune(spark, seg, plan, dfs)
+
+    decoded = seg.mapInPandas(_decode_udf(all_tids), DECODED_SCHEMA)
+
+    # anti-join away excluded docids (field-restricted where the spec says so)
+    if exclude_tids:
+        exc_conds = []
+        for t in plan.excluded:
+            c = F.col("termid") == int(t.termid)
+            if t.field is not None:
+                c = c & (F.col("field") == int(t.field))
+            exc_conds.append(c)
+        exc_pred = exc_conds[0]
+        for c in exc_conds[1:]:
+            exc_pred = exc_pred | c
+        excluded_docs = decoded.filter(exc_pred).select("docid").distinct()
+        decoded = decoded.join(F.broadcast(excluded_docs), "docid", "left_anti")
+    decoded = decoded.filter(F.col("termid").isin([int(t) for t in include_tids]))
+
+    spec_df, n_required = _spec_table(spark, plan, dfs, h.n_docs)
+    matched = decoded.join(F.broadcast(spec_df), ["termid", "field"], "inner")
+
+    # attach dl for the (docid, field) pairs present
+    doc_stats = catalog.read_table(spark, h.index_dir, "doc_stats")
+    matched = matched.join(doc_stats, ["docid", "field"], "left").fillna({"dl": 0})
+
+    # per-(spec,field) BM25 contribution — pure JVM column math
+    avgdl_map = F.create_map(
+        *[x for fld, a in h.avgdl.items() for x in (F.lit(int(fld)), F.lit(max(float(a), 1e-9)))]
+    )
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    # fields outside the scored set (e.g. LANG, weight 0) need a non-null
+    # avgdl so their 0.0 contribution stays 0.0 rather than poisoning the sum
+    avg = F.coalesce(avgdl_map[F.col("field")], F.lit(1.0))
+    tfnorm = tf * F.lit(BM25_K1 + 1.0) / (
+        tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl / avg)
+    )
+    # zero-weight (filter-only) fields still count for required membership;
+    # their 0.0 contribution is exact under float addition
+    matched = matched.withColumn("contrib", F.col("wid") * tfnorm)
+
+    # conjunctive membership + canonical-order score sum
+    agg = matched.groupBy("docid").agg(
+        F.size(F.array_distinct(
+            F.collect_list(F.when(F.col("required"), F.col("spec_id")))
+        )).alias("n_req"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("termid", "field", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score"),
+    ).filter(F.col("n_req") == n_required)
+
+    if cursor is not None:
+        s0, d0 = cursor
+        agg = agg.filter(
+            (F.col("score") < F.lit(float(s0)))
+            | ((F.col("score") == F.lit(float(s0))) & (F.col("docid") > F.lit(int(d0))))
+        )
+
+    top = agg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+    docmap = spark.read.parquet(catalog.table_path(h.index_dir, "docmap"))
+    out = (
+        top.join(docmap, "docid", "inner")
+        .select("docid", "score", "repo", "path", "content_sha256")
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid"))),
+        )
+        .select("rank", "docid", "score", "repo", "path", "content_sha256")
+    )
+    return out
+
+
+def _block_range_prune(spark: SparkSession, seg: DataFrame, plan: QueryPlan,
+                       dfs: dict[int, int], max_ranges: int = 8192) -> DataFrame:
+    """Lossless block pruning: collect the rarest required term's block
+    [min_docid, max_docid] intervals (metadata only) and drop other terms'
+    blocks that overlap none of them — the sorted-list zig-zag skip of
+    addDocIdVotes re-expressed as metadata pruning. Falls back to no-op when
+    the rarest term is itself hot (interval list too big)."""
+    req = plan.required
+    rare = min(req, key=lambda t: dfs.get(t.termid, 0))
+    cond = F.col("termid") == int(rare.termid)
+    if rare.field is not None:
+        cond = cond & (F.col("field") == int(rare.field))
+    ranges = seg.filter(cond).select("min_docid", "max_docid").limit(max_ranges + 1).collect()
+    if not ranges or len(ranges) > max_ranges:
+        return seg
+    lo = np.array(sorted(r["min_docid"] for r in ranges), dtype=np.int64)
+    hi = np.array(sorted(r["max_docid"] for r in ranges), dtype=np.int64)
+    lo_list = [int(x) for x in lo]
+    hi_list = [int(x) for x in hi]
+
+    # a block [a,b] overlaps some rare interval iff NOT every interval is
+    # entirely left of a or right of b: count(min_docid_i <= b) > count(max_docid_i < a)
+    lo_arr = F.array([F.lit(x) for x in lo_list])
+    hi_arr = F.array([F.lit(x) for x in hi_list])
+    n_le_b = F.size(F.filter(lo_arr, lambda x: x <= F.col("max_docid")))
+    n_lt_a = F.size(F.filter(hi_arr, lambda x: x < F.col("min_docid")))
+    keep_other = n_le_b > n_lt_a
+    return seg.filter(cond | keep_other)

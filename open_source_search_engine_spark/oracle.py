@@ -1,0 +1,137 @@
+"""Single-node BM25 oracle — the rank-identity ground truth.
+
+A deliberately naive pure-Python (dicts + loops, no Spark) implementation of
+exactly the semantics in SURVEY.md §7.4: conjunctive candidate set
+(/root/reference/PosdbTable.cpp:4803+ analog), per-(term, field) weighted BM25
+scoring, tie-break (score desc, docid asc)
+(/root/reference/Msg3a.cpp:783-794), pagination strictly-after a (score,
+docid) cursor (/root/reference/PosdbTable.cpp:3948-3983). It shares the
+tokenizer / hashing / plan / BM25 modules with the Spark engine, so identical
+ranks are a consequence of shared semantics, not of tuned tolerances.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from . import FIELD_BODY, FIELD_TITLE, FIELD_URL
+from .functions.bm25 import bm25_idf, bm25_tfnorm
+from .functions.hashing import TokenHasher, docid_for_url
+from .functions.tokenizer import KIND_BIGRAM, index_document
+from .plans.plan import FIELD_WEIGHTS, QueryPlan, parse_query
+
+_DL_FIELD = {FIELD_BODY: "dl_body", FIELD_TITLE: "dl_title", FIELD_URL: "dl_url"}
+
+
+@dataclass
+class OracleDoc:
+    docid: int
+    repo: str
+    path: str
+    lang: str
+    content_sha256: str
+    dl: dict  # field -> token count
+
+
+class OracleIndex:
+    def __init__(self) -> None:
+        # postings[termid][field][docid] = tf
+        self.postings: dict[int, dict[int, dict[int, int]]] = {}
+        self.df_any: dict[int, int] = {}
+        self.docs: dict[int, OracleDoc] = {}
+        self.avgdl: dict[int, float] = {}
+        self.n_docs = 0
+
+    @classmethod
+    def build(cls, rows: list[dict]) -> "OracleIndex":
+        ix = cls()
+        hasher = TokenHasher()
+        docs_of_term: dict[int, set[int]] = {}
+        for row in rows:
+            url = row["repo"] + "/" + row["path"]
+            docid = docid_for_url(url)
+            arrs = index_document(row["repo"], row["path"], row["lang"], row["content"], hasher)
+            sha = hashlib.sha256(row["content"].encode("utf-8")).hexdigest()
+            ix.docs[docid] = OracleDoc(
+                docid, row["repo"], row["path"], row["lang"], sha,
+                {FIELD_BODY: arrs["dl_body"], FIELD_TITLE: arrs["dl_title"],
+                 FIELD_URL: arrs["dl_url"]},
+            )
+            for tid, f in zip(arrs["termid"].tolist(), arrs["field"].tolist()):
+                ix.postings.setdefault(tid, {}).setdefault(f, {})
+                ix.postings[tid][f][docid] = ix.postings[tid][f].get(docid, 0) + 1
+                docs_of_term.setdefault(tid, set()).add(docid)
+        ix.n_docs = len(ix.docs)
+        ix.df_any = {t: len(s) for t, s in docs_of_term.items()}
+        for f in (FIELD_BODY, FIELD_TITLE, FIELD_URL):
+            tot = sum(d.dl[f] for d in ix.docs.values())
+            ix.avgdl[f] = tot / max(ix.n_docs, 1)
+        return ix
+
+    # -- query ---------------------------------------------------------------
+
+    def _matching_docs(self, termid: int, field: int | None) -> set[int]:
+        by_field = self.postings.get(termid, {})
+        if field is None:
+            out: set[int] = set()
+            for docs in by_field.values():
+                out |= docs.keys()
+            return out
+        return set(by_field.get(field, {}).keys())
+
+    def topk(self, query: str | QueryPlan, k: int = 10,
+             cursor: tuple[float, int] | None = None) -> list[dict]:
+        plan = parse_query(query) if isinstance(query, str) else query
+
+        required = plan.required
+        if not required:
+            return []
+        cands: set[int] | None = None
+        for t in sorted(required, key=lambda t: len(self._matching_docs(t.termid, t.field))):
+            docs = self._matching_docs(t.termid, t.field)
+            cands = docs if cands is None else (cands & docs)
+            if not cands:
+                return []
+        for t in plan.excluded:
+            cands -= self._matching_docs(t.termid, t.field)
+        if not cands:
+            return []
+
+        # canonical contribution order: (termid, field) ascending — the Spark
+        # scorer sums in the same order for bit-identical floats
+        include = required + plan.optional
+        scored: list[tuple[float, int]] = []
+        for d in cands:
+            contribs: list[tuple[int, int, float]] = []
+            for t in include:
+                by_field = self.postings.get(t.termid, {})
+                fields = [t.field] if t.field is not None else sorted(by_field.keys())
+                for f in fields:
+                    tf = by_field.get(f, {}).get(d, 0)
+                    w = t.weight * FIELD_WEIGHTS.get(f, 0.0)
+                    if tf and w:
+                        dl = self.docs[d].dl.get(f, 0)
+                        tfn = float(bm25_tfnorm(tf, dl, self.avgdl.get(f, 1.0)))
+                        idf = float(bm25_idf(self.df_any.get(t.termid, 0), self.n_docs))
+                        contribs.append((t.termid, f, w * idf * tfn))
+            contribs.sort(key=lambda c: (c[0], c[1]))
+            s = 0.0
+            for _, _, v in contribs:
+                s += v
+            scored.append((s, d))
+
+        # tie-break score desc, docid asc; pagination strictly after cursor
+        scored.sort(key=lambda sd: (-sd[0], sd[1]))
+        if cursor is not None:
+            s0, d0 = cursor
+            scored = [sd for sd in scored if sd[0] < s0 or (sd[0] == s0 and sd[1] > d0)]
+        out = []
+        for rank, (s, d) in enumerate(scored[:k], start=1):
+            doc = self.docs[d]
+            out.append(
+                {"rank": rank, "docid": d, "score": s,
+                 "repo": doc.repo, "path": doc.path,
+                 "content_sha256": doc.content_sha256}
+            )
+        return out

@@ -1,0 +1,2 @@
+"""Logical query plans: parsed term specs consumed by the Spark engine and
+the pure-Python oracle alike."""

@@ -1,0 +1,135 @@
+"""Query string → logical plan (the Query::set analog).
+
+Implements the SURVEY.md §2.5 subset: bare terms (conjunctive — all required,
+mirroring the reference's docid-vote intersection,
+/root/reference/PosdbTable.cpp:4803-5097), ``-term`` exclusion
+(/root/reference/Query.h:195-199), ``"quoted phrases"`` via required bigram
+chains (/root/reference/Query.h:216-222), ``field:`` operators restricted to a
+hashGroup (/root/reference/Query.h:35-104 — here: title/inurl/lang), and the
+automatic bigram attach for adjacent query terms with weight 5.0
+(/root/reference/Query.cpp:2143-2146, default weight
+/root/reference/Parms.cpp:3902-3905).
+
+The plan is plain data; the Spark engine compiles it to a DataFrame plan and
+the oracle interprets it with dict loops. Both share these termids/weights, so
+rank-identity is a property of the plan, not of either executor.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from .. import FIELD_BODY, FIELD_LANG, FIELD_TITLE, FIELD_URL
+from ..functions.hashing import TokenHasher
+from ..functions.tokenizer import STOP_WORDS, code_tokens
+
+# Per-field score weights — the hashGroup weight analog
+# (/root/reference/Parms.cpp:3734-3905: body=1, title=8, inurl=1; lang terms
+# are filter-only). Scoring is per-(term, field) BM25 summed with these
+# weights; see operators/query_engine.py.
+FIELD_WEIGHTS = {FIELD_BODY: 1.0, FIELD_TITLE: 8.0, FIELD_URL: 1.0, FIELD_LANG: 0.0}
+BIGRAM_WEIGHT = 5.0
+
+_FIELD_OPS = {"title": FIELD_TITLE, "inurl": FIELD_URL, "lang": FIELD_LANG}
+
+_hasher = TokenHasher()
+
+
+@dataclass(frozen=True)
+class TermSpec:
+    termid: int
+    token: str                 # surface form (debugging / snippets)
+    field: int | None          # None = any field (weighted); else restricted
+    weight: float              # multiplier on the BM25 contribution
+    required: bool             # conjunctive membership
+    excluded: bool = False     # -term (anti-join)
+    is_bigram: bool = False
+
+
+@dataclass
+class QueryPlan:
+    raw: str
+    terms: list[TermSpec] = dc_field(default_factory=list)
+
+    @property
+    def required(self) -> list[TermSpec]:
+        return [t for t in self.terms if t.required and not t.excluded]
+
+    @property
+    def excluded(self) -> list[TermSpec]:
+        return [t for t in self.terms if t.excluded]
+
+    @property
+    def optional(self) -> list[TermSpec]:
+        return [t for t in self.terms if not t.required and not t.excluded]
+
+
+_PHRASE_RE = re.compile(r'"([^"]*)"')
+
+
+def parse_query(q: str) -> QueryPlan:
+    plan = QueryPlan(raw=q)
+
+    def add_unigram(tok: str, field: int | None, required: bool, excluded: bool,
+                    weight: float = 1.0) -> None:
+        plan.terms.append(
+            TermSpec(int(_hasher.termids([tok])[0]), tok, field, weight, required, excluded)
+        )
+
+    def add_bigram(t1: str, t2: str, required: bool, weight: float) -> None:
+        both_stop = t1 in STOP_WORDS and t2 in STOP_WORDS
+        tid = int(_hasher.bigram_ids([(t1, t2, both_stop)])[0])
+        plan.terms.append(
+            TermSpec(tid, f"{t1} {t2}", FIELD_BODY, weight, required, False, True)
+        )
+
+    # 1) quoted phrases → required unigrams + required bigram chain
+    rest = q
+    for m in _PHRASE_RE.finditer(q):
+        toks = code_tokens(m.group(1))
+        for t in toks:
+            add_unigram(t, None, required=True, excluded=False)
+        for a, b in zip(toks, toks[1:]):
+            add_bigram(a, b, required=True, weight=BIGRAM_WEIGHT)
+    rest = _PHRASE_RE.sub(" ", rest)
+
+    # 2) signed / fielded / bare words
+    bare_seq: list[str] = []  # adjacent bare terms, for the bigram attach
+    for raw_word in rest.split():
+        excluded = raw_word.startswith("-")
+        word = raw_word.lstrip("+-")
+        if not word:
+            continue
+        field: int | None = None
+        if ":" in word:
+            op, _, val = word.partition(":")
+            if op in _FIELD_OPS:
+                field = _FIELD_OPS[op]
+                word = val
+        toks = code_tokens(word)
+        if not toks:
+            continue
+        for t in toks:
+            add_unigram(t, field, required=not excluded, excluded=excluded)
+        if not excluded and field is None:
+            bare_seq.extend(toks)
+        else:
+            bare_seq.append("\x00")  # break adjacency
+
+    # 3) bigram attach: adjacent bare query terms get an OPTIONAL boosted
+    #    bigram term (Query.cpp:2143-2146 analog)
+    for a, b in zip(bare_seq, bare_seq[1:]):
+        if a != "\x00" and b != "\x00":
+            add_bigram(a, b, required=False, weight=BIGRAM_WEIGHT)
+
+    # dedupe identical specs (repeated words)
+    seen: set[tuple] = set()
+    uniq: list[TermSpec] = []
+    for t in plan.terms:
+        k = (t.termid, t.field, t.required, t.excluded)
+        if k not in seen:
+            seen.add(k)
+            uniq.append(t)
+    plan.terms = uniq
+    return plan

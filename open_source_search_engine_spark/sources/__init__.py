@@ -1,0 +1,2 @@
+"""Table IO: the engine's storage layer (Iceberg when available, parquet
+directories otherwise)."""

@@ -1,0 +1,64 @@
+"""Index storage layout + IO abstraction.
+
+The reference stores each Rdb as numbered sorted files + page maps
+(/root/reference/RdbDump.cpp, /root/reference/RdbMap.h:1-10). Here each index
+is a directory of columnar tables; parquet row-group min/max stats play the
+RdbMap role and hive-style ``bucket=`` partitioning on ``pmod(termid, NB)``
+gives partition pruning for term lookups. When an Iceberg catalog is
+configured on the session the same layout maps 1:1 onto Iceberg tables
+(``writeTo``); this sandbox has no Iceberg jars, so the parquet path is the
+tested one and Iceberg is behind a capability check.
+
+Layout under ``<index_dir>/``:
+
+    segments/gen=<chunk>/bucket=<b>/   compressed posting blocks per build
+                                       generation (the Rdb file-Fn analog)
+    compacted/bucket=<b>/              post-compaction serving segments
+    doc_stats/gen=<chunk>/             (docid, field, dl)
+    docmap/gen=<chunk>/                (docid, repo, path, lang, content_sha256)
+    term_stats/                        (termid, df) finalized exact df
+    globals/                           single row: n_docs, avgdl per field
+    manifest/                          per-chunk lineage + metrics rows
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+N_BUCKETS_DEFAULT = 32
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def table_path(index_dir: str, name: str) -> str:
+    return os.path.join(index_dir, name)
+
+
+def write_table(df: DataFrame, index_dir: str, name: str, *,
+                partition_by: list[str] | None = None,
+                mode: str = "overwrite") -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(table_path(index_dir, name))
+
+
+def read_table(spark: SparkSession, index_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(index_dir, name))
+
+
+def table_exists(index_dir: str, name: str) -> bool:
+    p = table_path(index_dir, name)
+    return os.path.isdir(p) and any(
+        not f.startswith((".", "_")) for f in os.listdir(p)
+    )

@@ -1,0 +1,55 @@
+import os
+import shutil
+
+import pytest
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "6g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .appName("osse-tests")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+N_DOCS = 240
+
+
+@pytest.fixture(scope="session")
+def corpus_rows():
+    from open_source_search_engine_spark.corpus import make_corpus_rows
+
+    return make_corpus_rows(N_DOCS)
+
+
+@pytest.fixture(scope="session")
+def oracle_index(corpus_rows):
+    from open_source_search_engine_spark.oracle import OracleIndex
+
+    return OracleIndex.build(corpus_rows)
+
+
+@pytest.fixture(scope="session")
+def index_dir(spark, tmp_path_factory):
+    """One shared built index (2 chunks, salting forced on) for all tests."""
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.index_build import build_index
+
+    d = str(tmp_path_factory.mktemp("index") / "idx")
+    shutil.rmtree(d, ignore_errors=True)
+    corpus = corpus_df(spark, N_DOCS, partitions=8)
+    build_index(spark, corpus, d, n_chunks=2, hot_threshold=2000,
+                target_group_rows=1000)
+    return d

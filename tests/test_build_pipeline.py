@@ -1,0 +1,94 @@
+"""Build-pipeline tests: resumability (FIXTURES.md §4 item 5), compaction
+equivalence + fan-in metrics, manifest lineage, stats parity."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _segment_fingerprint(spark, path):
+    """Order-insensitive content hash of a segments table."""
+    df = spark.read.parquet(path)
+    return (
+        df.select(F.sha2(F.concat_ws("|", "termid", "field", "salt", "block_id",
+                                     F.base64("postings")), 256).alias("h"))
+        .agg(F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")))
+        .collect()[0][0]
+    )
+
+
+@pytest.fixture(scope="module")
+def two_indexes(spark, tmp_path_factory):
+    """clean build vs killed-halfway-then-resumed build over the same corpus."""
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.index_build import build_index
+
+    base = tmp_path_factory.mktemp("resume")
+    clean, resumed = str(base / "clean"), str(base / "resumed")
+    for d in (clean, resumed):
+        shutil.rmtree(d, ignore_errors=True)
+    corpus = corpus_df(spark, 120, partitions=4)
+    kw = dict(n_chunks=3, hot_threshold=2000, target_group_rows=1000)
+    build_index(spark, corpus, clean, **kw)
+    # simulate a killed build: stop after 1 of 3 chunks, then resume
+    build_index(spark, corpus, resumed, stop_after_chunks=1, **kw)
+    build_index(spark, corpus, resumed, **kw)
+    return clean, resumed
+
+
+def test_resume_produces_identical_segments(spark, two_indexes):
+    clean, resumed = two_indexes
+    assert _segment_fingerprint(spark, f"{clean}/segments") == _segment_fingerprint(
+        spark, f"{resumed}/segments"
+    )
+
+
+def test_resume_skips_done_chunks(spark, two_indexes):
+    _, resumed = two_indexes
+    m = spark.read.parquet(f"{resumed}/manifest")
+    rows = m.collect()
+    assert {r["chunk"] for r in rows} == {0, 1, 2}
+    assert all(r["status"] == "done" for r in rows)
+    assert len(rows) == 3  # resume did not redo chunk 0
+    assert all(r["terms_per_sec"] > 0 for r in rows)
+    assert all(r["lineage"].startswith("pmod(docid,3)==") for r in rows)
+
+
+def test_resume_identical_stats(spark, two_indexes):
+    clean, resumed = two_indexes
+    g1 = spark.read.parquet(f"{clean}/globals").collect()[0]
+    g2 = spark.read.parquet(f"{resumed}/globals").collect()[0]
+    assert g1 == g2
+    t1 = {r["termid"]: r["df"] for r in spark.read.parquet(f"{clean}/term_stats").collect()}
+    t2 = {r["termid"]: r["df"] for r in spark.read.parquet(f"{resumed}/term_stats").collect()}
+    assert t1 == t2
+
+
+def test_compaction_preserves_results_and_reports_fanin(spark, index_dir, oracle_index):
+    from open_source_search_engine_spark.operators.index_build import compact_segments
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    q = "binary search"
+    before = [(r["docid"], r["score"]) for r in topk(spark, index_dir, q, 10).collect()]
+    stats = compact_segments(spark, index_dir)
+    assert stats["max_fanin"] >= 1 and stats["n_termlists"] > 0
+    after = [(r["docid"], r["score"]) for r in topk(spark, index_dir, q, 10).collect()]
+    assert before == after
+    # compacted runs are single-salt
+    comp = spark.read.parquet(f"{index_dir}/compacted")
+    assert [r["salt"] for r in comp.select("salt").distinct().collect()] == [0]
+
+
+def test_hot_terms_are_salted(spark, index_dir):
+    seg = spark.read.parquet(f"{index_dir}/segments")
+    n_salts = seg.groupBy("termid").agg(F.countDistinct("salt").alias("s"))
+    assert n_salts.agg(F.max("s")).collect()[0][0] > 1, "expected salted hot termlists"
+
+
+def test_manifest_metrics_consistency(spark, index_dir):
+    m = spark.read.parquet(f"{index_dir}/manifest")
+    seg = spark.read.parquet(f"{index_dir}/segments")
+    total_bytes = seg.agg(F.sum(F.length("postings"))).collect()[0][0]
+    manifest_bytes = m.agg(F.sum("bytes_out")).collect()[0][0]
+    assert manifest_bytes == total_bytes

@@ -1,0 +1,61 @@
+"""End-to-end rank-identity vs the oracle (FIXTURES.md §4 contract):
+docid sequence exact, scores ≤1e-6 rel-tol, per-row content_sha256 equal,
+WAND pruning lossless, pagination rule exact."""
+
+import pytest
+
+# the reference query set (FIXTURES.md §4 classes)
+QUERY_SET = [
+    "binsearch_rare7",            # single rare term
+    "if",                         # single hot term (skew/salting path)
+    "binary search",              # 2-term AND
+    "open file handle",           # 3-term AND
+    '"binary search tree"',       # quoted phrase
+    "search -tree",               # negative term
+    "title:mod5",                 # field op
+    "inurl:repo3 value",          # field op
+    "lang:py value",              # filter-only field op
+    "file.open()",                # API-like tokenization
+    "to be",                      # stop-word bigram attach
+    "zzz_nonexistent",            # zero results
+]
+
+
+def _run(spark, index_dir, q, k=10, cursor=None, prune=True):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    rows = topk(spark, index_dir, q, k, cursor=cursor, prune=prune).collect()
+    return [(r["docid"], r["score"], r["content_sha256"]) for r in rows]
+
+
+@pytest.mark.parametrize("q", QUERY_SET)
+def test_rank_identity(spark, index_dir, oracle_index, q):
+    eng = _run(spark, index_dir, q)
+    ora = [(r["docid"], r["score"], r["content_sha256"]) for r in oracle_index.topk(q, 10)]
+    assert [e[0] for e in eng] == [o[0] for o in ora], f"docid sequence mismatch for {q!r}"
+    for e, o in zip(eng, ora):
+        assert e[1] == pytest.approx(o[1], rel=1e-6)
+        assert e[2] == o[2]  # per-row content sha256 invariant (input_hint)
+
+
+@pytest.mark.parametrize("q", ["binary search", "if", '"binary search tree"'])
+def test_wand_pruning_lossless(spark, index_dir, q):
+    assert _run(spark, index_dir, q, prune=True) == _run(spark, index_dir, q, prune=False)
+
+
+def test_pagination(spark, index_dir, oracle_index):
+    q = "binary search"
+    page1 = _run(spark, index_dir, q, k=5)
+    assert len(page1) == 5
+    cursor = (page1[-1][1], page1[-1][0])
+    page2 = _run(spark, index_dir, q, k=5, cursor=cursor)
+    ora2 = [(r["docid"], r["score"]) for r in oracle_index.topk(q, 5, cursor=cursor)]
+    assert [(d, s) for d, s, _ in page2] == pytest.approx(ora2)
+    # no overlap between pages
+    assert not ({d for d, _, _ in page1} & {d for d, _, _ in page2})
+
+
+def test_scores_descending_tiebreak_docid(spark, index_dir):
+    rows = _run(spark, index_dir, "binary search", k=10)
+    for (d1, s1, _), (d2, s2, _) in zip(rows, rows[1:]):
+        assert s1 > s2 or (s1 == s2 and d1 < d2)

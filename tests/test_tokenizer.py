@@ -1,0 +1,81 @@
+"""Tokenizer unit tests (FIXTURES.md §2 tokenizer_vectors role; semantics per
+/root/reference/Words.cpp:169-358 + Phrases.cpp:109-263 adapted to code)."""
+
+from open_source_search_engine_spark.functions.hashing import TokenHasher
+from open_source_search_engine_spark.functions.tokenizer import (
+    KIND_BIGRAM,
+    KIND_SYNONYM,
+    KIND_UNIGRAM,
+    LINE_UNITS,
+    MAX_DENSITY,
+    code_tokens,
+    index_document,
+    tokenize_text,
+)
+
+
+def test_cpp_csharp_tokens():
+    assert code_tokens("C++ and c# code") == ["c++", "and", "c#", "code"]
+
+
+def test_digit_separators():
+    assert code_tokens("3.14 1,000 42") == ["3.14", "1,000", "42"]
+
+
+def test_underscore_identifiers():
+    assert code_tokens("binsearch_rare7 = _private") == ["binsearch_rare7", "_private"]
+
+
+def test_possessive_strip():
+    tf = tokenize_text("bob's book")
+    assert tf.tokens == ["bob's", "bob", "book"]
+    assert tf.kinds == [KIND_UNIGRAM, KIND_SYNONYM, KIND_UNIGRAM]
+    # stripped form shares the possessive's position
+    assert tf.positions[0] == tf.positions[1]
+
+
+def test_position_cursor():
+    tf = tokenize_text("a b")
+    assert tf.positions == [0, 1]  # +1 per token
+    tf = tokenize_text("a(b")
+    assert tf.positions == [0, 3]  # +1 token, +2 punct run
+    tf = tokenize_text("a\nb")
+    assert tf.positions[1] - tf.positions[0] == 1 + LINE_UNITS
+
+
+def test_density_per_line():
+    tf = tokenize_text("one two three\nx")
+    # line 1 has 3 words -> 31-2 = 29; line 2 has 1 word -> 31
+    assert tf.densities[:3] == [MAX_DENSITY - 2] * 3
+    assert tf.densities[3] == MAX_DENSITY
+
+
+def test_bigrams_break_at_lines():
+    tf = tokenize_text("a b\nc d")
+    pairs = [(x, y) for x, y, _ in tf.bigram_pairs]
+    assert ("b", "c") not in pairs
+    assert ("a", "b") in pairs and ("c", "d") in pairs
+
+
+def test_stopword_bigram_flag():
+    tf = tokenize_text("to be value")
+    flags = {(a, b): s for a, b, s in tf.bigram_pairs}
+    assert flags[("to", "be")] is True
+    assert flags[("be", "value")] is False
+
+
+def test_index_document_fields_and_dl():
+    arrs = index_document("org1/r", "src/p/main.py", "py", "x y z", TokenHasher())
+    assert arrs["dl_body"] == 3
+    assert arrs["dl_title"] == 2  # main, py
+    assert arrs["dl_url"] >= 4
+    fields = set(arrs["field"].tolist())
+    assert {0, 1, 9, 4} <= fields
+    # bigram rows present
+    assert KIND_BIGRAM in set(arrs["kind"].tolist())
+
+
+def test_empty_content():
+    arrs = index_document("o/r", "a.py", "py", "", TokenHasher())
+    assert arrs["dl_body"] == 0
+    assert len(arrs["termid"]) > 0  # title/url/lang still indexed

@@ -1,0 +1,58 @@
+"""Delta+varint codec tests (FIXTURES.md §2 postings_roundtrip), including a
+hypothesis property run."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from open_source_search_engine_spark.functions.varint import (
+    decode_block,
+    decode_varints,
+    encode_block,
+    encode_varints,
+)
+
+
+def test_varint_roundtrip_edges():
+    vals = np.array([0, 1, 127, 128, 2**14 - 1, 2**14, 2**38, 2**48 - 1, 2**63],
+                    dtype=np.uint64)
+    assert (decode_varints(encode_varints(vals)) == vals).all()
+
+
+def test_varint_empty():
+    assert len(encode_varints(np.empty(0, dtype=np.uint64))) == 0
+    assert len(decode_varints(np.empty(0, dtype=np.uint8))) == 0
+
+
+def test_block_roundtrip_simple():
+    docids = np.array([5, 9, 1000], dtype=np.int64)
+    tfs = np.array([2, 1, 3], dtype=np.int64)
+    pos = np.array([0, 7, 3, 1, 2, 9], dtype=np.int64)
+    d, t, p = decode_block(encode_block(docids, tfs, pos))
+    assert (d == docids).all() and (t == tfs).all() and (p == pos).all()
+
+
+def test_block_single_doc():
+    d, t, p = decode_block(encode_block(np.array([42]), np.array([1]), np.array([17])))
+    assert list(d) == [42] and list(t) == [1] and list(p) == [17]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.data())
+def test_block_roundtrip_property(data):
+    n = data.draw(st.integers(1, 60))
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    docids = np.unique(rng.integers(0, 2**38, n))
+    tfs = rng.integers(1, 6, len(docids))
+    pos = np.concatenate([np.sort(rng.integers(0, 2**18, t)) for t in tfs])
+    d, t, p = decode_block(encode_block(docids, tfs, pos))
+    assert (d == docids).all() and (t == tfs).all() and (p == pos).all()
+
+
+def test_compression_ratio():
+    # sorted dense docids compress far below the 8+4 bytes/posting raw cost
+    docids = np.arange(10_000, dtype=np.int64) * 3 + 7
+    tfs = np.ones(10_000, dtype=np.int64)
+    pos = np.zeros(10_000, dtype=np.int64)
+    blk = encode_block(docids, tfs, pos)
+    assert len(blk) / 10_000 < 4.0
