@@ -1,0 +1,436 @@
+"""Large-scale document deduplication operators.
+
+The reference engine dedups at two points: an indexed content-hash term
+(`gbcontenthash:`, sharded by termId so duplicate checking hits one shard —
+/root/reference/XmlDoc_Indexing.cpp:152-220) and result-time near-dup removal
+by summary/content-vector similarity (/root/reference/Msg40.cpp:1113+).
+A training-data pipeline needs the same two capabilities as *batch set
+operations* over the whole corpus, so this module provides:
+
+- :func:`exact_dedup`          — sha256 hash-groupBy (the gbcontenthash analog)
+- :func:`minhash_signatures` / :func:`lsh_candidate_pairs`
+                               — MinHash + banded LSH near-dup candidates
+- :func:`simhash`              — 64-bit SimHash fingerprints + hamming pairs
+- :func:`ngram_jaccard_pairs`  — exact n-gram-shingle Jaccard verification
+- :func:`embedding_neardup_pairs` — cosine near-dup over an embedding column
+
+Scale design (100 TB):
+- signatures/fingerprints are computed **map-side** from built-in JVM
+  expressions (split / transform / xxhash64 / md5 / bit ops) — no shuffle, no
+  Python, whole-stage codegen end to end;
+- the only shuffles are groupBys on short fixed-width keys (sha256 prefix,
+  band hash, simhash chunk), all with map-side partial aggregation;
+- pairwise verification only ever runs *inside* LSH buckets (never a global
+  cross join); hot shingles/bands are dropped by a document-frequency cap
+  (``max_df``) — the standard guard against a stop-shingle producing a
+  quadratic bucket, the same skew concern the index build handles with salt
+  (BASELINE north_rule).
+
+Two interchangeable token hash strategies:
+- ``xxhash64`` (default): JVM xxhash64, fastest, Spark-only;
+- ``md5``: portable 60-bit hash ``conv(substr(md5(x),1,15),16,10)`` —
+  bit-identical in DuckDB (``('0x'||substr(md5(x),1,15))::BIGINT``), used by
+  the oracle-checked gate queries in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MERSENNE_P = (1 << 31) - 1  # modulus for the affine MinHash permutations
+
+
+def tokens_col(text: Column | str, *, lowercase: bool = True) -> Column:
+    """Whitespace tokens as an array<string>, empties removed (vectorized,
+    JVM-side; the simple-split analog of the Words.cpp tokenizer for
+    already-clean text — the full code tokenizer lives in
+    functions/tokenizer.py)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"\s+"), lambda x: x != "")
+
+
+def shingles_col(toks: Column, w: int) -> Column:
+    """w-token shingle strings from a token array (w>=1). Uses transform over
+    a sequence of start offsets — stays inside codegen, no explode yet."""
+    if w <= 1:
+        return toks
+    n = F.size(toks)
+    return F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(w - 1)),
+            lambda i: F.array_join(F.slice(toks, i, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _hash60(c: Column, strategy: str) -> Column:
+    """String → int64 hash under the chosen strategy."""
+    if strategy == "xxhash64":
+        return F.xxhash64(c)
+    if strategy == "md5":
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash strategy: {strategy}")
+
+
+def _perm_coeffs(k: int, seed: int = 1) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients (a, b) mod MERSENNE_P.
+    Plain LCG expansion of the seed — reproducible everywhere, incl. SQL."""
+    coeffs = []
+    x = seed & 0x7FFFFFFF
+    for _ in range(k):
+        x = (x * 1103515245 + 12345) % MERSENNE_P
+        a = x if x > 0 else 1
+        x = (x * 1103515245 + 12345) % MERSENNE_P
+        b = x
+        coeffs.append((a, b))
+    return coeffs
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content sha256.
+
+    Returns one row per input doc with ``content_sha256``, ``dup_rank``
+    (1 = keeper, stable by id) and ``group_size``; `filter(dup_rank > 1)`
+    is the delete set. One shuffle on the 256-bit hash — uniform keys, no
+    skew possible beyond true duplicate mass."""
+    from pyspark.sql.window import Window
+
+    h = F.sha2(F.col(text), 256)
+    w = Window.partitionBy("content_sha256").orderBy(id_col)
+    return (
+        df.withColumn("content_sha256", h)
+        .withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("group_size", F.count("*").over(Window.partitionBy("content_sha256")))
+        .select(id_col, "content_sha256", "dup_rank", "group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 64,
+    shingle_w: int = 3,
+    hash_strategy: str = "xxhash64",
+    seed: int = 1,
+) -> DataFrame:
+    """Per-doc MinHash signature as ``sig: array<long>`` of length
+    ``num_hashes``.
+
+    minhash_i(doc) = min over shingles s of (a_i * h(s) + b_i) mod P where
+    h is a 60-bit string hash. Entirely expression-level: the per-shingle
+    hash is computed once, then ``aggregate`` folds the k permutation minima
+    in one pass over the shingle array — no explode, no shuffle, no Python."""
+    toks = tokens_col(text)
+    sh = shingles_col(toks, shingle_w)
+    hs = F.transform(sh, lambda s: F.pmod(_hash60(s, hash_strategy), F.lit(MERSENNE_P)))
+    coeffs = _perm_coeffs(num_hashes, seed)
+    init = F.array(*[F.lit(MERSENNE_P) for _ in range(num_hashes)]).cast("array<long>")
+    sig = F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.array(
+            *[
+                F.least(
+                    F.element_at(acc, i + 1),
+                    F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_P)),
+                )
+                for i, (a, b) in enumerate(coeffs)
+            ]
+        ),
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded LSH over MinHash signatures → candidate pairs (a < b).
+
+    Splits each signature into ``bands`` equal slices, hashes each slice to a
+    band key, groups on (band, key) and emits intra-bucket pairs. Buckets
+    larger than ``max_bucket`` are dropped (the hot-key guard: a degenerate
+    band — e.g. the all-identical-boilerplate signature — would otherwise go
+    quadratic; flagged upstream as an exact-dup cluster instead).
+
+    Output: (id_a, id_b, n_bands) where n_bands = number of agreeing bands
+    (monotone in estimated Jaccard)."""
+    from pyspark.sql.window import Window
+
+    exploded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.array_join(
+                    F.transform(
+                        F.slice(
+                            F.col("sig"),
+                            b * (F.size("sig") / F.lit(bands)).cast("int") + 1,
+                            (F.size("sig") / F.lit(bands)).cast("int"),
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ),
+            )
+        ).alias("band", "band_key"),
+    )
+    # drop quadratic buckets
+    sized = exploded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "band_key"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = sized.select("band", "band_key", F.col("_id").alias("id_a"))
+    b = sized.select("band", "band_key", F.col("_id").alias("id_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_w: int = 3,
+    threshold: float = 0.7,
+    hash_strategy: str = "xxhash64",
+) -> DataFrame:
+    """End-to-end MinHash near-dup: signatures → LSH candidates → estimated
+    Jaccard (fraction of agreeing signature positions) ≥ threshold.
+
+    Output: (id_a, id_b, est_jaccard)."""
+    sigs = minhash_signatures(
+        df, text, id_col, num_hashes=num_hashes, shingle_w=shingle_w,
+        hash_strategy=hash_strategy,
+    )
+    cand = lsh_candidate_pairs(sigs, id_col, bands=bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ) / F.size("sig_a")
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 48,
+    hash_strategy: str = "xxhash64",
+) -> DataFrame:
+    """Per-doc SimHash fingerprint (``bits`` ≤ 60) as a long.
+
+    Classic bit-majority: every token hashes to ``bits`` bits; bit j of the
+    fingerprint is 1 iff more token-occurrences set bit j than clear it.
+    Expressed as one fold over the token array accumulating the per-bit
+    counter vector — map-side only, codegen-friendly."""
+    toks = tokens_col(text)
+    hs = F.transform(toks, lambda t: _hash60(t, hash_strategy))
+    init = F.array(*[F.lit(0) for _ in range(bits)]).cast("array<long>")
+    counts = F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.array(
+            *[
+                F.element_at(acc, j + 1)
+                + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for j in range(bits)
+            ]
+        ),
+    )
+    if bits > 60:
+        raise ValueError("bits must be <= 60 (fingerprint stored in a signed long)")
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(F.element_at(counts, j + 1) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    bits: int = 48,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Hamming-distance pairs over SimHash fingerprints via the pigeonhole
+    bucket join: split the fingerprint into ``chunks`` equal bit-chunks; any
+    pair with hamming ≤ chunks-1 shares at least one exact chunk, so an
+    equality join per chunk finds all candidates (choose chunks = max_hamming
+    + 1 for completeness). Exact hamming verified with bit_count(xor).
+
+    Output: (id_a, id_b, hamming)."""
+    from pyspark.sql.window import Window
+
+    cbits = bits // chunks
+    mask = (1 << cbits) - 1
+    chunk_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * cbits).bitwiseAND(F.lit(mask))
+            for i in range(chunks)
+        ]
+    )
+    ex = fps.select(
+        F.col(id_col).alias("_id"), F.col("simhash").alias("_fp"),
+        F.posexplode(chunk_arr).alias("chunk", "chunk_val"),
+    )
+    ex = ex.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("chunk", "chunk_val"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = ex.select("chunk", "chunk_val", F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"))
+    b = ex.select("chunk", "chunk_val", F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"))
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard for all pairs sharing ≥1 shingle.
+
+    Relational form: explode distinct shingles → self-join on shingle →
+    |A∩B| per pair → jaccard = |A∩B| / (|A|+|B|−|A∩B|). ``max_df`` drops
+    shingles present in more than that many docs before the join (hot-shingle
+    guard; without it one boilerplate shingle makes the join quadratic).
+    Intended for verification of LSH candidates or small/filtered corpora;
+    at 100 TB run it only downstream of :func:`lsh_candidate_pairs`.
+
+    Output: (id_a, id_b, inter, size_a, size_b, jaccard) with jaccard ≥
+    threshold."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles_col(tokens_col(text), n))).alias("sh"),
+    )
+    if max_df is not None:
+        from pyspark.sql.window import Window
+
+        sh = sh.withColumn(
+            "sh_df", F.count("*").over(Window.partitionBy("sh"))
+        ).filter(F.col("sh_df") <= max_df).drop("sh_df")
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("_id").alias("id_a"), "sh")
+    b = sh.select(F.col("_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.95,
+    planes: int = 12,
+    probe_hamming: int = 1,
+    seed: int = 7,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Cosine near-dup pairs over an ``array<float>`` column via
+    random-hyperplane LSH.
+
+    Sign bits against ``planes`` deterministic hyperplanes bucket the
+    vectors; pairs are generated within a bucket and within buckets at
+    hamming ≤ ``probe_hamming`` of each other (multi-probe, recovers pairs
+    split by one marginal plane). Exact cosine verifies. All bucket keys are
+    ints → uniform shuffle; ``max_bucket`` guards degenerate buckets.
+
+    Output: (id_a, id_b, cosine ≥ threshold)."""
+    from .similarity import cosine_col, hyperplane_signs
+
+    from pyspark.sql.window import Window
+
+    signs = hyperplane_signs(F.col(vec), planes, seed)
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec).alias("_v"), signs.alias("_b"))
+    # multi-probe: each vector also lands in buckets one bit-flip away
+    probes = [F.col("_b")]
+    if probe_hamming >= 1:
+        probes += [F.col("_b").bitwiseXOR(F.lit(1 << i)) for i in range(planes)]
+    ex = base.select(
+        "_id", "_v", F.col("_b").alias("_home"), F.explode(F.array(*probes)).alias("bucket")
+    )
+    ex = ex.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("bucket"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = ex.filter(F.col("_home") == F.col("bucket")).select(
+        F.col("bucket"), F.col("_id").alias("id_a"), F.col("_v").alias("va")
+    )
+    b = ex.select(F.col("bucket"), F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs

@@ -1,0 +1,151 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+A 100 TB training-data pipeline carries media as opaque ``binary`` columns
+with typed metadata, and runs decode / feature-extract / resize /
+frame-sample as Arrow-batched UDFs. The decode kernels themselves need
+media libraries that are NOT in this environment, so they are STUBBED —
+``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless the
+deterministic fake codec is requested — but all the Spark-side plumbing
+(schemas, ``mapInPandas`` batch shape, partition sizing, metadata columns)
+is real and tested.
+
+Design notes (scale):
+- media bytes travel in their own column so Parquet column pruning keeps
+  metadata-only queries from reading blobs at all;
+- all kernels are ``mapInPandas`` over Arrow batches — per-batch numpy, no
+  per-row Python;
+- ``spark.sql.files.maxPartitionBytes`` (not row counts) governs task
+  sizing since blob rows are wide; callers should keep blobs ≤ a few MB per
+  row or chunk them upstream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),     # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),   # opaque bytes
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("payload_sha256", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_sha256", T.StringType(), False),
+    ]
+)
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in feature vector: sha256 bytes → floats in
+    [-1, 1). Replaces a real encoder (CLIP/wav2vec/...) in this container."""
+    d = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((d * ((dim * 2) // len(d) + 1))[: dim * 2], dtype=np.uint16)
+    return (raw.astype(np.float32) / 32768.0) - 1.0
+
+
+def decode_image(payload: bytes, *, codec: str = "real"):
+    """Decode image bytes → HxWx3 array. Real decode needs PIL/cv2 (absent
+    here); ``codec='fake'`` returns a deterministic 4x4 gradient derived
+    from the payload hash so downstream plumbing is testable."""
+    if codec == "fake":
+        d = hashlib.sha256(payload).digest()
+        base = np.frombuffer(d[:16], dtype=np.uint8).reshape(4, 4)
+        return np.stack([base, base // 2, base // 3], axis=-1)
+    raise NotImplementedError("image decoding requires PIL/cv2 (not in this container)")
+
+
+def decode_audio(payload: bytes, *, codec: str = "real"):
+    """Decode audio bytes → float32 PCM. Real decode needs soundfile/ffmpeg."""
+    if codec == "fake":
+        d = hashlib.sha256(payload).digest()
+        return (np.frombuffer((d * 64)[:2048], dtype=np.int16).astype(np.float32) / 32768.0)
+    raise NotImplementedError("audio decoding requires soundfile/ffmpeg (not in this container)")
+
+
+def extract_features(media: DataFrame, *, codec: str = "fake") -> DataFrame:
+    """media table → (media_id, n_bytes, payload_sha256, features).
+
+    Arrow-batched: each batch is hashed/encoded in one numpy loop. With a
+    real encoder this is where the model forward pass batches."""
+    cols = ["media_id", "payload"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            if codec != "fake":
+                raise NotImplementedError("real media encoders not available here")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "n_bytes": np.array([len(p) for p in payloads], dtype=np.int64),
+                    "payload_sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                    "features": [_fake_features(p) for p in payloads],
+                }
+            )
+
+    return media.select(cols).mapInPandas(gen, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, *, every_ms: int = 1000, codec: str = "fake") -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame.
+    Frame count derives from duration_ms/every_ms; the fake codec stands in
+    for an ffmpeg seek+decode. Output explodes rows inside Arrow batches."""
+    cols = ["media_id", "payload", "duration_ms"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"].values, pdf["payload"], pdf["duration_ms"].values
+            ):
+                if codec != "fake":
+                    raise NotImplementedError("real video decoding not available here")
+                payload = bytes(payload) if payload is not None else b""
+                n = max(int(dur or 0) // every_ms, 1)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.sha256(payload + i.to_bytes(4, "little")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_sha256": hashes}
+            )
+
+    return media.filter(F.col("kind") == "video").select(cols).mapInPandas(gen, FRAMES_SCHEMA)
+
+
+def media_metadata(media: DataFrame, *, include_size: bool = False) -> DataFrame:
+    """Metadata projection. With ``include_size=False`` (default) the plan
+    must never read the payload column — verify with ``.explain``: the
+    parquet ReadSchema excludes `payload` (column pruning is the whole point
+    of keeping blobs in their own column)."""
+    cols = ["media_id", "kind", "mime", "width", "height", "duration_ms"]
+    if include_size:
+        return media.select(*cols, F.octet_length("payload").alias("n_bytes"))
+    return media.select(*cols)

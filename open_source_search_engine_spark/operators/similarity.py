@@ -1,0 +1,236 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+The reference engine has no vector search; this is part of the
+training-data-pipeline operator set the rebuild adds on top of the
+full-text core (same top-k discipline as the BM25 path: score → orderBy
+desc, id asc → limit, cf. /root/reference/TopTree.cpp:184-420 for the
+top-k semantics being mirrored).
+
+Three tiers:
+- :func:`brute_force_topk` — exact cosine top-k; the correctness baseline.
+  One pass, no shuffle until the final TakeOrderedAndProject.
+- :func:`ann_lsh_topk` — random-hyperplane LSH with multi-probe: scans only
+  buckets within ``probe_hamming`` bit-flips of the query's bucket. At scale
+  the table is written partitioned by ``bucket`` so the probe set becomes
+  partition pruning on the read path.
+- :func:`ivf_assign` / :func:`ivf_topk` — IVF: k-means-style centroids
+  (deterministic seeded sample + Lloyd iterations on the driver over a
+  bounded sample, numpy), vectors assigned to nearest centroid; queries probe
+  the ``nprobe`` nearest centroid partitions only.
+
+All distance math is built-in expression level (``zip_with`` +
+``aggregate`` fold — sequential, deterministic, double precision); no
+Python in the scoring path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Deterministic left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def vec_lit(v) -> Column:
+    """Python/numpy vector → array<double> literal column."""
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+# ---------------------------------------------------------------------------
+# exact baseline
+# ---------------------------------------------------------------------------
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k vs one query vector.
+
+    Physical plan: project(cosine) → TakeOrderedAndProject(k) — per-partition
+    top-k heaps then a driver merge; never a full sort, never a shuffle of
+    the data itself. This is the plan shape that survives 100 TB (cost is one
+    scan). Output: (id, cosine) ordered by cosine desc, id asc."""
+    c = cosine_col(F.col(vec), vec_lit(query_vec))
+    return (
+        df.select(F.col(id_col), c.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((planes, dim))
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def hyperplane_signs(vec: Column, planes: int, seed: int, dim: int = 64) -> Column:
+    """Bucket id = sign-bit pattern of the vector against ``planes``
+    deterministic hyperplanes, as an int column (expression-level)."""
+    H = _hyperplanes(dim, planes, seed)
+    bucket = F.lit(0)
+    for i in range(planes):
+        bit = F.when(dot_col(vec, vec_lit(H[i])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def ann_index(
+    df: DataFrame,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 10,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Materializable ANN side table: (id, vec, bucket). Persist partitioned
+    by bucket for probe-time partition pruning."""
+    return df.select(
+        F.col(id_col), F.col(vec),
+        hyperplane_signs(F.col(vec), planes, seed, dim).alias("bucket"),
+    )
+
+
+def ann_lsh_topk(
+    index_df: DataFrame,
+    query_vec,
+    k: int = 10,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 10,
+    seed: int = 7,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """Approximate cosine top-k: score only vectors whose bucket is within
+    ``probe_hamming`` bit flips of the query's bucket. With planes=10,
+    probe_hamming=2 that is 56/1024 buckets ≈ 5% of the corpus scanned.
+    Output: (id, cosine)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    H = _hyperplanes(len(q), planes, seed)
+    qbits = 0
+    for i in range(planes):
+        if float(H[i] @ q) >= 0:
+            qbits |= 1 << i
+    probe = [qbits]
+    if probe_hamming >= 1:
+        probe += [qbits ^ (1 << i) for i in range(planes)]
+    if probe_hamming >= 2:
+        probe += [
+            qbits ^ (1 << i) ^ (1 << j)
+            for i in range(planes)
+            for j in range(i + 1, planes)
+        ]
+    c = cosine_col(F.col(vec), vec_lit(q))
+    return (
+        index_df.filter(F.col("bucket").isin(probe))
+        .select(F.col(id_col), c.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+def train_centroids(
+    df: DataFrame,
+    *,
+    vec: str = "embedding",
+    n_centroids: int = 16,
+    sample_limit: int = 4096,
+    iters: int = 5,
+    seed: int = 11,
+) -> np.ndarray:
+    """Deterministic mini k-means on a bounded driver-side sample (Lloyd
+    iterations in numpy). The sample bound keeps this O(1) w.r.t. corpus
+    size — at 100 TB the sample is still 4096 rows."""
+    rows = df.select(vec).limit(sample_limit).collect()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vec, centroid_id): each vector assigned to its max-dot centroid.
+    Expression-level argmax over the (small, broadcast-as-literals) centroid
+    set. Persist partitioned by centroid_id."""
+    best = F.lit(0)
+    best_d = dot_col(F.col(vec), vec_lit(centroids[0]))
+    for j in range(1, len(centroids)):
+        d = dot_col(F.col(vec), vec_lit(centroids[j]))
+        cond = d > best_d
+        best = F.when(cond, F.lit(j)).otherwise(best)
+        best_d = F.when(cond, d).otherwise(best_d)
+    return df.select(F.col(id_col), F.col(vec), best.alias("centroid_id"))
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec,
+    k: int = 10,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the ``nprobe`` centroids nearest the query; exact cosine within.
+    Output: (id, cosine)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(centroids @ qn))
+    probe = [int(j) for j in order[:nprobe]]
+    c = cosine_col(F.col(vec), vec_lit(q))
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe))
+        .select(F.col(id_col), c.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines.
+
+The reference computes per-document text statistics at index time — language
+id (/root/reference/FxLanguage.cpp via CLD2), word counts / density ranks
+(/root/reference/XmlDoc.cpp:20144-20206), repeated-fragment spam scores
+(/root/reference/XmlDoc.cpp:20287+). This module re-expresses that family as
+column-level Spark operators a data-curation pipeline needs:
+
+- :func:`language_id`     — marker-word-vote language heuristic
+- :func:`quality_score`   — length / punctuation / stopword-ratio features
+- :func:`token_counts`    — whitespace + regex ("BPE-ish") token counts
+- :func:`fingerprint`     — min-k shingle-hash document fingerprint
+                            (winnowing-lite; the content-vector analog of
+                            /root/reference/Msg40.cpp:1113+ dedup)
+
+Everything is built-in expression level (split/filter/transform/aggregate,
+regexp, md5) — JVM-side, codegen, zero Python, zero shuffles; these are
+pure map operators that scale linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import shingles_col, tokens_col
+
+# Tiny deterministic marker lists (public stop words). Extend per deployment;
+# the operator mechanics (vote + argmax) are what matters here.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+    "es": ["el", "la", "los", "y", "es", "un", "una"],
+}
+
+STOPWORDS_EN = [
+    "the", "a", "an", "of", "and", "or", "to", "in", "on", "is", "it",
+    "for", "with", "as", "by", "at", "be", "this", "that",
+]
+
+# "BPE-ish" pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def language_id(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    *, markers: dict[str, list[str]] | None = None, out: str = "lang_pred",
+) -> DataFrame:
+    """Marker-word-vote language id: count marker hits per language, argmax
+    (ties + zero-hits → 'und'). One map pass; the per-language counts come
+    from ``size(filter(tokens, in markers))`` folds, not joins."""
+    markers = markers or LANG_MARKERS
+    toks = tokens_col(text)
+    langs = sorted(markers)
+
+    def marker_count(words: list[str]):
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    counts = {lang: marker_count(markers[lang]) for lang in langs}
+    best_lang = F.lit("und")
+    best_n = F.lit(0)
+    for lang in langs:  # fixed order → deterministic tie-break (first wins)
+        c = counts[lang]
+        cond = c > best_n
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_n = F.when(cond, c).otherwise(best_n)
+    return df.withColumn(out, best_lang)
+
+
+def token_counts(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Adds ``n_tokens_ws`` (whitespace tokens) and ``n_tokens_re`` (regex
+    pre-tokenizer tokens, the BPE-input count LLM pipelines budget by)."""
+    toks = tokens_col(text)
+    re_toks = F.regexp_extract_all(F.lower(F.col(text)), F.lit(BPE_RE), 0)
+    return df.withColumn("n_tokens_ws", F.size(toks)).withColumn(
+        "n_tokens_re", F.size(re_toks)
+    )
+
+
+def quality_score(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    *, stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Adds curation features: n_chars, n_tokens, mean_token_len,
+    stopword_ratio, alpha_ratio, and a [0,1] ``quality`` blend.
+
+    The blend mirrors common pretraining heuristics (Gopher/C4-style): docs
+    that are too short, stopword-free, or symbol-heavy score low. All ratios
+    are exact rational values of integer counts — deterministic."""
+    sw = stopwords or STOPWORDS_EN
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(F.lower(F.col(text)), "[^a-z]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    mean_len = F.when(n_tok > 0, (F.aggregate(
+        toks, F.lit(0), lambda a, t: a + F.length(t)
+    ).cast("double") / n_tok)).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(F.lit(0.0))
+    q_len = F.least(n_tok.cast("double") / F.lit(20.0), F.lit(1.0))
+    q_mean = F.when((mean_len >= 2.0) & (mean_len <= 12.0), 1.0).otherwise(0.3)
+    quality = q_len * q_mean * (F.lit(0.5) + F.lit(0.5) * alpha_ratio)
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("mean_token_len", mean_len)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("quality", quality)
+    )
+
+
+def fingerprint(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    *, shingle_w: int = 3, keep: int = 4, out: str = "fp",
+) -> DataFrame:
+    """Min-k shingle fingerprint: the ``keep`` lexicographically smallest
+    md5(shingle) digests joined with '|'. Two docs share a fingerprint iff
+    their smallest-k shingle sets agree — a compact near-dup key (winnowing
+    without the window). Map-only; portable to SQL for the oracle gate."""
+    sh = F.array_distinct(shingles_col(tokens_col(text), shingle_w))
+    fp = F.array_join(
+        F.slice(F.array_sort(F.transform(sh, F.md5)), 1, keep), "|"
+    )
+    return df.withColumn(out, fp)

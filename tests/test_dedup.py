@@ -1,0 +1,111 @@
+"""Deduplication operator tests (exact / MinHash+LSH / SimHash / n-gram
+Jaccard / embedding near-dup) on a tiny hand-built corpus with known dup
+structure, plus the driver testdata tables for realistic shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.operators import dedup
+
+DOCS = [
+    # (doc_id, text): 0/1 exact dups; 2 near-dup of 0 (one word changed);
+    # 3 unrelated; 4 near-dup of 3; 5 short outlier
+    (0, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    (2, "the quick brown fox jumps over the lazy cat near the old river bank"),
+    (3, "spark executes declarative dataframe plans with catalyst and tungsten engines"),
+    (4, "spark executes declarative dataframe plans with catalyst and tungsten engine"),
+    (5, "tiny doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r for r in dedup.exact_dedup(docs).collect()}
+    assert out[0]["content_sha256"] == out[1]["content_sha256"]
+    assert {out[0]["dup_rank"], out[1]["dup_rank"]} == {1, 2}
+    assert out[0]["group_size"] == 2
+    assert out[2]["group_size"] == 1
+
+
+def test_minhash_signature_properties(docs):
+    sigs = {r["doc_id"]: r["sig"] for r in
+            dedup.minhash_signatures(docs, num_hashes=32, shingle_w=2).collect()}
+    assert sigs[0] == sigs[1]  # exact dups → identical signatures
+    agree02 = sum(a == b for a, b in zip(sigs[0], sigs[2])) / 32
+    agree03 = sum(a == b for a, b in zip(sigs[0], sigs[3])) / 32
+    assert agree02 > 0.5        # near-dup: high estimated jaccard
+    assert agree03 < 0.2        # unrelated: low
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_hashes=32, bands=8, shingle_w=2, threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert (3, 4) in got
+    assert all(a < b for a, b in got)
+    assert not any({a, b} == {0, 3} for a, b in got)
+
+
+def test_minhash_md5_strategy_portable(docs):
+    """md5 strategy must produce identical signatures to an independent
+    Python reimplementation (this is what the DuckDB oracle replicates)."""
+    import hashlib
+
+    sigs = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(
+        docs, num_hashes=8, shingle_w=2, hash_strategy="md5").collect()}
+    coeffs = dedup._perm_coeffs(8)
+    P = dedup.MERSENNE_P
+    for doc_id, text in DOCS[:3]:
+        toks = text.split()
+        shingles = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        expect = []
+        for a, b in coeffs:
+            m = min(
+                (a * (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P) + b) % P
+                for s in shingles
+            )
+            expect.append(m)
+        assert list(sigs[doc_id]) == expect
+
+
+def test_simhash_hamming(docs):
+    fps = dedup.simhash(docs, bits=48)
+    rows = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert rows[0] == rows[1]
+    ham02 = bin(rows[0] ^ rows[2]).count("1")
+    ham03 = bin(rows[0] ^ rows[3]).count("1")
+    assert ham02 < ham03
+    pairs = dedup.simhash_neardup_pairs(fps, bits=48, chunks=4, max_hamming=ham02)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+    assert got[(0, 2)] == ham02
+
+
+def test_ngram_jaccard_exact(docs):
+    out = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.1)
+    got = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    assert got[(0, 1)]["jaccard"] == 1.0
+    # doc2 differs from doc0 by one word → shingle overlap known exactly
+    r = got[(0, 2)]
+    assert r["inter"] == r["size_a"] - 2  # 2 bigrams touch the changed word
+    # hot-shingle cap drops everything when max_df=1
+    assert dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.1, max_df=1).count() == 0
+
+
+def test_embedding_neardup(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # self-join sanity: duplicate every vector under a shifted id → every
+    # (i, i+10000) pair is an exact dup with cosine 1.0
+    dup = emb.withColumn("vec_id", F.col("vec_id") + 10000)
+    both = emb.unionByName(dup)
+    pairs = dedup.embedding_neardup_pairs(both, threshold=0.999, planes=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    n = emb.count()
+    assert sum((i, i + 10000) in got for i in range(n)) == n

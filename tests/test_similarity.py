@@ -1,0 +1,73 @@
+"""Similarity-search tests: brute-force baseline exactness, ANN recall vs
+the baseline, IVF probe behavior — on the driver embeddings table."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+
+
+def test_brute_force_matches_numpy(emb, qvec):
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = np.array(qvec, dtype=np.float64)
+    cos = (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -cos))[:10]
+    expect = [(int(ids[i]), cos[i]) for i in order]
+    got = similarity.brute_force_topk(emb, qvec, 10).collect()
+    assert [r["vec_id"] for r in got] == [e[0] for e in expect]
+    for r, (_, c) in zip(got, expect):
+        assert abs(r["cosine"] - c) < 1e-9
+
+
+def test_ann_lsh_recall(emb, qvec):
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, qvec, 10).collect()]
+    idx = similarity.ann_index(emb, planes=6)
+    approx = [r["vec_id"] for r in
+              similarity.ann_lsh_topk(idx, qvec, 10, planes=6, probe_hamming=2).collect()]
+    # near-random 64-d vectors are LSH-hostile (all cosines ≈ 0.3, sign bits
+    # carry little signal) — assert the recall floor this config delivers:
+    # the query itself plus a meaningful share of the true top-10
+    assert approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 4
+
+
+def test_ann_scans_subset(emb, qvec):
+    idx = similarity.ann_index(emb, planes=8).cache()
+    total = idx.count()
+    import numpy as np
+    H = similarity._hyperplanes(len(qvec), 8, 7)
+    q = np.asarray(qvec, dtype=np.float64)
+    qbits = sum(1 << i for i in range(8) if float(H[i] @ q) >= 0)
+    probe = [qbits] + [qbits ^ (1 << i) for i in range(8)] + [
+        qbits ^ (1 << i) ^ (1 << j) for i in range(8) for j in range(i + 1, 8)
+    ]
+    scanned = idx.filter(F.col("bucket").isin(probe)).count()
+    assert scanned < total  # pruning actually prunes
+
+def test_ivf(emb, qvec):
+    C = similarity.train_centroids(emb, n_centroids=8)
+    assert C.shape[1] == 64
+    asg = similarity.ivf_assign(emb, C).cache()
+    # every vector assigned to exactly one centroid
+    assert asg.count() == emb.count()
+    n_used = asg.select("centroid_id").distinct().count()
+    assert n_used > 1
+    got = similarity.ivf_topk(asg, C, qvec, 10, nprobe=4).collect()
+    assert got[0]["vec_id"] == 0 and abs(got[0]["cosine"] - 1.0) < 1e-9
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, qvec, 10).collect()]
+    # same caveat as the LSH test: near-random vectors cluster poorly, so
+    # nprobe=4/8 recall is partial by construction
+    assert len(set(exact) & {r["vec_id"] for r in got}) >= 4

@@ -1,0 +1,113 @@
+"""Text-analysis + multimodal plumbing tests."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.operators import multimodal, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox and the lazy dog in the old barn"),
+        (1, "der hund und die katze sind nicht ein problem"),
+        (2, "le chat et la porte est une affaire"),
+        (3, "x"),
+        (4, "foo!! bar?? baz 123 456 789 000 111 222 333 444 555 666 777"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_language_id(docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in textstats.language_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "fr"
+    assert got[3] == "und"
+
+
+def test_token_counts(docs):
+    got = {r["doc_id"]: r for r in textstats.token_counts(docs).collect()}
+    assert got[0]["n_tokens_ws"] == 12
+    assert got[0]["n_tokens_re"] == 12
+    # regex tokenizer splits punctuation off: "foo!!" → foo, !, !
+    assert got[4]["n_tokens_re"] > got[4]["n_tokens_ws"]
+
+
+def test_quality_score(docs):
+    got = {r["doc_id"]: r for r in textstats.quality_score(docs).collect()}
+    assert got[3]["quality"] < 0.2          # one-char doc scores low
+    assert got[0]["quality"] > 0.5
+    assert got[0]["stopword_ratio"] == pytest.approx(5 / 12)  # the×3 + and + in
+    assert 0.0 < got[4]["alpha_ratio"] < 0.3
+
+
+def test_quality_exact_ratios(spark):
+    df = spark.createDataFrame([(0, "the cat sat")], "doc_id long, text string")
+    r = textstats.quality_score(df).collect()[0]
+    assert r["n_tokens"] == 3
+    assert r["mean_token_len"] == pytest.approx(9 / 3)
+    assert r["stopword_ratio"] == pytest.approx(1 / 3)
+
+
+def test_fingerprint_dups_collide(spark):
+    rows = [(0, "a b c d e f g h"), (1, "a b c d e f g h"), (2, "z y x w v u t s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["fp"] for r in textstats.fingerprint(df, shingle_w=2).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+    # portable definition: min-k md5 of 2-shingles
+    sh = [f"{a} {b}" for a, b in zip("abcdefg", "bcdefgh")]
+    expect = "|".join(sorted(hashlib.md5(s.encode()).hexdigest() for s in sh)[:4])
+    assert got[0] == expect
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, "image", "image/png", b"\x89PNGfake0", 4, 4, None),
+        (1, "video", "video/mp4", b"mp4fake1", 4, 4, 2500),
+        (2, "audio", "audio/wav", b"wavfake2", None, None, 1000),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_extract_features_deterministic(media):
+    got = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert got[0]["payload_sha256"] == hashlib.sha256(b"\x89PNGfake0").hexdigest()
+    assert got[0]["n_bytes"] == 9
+    assert len(got[0]["features"]) == multimodal.FEATURE_DIM
+    # deterministic across runs
+    again = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert list(got[1]["features"]) == list(again[1]["features"])
+
+
+def test_sample_frames(media):
+    got = multimodal.sample_frames(media, every_ms=1000).collect()
+    # only the video row contributes; 2500ms / 1000ms → 2 frames
+    assert {r["media_id"] for r in got} == {1}
+    assert sorted(r["frame_idx"] for r in got) == [0, 1]
+    assert all(len(r["frame_sha256"]) == 64 for r in got)
+
+
+def test_metadata_prunes_payload(media, spark, tmp_path):
+    p = str(tmp_path / "media.parquet")
+    media.write.parquet(p)
+    meta = multimodal.media_metadata(spark.read.parquet(p))
+    plan = meta._jdf.queryExecution().executedPlan().toString()
+    schemas = [ln.split("ReadSchema:", 1)[1] for ln in plan.splitlines()
+               if "ReadSchema:" in ln]
+    assert schemas and all("payload" not in s for s in schemas)
+    assert meta.count() == 3
+
+
+def test_decode_stubs():
+    assert multimodal.decode_image(b"x", codec="fake").shape == (4, 4, 3)
+    assert multimodal.decode_audio(b"x", codec="fake").shape[0] == 1024  # 2048 B of int16
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        multimodal.decode_image(b"x")
+    with _pt.raises(NotImplementedError):
+        multimodal.decode_audio(b"x")
