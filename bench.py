@@ -1,0 +1,135 @@
+"""Benchmark harness: index-build throughput + query latencies at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., ...extra detail keys}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores (default 32)
+  BENCH_REPEAT         per-query repeats for the latency median (default 3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .appName("osse-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from open_source_search_engine_spark.operators import dedup, similarity, textstats
+    from open_source_search_engine_spark.operators.index_build import build_index, compact_segments
+    from open_source_search_engine_spark.operators.query_engine import IndexHandle, topk
+    from open_source_search_engine_spark.sources.testdata import documents_corpus
+
+    queries: dict[str, float] = {}
+    t_suite0 = time.time()
+
+    # ---- index build (cold, fresh dir) → docs/sec ----------------------
+    idx = tempfile.mkdtemp(prefix="osse_bench_idx_")
+    shutil.rmtree(idx, ignore_errors=True)
+    corpus = documents_corpus(spark, sf_dir)
+    t0 = time.time()
+    m = build_index(spark, corpus, idx, n_chunks=1, partitions=cpus)
+    build_s = time.time() - t0
+    queries["index_build"] = round(build_s, 3)
+    t0 = time.time()
+    cm = compact_segments(spark, idx, partitions=cpus)
+    queries["compaction"] = round(time.time() - t0, 3)
+
+    # ---- BM25 query latencies (warm stats handle) ----------------------
+    handle = IndexHandle.open(spark, idx)
+    bm25_queries = {
+        "q_bm25_topk": "hash table",
+        "q_bm25_and3": "hash lang:en table",
+        "q_bm25_phrase": '"hash table"',
+        "q_bm25_not": "hash -merge",
+    }
+    lat_ms = []
+    for name, q in bm25_queries.items():
+        times = []
+        for _ in range(repeat):
+            t0 = time.time()
+            topk(spark, idx, q, 10, handle=handle).collect()
+            times.append(time.time() - t0)
+        med = statistics.median(times)
+        queries[name] = round(med, 3)
+        lat_ms.append(med * 1000)
+
+    # ---- training-data pipeline ops ------------------------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    t0 = time.time()
+    dedup.minhash_dedup_pairs(docs, num_hashes=64, bands=16, shingle_w=3,
+                              threshold=0.7).count()
+    queries["q_dedup_minhash"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    fps = dedup.simhash(docs, bits=48)
+    dedup.simhash_neardup_pairs(fps, bits=48, chunks=4, max_hamming=3).count()
+    queries["q_dedup_simhash"] = round(time.time() - t0, 3)
+
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    t0 = time.time()
+    similarity.brute_force_topk(emb, qvec, 10).collect()
+    queries["q_ann_brute"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    textstats.quality_score(textstats.language_id(docs)) \
+        .agg(F.avg("quality"), F.count("*")).collect()
+    queries["q_text_stats"] = round(time.time() - t0, 3)
+
+    total = time.time() - t_suite0
+    out = {
+        "metric": "index_build_plus_query_suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "build": {
+            "docs": m["docs"],
+            "postings": m["postings"],
+            "postings_bytes": m["bytes"],
+            "docs_per_sec": round(m["docs"] / build_s, 2) if build_s else None,
+            "postings_per_sec": round(m["postings"] / build_s, 2) if build_s else None,
+            "merge_fanin_avg": cm["avg_fanin"],
+        },
+        "bm25_p50_ms": round(statistics.median(lat_ms), 1),
+    }
+    shutil.rmtree(idx, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Adapters from the driver's testdata tables to the engine's corpus shape.
+
+The engine's input contract (BASELINE.json input_hint) is a table
+``(repo, path, commit, lang, content)``; the driver testdata exposes a
+``documents`` table ``(doc_id, text, lang, source, n_chars)``. The mapping
+is chosen so it is trivially invertible for the DuckDB oracle:
+
+    repo    = source
+    path    = '<doc_id>.txt'      (doc_id recoverable from the path)
+    commit  = '0'
+    lang    = lang
+    content = text
+
+``ensure_index`` builds (once) and caches a full index for a given sf_dir
+under /tmp — keyed by corpus path, file mtime and an engine version stamp,
+so a stale cache from an older engine build is never served.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# bump when index layout / tokenizer / scoring changes invalidate old caches
+ENGINE_CACHE_VERSION = "3"
+
+
+def documents_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def doc_id_from_path(df: DataFrame) -> DataFrame:
+    """Recover the documents.doc_id from the corpus path column."""
+    return df.withColumn(
+        "doc_id", F.regexp_replace("path", r"\.txt$", "").cast("long")
+    )
+
+
+def index_cache_dir(sf_dir: str) -> str:
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src)))
+    except OSError:
+        mtime = "0"
+    key = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}|{mtime}|{ENGINE_CACHE_VERSION}".encode()
+    ).hexdigest()[:16]
+    return os.path.join("/tmp", "osse_idx_cache", key)
+
+
+def ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the inverted index for sf_dir's documents once; resume-safe
+    (build_index skips completed chunks, so a concurrent/partial build
+    finishes rather than duplicating work)."""
+    from ..operators.index_build import build_index
+    from . import catalog
+
+    idx = index_cache_dir(sf_dir)
+    if not catalog.table_exists(idx, "globals"):
+        build_index(spark, documents_corpus(spark, sf_dir), idx, n_chunks=1)
+    return idx

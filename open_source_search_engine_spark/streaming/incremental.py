@@ -1,0 +1,158 @@
+"""Structured Streaming surface.
+
+The reference engine has no streaming (SURVEY.md §2.11) — its continuous
+spider-feed + memtable dump + merge IS an incremental micro-batch pipeline
+(/root/reference/SpiderLoop.cpp, /root/reference/RdbDump.cpp). This module
+re-expresses that shape on Structured Streaming:
+
+- :func:`incremental_index_build` — a file-source stream over a corpus
+  directory; every micro-batch is tokenized and appended as a new index
+  *generation* via ``foreachBatch`` (the RdbDump numbered-file analog), with
+  the same manifest/lineage rows the batch builder writes, so batch
+  compaction (:func:`..operators.index_build.compact_segments`) and the
+  query engine work unchanged on a streamed index.
+- :func:`windowed_event_counts` — watermarked tumbling-window aggregation
+  over an event stream (the generic streaming-analytics operator the batch
+  engine exposes through ``__spark_entry__``).
+
+Scale notes: ``foreachBatch`` reuses the exact batch build path — salted
+repartition, sorted encode — so the stream inherits the batch pipeline's
+skew handling; ``maxFilesPerTrigger`` bounds per-batch memory; checkpoints
+make ingestion exactly-once per source file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window count+sum per key with a watermark for late data.
+    Works on both a streaming and a batch DataFrame (same plan both ways —
+    the property the gate test exploits). Watermarks require TIMESTAMP (with
+    local timezone); NTZ event times are cast (interpreted in the session
+    timezone — set it to UTC for parquet NTZ data)."""
+    src = events
+    if src.isStreaming:
+        if dict(src.dtypes)[ts_col] == "timestamp_ntz":
+            src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH").alias("hour"),
+            key_col, "n", "sum_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str) -> DataFrame:
+    """Run a streaming DataFrame to completion with Trigger.AvailableNow into
+    an in-memory sink; return the result as a batch DataFrame. Used to gate
+    streaming plans against a SQL oracle."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def incremental_index_build(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_dir: str,
+    *,
+    schema: str = "repo string, path string, commit string, lang string, content string",
+    max_files_per_trigger: int = 4,
+    partitions: int | None = None,
+) -> dict:
+    """Stream corpus parquet files into index generations.
+
+    Each micro-batch becomes one generation ``gen=s<batch_id>`` with segments
+    + doc_stats + partial term stats + a manifest row — identical layout to
+    the batch builder, so :func:`finalize_stats`, compaction and the query
+    engine run unchanged afterwards. Returns ingest metrics."""
+    import time
+
+    from ..operators.index_build import (
+        encode_segments, finalize_stats, salted, tokenize_postings,
+        with_doc_identity,
+    )
+    from ..functions.tokenizer import KIND_UNIGRAM
+    from ..sources import catalog
+
+    nparts = partitions or spark.sparkContext.defaultParallelism
+    metrics = {"batches": 0, "docs": 0, "postings": 0}
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        gen = f"s{batch_id}"
+        part = with_doc_identity(batch_df).persist()
+        n_docs = part.count()
+        if n_docs == 0:
+            part.unpersist()
+            return
+        t0 = time.time()
+        catalog.write_table(
+            part.select("docid", "repo", "path", "lang", "content_sha256"),
+            index_dir, f"docmap/gen={gen}",
+        )
+        postings = tokenize_postings(part).persist()
+        n_post = postings.count()
+        catalog.write_table(
+            postings.filter(F.col("kind") == KIND_UNIGRAM)
+            .groupBy("docid", "field").agg(F.count("*").alias("dl")),
+            index_dir, f"doc_stats/gen={gen}",
+        )
+        catalog.write_table(
+            postings.select("termid", "docid").distinct()
+            .groupBy("termid").agg(F.count("*").alias("df")),
+            index_dir, f"term_stats_partial/gen={gen}",
+        )
+        seg = encode_segments(
+            salted(postings, 100_000, 50_000), partitions=nparts
+        ).withColumn("bucket", F.pmod("termid", F.lit(catalog.N_BUCKETS_DEFAULT)).cast("int"))
+        catalog.write_table(seg, index_dir, f"segments/gen={gen}", partition_by=["bucket"])
+        elapsed = time.time() - t0
+        row = spark.createDataFrame(
+            [(int(batch_id), f"stream batch {batch_id}", int(n_docs), int(n_post),
+              0, float(n_post / elapsed if elapsed else 0.0), "done", 1, float(time.time()))],
+            "chunk int, lineage string, rows_in long, postings_out long, "
+            "bytes_out long, terms_per_sec double, status string, attempt int, ts double",
+        )
+        row.write.mode("append").parquet(catalog.table_path(index_dir, "manifest"))
+        postings.unpersist()
+        part.unpersist()
+        metrics["batches"] += 1
+        metrics["docs"] += n_docs
+        metrics["postings"] += n_post
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(corpus_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", os.path.join(index_dir, "_stream_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    finalize_stats(spark, index_dir)
+    return metrics

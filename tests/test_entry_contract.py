@@ -1,0 +1,64 @@
+"""Driver-contract tests for __spark_entry__: key alignment, entry() smoke,
+and a fast subset of the DuckDB oracle comparisons at sf0.001 (the full
+sweep lives in tools/check_oracle.py and runs at sf0.01 — that's the
+external gate; this keeps a cheap in-suite canary)."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# fast entries only (no engine index build, no streaming machinery)
+FAST = [
+    "doc_term_df", "dedup_exact", "dedup_simhash", "embedding_cosine_all",
+    "text_langid", "text_quality", "text_token_count", "text_fingerprint",
+    "multimodal_bytes", "tpch_pricing", "join_orders_by_segment",
+    "join_nation_region", "events_sessions",
+]
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as e
+    return e
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    from tools.check_oracle import TABLES
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def test_oracle_keys_subset_of_queries(entrymod):
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert o <= q
+    # every query is oracle-checked in round 1 (no rows-only weak checks)
+    assert o == q
+
+
+def test_entry_smoke(spark, entrymod):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"rank", "docid", "score", "content_sha256"} <= set(df.columns)
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_fast_oracle_parity(spark, entrymod, duck, name):
+    from tools.check_oracle import compare
+
+    sdf = entrymod.queries()[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(entrymod.oracle_sql()[name]).df()
+    errs = compare(name, sdf, odf)
+    assert not errs, errs[:5]
