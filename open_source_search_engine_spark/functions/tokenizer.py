@@ -178,8 +178,10 @@ def index_document(
     (/root/reference/XmlDoc_Indexing.cpp:222-462, gap at 2082):
     BODY=content, TITLE=path basename, URL=repo+path tokens, LANG=language.
     Returns dict of equal-length arrays: termid(int64), wordpos(int32),
-    field(int8), density(int8), kind(int8); plus scalar doc lengths
-    per field under 'dl_body','dl_title','dl_url'.
+    field(int8), density(int8), kind(int8), dl(int32 — the row's field
+    length, inlined so posting blocks carry BM25 doc length and the query
+    path needs no doc-length join); plus scalar doc lengths per field under
+    'dl_body','dl_title','dl_url'.
     """
     fields = [
         (FIELD_BODY, content, True),
@@ -192,6 +194,7 @@ def index_document(
     fcodes: list[np.ndarray] = []
     densities: list[np.ndarray] = []
     kinds: list[np.ndarray] = []
+    dls: list[np.ndarray] = []
     dl = {FIELD_BODY: 0, FIELD_TITLE: 0, FIELD_URL: 0}
 
     cursor = 0
@@ -208,12 +211,16 @@ def index_document(
             fcodes.append(np.full(n_uni, fcode, dtype=np.int8))
             densities.append(np.asarray(tf.densities, dtype=np.int8))
             kinds.append(np.asarray(tf.kinds, dtype=np.int8))
+            dls.append(np.full(n_uni, tf.n_words, dtype=np.int32))
         if n_big:
             termids.append(hasher.bigram_ids(tf.bigram_pairs))
             positions.append(np.asarray(tf.bigram_positions, dtype=np.int32))
             fcodes.append(np.full(n_big, fcode, dtype=np.int8))
             densities.append(np.full(n_big, MAX_DENSITY, dtype=np.int8))
             kinds.append(np.full(n_big, KIND_BIGRAM, dtype=np.int8))
+            # bigram rows score against the field's unigram length (the
+            # oracle's dl lookup is per (doc, field), kind-independent)
+            dls.append(np.full(n_big, tf.n_words, dtype=np.int32))
 
     if termids:
         res = {
@@ -222,6 +229,7 @@ def index_document(
             "field": np.concatenate(fcodes),
             "density": np.concatenate(densities),
             "kind": np.concatenate(kinds),
+            "dl": np.concatenate(dls),
         }
     else:
         res = {
@@ -230,6 +238,7 @@ def index_document(
             "field": np.empty(0, dtype=np.int8),
             "density": np.empty(0, dtype=np.int8),
             "kind": np.empty(0, dtype=np.int8),
+            "dl": np.empty(0, dtype=np.int32),
         }
     res["dl_body"] = dl[FIELD_BODY]
     res["dl_title"] = dl[FIELD_TITLE]

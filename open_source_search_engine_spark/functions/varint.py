@@ -62,13 +62,20 @@ def decode_varints(buf: np.ndarray) -> np.ndarray:
     return np.add.reduceat(contrib, starts)
 
 
-def encode_block(docids: np.ndarray, tfs: np.ndarray, positions: np.ndarray) -> bytes:
+def encode_block(docids: np.ndarray, tfs: np.ndarray, positions: np.ndarray,
+                 dls: np.ndarray) -> bytes:
     """Encode one block. ``docids`` sorted strictly ascending; ``tfs[i]``
     positions for doc i are the next tfs[i] entries of ``positions``
-    (ascending within each doc)."""
+    (ascending within each doc); ``dls[i]`` is doc i's field length.
+
+    The per-doc ``dl`` is inlined so BM25 scoring needs NO doc-length join
+    at query time — the doc_stats side table would otherwise shuffle on
+    every query (the one per-query full-table exchange at 100 TB scale);
+    one extra varint per doc (~1 byte) buys its elimination."""
     docids = np.asarray(docids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     positions = np.asarray(positions, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
     n = len(docids)
     head = encode_varints(np.array([n], dtype=np.uint64))
     d_doc = np.empty(n, dtype=np.uint64)
@@ -83,21 +90,22 @@ def encode_block(docids: np.ndarray, tfs: np.ndarray, positions: np.ndarray) -> 
         firsts = np.cumsum(tfs)[:-1] if n > 1 else np.empty(0, dtype=np.int64)
         d_pos[firsts] = positions[firsts]  # reset delta at doc boundaries
     parts = [head, encode_varints(d_doc), encode_varints(tfs.astype(np.uint64)),
-             encode_varints(d_pos)]
+             encode_varints(dls.astype(np.uint64)), encode_varints(d_pos)]
     return b"".join(p.tobytes() for p in parts)
 
 
-def decode_block(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode one block → (docids int64, tfs int64, positions int64)."""
+def decode_block(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one block → (docids, tfs, dls, positions), all int64."""
     b = np.frombuffer(buf, dtype=np.uint8)
     vals = decode_varints(b)
     n = int(vals[0])
     d_doc = vals[1 : 1 + n]
     tfs = vals[1 + n : 1 + 2 * n].astype(np.int64)
-    d_pos = vals[1 + 2 * n :].astype(np.int64)
+    dls = vals[1 + 2 * n : 1 + 3 * n].astype(np.int64)
+    d_pos = vals[1 + 3 * n :].astype(np.int64)
     docids = np.cumsum(d_doc.astype(np.int64))
     positions = _cumsum_with_resets(d_pos, tfs) if len(d_pos) else d_pos
-    return docids, tfs, positions
+    return docids, tfs, dls, positions
 
 
 def _cumsum_with_resets(deltas: np.ndarray, tfs: np.ndarray) -> np.ndarray:

@@ -58,6 +58,9 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("field", T.IntegerType(), False),
         T.StructField("wordpos", T.IntegerType(), False),
         T.StructField("kind", T.IntegerType(), False),
+        # the (docid, field) BM25 length, carried with every posting so the
+        # encoder can inline it into blocks (no doc-length join at query time)
+        T.StructField("dl", T.IntegerType(), False),
     ]
 )
 
@@ -127,6 +130,7 @@ def tokenize_postings(corpus_with_id: DataFrame) -> DataFrame:
                             "field": arrs["field"].astype(np.int32),
                             "wordpos": arrs["wordpos"].astype(np.int32),
                             "kind": arrs["kind"].astype(np.int32),
+                            "dl": arrs["dl"].astype(np.int32),
                         }
                     )
                 )
@@ -165,10 +169,13 @@ def salted(postings: DataFrame, hot_threshold: int, target_group_rows: int) -> D
 
 def _encode_group(termid: int, field: int, salt: int,
                   docids: np.ndarray, positions: np.ndarray,
-                  block_docs: int) -> list[tuple]:
-    """Encode one sorted (termid, field, salt) run into block rows."""
+                  dls: np.ndarray, block_docs: int) -> list[tuple]:
+    """Encode one sorted (termid, field, salt) run into block rows.
+    ``dls`` is per-posting (constant within a doc); one value per doc is
+    inlined into the block."""
     uniq, starts = np.unique(docids, return_index=True)
     tfs = np.diff(np.append(starts, len(docids)))
+    doc_dls = np.asarray(dls, dtype=np.int64)[starts]
     rows = []
     for b0 in range(0, len(uniq), block_docs):
         b1 = min(b0 + block_docs, len(uniq))
@@ -176,7 +183,7 @@ def _encode_group(termid: int, field: int, salt: int,
         blk_doc = uniq[b0:b1]
         blk_tf = tfs[b0:b1]
         blk_pos = positions[p0:p1]
-        buf = encode_block(blk_doc, blk_tf, blk_pos)
+        buf = encode_block(blk_doc, blk_tf, blk_pos, doc_dls[b0:b1])
         rows.append(
             (int(termid), int(field), int(salt), b0 // block_docs,
              int(blk_doc[0]), int(blk_doc[-1]), int(len(blk_doc)),
@@ -199,7 +206,7 @@ def encode_segments(postings_salted: DataFrame, *, partitions: int,
     part = (
         postings_salted.repartition(partitions, "termid", "field", "salt")
         .sortWithinPartitions("termid", "field", "salt", "docid", "wordpos")
-        .select("termid", "field", "salt", "docid", "wordpos")
+        .select("termid", "field", "salt", "docid", "wordpos", "dl")
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -211,6 +218,7 @@ def encode_segments(postings_salted: DataFrame, *, partitions: int,
             s = pdf["salt"].values
             d = pdf["docid"].values
             p = pdf["wordpos"].values.astype(np.int64)
+            dl = pdf["dl"].values.astype(np.int64)
             # group boundaries on (termid, field, salt)
             change = np.empty(len(t), dtype=bool)
             change[0] = True
@@ -219,7 +227,7 @@ def encode_segments(postings_salted: DataFrame, *, partitions: int,
             ends = np.append(starts[1:], len(t))
             rows: list[tuple] = []
             for a, b in zip(starts, ends):
-                rows.extend(_encode_group(t[a], f[a], s[a], d[a:b], p[a:b], block_docs))
+                rows.extend(_encode_group(t[a], f[a], s[a], d[a:b], p[a:b], dl[a:b], block_docs))
             return pd.DataFrame(rows, columns=[x.name for x in SEGMENT_SCHEMA])
 
         for pdf in batches:
@@ -453,14 +461,16 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
             starts = np.nonzero(change)[0]
             ends = np.append(starts[1:], len(t))
             for a, b in zip(starts, ends):
-                docs_l, tfs_l, pos_l = [], [], []
+                docs_l, tfs_l, dls_l, pos_l = [], [], [], []
                 for buf in pdf["postings"].values[a:b]:
-                    d, tf, p = decode_block(bytes(buf))
+                    d, tf, dl, p = decode_block(bytes(buf))
                     docs_l.append(d)
                     tfs_l.append(tf)
+                    dls_l.append(dl)
                     pos_l.append(p)
                 docids = np.concatenate(docs_l)
                 tfs = np.concatenate(tfs_l)
+                dls = np.concatenate(dls_l)
                 # merge runs: sort docs, positions stay grouped per doc
                 order = np.argsort(docids, kind="stable")
                 pos_starts = np.zeros(len(tfs), dtype=np.int64)
@@ -471,10 +481,12 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
                 ) if len(order) else pos_all
                 d_sorted = docids[order]
                 t_sorted = tfs[order]
-                # expand to flat (docid, pos) stream for _encode_group
+                dl_sorted = dls[order]
+                # expand to flat (docid, pos, dl) stream for _encode_group
                 flat_doc = np.repeat(d_sorted, t_sorted)
+                flat_dl = np.repeat(dl_sorted, t_sorted)
                 rows.extend(
-                    _encode_group(t[a], f[a], 0, flat_doc, pos_sorted, block_docs)
+                    _encode_group(t[a], f[a], 0, flat_doc, pos_sorted, flat_dl, block_docs)
                 )
             return pd.DataFrame(rows, columns=[x.name for x in SEGMENT_SCHEMA])
 

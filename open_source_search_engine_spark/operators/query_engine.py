@@ -49,6 +49,7 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("field", T.IntegerType(), False),
         T.StructField("docid", T.LongType(), False),
         T.StructField("tf", T.LongType(), False),
+        T.StructField("dl", T.LongType(), False),
     ]
 )
 
@@ -95,7 +96,7 @@ def _decode_udf(include_tids: list[int]):
             ):
                 if int(tid) not in tid_set:
                     continue
-                d, tf, _ = decode_block(bytes(buf))
+                d, tf, dl, _ = decode_block(bytes(buf))
                 n = len(d)
                 outs.append(
                     pd.DataFrame(
@@ -104,6 +105,7 @@ def _decode_udf(include_tids: list[int]):
                             "field": np.full(n, field, dtype=np.int32),
                             "docid": d,
                             "tf": tf,
+                            "dl": dl,
                         }
                     )
                 )
@@ -185,11 +187,10 @@ def topk(
     decoded = decoded.filter(F.col("termid").isin([int(t) for t in include_tids]))
 
     spec_df, n_required = _spec_table(spark, plan, dfs, h.n_docs)
+    # dl travels inside the posting blocks (varint.encode_block), so scoring
+    # needs NO doc-length join — the doc_stats side table never touches the
+    # query path (it would shuffle in full per query at corpus scale)
     matched = decoded.join(F.broadcast(spec_df), ["termid", "field"], "inner")
-
-    # attach dl for the (docid, field) pairs present
-    doc_stats = catalog.read_table(spark, h.index_dir, "doc_stats")
-    matched = matched.join(doc_stats, ["docid", "field"], "left").fillna({"dl": 0})
 
     # per-(spec,field) BM25 contribution — pure JVM column math
     avgdl_map = F.create_map(

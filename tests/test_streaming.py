@@ -1,0 +1,92 @@
+"""Structured Streaming surface tests: incremental index build equivalence
+and windowed aggregation batch/stream parity."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_incremental_build_matches_batch(spark, tmp_path):
+    """Stream the corpus in micro-batches → index generations; the query
+    engine must return exactly what it returns over a batch-built index
+    (same postings, same stats, same scores)."""
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.index_build import build_index
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.streaming.incremental import (
+        incremental_index_build,
+    )
+
+    n = 120
+    corpus = corpus_df(spark, n, partitions=4)
+    corpus_dir = str(tmp_path / "corpus")
+    corpus.repartition(6).write.parquet(corpus_dir)  # 6 files → 2 batches of 4/2
+
+    stream_idx = str(tmp_path / "sidx")
+    batch_idx = str(tmp_path / "bidx")
+    shutil.rmtree(stream_idx, ignore_errors=True)
+    shutil.rmtree(batch_idx, ignore_errors=True)
+
+    m = incremental_index_build(spark, corpus_dir, stream_idx, max_files_per_trigger=4)
+    assert m["docs"] == n
+    assert m["batches"] >= 2  # actually micro-batched
+
+    build_index(spark, corpus_df(spark, n, partitions=4), batch_idx, n_chunks=1)
+
+    for q in ["binary search", "hash table", '"open file"', "tree -hash"]:
+        a = [(r["docid"], round(r["score"], 9))
+             for r in topk(spark, stream_idx, q, 10).collect()]
+        b = [(r["docid"], round(r["score"], 9))
+             for r in topk(spark, batch_idx, q, 10).collect()]
+        assert a == b, q
+
+
+def test_incremental_build_resumes(spark, tmp_path):
+    """Re-running the stream over an already-consumed directory ingests
+    nothing new (file-source checkpoint = exactly-once per file)."""
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.streaming.incremental import (
+        incremental_index_build,
+    )
+
+    corpus_dir = str(tmp_path / "corpus2")
+    corpus_df(spark, 40, partitions=2).repartition(2).write.parquet(corpus_dir)
+    idx = str(tmp_path / "sidx2")
+    m1 = incremental_index_build(spark, corpus_dir, idx)
+    assert m1["docs"] == 40
+    m2 = incremental_index_build(spark, corpus_dir, idx)
+    assert m2["docs"] == 0 and m2["batches"] == 0
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    """The same windowed aggregation plan over a stream (AvailableNow,
+    memory sink) and over the batch DataFrame must agree row-for-row."""
+    from open_source_search_engine_spark.streaming.incremental import (
+        run_available_now, windowed_event_counts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sf = "/root/testdata/sf0.001"
+    batch = spark.read.parquet(f"{sf}/events.parquet")
+    expect = {
+        (r["hour"], r["event_type"]): (r["n"], float(r["sum_value"]))
+        for r in windowed_event_counts(batch).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf)
+    )
+    got_df = run_available_now(
+        windowed_event_counts(stream), "t_stream_hourly",
+        str(tmp_path / "ckpt"),
+    )
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], float(r["sum_value"]))
+        for r in got_df.collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        assert got[k][1] == pytest.approx(expect[k][1], rel=1e-9)

@@ -1,5 +1,6 @@
 """Delta+varint codec tests (FIXTURES.md §2 postings_roundtrip), including a
-hypothesis property run."""
+hypothesis property run. Blocks carry (docids, tfs, dls, positions) — dl is
+inlined per doc so scoring needs no doc-length join."""
 
 import numpy as np
 from hypothesis import given, settings
@@ -28,13 +29,17 @@ def test_block_roundtrip_simple():
     docids = np.array([5, 9, 1000], dtype=np.int64)
     tfs = np.array([2, 1, 3], dtype=np.int64)
     pos = np.array([0, 7, 3, 1, 2, 9], dtype=np.int64)
-    d, t, p = decode_block(encode_block(docids, tfs, pos))
+    dls = np.array([12, 7, 300], dtype=np.int64)
+    d, t, dl, p = decode_block(encode_block(docids, tfs, pos, dls))
     assert (d == docids).all() and (t == tfs).all() and (p == pos).all()
+    assert (dl == dls).all()
 
 
 def test_block_single_doc():
-    d, t, p = decode_block(encode_block(np.array([42]), np.array([1]), np.array([17])))
-    assert list(d) == [42] and list(t) == [1] and list(p) == [17]
+    d, t, dl, p = decode_block(
+        encode_block(np.array([42]), np.array([1]), np.array([17]), np.array([5]))
+    )
+    assert list(d) == [42] and list(t) == [1] and list(p) == [17] and list(dl) == [5]
 
 
 @settings(max_examples=50, deadline=None)
@@ -44,9 +49,11 @@ def test_block_roundtrip_property(data):
     rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
     docids = np.unique(rng.integers(0, 2**38, n))
     tfs = rng.integers(1, 6, len(docids))
+    dls = rng.integers(0, 2**18, len(docids))
     pos = np.concatenate([np.sort(rng.integers(0, 2**18, t)) for t in tfs])
-    d, t, p = decode_block(encode_block(docids, tfs, pos))
+    d, t, dl, p = decode_block(encode_block(docids, tfs, pos, dls))
     assert (d == docids).all() and (t == tfs).all() and (p == pos).all()
+    assert (dl == dls).all()
 
 
 def test_compression_ratio():
@@ -54,5 +61,6 @@ def test_compression_ratio():
     docids = np.arange(10_000, dtype=np.int64) * 3 + 7
     tfs = np.ones(10_000, dtype=np.int64)
     pos = np.zeros(10_000, dtype=np.int64)
-    blk = encode_block(docids, tfs, pos)
-    assert len(blk) / 10_000 < 4.0
+    dls = np.full(10_000, 100, dtype=np.int64)
+    blk = encode_block(docids, tfs, pos, dls)
+    assert len(blk) / 10_000 < 5.0

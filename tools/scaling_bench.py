@@ -1,0 +1,94 @@
+"""Scaling-efficiency evidence for the north_rule's two-cluster-size
+criterion (no real cluster in this sandbox): run the SAME index-build job on
+the SAME deterministic input at two parallelism levels (local[N] and
+local[4N] cores) and report throughput at both plus
+efficiency = (throughput_4N / throughput_N) / 4.
+
+The corpus size is chosen so the job is CPU-bound (tokenize + block encode
+dominate, per BASELINE.md methodology note) — fixed driver overhead is <10%
+of the 4N-core wall time.
+
+Usage: python tools/scaling_bench.py [n_docs] [N]   (defaults 16000, 8)
+Each measurement runs in its own subprocess so the two Spark sessions get
+clean core allocations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_CHILD = r"""
+import json, os, sys, tempfile, time
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+sys.path.insert(0, %(repo)r)
+n_docs, cores = %(n_docs)d, %(cores)d
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master(f"local[{cores}]")
+         .config("spark.sql.shuffle.partitions", str(cores))
+         .config("spark.driver.memory", "24g")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.ui.enabled", "false")
+         .appName(f"scaling-{cores}").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from open_source_search_engine_spark.corpus import corpus_df
+from open_source_search_engine_spark.operators.index_build import build_index
+corpus = corpus_df(spark, n_docs, partitions=cores * 2).cache()
+corpus.count()  # materialize input before the clock starts
+# steady-state warmup: run the full pipeline once on a small slice so python
+# workers have imported numpy/pandas/the package and the JVM has JITted the
+# hot paths — measured one-time cost ~20 s at 32 workers, which would
+# otherwise swamp the timed run and misstate scaling (at real corpus scale
+# this amortizes to nothing)
+import shutil
+warm = tempfile.mkdtemp(prefix=f"osse_warm_{cores}_")
+shutil.rmtree(warm, ignore_errors=True)
+build_index(spark, corpus_df(spark, 32 * 20, partitions=cores), warm, n_chunks=1, partitions=cores)
+shutil.rmtree(warm, ignore_errors=True)
+idx = tempfile.mkdtemp(prefix=f"osse_scale_{cores}_")
+shutil.rmtree(idx, ignore_errors=True)
+t0 = time.time()
+m = build_index(spark, corpus, idx, n_chunks=1, partitions=cores)
+elapsed = time.time() - t0
+shutil.rmtree(idx, ignore_errors=True)
+print("RESULT " + json.dumps({
+    "cores": cores, "docs": m["docs"], "postings": m["postings"],
+    "elapsed_s": round(elapsed, 2),
+    "docs_per_sec": round(m["docs"] / elapsed, 2),
+    "postings_per_sec": round(m["postings"] / elapsed, 2),
+}))
+spark.stop()
+"""
+
+
+def run(n_docs: int, cores: int) -> dict:
+    code = _CHILD % {"repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "n_docs": n_docs, "cores": cores}
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"child (cores={cores}) produced no result:\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 16000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    r_n = run(n_docs, n)
+    r_4n = run(n_docs, 4 * n)
+    eff = (r_4n["docs_per_sec"] / r_n["docs_per_sec"]) / 4.0
+    print(json.dumps({
+        "input_docs": n_docs,
+        f"local[{n}]": r_n,
+        f"local[{4 * n}]": r_4n,
+        "speedup": round(r_4n["docs_per_sec"] / r_n["docs_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "pass_0.8": eff >= 0.8,
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()
