@@ -46,12 +46,15 @@ _TFNORM = "(({tf} * (1.2 + 1.0)) / ({tf} + 1.2 * (0.25 + (0.75 * {dl}) / {avgdl}
 
 def _bm25_sql(words: list[str], *, lang: str | None = None,
               exclude: str | None = None, bigram: tuple[str, str] | None = None,
-              bigram_required: bool = False) -> str:
+              bigram_required: bool = False,
+              optional_terms: list[tuple[str, float]] | None = None) -> str:
     """BM25 oracle over documents body text mirroring the engine's plan:
     conjunctive required terms, optional lang filter, optional exclusion,
     optional/required adjacent-bigram term at weight 5 (the query-bigram
-    attach, SURVEY.md §2.5 Q6)."""
-    scan_words = words + ([exclude] if exclude else [])
+    attach, SURVEY.md §2.5 Q6), and weighted optional terms (the synonym
+    attach, SURVEY.md §2.5 Q7)."""
+    optional_terms = optional_terms or []
+    scan_words = words + ([exclude] if exclude else []) + [w for w, _ in optional_terms]
     wl = ", ".join(f"'{w}'" for w in scan_words)
     joins, contribs = [], []
     for i, w in enumerate(words):
@@ -60,6 +63,14 @@ def _bm25_sql(words: list[str], *, lang: str | None = None,
         idf = _IDF.format(n="b.n", df=f"x{i}.df")
         tfn = _TFNORM.format(tf=f"f{i}.tf", dl="d.dl", avgdl="b.avgdl")
         contribs.append(f"({idf} * {tfn})")
+    for i, (w, wt) in enumerate(optional_terms):
+        joins.append(f"LEFT JOIN tf o{i} ON o{i}.doc_id = d.doc_id AND o{i}.tok = '{w}'")
+        joins.append(f"CROSS JOIN (SELECT df FROM dfs WHERE tok = '{w}') y{i}")
+        idf = _IDF.format(n="b.n", df=f"y{i}.df")
+        tfn = _TFNORM.format(tf=f"o{i}.tf", dl="d.dl", avgdl="b.avgdl")
+        contribs.append(
+            f"(CASE WHEN o{i}.tf IS NOT NULL THEN ({wt} * {idf}) * {tfn} ELSE 0.0 END)"
+        )
     big_cte = ""
     if bigram is not None:
         w1, w2 = bigram
@@ -530,6 +541,91 @@ def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_engine_site_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 site-clustering analog (/root/reference/Msg3a.cpp:802-845): at most
+    2 results per site (repo/source) by score. Tie-break inside a site is by
+    doc_id (oracle-replicable), matching the ≤2-per-site windowing rule."""
+    from pyspark.sql.window import Window
+
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    res = doc_id_from_path(topk(spark, idx, "hash table", 1_000_000))
+    res = res.select("doc_id", "repo", F.round("score", 4).alias("score_r"))
+    w = Window.partitionBy("repo").orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        res.withColumn("site_rank", F.row_number().over(w))
+        .filter(F.col("site_rank") <= 2)
+        .select("doc_id", "repo", "score_r", "site_rank")
+    )
+
+
+def _q_engine_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 snippet analog (/root/reference/Summary.cpp:181): top docs joined
+    back to the doc store, snippet = 60-char window around the first query
+    term occurrence."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    res = doc_id_from_path(topk(spark, idx, "vector", 1_000_000)).select(
+        "doc_id", F.round("score", 4).alias("score_r")
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    i = F.locate("vector", F.lower(F.col("text")))
+    snippet = F.substring(F.col("text"), F.greatest(F.lit(1), i - 30), 60)
+    return (
+        res.join(docs, "doc_id", "inner")
+        .select("doc_id", "score_r", snippet.alias("snippet"))
+    )
+
+
+def _q_engine_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7/T6 synonym expansion (/root/reference/Query.cpp:1008-1035, weight
+    0.9 per /root/reference/Parms.cpp:3883-3893): 'sort' required, synonym
+    'order' attached optional at 0.9 — scores add where the synonym hits."""
+    from open_source_search_engine_spark.functions.hashing import TokenHasher
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.plans.plan import TermSpec, parse_query
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    plan = parse_query("sort")
+    syn_tid = int(TokenHasher().termids(["order"])[0])
+    plan.terms.append(
+        TermSpec(syn_tid, "order", None, 0.9, required=False)
+    )
+    res = topk(spark, idx, plan, 1_000_000)
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
+def _q_engine_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 pagination (/root/reference/PosdbTable.cpp:3948-3983): page 2 via
+    the (score, docid) cursor from page 1's last row."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    page1 = topk(spark, idx, "hash table", 5).collect()
+    last = page1[-1]
+    page2 = topk(spark, idx, "hash table", 5,
+                 cursor=(float(last["score"]), int(last["docid"])))
+    return doc_id_from_path(page2).select(
+        "doc_id", F.round("score", 4).alias("score_r")
+    )
+
+
 def _q_doc_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-vocabulary document-frequency table (tokenize → explode →
     distinct → count, the A1 stats job shape)."""
@@ -573,6 +669,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_field_title": _engine_query("title:123"),
         "engine_term_df": _q_engine_term_df,
         "engine_total_hits": _q_engine_total_hits,
+        "engine_site_clustering": _q_engine_site_clustering,
+        "engine_snippets": _q_engine_snippets,
+        "engine_synonyms": _q_engine_synonyms,
+        "engine_pagination": _q_engine_pagination,
         # --- tokenize/stats primitives ---
         "doc_term_df": _q_doc_term_df,
         # --- dedup family ---
@@ -631,6 +731,29 @@ LEFT JOIN dfs d ON d.tok = w.token
 WITH{TOKS_CTE}
 SELECT count(*)::BIGINT AS n_hits FROM toks
 WHERE list_contains(t, 'hash') AND list_contains(t, 'table')
+""",
+        "engine_site_clustering": f"""
+SELECT doc_id, repo, score_r, site_rank FROM (
+  SELECT s.doc_id, d.source AS repo, s.score_r,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.score_r DESC, s.doc_id) AS site_rank
+  FROM ({_bm25_sql(['hash', 'table'], bigram=('hash', 'table'))}) s
+  JOIN documents d ON d.doc_id = s.doc_id
+) WHERE site_rank <= 2
+""",
+        "engine_snippets": f"""
+SELECT s.doc_id, s.score_r,
+       substr(d.text, greatest(1, strpos(lower(d.text), 'vector') - 30), 60) AS snippet
+FROM ({_bm25_sql(['vector'])}) s
+JOIN documents d ON d.doc_id = s.doc_id
+""",
+        "engine_synonyms": _bm25_sql(["sort"], optional_terms=[("order", 0.9)]),
+        "engine_pagination": f"""
+SELECT doc_id, score_r FROM (
+  SELECT doc_id, score_r,
+         row_number() OVER (ORDER BY score_r DESC, doc_id) AS rk
+  FROM ({_bm25_sql(['hash', 'table'], bigram=('hash', 'table'))})
+) WHERE rk BETWEEN 6 AND 10
 """,
         "doc_term_df": f"""
 WITH{TOKS_CTE}

@@ -38,50 +38,66 @@ def _rng_for(i: int, seed: int) -> np.random.Generator:
     return np.random.default_rng(np.random.SeedSequence([seed, i]))
 
 
+_VW_CACHE: tuple | None = None
+
+
+def _vocab_weights() -> tuple:
+    global _VW_CACHE
+    if _VW_CACHE is None:
+        vocab = list(_CORE_VOCAB) + [f"v{k}" for k in range(800)]
+        nv = len(vocab)
+        # Zipf-ish weights: w_r ∝ 1/(r+1)
+        ranks = np.arange(nv, dtype=np.float64)
+        weights = 1.0 / (ranks + 1.0)
+        weights /= weights.sum()
+        _VW_CACHE = (vocab, nv, weights)
+    return _VW_CACHE
+
+
+def _make_row(i: int, seed: int) -> dict:
+    """Doc i as a pure function of (i, seed) — shared by the driver-side and
+    executor-side generators (byte-identical either way)."""
+    vocab, nv, weights = _vocab_weights()
+    rng = _rng_for(i, seed)
+    ext = LANGS[i % len(LANGS)]
+    repo = f"org{i % 7}/repo{i % 23}"
+    pkg = f"pkg{i % 13}"
+    path = f"src/{pkg}/mod{i}.{ext}"
+    n_lines = int(rng.integers(5, 60))
+    lines: list[str] = []
+    for _ in range(n_lines):
+        k = int(rng.integers(3, 9))
+        toks = [vocab[j] for j in rng.choice(nv, size=k, p=weights)]
+        lines.append(f"{toks[0]} {toks[1]}({', '.join(toks[2:])});  // {toks[-1]}")
+    # plant rare terms / phrases deterministically in a doc subset
+    if i % 97 == 0:
+        lines.append(f"{PLANTED_RARE[i % len(PLANTED_RARE)]} = 1;")
+    if i % 11 == 0:
+        lines.append(PLANTED_PHRASES[i % len(PLANTED_PHRASES)] + ";")
+    content = "\n".join(lines)
+    commit = hashlib.sha1(f"{repo}/{path}/{seed}".encode()).hexdigest()
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": _LANG_OF_EXT[ext],
+        "content": content,
+    }
+
+
 def make_corpus_rows(n_docs: int, seed: int = 42) -> list[dict]:
     """Generate ``n_docs`` deterministic corpus rows."""
-    vocab = list(_CORE_VOCAB) + [f"v{k}" for k in range(800)]
-    nv = len(vocab)
-    # Zipf-ish weights: w_r ∝ 1/(r+1)
-    ranks = np.arange(nv, dtype=np.float64)
-    weights = 1.0 / (ranks + 1.0)
-    weights /= weights.sum()
+    return [_make_row(i, seed) for i in range(n_docs)]
 
-    rows: list[dict] = []
-    for i in range(n_docs):
-        rng = _rng_for(i, seed)
-        ext = LANGS[i % len(LANGS)]
-        repo = f"org{i % 7}/repo{i % 23}"
-        pkg = f"pkg{i % 13}"
-        path = f"src/{pkg}/mod{i}.{ext}"
-        n_lines = int(rng.integers(5, 60))
-        lines: list[str] = []
-        for _ in range(n_lines):
-            k = int(rng.integers(3, 9))
-            toks = [vocab[j] for j in rng.choice(nv, size=k, p=weights)]
-            lines.append(f"{toks[0]} {toks[1]}({', '.join(toks[2:])});  // {toks[-1]}")
-        # plant rare terms / phrases deterministically in a doc subset
-        if i % 97 == 0:
-            lines.append(f"{PLANTED_RARE[i % len(PLANTED_RARE)]} = 1;")
-        if i % 11 == 0:
-            lines.append(PLANTED_PHRASES[i % len(PLANTED_PHRASES)] + ";")
-        content = "\n".join(lines)
-        commit = hashlib.sha1(f"{repo}/{path}/{seed}".encode()).hexdigest()
-        rows.append(
-            {
-                "repo": repo,
-                "path": path,
-                "commit": commit,
-                "lang": _LANG_OF_EXT[ext],
-                "content": content,
-            }
-        )
-    return rows
+
+CORPUS_SCHEMA_DDL = (
+    "repo string, path string, commit string, lang string, content string"
+)
 
 
 def corpus_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
     """Corpus as a Spark DataFrame (deterministic, generated on the driver for
-    test scales; bench scales replicate via Spark — see bench.py)."""
+    test scales; bench scales use :func:`corpus_df_distributed`)."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -97,3 +113,25 @@ def corpus_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None)
     if partitions:
         df = df.repartition(partitions)
     return df
+
+
+def corpus_df_distributed(spark, n_docs: int, seed: int = 42,
+                          partitions: int | None = None):
+    """Same corpus, generated ON THE EXECUTORS: doc i is a pure function of
+    (i, seed) (per-doc SeedSequence), so `spark.range → mapInPandas` produces
+    byte-identical rows to :func:`make_corpus_rows` at any partitioning —
+    the generator scales with the cluster instead of serializing on the
+    driver (needed for bench corpora of 10^5+ docs)."""
+    import pandas as pd
+
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_make_row(int(i), seed) for i in pdf["id"].values]
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    return (
+        spark.range(0, n_docs, 1, parts)
+        .mapInPandas(gen, CORPUS_SCHEMA_DDL)
+    )

@@ -2,19 +2,20 @@
 
 Spark re-expression of the reference's indexing path (SURVEY.md §3.2):
 
-    corpus scan → tokenize/shingle Arrow UDF        (XmlDoc hashAll analog,
+    corpus scan → map_encode (one Arrow pass):       tokenize/shingle
+                                                     (XmlDoc hashAll analog,
                                                      /root/reference/XmlDoc_Indexing.cpp:222-462)
-    → salted repartition on (termid, field, salt)   (Msg4 shard shuffle analog,
+      + sort + local-hot salting + delta+varint      (RdbDump sorted memtable flush,
+        partial blocks packed into per-reducer slabs /root/reference/RdbDump.cpp; the
+                                                     18/12/6-byte Posdb prefix
+                                                     compression re-expressed,
+                                                     /root/reference/Posdb.h:44-48)
+    → shuffle slabs on (bucket, salt)                (Msg4 buffered per-shard packets,
                                                      /root/reference/Msg4Out.cpp:488-587;
                                                      salt = explicit hot-term skew
                                                      handling per BASELINE north_rule)
-    → sortWithinPartitions(termid, field, salt, docid, wordpos)
-                                                    (RdbDump sorted-file dump,
-                                                     /root/reference/RdbDump.cpp)
-    → streaming block encode (mapInPandas)          (delta+varint posting blocks —
-                                                     the 18/12/6-byte Posdb prefix
-                                                     compression re-expressed,
-                                                     /root/reference/Posdb.h:44-48)
+    → vectorized k-way merge + re-encode             (posdbMerge_r,
+                                                     /root/reference/RdbList.cpp:2186)
     → write segments/gen=<chunk>/bucket=<pmod(termid,NB)>
 
 Each build *chunk* (a docid-hash slice of the corpus) is one generation —
@@ -43,12 +44,16 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .. import FIELD_BODY, FIELD_TITLE, FIELD_URL
 from ..functions.hashing import TokenHasher, docid_for_url
-from ..functions.tokenizer import KIND_UNIGRAM, index_document
-from ..functions.varint import encode_block
+from ..functions.tokenizer import index_document
+from ..functions.varint import (
+    decode_blocks_concat, encode_runs, merge_sorted_runs,
+    pack_counts, pack_slab, unpack_counts, unpack_slab,
+)
 from ..sources import catalog
 
 POSTINGS_SCHEMA = T.StructType(
@@ -81,6 +86,20 @@ SEGMENT_SCHEMA = T.StructType(
 
 BLOCK_DOCS_DEFAULT = 128
 
+# map_encode output: one packed binary slab per (bucket, salt) per task
+SLAB_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("salt", T.IntegerType(), False),
+        T.StructField("kind", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+SLAB_BLOCKS = 0     # partial posting blocks (pack_slab)
+SLAB_TERM_DF = 1    # per-task distinct-doc counts per termid (pack_counts)
+SLAB_FIELD_DOCS = 2  # per-field doc counts (pack_counts; salt=0)
+SLAB_FIELD_DL = 3    # per-field dl sums (pack_counts; salt=1 unused)
+
 
 # --------------------------------------------------------------------------
 # identity + tokenize
@@ -102,148 +121,229 @@ def with_doc_identity(corpus: DataFrame) -> DataFrame:
     )
 
 
-def tokenize_postings(corpus_with_id: DataFrame) -> DataFrame:
-    """corpus rows → posting rows via the vectorized tokenizer.
+# --------------------------------------------------------------------------
+# map-side combine: tokenize + partial encode fused in one map pass
+# --------------------------------------------------------------------------
 
-    mapInPandas keeps the explode inside Arrow batches (one output table per
-    input batch) — the reference's per-doc "metalist" (XmlDoc.cpp:12699)
-    becomes a columnar batch instead of a per-doc buffer."""
+def map_encode(
+    corpus_with_id: DataFrame,
+    *,
+    block_docs: int = BLOCK_DOCS_DEFAULT,
+    hot_threshold: int = 20_000,
+    n_salts: int = 16,
+    n_buckets: int = catalog.N_BUCKETS_DEFAULT,
+) -> DataFrame:
+    """Corpus partition → delta+varint PARTIAL posting blocks + inline stats,
+    in ONE Arrow pass (tokenize and encode fused).
+
+    This is the Spark re-expression of the reference's metalist + memtable
+    dump (/root/reference/XmlDoc.cpp:12699 builds all of a doc's keys in one
+    buffer; /root/reference/RdbDump.cpp flushes a sorted partial file): each
+    map task tokenizes its documents, sorts the postings, and emits packed
+    partial blocks per (termid, field, salt). The shuffle then moves
+    compressed blocks, not raw posting rows — the map-side combine that cuts
+    shuffle + Arrow traffic ~5-10× and with it the memory-bandwidth cost
+    that capped multi-core scaling of the row-at-a-time pipeline.
+
+    Skew: a (termid, field) run longer than ``hot_threshold`` postings in
+    this task gets ``salt = task_id %% n_salts`` so a stop-term's partials
+    spread over ``n_salts`` reducers (north_rule's explicit hot-key
+    handling); everything else gets salt 0. Deterministic given the input
+    partitioning — resume-safe.
+
+    Output rows are SLABS, one per (bucket, salt) per task: all of a task's
+    partial blocks for one reducer packed into a single binary payload
+    (pack_slab — the Msg4 buffered-metalist packet,
+    /root/reference/Msg4Out.cpp:488-587). The shuffle therefore moves
+    O(tasks × buckets) fat rows instead of O(blocks) small rows, removing
+    per-row engine overhead — the dominant non-scaling cost once the numpy
+    kernels were vectorized.
+
+    Stats ride along as slab rows (no extra corpus pass):
+    - ``kind == SLAB_TERM_DF``: per-task distinct-doc counts per termid —
+      additive across tasks because a doc lives in exactly one task, so
+      exact global df is a plain SUM downstream (A1, SURVEY §2.9);
+    - ``kind == SLAB_FIELD_DOCS/DL``: per-field (docs-with-field, dl sum) —
+      additive avgdl inputs.
+    """
     cols = ["docid", "repo", "path", "lang", "content"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        task_id = tc.partitionId() if tc is not None else 0
         hasher = TokenHasher()
+        tl, docl, fl, pl, dll = [], [], [], [], []
+        field_docs: dict[int, int] = {}
+        field_dl: dict[int, int] = {}
         for pdf in batches:
-            outs = []
             for docid, repo, path, lang, content in zip(
                 pdf["docid"].values, pdf["repo"].values, pdf["path"].values,
                 pdf["lang"].values, pdf["content"].values,
             ):
                 arrs = index_document(repo, path, lang, content, hasher)
+                for fcode, key in ((FIELD_BODY, "dl_body"), (FIELD_TITLE, "dl_title"),
+                                   (FIELD_URL, "dl_url")):
+                    v = int(arrs[key])
+                    if v > 0:
+                        field_docs[fcode] = field_docs.get(fcode, 0) + 1
+                        field_dl[fcode] = field_dl.get(fcode, 0) + v
                 n = len(arrs["termid"])
                 if not n:
                     continue
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "termid": arrs["termid"],
-                            "docid": np.full(n, docid, dtype=np.int64),
-                            "field": arrs["field"].astype(np.int32),
-                            "wordpos": arrs["wordpos"].astype(np.int32),
-                            "kind": arrs["kind"].astype(np.int32),
-                            "dl": arrs["dl"].astype(np.int32),
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                tl.append(arrs["termid"])
+                docl.append(np.full(n, docid, dtype=np.int64))
+                fl.append(arrs["field"].astype(np.int64))
+                pl.append(arrs["wordpos"].astype(np.int64))
+                dll.append(arrs["dl"].astype(np.int64))
+        out_rows: list[tuple] = []
+        if tl:
+            t = np.concatenate(tl)
+            d = np.concatenate(docl)
+            f = np.concatenate(fl)
+            p = np.concatenate(pl)
+            dl = np.concatenate(dll)
+            o = np.lexsort((p, d, f, t))
+            t, d, f, p, dl = t[o], d[o], f[o], p[o], dl[o]
+            # local-hot salt per (termid, field) run
+            run_change = np.empty(len(t), dtype=bool)
+            run_change[0] = True
+            run_change[1:] = (t[1:] != t[:-1]) | (f[1:] != f[:-1])
+            run_start = np.nonzero(run_change)[0]
+            run_len = np.diff(np.append(run_start, len(t)))
+            salt_run = np.where(run_len > hot_threshold, task_id % n_salts, 0)
+            s = np.repeat(salt_run, run_len).astype(np.int64)
+            tt, ff, ss, _bid, _mind, _maxd, ndocs, nposts, _mtf, bufs = encode_runs(
+                t, f, s, d, p, dl, block_docs
+            )
+            # slab per (bucket, salt); stable sort keeps termid ascending
+            bkt = tt % n_buckets
+            key = bkt * (ss.max() + 1 if len(ss) else 1) + ss
+            so = np.argsort(key, kind="stable")
+            ks = key[so]
+            cut = np.nonzero(np.append(True, ks[1:] != ks[:-1]))[0]
+            ends = np.append(cut[1:], len(ks))
+            for a, b in zip(cut, ends):
+                idx = so[a:b]
+                out_rows.append((
+                    int(bkt[idx[0]]), int(ss[idx[0]]), SLAB_BLOCKS,
+                    pack_slab(tt[idx], ff[idx], ndocs[idx], nposts[idx],
+                              [bufs[i] for i in idx]),
+                ))
 
-    return corpus_with_id.select(cols).mapInPandas(gen, POSTINGS_SCHEMA)
+            # df partials: distinct (termid, docid) over all fields/kinds
+            o2 = np.lexsort((d, t))
+            t2, d2 = t[o2], d[o2]
+            pair_new = np.empty(len(t2), dtype=bool)
+            pair_new[0] = True
+            pair_new[1:] = (t2[1:] != t2[:-1]) | (d2[1:] != d2[:-1])
+            tid_start = np.nonzero(np.append(True, t2[1:] != t2[:-1]))[0]
+            df_counts = np.add.reduceat(pair_new.astype(np.int64), tid_start)
+            tids = t2[tid_start]
+            tb = tids % n_buckets
+            so2 = np.argsort(tb, kind="stable")  # termid stays ascending per bucket
+            tbs = tb[so2]
+            cut2 = np.nonzero(np.append(True, tbs[1:] != tbs[:-1]))[0]
+            ends2 = np.append(cut2[1:], len(tbs))
+            for a, b in zip(cut2, ends2):
+                idx = so2[a:b]
+                out_rows.append((
+                    int(tbs[a]), 0, SLAB_TERM_DF,
+                    pack_counts(tids[idx], df_counts[idx]),
+                ))
+        if field_docs:
+            fcodes = np.array(sorted(field_docs), dtype=np.int64)
+            out_rows.append((0, 0, SLAB_FIELD_DOCS, pack_counts(
+                fcodes, np.array([field_docs[int(fc)] for fc in fcodes], dtype=np.int64))))
+            out_rows.append((0, 0, SLAB_FIELD_DL, pack_counts(
+                fcodes, np.array([field_dl[int(fc)] for fc in fcodes], dtype=np.int64))))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=["bucket", "salt", "kind", "payload"])
+
+    return corpus_with_id.select(cols).mapInPandas(gen, SLAB_SCHEMA)
 
 
-# --------------------------------------------------------------------------
-# salted repartition + streaming block encode
-# --------------------------------------------------------------------------
+def sum_count_slabs(slabs: DataFrame, *, partitions: int,
+                    out_cols: tuple[str, str]) -> DataFrame:
+    """(key, count) slabs → summed (key, count) rows. The group-sum runs as
+    numpy sort+reduceat per bucket partition — a high-cardinality JVM hash
+    aggregation (millions of termids) measured memory-bandwidth-bound at
+    high thread counts; this keeps it in sequential array ops."""
+    schema = f"{out_cols[0]} long, {out_cols[1]} long"
 
-def salted(postings: DataFrame, hot_threshold: int, target_group_rows: int) -> DataFrame:
-    """Add the skew-busting salt column: hot termids (chunk-local posting
-    count > hot_threshold) get salt = pmod(docid, S) with S sized so each
-    salted sub-group holds ~target_group_rows postings. The reference
-    sidesteps this by doc-sharding every termlist (Hostdb.cpp:1499-1512);
-    a termid-keyed build shuffle must handle it explicitly (north_rule)."""
-    counts = postings.groupBy("termid").count().filter(F.col("count") > hot_threshold)
-    hot = counts.collect()  # bounded: stop-term vocabulary is small
-    if not hot:
-        return postings.withColumn("salt", F.lit(0))
-    mapping = {}
-    for r in hot:
-        mapping[r["termid"]] = int(min(256, max(1, (r["count"] + target_group_rows - 1) // target_group_rows)))
-    map_items: list = []
-    for tid, s in mapping.items():
-        map_items.extend([F.lit(tid), F.lit(s)])
-    salt_map = F.create_map(*map_items)
-    return postings.withColumn(
-        "salt",
-        F.pmod("docid", F.coalesce(salt_map[F.col("termid")], F.lit(1))).cast("int"),
-    )
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys_l, counts_l = [], []
+        for pdf in batches:
+            for payload in pdf["payload"].values:
+                k, c = unpack_counts(bytes(payload))
+                keys_l.append(k)
+                counts_l.append(c)
+        if not keys_l:
+            return
+        keys = np.concatenate(keys_l)
+        counts = np.concatenate(counts_l)
+        o = np.argsort(keys, kind="stable")
+        keys, counts = keys[o], counts[o]
+        starts = np.nonzero(np.append(True, keys[1:] != keys[:-1]))[0]
+        sums = np.add.reduceat(counts, starts)
+        yield pd.DataFrame({out_cols[0]: keys[starts], out_cols[1]: sums})
 
-
-def _encode_group(termid: int, field: int, salt: int,
-                  docids: np.ndarray, positions: np.ndarray,
-                  dls: np.ndarray, block_docs: int) -> list[tuple]:
-    """Encode one sorted (termid, field, salt) run into block rows.
-    ``dls`` is per-posting (constant within a doc); one value per doc is
-    inlined into the block."""
-    uniq, starts = np.unique(docids, return_index=True)
-    tfs = np.diff(np.append(starts, len(docids)))
-    doc_dls = np.asarray(dls, dtype=np.int64)[starts]
-    rows = []
-    for b0 in range(0, len(uniq), block_docs):
-        b1 = min(b0 + block_docs, len(uniq))
-        p0, p1 = starts[b0], (starts[b1] if b1 < len(uniq) else len(docids))
-        blk_doc = uniq[b0:b1]
-        blk_tf = tfs[b0:b1]
-        blk_pos = positions[p0:p1]
-        buf = encode_block(blk_doc, blk_tf, blk_pos, doc_dls[b0:b1])
-        rows.append(
-            (int(termid), int(field), int(salt), b0 // block_docs,
-             int(blk_doc[0]), int(blk_doc[-1]), int(len(blk_doc)),
-             int(blk_tf.sum()), int(blk_tf.max()), buf)
-        )
-    return rows
+    return slabs.repartition(partitions, "bucket").mapInPandas(gen, schema)
 
 
-def encode_segments(postings_salted: DataFrame, *, partitions: int,
-                    block_docs: int = BLOCK_DOCS_DEFAULT) -> DataFrame:
-    """Shuffle postings to (termid, field, salt) owners, sort, and stream-
-    encode each run into delta+varint blocks.
-
-    Uses repartition + sortWithinPartitions + mapInPandas rather than
-    groupBy().applyInPandas: one Arrow stream per partition amortizes UDF
-    overhead over millions of tiny termid groups, and a carry buffer stitches
-    groups split across Arrow batches (same reason RdbDump writes one file
-    per memtable, not one per termlist)."""
-
-    part = (
-        postings_salted.repartition(partitions, "termid", "field", "salt")
-        .sortWithinPartitions("termid", "field", "salt", "docid", "wordpos")
-        .select("termid", "field", "salt", "docid", "wordpos", "dl")
-    )
+def _merge_gen(block_docs: int, collapse_salt: bool):
+    """mapInPandas generator merging sorted partial blocks per group
+    ((termid, field, salt), or (termid, field) with ``collapse_salt`` for
+    compaction). Fully vectorized: concat-decode all blocks, one lexsort
+    per slab, re-encode — the k-way merge of posdbMerge_r
+    (/root/reference/RdbList.cpp:2186) as array ops."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
 
         def flush(pdf: pd.DataFrame) -> pd.DataFrame:
-            t = pdf["termid"].values
-            f = pdf["field"].values
-            s = pdf["salt"].values
-            d = pdf["docid"].values
-            p = pdf["wordpos"].values.astype(np.int64)
-            dl = pdf["dl"].values.astype(np.int64)
-            # group boundaries on (termid, field, salt)
-            change = np.empty(len(t), dtype=bool)
-            change[0] = True
-            change[1:] = (t[1:] != t[:-1]) | (f[1:] != f[:-1]) | (s[1:] != s[:-1])
-            starts = np.nonzero(change)[0]
-            ends = np.append(starts[1:], len(t))
-            rows: list[tuple] = []
-            for a, b in zip(starts, ends):
-                rows.extend(_encode_group(t[a], f[a], s[a], d[a:b], p[a:b], dl[a:b], block_docs))
-            return pd.DataFrame(rows, columns=[x.name for x in SEGMENT_SCHEMA])
+            t = pdf["termid"].values.astype(np.int64)
+            f = pdf["field"].values.astype(np.int64)
+            s = (np.zeros(len(pdf), dtype=np.int64) if collapse_salt
+                 else pdf["salt"].values.astype(np.int64))
+            ndocs = pdf["n_docs"].values.astype(np.int64)
+            nposts = pdf["n_postings"].values.astype(np.int64)
+            bufs = [bytes(b) for b in pdf["postings"].values]
+            docids, tfs, dls, positions = decode_blocks_concat(bufs, ndocs, nposts)
+            # per-doc group ids from block-row group boundaries
+            grp_change = np.empty(len(t), dtype=bool)
+            grp_change[0] = True
+            grp_change[1:] = (t[1:] != t[:-1]) | (f[1:] != f[:-1]) | (s[1:] != s[:-1])
+            gid_rows = np.cumsum(grp_change) - 1
+            gid_doc = np.repeat(gid_rows, ndocs)
+            d2, t2, dl2, p2, order = merge_sorted_runs(gid_doc, docids, tfs, dls, positions)
+            tkey = np.repeat(t, ndocs)[order]
+            fkey = np.repeat(f, ndocs)[order]
+            skey = np.repeat(s, ndocs)[order]
+            flat_t = np.repeat(tkey, t2)
+            flat_f = np.repeat(fkey, t2)
+            flat_s = np.repeat(skey, t2)
+            flat_d = np.repeat(d2, t2)
+            flat_dl = np.repeat(dl2, t2)
+            return _runs_frame(
+                encode_runs(flat_t, flat_f, flat_s, flat_d, p2, flat_dl, block_docs)
+            )
 
+        group_cols = ["termid", "field"] + ([] if collapse_salt else ["salt"])
         for pdf in batches:
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
             if pdf.empty:
                 continue
-            t = pdf["termid"].values
-            f = pdf["field"].values
-            s = pdf["salt"].values
-            last_key = (t[-1], f[-1], s[-1])
-            same_last = (t == last_key[0]) & (f == last_key[1]) & (s == last_key[2])
+            keys = [pdf[c].values for c in group_cols]
+            same_last = np.ones(len(pdf), dtype=bool)
+            for k in keys:
+                same_last &= k == k[-1]
             cut = int(len(pdf) - same_last[::-1].argmin()) if not same_last.all() else 0
             if cut == 0:
-                carry = pdf  # whole batch is one (possibly continuing) group
+                carry = pdf
                 continue
             carry = pdf.iloc[cut:].reset_index(drop=True)
             out = flush(pdf.iloc[:cut])
@@ -254,7 +354,106 @@ def encode_segments(postings_salted: DataFrame, *, partitions: int,
             if len(out):
                 yield out
 
+    return gen
+
+
+def merge_partial_segments(mapped_slabs: DataFrame, *, partitions: int,
+                           block_docs: int = BLOCK_DOCS_DEFAULT) -> DataFrame:
+    """Shuffle block slabs to their (bucket, salt) owners and merge every
+    (termid, field, salt) group into final docid-sorted blocks.
+
+    The shuffle payload is O(tasks × buckets) packed slabs; inside the
+    reducer everything is vectorized: unpack all slabs, label groups with
+    one np.unique, one lexsort merge, one encode_runs re-encode."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+
+        def flush(pdf: pd.DataFrame) -> pd.DataFrame:
+            t_l, f_l, s_l, nd_l, np_l = [], [], [], [], []
+            d_l, tf_l, dl_l, p_l = [], [], [], []
+            for salt, payload in zip(pdf["salt"].values, pdf["payload"].values):
+                tids, fields, n_docs, n_posts, docids, tfs, dls, poss = unpack_slab(
+                    bytes(payload)
+                )
+                t_l.append(tids)
+                f_l.append(fields)
+                s_l.append(np.full(len(tids), salt, dtype=np.int64))
+                nd_l.append(n_docs)
+                np_l.append(n_posts)
+                d_l.append(docids)
+                tf_l.append(tfs)
+                dl_l.append(dls)
+                p_l.append(poss)
+            t = np.concatenate(t_l)
+            f = np.concatenate(f_l)
+            s = np.concatenate(s_l)
+            nd = np.concatenate(nd_l)
+            docids = np.concatenate(d_l)
+            tfs = np.concatenate(tf_l)
+            dls = np.concatenate(dl_l)
+            poss = np.concatenate(p_l)
+            # group label per block: (termid, field, salt) → dense id whose
+            # ascending order is (t, f, s)-lexicographic
+            key = (t * 16 + f) * 64 + s
+            _, gid_blk = np.unique(key, return_inverse=True)
+            gid_doc = np.repeat(gid_blk, nd)
+            d2, t2, dl2, p2, order = merge_sorted_runs(gid_doc, docids, tfs, dls, poss)
+            tdoc = np.repeat(t, nd)[order]
+            fdoc = np.repeat(f, nd)[order]
+            sdoc = np.repeat(s, nd)[order]
+            return _runs_frame(encode_runs(
+                np.repeat(tdoc, t2), np.repeat(fdoc, t2), np.repeat(sdoc, t2),
+                np.repeat(d2, t2), p2, np.repeat(dl2, t2), block_docs,
+            ))
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            b = pdf["bucket"].values
+            s = pdf["salt"].values
+            same_last = (b == b[-1]) & (s == s[-1])
+            cut = int(len(pdf) - same_last[::-1].argmin()) if not same_last.all() else 0
+            if cut == 0:
+                carry = pdf
+                continue
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+            out = flush(pdf.iloc[:cut])
+            if len(out):
+                yield out
+        if carry is not None and len(carry):
+            out = flush(carry)
+            if len(out):
+                yield out
+
+    part = (
+        mapped_slabs.repartition(partitions, "bucket", "salt")
+        .sortWithinPartitions("bucket", "salt")
+        .select("bucket", "salt", "payload")
+    )
     return part.mapInPandas(gen, SEGMENT_SCHEMA)
+
+
+def _runs_frame(res: tuple) -> pd.DataFrame:
+    """encode_runs output tuple → a SEGMENT_SCHEMA pandas frame."""
+    tt, ff, ss, bid, mind, maxd, ndocs, nposts, mtf, bufs = res
+    return pd.DataFrame(
+        {
+            "termid": tt,
+            "field": ff.astype(np.int32),
+            "salt": ss.astype(np.int32),
+            "block_id": bid.astype(np.int32),
+            "min_docid": mind,
+            "max_docid": maxd,
+            "n_docs": ndocs.astype(np.int32),
+            "n_postings": nposts.astype(np.int64),
+            "max_tf": mtf.astype(np.int32),
+            "postings": bufs,
+        }
+    )
 
 
 # --------------------------------------------------------------------------
@@ -287,8 +486,8 @@ def build_index(
     partitions: int | None = None,
     n_buckets: int = catalog.N_BUCKETS_DEFAULT,
     block_docs: int = BLOCK_DOCS_DEFAULT,
-    hot_threshold: int = 100_000,
-    target_group_rows: int = 50_000,
+    hot_threshold: int = 20_000,
+    target_group_rows: int = 50_000,  # retained for API compat (v1 encode path)
     stop_after_chunks: int | None = None,
 ) -> dict:
     """Full build: chunked, resumable, metric-recording.
@@ -297,7 +496,9 @@ def build_index(
     is one generation. Because chunks partition the docid space, per-chunk
     exact df and dl stats are additive, so a resumed build finalizes to
     byte-identical stats. ``stop_after_chunks`` exists for the resume test
-    (kill-halfway simulation). Returns build metrics."""
+    (kill-halfway simulation). ``hot_threshold`` is the per-task run length
+    above which a termlist gets salted (see :func:`map_encode`). Returns
+    build metrics."""
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
     corpus_id = with_doc_identity(corpus)
@@ -310,42 +511,87 @@ def build_index(
         if stop_after_chunks is not None and processed >= stop_after_chunks:
             break
         t0 = time.time()
-        part = corpus_id.filter(F.pmod("docid", F.lit(n_chunks)) == chunk)
-        part = part.persist()
-        n_docs = part.count()
+        phases: dict[str, float] = {}
 
-        # docmap + postings
+        def mark(name: str, since: list[float]) -> None:
+            now = time.time()
+            phases[name] = round(now - since[0], 2)
+            since[0] = now
+
+        tp = [t0]
+        part = corpus_id.filter(F.pmod("docid", F.lit(n_chunks)) == chunk)
+        # DISK_ONLY: the corpus/postings caches are scanned 2-4× each; the
+        # deserialized in-memory cache (row objects) degrades sharply under
+        # many concurrent scan threads (GC + memory-bandwidth bound), while
+        # the serialized disk cache scans at near-linear thread scaling —
+        # measured 3-5× faster re-scans at 32 threads on 10^7-row caches
+        part = part.persist(StorageLevel.DISK_ONLY)
+        mark("identity", tp)
+
+        # docmap + postings. n_docs rides on the write via Observation — no
+        # separate count job (every saved job is ~0.5-1 s of fixed cost that
+        # would otherwise cap strong scaling of small-chunk builds).
+        from pyspark.sql import Observation
+
+        obs_docs = Observation()
         catalog.write_table(
-            part.select("docid", "repo", "path", "lang", "content_sha256"),
+            part.select("docid", "repo", "path", "lang", "content_sha256")
+            .observe(obs_docs, F.count(F.lit(1)).alias("n")),
             index_dir, f"docmap/gen={chunk}",
         )
-        postings = tokenize_postings(part).persist()
-        n_postings = postings.count()
+        n_docs = int(obs_docs.get["n"])
+        mark("docmap", tp)
 
-        # doc_stats: dl per (docid, field) = unigram count
-        doc_stats = (
-            postings.filter(F.col("kind") == KIND_UNIGRAM)
-            .groupBy("docid", "field").agg(F.count("*").alias("dl"))
-        )
-        catalog.write_table(doc_stats, index_dir, f"doc_stats/gen={chunk}")
+        # fused tokenize + partial encode (map-side combine); the mapped
+        # stream (packed blocks + stats sentinels) is the only materialized
+        # intermediate — far smaller than raw posting rows
+        mapped = map_encode(
+            part, block_docs=block_docs, hot_threshold=hot_threshold,
+            n_buckets=n_buckets,
+        ).persist(StorageLevel.DISK_ONLY)
+        mapped.count()
+        mark("tokenize", tp)
 
-        # exact per-chunk df (additive across chunks: docid-disjoint slices)
-        term_stats = (
-            postings.select("termid", "docid").distinct()
-            .groupBy("termid").agg(F.count("*").alias("df"))
+        # exact per-chunk df from additive per-task partials (a doc lives in
+        # exactly one map task, so SUM of per-task distinct counts is exact);
+        # the sum itself runs in numpy per bucket — no wide JVM hash agg
+        term_stats = sum_count_slabs(
+            mapped.filter(F.col("kind") == SLAB_TERM_DF),
+            partitions=min(partitions, n_buckets), out_cols=("termid", "df"),
         )
         catalog.write_table(term_stats, index_dir, f"term_stats_partial/gen={chunk}")
+        # per-field (docs, sum dl) partials → avgdl at finalize (tiny: one
+        # slab pair per map task — summed on the driver)
+        fd: dict[int, int] = {}
+        fl_sums: dict[int, int] = {}
+        for r in mapped.filter(F.col("kind").isin(SLAB_FIELD_DOCS, SLAB_FIELD_DL)).collect():
+            keys, counts = unpack_counts(bytes(r["payload"]))
+            tgt = fd if r["kind"] == SLAB_FIELD_DOCS else fl_sums
+            for k, c in zip(keys, counts):
+                tgt[int(k)] = tgt.get(int(k), 0) + int(c)
+        field_stats = spark.createDataFrame(
+            [(int(k), int(fd.get(k, 0)), int(fl_sums.get(k, 0))) for k in sorted(set(fd) | set(fl_sums))],
+            "field int, n_docs long, sum_dl long",
+        )
+        catalog.write_table(field_stats, index_dir, f"field_stats/gen={chunk}")
+        mark("term_stats", tp)
 
-        # salted encode → segments
-        seg = encode_segments(
-            salted(postings, hot_threshold, target_group_rows),
-            partitions=partitions, block_docs=block_docs,
+        # shuffle packed slabs → merge per (termid, field, salt) → write;
+        # bytes/postings observed during the write
+        seg = merge_partial_segments(
+            mapped.filter(F.col("kind") == SLAB_BLOCKS), partitions=partitions,
+            block_docs=block_docs,
         ).withColumn("bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
-        catalog.write_table(seg, index_dir, f"segments/gen={chunk}",
-                            partition_by=["bucket"])
-
-        seg_read = catalog.read_table(spark, index_dir, f"segments/gen={chunk}")
-        bytes_out = seg_read.agg(F.sum(F.length("postings"))).collect()[0][0] or 0
+        obs_seg = Observation()
+        catalog.write_table(
+            seg.observe(obs_seg, F.sum(F.length("postings")).alias("b"),
+                        F.sum("n_postings").alias("np")),
+            index_dir, f"segments/gen={chunk}", partition_by=["bucket"],
+        )
+        bytes_out = int(obs_seg.get["b"] or 0)
+        n_postings = int(obs_seg.get["np"] or 0)
+        mapped.unpersist()
+        mark("encode", tp)
         elapsed = time.time() - t0
 
         manifest_row = spark.createDataFrame(
@@ -366,12 +612,11 @@ def build_index(
             "bytes_out long, terms_per_sec double, status string, attempt int, ts double",
         )
         manifest_row.write.mode("append").parquet(_manifest_path(index_dir))
-        postings.unpersist()
         part.unpersist()
         processed += 1
         metrics["chunks"].append(
             {"chunk": chunk, "docs": n_docs, "postings": n_postings,
-             "bytes": bytes_out, "elapsed": elapsed}
+             "bytes": bytes_out, "elapsed": elapsed, "phases": phases}
         )
         metrics["docs"] += n_docs
         metrics["postings"] += n_postings
@@ -391,21 +636,18 @@ def finalize_stats(spark: SparkSession, index_dir: str) -> None:
     )
     catalog.write_table(term_stats, index_dir, "term_stats")
 
-    doc_stats = spark.read.parquet(catalog.table_path(index_dir, "doc_stats"))
+    field_stats = spark.read.parquet(catalog.table_path(index_dir, "field_stats"))
     docmap = spark.read.parquet(catalog.table_path(index_dir, "docmap"))
     n_docs = docmap.count()
     sums = {
-        r["field"]: (r["s"], r["c"])
-        for r in doc_stats.groupBy("field")
-        .agg(F.sum("dl").alias("s"), F.count("*").alias("c"))
-        .collect()
+        r["field"]: int(r["s"])
+        for r in field_stats.groupBy("field").agg(F.sum("sum_dl").alias("s")).collect()
     }
 
     def avgdl(field: int) -> float:
-        s, _ = sums.get(field, (0, 0))
         # denominator is ALL docs (docs without the field have dl 0), exactly
         # like the oracle's python-int sum / N — bit-identical parity
-        return (int(s) if s else 0) / max(n_docs, 1)
+        return sums.get(field, 0) / max(n_docs, 1)
 
     globals_df = spark.createDataFrame(
         [(n_docs, avgdl(FIELD_BODY), avgdl(FIELD_TITLE), avgdl(FIELD_URL))],
@@ -439,83 +681,20 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
              F.countDistinct("salt").alias("n_salts"))
     )
 
-    # decode → re-encode per (termid, field): same streaming pattern as build
-    part = (
-        seg.repartition(partitions, "termid", "field")
-        .sortWithinPartitions("termid", "field", "salt", "block_id")
-        .select("termid", "field", "postings")
-    )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.varint import decode_block
-
-        carry: pd.DataFrame | None = None
-
-        def flush(pdf: pd.DataFrame) -> pd.DataFrame:
-            rows: list[tuple] = []
-            t = pdf["termid"].values
-            f = pdf["field"].values
-            change = np.empty(len(t), dtype=bool)
-            change[0] = True
-            change[1:] = (t[1:] != t[:-1]) | (f[1:] != f[:-1])
-            starts = np.nonzero(change)[0]
-            ends = np.append(starts[1:], len(t))
-            for a, b in zip(starts, ends):
-                docs_l, tfs_l, dls_l, pos_l = [], [], [], []
-                for buf in pdf["postings"].values[a:b]:
-                    d, tf, dl, p = decode_block(bytes(buf))
-                    docs_l.append(d)
-                    tfs_l.append(tf)
-                    dls_l.append(dl)
-                    pos_l.append(p)
-                docids = np.concatenate(docs_l)
-                tfs = np.concatenate(tfs_l)
-                dls = np.concatenate(dls_l)
-                # merge runs: sort docs, positions stay grouped per doc
-                order = np.argsort(docids, kind="stable")
-                pos_starts = np.zeros(len(tfs), dtype=np.int64)
-                pos_starts[1:] = np.cumsum(tfs)[:-1]
-                pos_all = np.concatenate(pos_l)
-                pos_sorted = np.concatenate(
-                    [pos_all[pos_starts[i]: pos_starts[i] + tfs[i]] for i in order]
-                ) if len(order) else pos_all
-                d_sorted = docids[order]
-                t_sorted = tfs[order]
-                dl_sorted = dls[order]
-                # expand to flat (docid, pos, dl) stream for _encode_group
-                flat_doc = np.repeat(d_sorted, t_sorted)
-                flat_dl = np.repeat(dl_sorted, t_sorted)
-                rows.extend(
-                    _encode_group(t[a], f[a], 0, flat_doc, pos_sorted, flat_dl, block_docs)
-                )
-            return pd.DataFrame(rows, columns=[x.name for x in SEGMENT_SCHEMA])
-
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if pdf.empty:
-                continue
-            t = pdf["termid"].values
-            f = pdf["field"].values
-            same_last = (t == t[-1]) & (f == f[-1])
-            cut = int(len(pdf) - same_last[::-1].argmin()) if not same_last.all() else 0
-            if cut == 0:
-                carry = pdf
-                continue
-            carry = pdf.iloc[cut:].reset_index(drop=True)
-            out = flush(pdf.iloc[:cut])
-            if len(out):
-                yield out
-        if carry is not None and len(carry):
-            out = flush(carry)
-            if len(out):
-                yield out
-
+    # decode → merge → re-encode per (termid, field): the shared vectorized
+    # merge path (collapse_salt folds every salt run into salt 0). Shuffle
+    # keyed by bucket for the one-dir-per-task write layout.
     n_buckets = catalog.N_BUCKETS_DEFAULT
-    compacted = part.mapInPandas(gen, SEGMENT_SCHEMA).withColumn(
-        "bucket", F.pmod("termid", F.lit(n_buckets)).cast("int")
+    part = (
+        seg.withColumn("bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
+        .repartition(min(partitions, n_buckets), "bucket")
+        .sortWithinPartitions("termid", "field", "salt", "min_docid")
+        .select("termid", "field", "salt", "n_docs", "n_postings", "postings")
     )
+
+    compacted = part.mapInPandas(
+        _merge_gen(block_docs, collapse_salt=True), SEGMENT_SCHEMA
+    ).withColumn("bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
     catalog.write_table(compacted, index_dir, "compacted", partition_by=["bucket"])
 
     stats = fanin.agg(

@@ -12,10 +12,12 @@ tested one and Iceberg is behind a capability check.
 Layout under ``<index_dir>/``:
 
     segments/gen=<chunk>/bucket=<b>/   compressed posting blocks per build
-                                       generation (the Rdb file-Fn analog)
+                                       generation (the Rdb file-Fn analog);
+                                       per-doc BM25 length inlined in blocks
     compacted/bucket=<b>/              post-compaction serving segments
-    doc_stats/gen=<chunk>/             (docid, field, dl)
     docmap/gen=<chunk>/                (docid, repo, path, lang, content_sha256)
+    term_stats_partial/gen=<chunk>/    additive per-chunk exact df
+    field_stats/gen=<chunk>/           additive per-field (n_docs, sum_dl)
     term_stats/                        (termid, df) finalized exact df
     globals/                           single row: n_docs, avgdl per field
     manifest/                          per-chunk lineage + metrics rows
@@ -27,7 +29,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-N_BUCKETS_DEFAULT = 32
+N_BUCKETS_DEFAULT = 128
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -47,6 +49,14 @@ def table_path(index_dir: str, name: str) -> str:
 def write_table(df: DataFrame, index_dir: str, name: str, *,
                 partition_by: list[str] | None = None,
                 mode: str = "overwrite") -> None:
+    # commit algorithm v2: tasks move their own files into place instead of a
+    # serial driver-side rename pass — with hive-partitioned output the v1
+    # driver commit is O(files) and was the dominant non-scaling cost of the
+    # segment write at high core counts
+    spark = df.sparkSession
+    spark.sparkContext._jsc.hadoopConfiguration().set(  # noqa: SLF001
+        "mapreduce.fileoutputcommitter.algorithm.version", "2"
+    )
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -90,15 +90,17 @@ def incremental_index_build(
     engine run unchanged afterwards. Returns ingest metrics."""
     import time
 
+    from ..functions.varint import unpack_counts
     from ..operators.index_build import (
-        encode_segments, finalize_stats, salted, tokenize_postings,
+        SLAB_BLOCKS, SLAB_FIELD_DL, SLAB_FIELD_DOCS, SLAB_TERM_DF,
+        finalize_stats, map_encode, merge_partial_segments, sum_count_slabs,
         with_doc_identity,
     )
-    from ..functions.tokenizer import KIND_UNIGRAM
     from ..sources import catalog
 
     nparts = partitions or spark.sparkContext.defaultParallelism
     metrics = {"batches": 0, "docs": 0, "postings": 0}
+    n_buckets = catalog.N_BUCKETS_DEFAULT
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         gen = f"s{batch_id}"
@@ -112,22 +114,39 @@ def incremental_index_build(
             part.select("docid", "repo", "path", "lang", "content_sha256"),
             index_dir, f"docmap/gen={gen}",
         )
-        postings = tokenize_postings(part).persist()
-        n_post = postings.count()
+        mapped = map_encode(part, n_buckets=n_buckets).persist()
+        mapped.count()
         catalog.write_table(
-            postings.filter(F.col("kind") == KIND_UNIGRAM)
-            .groupBy("docid", "field").agg(F.count("*").alias("dl")),
-            index_dir, f"doc_stats/gen={gen}",
-        )
-        catalog.write_table(
-            postings.select("termid", "docid").distinct()
-            .groupBy("termid").agg(F.count("*").alias("df")),
+            sum_count_slabs(mapped.filter(F.col("kind") == SLAB_TERM_DF),
+                            partitions=min(nparts, n_buckets),
+                            out_cols=("termid", "df")),
             index_dir, f"term_stats_partial/gen={gen}",
         )
-        seg = encode_segments(
-            salted(postings, 100_000, 50_000), partitions=nparts
-        ).withColumn("bucket", F.pmod("termid", F.lit(catalog.N_BUCKETS_DEFAULT)).cast("int"))
-        catalog.write_table(seg, index_dir, f"segments/gen={gen}", partition_by=["bucket"])
+        fd, fdl = {}, {}
+        for r in mapped.filter(F.col("kind").isin(SLAB_FIELD_DOCS, SLAB_FIELD_DL)).collect():
+            keys, counts = unpack_counts(bytes(r["payload"]))
+            tgt = fd if r["kind"] == SLAB_FIELD_DOCS else fdl
+            for k, c in zip(keys, counts):
+                tgt[int(k)] = tgt.get(int(k), 0) + int(c)
+        catalog.write_table(
+            spark.createDataFrame(
+                [(int(k), int(fd.get(k, 0)), int(fdl.get(k, 0)))
+                 for k in sorted(set(fd) | set(fdl))],
+                "field int, n_docs long, sum_dl long",
+            ),
+            index_dir, f"field_stats/gen={gen}",
+        )
+        seg = merge_partial_segments(
+            mapped.filter(F.col("kind") == SLAB_BLOCKS), partitions=nparts
+        ).withColumn("bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        catalog.write_table(
+            seg.observe(obs, F.sum("n_postings").alias("np")),
+            index_dir, f"segments/gen={gen}", partition_by=["bucket"],
+        )
+        n_post = int(obs.get["np"] or 0)
         elapsed = time.time() - t0
         row = spark.createDataFrame(
             [(int(batch_id), f"stream batch {batch_id}", int(n_docs), int(n_post),
@@ -136,7 +155,7 @@ def incremental_index_build(
             "bytes_out long, terms_per_sec double, status string, attempt int, ts double",
         )
         row.write.mode("append").parquet(catalog.table_path(index_dir, "manifest"))
-        postings.unpersist()
+        mapped.unpersist()
         part.unpersist()
         metrics["batches"] += 1
         metrics["docs"] += n_docs

@@ -50,6 +50,7 @@ def index_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("index") / "idx")
     shutil.rmtree(d, ignore_errors=True)
     corpus = corpus_df(spark, N_DOCS, partitions=8)
-    build_index(spark, corpus, d, n_chunks=2, hot_threshold=2000,
-                target_group_rows=1000)
+    # hot_threshold is a per-task local run length (map_encode) — 200 makes
+    # the head stop-terms salt even at this tiny corpus
+    build_index(spark, corpus, d, n_chunks=2, hot_threshold=200)
     return d

@@ -29,7 +29,7 @@ def two_indexes(spark, tmp_path_factory):
     for d in (clean, resumed):
         shutil.rmtree(d, ignore_errors=True)
     corpus = corpus_df(spark, 120, partitions=4)
-    kw = dict(n_chunks=3, hot_threshold=2000, target_group_rows=1000)
+    kw = dict(n_chunks=3, hot_threshold=200)
     build_index(spark, corpus, clean, **kw)
     # simulate a killed build: stop after 1 of 3 chunks, then resume
     build_index(spark, corpus, resumed, stop_after_chunks=1, **kw)

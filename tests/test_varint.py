@@ -56,6 +56,49 @@ def test_block_roundtrip_property(data):
     assert (dl == dls).all()
 
 
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_encode_runs_matches_per_block_reference(data):
+    """The partition-wide vectorized encoder must produce byte-identical
+    blocks to encoding each (termid, field, salt) group's blocks one at a
+    time with encode_block."""
+    from open_source_search_engine_spark.functions.varint import encode_runs
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    block_docs = data.draw(st.sampled_from([2, 3, 128]))
+    t_l, f_l, s_l, d_l, p_l, dl_l = [], [], [], [], [], []
+    expect = []
+    n_groups = data.draw(st.integers(1, 8))
+    for g in range(n_groups):
+        tid, fld, slt = 1000 + g, g % 3, g % 2
+        docids = np.unique(rng.integers(0, 10_000, data.draw(st.integers(1, 40))))
+        tfs = rng.integers(1, 5, len(docids))
+        dls = rng.integers(1, 500, len(docids))
+        pos = np.concatenate([np.sort(rng.integers(0, 2**18, tf)) for tf in tfs])
+        for b0 in range(0, len(docids), block_docs):
+            b1 = min(b0 + block_docs, len(docids))
+            p0 = int(tfs[:b0].sum())
+            p1 = int(tfs[:b1].sum())
+            expect.append(
+                (tid, fld, slt, b0 // block_docs,
+                 encode_block(docids[b0:b1], tfs[b0:b1], pos[p0:p1], dls[b0:b1]))
+            )
+        t_l.append(np.full(int(tfs.sum()), tid))
+        f_l.append(np.full(int(tfs.sum()), fld))
+        s_l.append(np.full(int(tfs.sum()), slt))
+        d_l.append(np.repeat(docids, tfs))
+        p_l.append(pos)
+        dl_l.append(np.repeat(dls, tfs))
+    res = encode_runs(
+        np.concatenate(t_l), np.concatenate(f_l), np.concatenate(s_l),
+        np.concatenate(d_l), np.concatenate(p_l), np.concatenate(dl_l),
+        block_docs,
+    )
+    tt, ff, ss, bid, _, _, _, _, _, bufs = res
+    got = list(zip(tt.tolist(), ff.tolist(), ss.tolist(), bid.tolist(), bufs))
+    assert got == expect
+
+
 def test_compression_ratio():
     # sorted dense docids compress far below the 8+4 bytes/posting raw cost
     docids = np.arange(10_000, dtype=np.int64) * 3 + 7
