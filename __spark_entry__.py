@@ -47,14 +47,17 @@ _TFNORM = "(({tf} * (1.2 + 1.0)) / ({tf} + 1.2 * (0.25 + (0.75 * {dl}) / {avgdl}
 def _bm25_sql(words: list[str], *, lang: str | None = None,
               exclude: str | None = None, bigram: tuple[str, str] | None = None,
               bigram_required: bool = False,
-              optional_terms: list[tuple[str, float]] | None = None) -> str:
+              optional_terms: list[tuple[str, float]] | None = None,
+              or_group: list[str] | None = None) -> str:
     """BM25 oracle over documents body text mirroring the engine's plan:
     conjunctive required terms, optional lang filter, optional exclusion,
     optional/required adjacent-bigram term at weight 5 (the query-bigram
     attach, SURVEY.md §2.5 Q6), and weighted optional terms (the synonym
     attach, SURVEY.md §2.5 Q7)."""
     optional_terms = optional_terms or []
-    scan_words = words + ([exclude] if exclude else []) + [w for w, _ in optional_terms]
+    or_group = or_group or []
+    scan_words = (words + ([exclude] if exclude else [])
+                  + [w for w, _ in optional_terms] + or_group)
     wl = ", ".join(f"'{w}'" for w in scan_words)
     joins, contribs = [], []
     for i, w in enumerate(words):
@@ -70,6 +73,14 @@ def _bm25_sql(words: list[str], *, lang: str | None = None,
         tfn = _TFNORM.format(tf=f"o{i}.tf", dl="d.dl", avgdl="b.avgdl")
         contribs.append(
             f"(CASE WHEN o{i}.tf IS NOT NULL THEN ({wt} * {idf}) * {tfn} ELSE 0.0 END)"
+        )
+    for i, w in enumerate(or_group):
+        joins.append(f"LEFT JOIN tf g{i} ON g{i}.doc_id = d.doc_id AND g{i}.tok = '{w}'")
+        joins.append(f"CROSS JOIN (SELECT df FROM dfs WHERE tok = '{w}') z{i}")
+        idf = _IDF.format(n="b.n", df=f"z{i}.df")
+        tfn = _TFNORM.format(tf=f"g{i}.tf", dl="d.dl", avgdl="b.avgdl")
+        contribs.append(
+            f"(CASE WHEN g{i}.tf IS NOT NULL THEN {idf} * {tfn} ELSE 0.0 END)"
         )
     big_cte = ""
     if bigram is not None:
@@ -94,6 +105,10 @@ bigdf AS (SELECT count(*) AS df FROM big)"""
             )
         joins.append("CROSS JOIN bigdf bd")
     filters = []
+    if or_group:
+        filters.append(
+            "(" + " OR ".join(f"g{i}.tf IS NOT NULL" for i in range(len(or_group))) + ")"
+        )
     if lang is not None:
         joins.append(f"JOIN toks tk ON tk.doc_id = d.doc_id AND tk.lang = '{lang}'")
     if exclude is not None:
@@ -664,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- full-text engine (real index build + BM25+WAND serving) ---
         "engine_bm25_and": _engine_query("hash lang:en table"),
         "engine_bm25_bigram": _engine_query("hash table"),
+        "engine_boolean_or": _engine_query("hash | merge lang:en"),
         "engine_phrase": _engine_query('"hash table"'),
         "engine_bm25_not": _engine_query("hash -merge"),
         "engine_field_title": _engine_query("title:123"),
@@ -705,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "engine_bm25_and": _bm25_sql(["hash", "table"], lang="en"),
         "engine_bm25_bigram": _bm25_sql(["hash", "table"], bigram=("hash", "table")),
+        "engine_boolean_or": _bm25_sql([], lang="en", or_group=["hash", "merge"]),
         "engine_phrase": _bm25_sql(["hash", "table"], bigram=("hash", "table"),
                                    bigram_required=True),
         "engine_bm25_not": _bm25_sql(["hash"], exclude="merge"),

@@ -117,11 +117,22 @@ def _decode_udf(include_tids: list[int]):
 
 def _spec_table(spark: SparkSession, plan: QueryPlan, dfs: dict[int, int], n_docs: int):
     """Small broadcast table: one row per (spec, concrete field) with the
-    driver-precomputed weight*idf product — identical floats to the oracle."""
+    driver-precomputed weight*idf product — identical floats to the oracle.
+
+    Boolean OR (Q5): required specs sharing a ``group`` get ONE spec_id, so
+    the distinct-matched-spec_id membership count treats them as a
+    disjunction; ``n_required`` is the number of distinct groups."""
     rows = []
     include = plan.required + plan.optional
-    n_required = len(plan.required)
-    for spec_id, t in enumerate(include):
+    group_ids: dict = {}
+    spec_of: list[int] = []
+    for i, t in enumerate(include):
+        key = ("g", t.group) if (t.required and t.group is not None) else ("u", i)
+        if key not in group_ids:
+            group_ids[key] = len(group_ids)
+        spec_of.append(group_ids[key])
+    n_required = len({s for t, s in zip(include, spec_of) if t.required})
+    for t, spec_id in zip(include, spec_of):
         idf = float(bm25_idf(dfs.get(t.termid, 0), n_docs))
         fields = [t.field] if t.field is not None else [FIELD_BODY, FIELD_TITLE, FIELD_URL]
         for f in fields:
@@ -248,8 +259,19 @@ def _block_range_prune(spark: SparkSession, seg: DataFrame, plan: QueryPlan,
     [min_docid, max_docid] intervals (metadata only) and drop other terms'
     blocks that overlap none of them — the sorted-list zig-zag skip of
     addDocIdVotes re-expressed as metadata pruning. Falls back to no-op when
-    the rarest term is itself hot (interval list too big)."""
-    req = plan.required
+    the rarest term is itself hot (interval list too big).
+
+    With boolean OR groups, only a term that is a SINGLETON group is
+    genuinely required in every candidate, so pruning ranges come from the
+    rarest singleton; if every group is a disjunction, pruning is skipped
+    (lossless-ness first)."""
+    groups: dict = {}
+    for t in plan.required:
+        groups.setdefault(t.group if t.group is not None else ("u", t.termid, t.field), []).append(t)
+    singletons = [ts[0] for ts in groups.values() if len(ts) == 1]
+    if not singletons:
+        return seg
+    req = singletons
     rare = min(req, key=lambda t: dfs.get(t.termid, 0))
     cond = F.col("termid") == int(rare.termid)
     if rare.field is not None:

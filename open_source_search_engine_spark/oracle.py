@@ -87,9 +87,20 @@ class OracleIndex:
         required = plan.required
         if not required:
             return []
+        # membership groups: OR-siblings (shared group) union before the
+        # conjunctive intersection (boolean truth-table analog, Q5)
+        groups: dict = {}
+        for t in required:
+            key = t.group if t.group is not None else ("u", t.termid, t.field)
+            groups.setdefault(key, []).append(t)
+        group_docs = []
+        for ts in groups.values():
+            docs: set[int] = set()
+            for t in ts:
+                docs |= self._matching_docs(t.termid, t.field)
+            group_docs.append(docs)
         cands: set[int] | None = None
-        for t in sorted(required, key=lambda t: len(self._matching_docs(t.termid, t.field))):
-            docs = self._matching_docs(t.termid, t.field)
+        for docs in sorted(group_docs, key=len):
             cands = docs if cands is None else (cands & docs)
             if not cands:
                 return []

@@ -45,6 +45,11 @@ class TermSpec:
     required: bool             # conjunctive membership
     excluded: bool = False     # -term (anti-join)
     is_bigram: bool = False
+    # membership group for boolean OR (`a | b`): required specs sharing a
+    # group satisfy membership if ANY of them matches (the docid-vote truth
+    # table of /root/reference/PosdbTable.cpp:5099-5331 restricted to
+    # disjunctions of conjunctions); None = own group (plain AND)
+    group: int | None = None
 
 
 @dataclass
@@ -94,9 +99,17 @@ def parse_query(q: str) -> QueryPlan:
             add_bigram(a, b, required=True, weight=BIGRAM_WEIGHT)
     rest = _PHRASE_RE.sub(" ", rest)
 
-    # 2) signed / fielded / bare words
+    # 2) signed / fielded / bare words; `|` between words = boolean OR
+    #    (operands join one membership group, SURVEY.md §2.5 Q5)
     bare_seq: list[str] = []  # adjacent bare terms, for the bigram attach
+    next_group = [1000]       # offset avoids colliding with phrase groups
+    last_group: list[int | None] = [None]
+    or_pending = False
     for raw_word in rest.split():
+        if raw_word == "|":
+            or_pending = True
+            bare_seq.append("\x00")  # OR breaks bigram adjacency
+            continue
         excluded = raw_word.startswith("-")
         word = raw_word.lstrip("+-")
         if not word:
@@ -110,8 +123,22 @@ def parse_query(q: str) -> QueryPlan:
         toks = code_tokens(word)
         if not toks:
             continue
+        if or_pending and last_group[0] is not None and not excluded:
+            grp = last_group[0]
+        else:
+            grp = next_group[0]
+            next_group[0] += 1
+        or_pending = False
         for t in toks:
-            add_unigram(t, field, required=not excluded, excluded=excluded)
+            if excluded:
+                add_unigram(t, field, required=False, excluded=True)
+            else:
+                plan.terms.append(TermSpec(
+                    int(_hasher.termids([t])[0]), t, field, 1.0,
+                    required=True, group=grp,
+                ))
+        if not excluded:
+            last_group[0] = grp
         if not excluded and field is None:
             bare_seq.extend(toks)
         else:
@@ -127,7 +154,7 @@ def parse_query(q: str) -> QueryPlan:
     seen: set[tuple] = set()
     uniq: list[TermSpec] = []
     for t in plan.terms:
-        k = (t.termid, t.field, t.required, t.excluded)
+        k = (t.termid, t.field, t.required, t.excluded, t.group)
         if k not in seen:
             seen.add(k)
             uniq.append(t)

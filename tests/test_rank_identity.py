@@ -12,6 +12,9 @@ QUERY_SET = [
     "open file handle",           # 3-term AND
     '"binary search tree"',       # quoted phrase
     "search -tree",               # negative term
+    "binary | linear search",     # boolean OR group + AND (Q5)
+    "tree | hash | heap",         # pure disjunction (prune must skip)
+    "binsearch_rare7 | qzx_unique_marker",  # OR of rare terms
     "title:mod5",                 # field op
     "inurl:repo3 value",          # field op
     "lang:py value",              # filter-only field op
@@ -38,9 +41,18 @@ def test_rank_identity(spark, index_dir, oracle_index, q):
         assert e[2] == o[2]  # per-row content sha256 invariant (input_hint)
 
 
-@pytest.mark.parametrize("q", ["binary search", "if", '"binary search tree"'])
+@pytest.mark.parametrize("q", ["binary search", "if", '"binary search tree"',
+                               "binary | linear search", "tree | hash | heap"])
 def test_wand_pruning_lossless(spark, index_dir, q):
     assert _run(spark, index_dir, q, prune=True) == _run(spark, index_dir, q, prune=False)
+
+
+def test_or_widens_results(spark, index_dir, oracle_index):
+    """OR must be a superset of either conjunct alone."""
+    both = {d for d, _, _ in _run(spark, index_dir, "tree | heap", 10_000)}
+    only_tree = {d for d, _, _ in _run(spark, index_dir, "tree", 10_000)}
+    only_heap = {d for d, _, _ in _run(spark, index_dir, "heap", 10_000)}
+    assert both == only_tree | only_heap
 
 
 def test_pagination(spark, index_dir, oracle_index):
