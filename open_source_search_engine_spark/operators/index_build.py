@@ -292,12 +292,17 @@ def sum_count_slabs(slabs: DataFrame, *, partitions: int,
     return slabs.repartition(partitions, "bucket").mapInPandas(gen, schema)
 
 
-def _merge_gen(block_docs: int, collapse_salt: bool):
+def _merge_gen(block_docs: int, collapse_salt: bool,
+               drop_docids: np.ndarray | None = None):
     """mapInPandas generator merging sorted partial blocks per group
     ((termid, field, salt), or (termid, field) with ``collapse_salt`` for
     compaction). Fully vectorized: concat-decode all blocks, one lexsort
     per slab, re-encode — the k-way merge of posdbMerge_r
-    (/root/reference/RdbList.cpp:2186) as array ops."""
+    (/root/reference/RdbList.cpp:2186) as array ops.
+
+    ``drop_docids`` (sorted) are annihilated during the merge — the
+    negative-key deletion of /root/reference/Rdb.h:73-87 applied at
+    compaction time."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -317,10 +322,24 @@ def _merge_gen(block_docs: int, collapse_salt: bool):
             grp_change[1:] = (t[1:] != t[:-1]) | (f[1:] != f[:-1]) | (s[1:] != s[:-1])
             gid_rows = np.cumsum(grp_change) - 1
             gid_doc = np.repeat(gid_rows, ndocs)
+            tdoc = np.repeat(t, ndocs)
+            fdoc = np.repeat(f, ndocs)
+            sdoc = np.repeat(s, ndocs)
+            if drop_docids is not None and len(docids):
+                keep = ~np.isin(docids, drop_docids)
+                if not keep.all():
+                    positions = positions[np.repeat(keep, tfs)]
+                    docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
+                    gid_doc, tdoc, fdoc, sdoc = (
+                        gid_doc[keep], tdoc[keep], fdoc[keep], sdoc[keep]
+                    )
+                    if not len(docids):
+                        return _runs_frame(encode_runs(
+                            docids, fdoc, sdoc, docids, positions, dls, block_docs))
             d2, t2, dl2, p2, order = merge_sorted_runs(gid_doc, docids, tfs, dls, positions)
-            tkey = np.repeat(t, ndocs)[order]
-            fkey = np.repeat(f, ndocs)[order]
-            skey = np.repeat(s, ndocs)[order]
+            tkey = tdoc[order]
+            fkey = fdoc[order]
+            skey = sdoc[order]
             flat_t = np.repeat(tkey, t2)
             flat_f = np.repeat(fkey, t2)
             flat_s = np.repeat(skey, t2)
@@ -657,6 +676,31 @@ def finalize_stats(spark: SparkSession, index_dir: str) -> None:
 
 
 # --------------------------------------------------------------------------
+# deletes (M10 analog: negative keys → tombstones annihilated at merge)
+# --------------------------------------------------------------------------
+
+def delete_docs(spark: SparkSession, index_dir: str, docids: list[int]) -> None:
+    """Mark documents deleted. The reference writes negative posdb keys that
+    annihilate positive ones at memtable-add or merge time
+    (/root/reference/Rdb.h:73-87, /root/reference/DocDelete.cpp); here a
+    tombstone table filters the query path immediately and the next
+    compaction drops the postings physically (annihilation-at-merge).
+
+    BM25 corpus stats (df, avgdl, N) stay as-built until a stats rebuild —
+    the same staleness the reference accepts with its RdbMap df estimates
+    and 500 s term-freq cache (/root/reference/Posdb.cpp:257-302)."""
+    df = spark.createDataFrame([(int(d),) for d in docids], "docid long")
+    df.write.mode("append").parquet(catalog.table_path(index_dir, "tombstones"))
+
+
+def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    if not catalog.table_exists(index_dir, "tombstones"):
+        return None
+    t = catalog.read_table(spark, index_dir, "tombstones").select("docid").distinct()
+    return t
+
+
+# --------------------------------------------------------------------------
 # compaction (M4 analog)
 # --------------------------------------------------------------------------
 
@@ -670,15 +714,57 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
 
     Terms whose merged run would exceed ``max_run_blocks`` blocks keep their
     salted runs (the 90 MB termlist-cap spirit of /root/reference/Msg2.cpp:23);
-    the query engine treats runs as independent sorted streams either way."""
+    the query engine treats runs as independent sorted streams either way.
+
+    Pending tombstones are annihilated during the merge (negative-key
+    deletion applied at compaction, /root/reference/Rdb.h:73-87) and the
+    tombstone table is cleared once the compacted segments are written. The
+    delete set is broadcast to the merge tasks as a sorted array; at very
+    large delete cardinalities switch to a full rebuild instead.
+
+    Input = previous compaction (if any) ∪ all segment generations; consumed
+    generation dirs are removed afterwards and the new compacted set is
+    swapped in atomically (write-new → rename), so generations appended
+    AFTER a compaction keep serving alongside it (Rdb numbered files + the
+    tight-merge file, /root/reference/RdbBase.cpp:67-76)."""
+    import shutil as _shutil
+
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
-    seg = spark.read.parquet(catalog.table_path(index_dir, "segments"))
+    seg_path = catalog.table_path(index_dir, "segments")
+    sources = []
+    consumed_gens: list[str] = []
+    if catalog.table_exists(index_dir, "segments"):
+        sources.append(spark.read.parquet(seg_path))
+        consumed_gens = [
+            os.path.join(seg_path, g) for g in os.listdir(seg_path)
+            if g.startswith("gen=")
+        ]
+    had_compacted = catalog.table_exists(index_dir, "compacted")
+    if had_compacted:
+        sources.append(spark.read.parquet(catalog.table_path(index_dir, "compacted")))
+    cols = [x.name for x in SEGMENT_SCHEMA]
+    sources = [s.select(*cols) for s in sources]  # drop gen/bucket partition cols
+    seg = sources[0] if len(sources) == 1 else sources[0].unionByName(sources[1])
 
-    fanin = (
+    tomb = load_tombstones(spark, index_dir)
+    drop = None
+    n_dropped = 0
+    if tomb is not None:
+        drop_list = sorted(r["docid"] for r in tomb.collect())
+        if drop_list:
+            drop = np.array(drop_list, dtype=np.int64)
+            n_dropped = len(drop_list)
+
+    # fan-in stats collected NOW — the source files are removed below
+    stats = (
         seg.groupBy("termid", "field")
         .agg(F.count("*").alias("n_blocks"),
              F.countDistinct("salt").alias("n_salts"))
+        .agg(F.max("n_blocks").alias("max_fanin"),
+             F.avg("n_blocks").alias("avg_fanin"),
+             F.count("*").alias("n_termlists"))
+        .collect()[0]
     )
 
     # decode → merge → re-encode per (termid, field): the shared vectorized
@@ -693,24 +779,43 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
     )
 
     compacted = part.mapInPandas(
-        _merge_gen(block_docs, collapse_salt=True), SEGMENT_SCHEMA
+        _merge_gen(block_docs, collapse_salt=True, drop_docids=drop), SEGMENT_SCHEMA
     ).withColumn("bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
-    catalog.write_table(compacted, index_dir, "compacted", partition_by=["bucket"])
+    # write-new → swap (the input may include the previous compacted/)
+    catalog.write_table(compacted, index_dir, "compacted_new", partition_by=["bucket"])
+    if had_compacted:
+        _shutil.rmtree(catalog.table_path(index_dir, "compacted"), ignore_errors=True)
+    os.rename(catalog.table_path(index_dir, "compacted_new"),
+              catalog.table_path(index_dir, "compacted"))
+    for g in consumed_gens:
+        _shutil.rmtree(g, ignore_errors=True)
+    # invalidate Spark's cached file listings for the rewritten paths
+    spark.catalog.refreshByPath(seg_path)
+    spark.catalog.refreshByPath(catalog.table_path(index_dir, "compacted"))
+    if drop is not None:
+        # deletions are now physical — clear the tombstone table
+        spark.createDataFrame([], "docid long").write.mode("overwrite").parquet(
+            catalog.table_path(index_dir, "tombstones")
+        )
 
-    stats = fanin.agg(
-        F.max("n_blocks").alias("max_fanin"),
-        F.avg("n_blocks").alias("avg_fanin"),
-        F.count("*").alias("n_termlists"),
-    ).collect()[0]
     return {
         "max_fanin": int(stats["max_fanin"]),
         "avg_fanin": float(stats["avg_fanin"]),
         "n_termlists": int(stats["n_termlists"]),
+        "docs_dropped": n_dropped,
     }
 
 
 def serving_segments(spark: SparkSession, index_dir: str) -> DataFrame:
-    """Compacted segments if present, else the raw generations."""
-    if catalog.table_exists(index_dir, "compacted"):
-        return spark.read.parquet(catalog.table_path(index_dir, "compacted"))
-    return spark.read.parquet(catalog.table_path(index_dir, "segments"))
+    """Serving view: the compacted set (if any) plus generations appended
+    since the last compaction — independent sorted runs either way."""
+    cols = [x.name for x in SEGMENT_SCHEMA] + ["bucket"]
+    parts = []
+    for name in ("compacted", "segments"):
+        if catalog.table_exists(index_dir, name):
+            parts.append(
+                spark.read.parquet(catalog.table_path(index_dir, name)).select(*cols)
+            )
+    if not parts:
+        raise FileNotFoundError(f"no segments under {index_dir}")
+    return parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])

@@ -182,6 +182,14 @@ def topk(
 
     decoded = seg.mapInPandas(_decode_udf(all_tids), DECODED_SCHEMA)
 
+    # pending deletes (M10): tombstoned docs are filtered immediately; the
+    # next compaction drops their postings physically
+    from .index_build import load_tombstones
+
+    tomb = load_tombstones(spark, h.index_dir)
+    if tomb is not None:
+        decoded = decoded.join(F.broadcast(tomb), "docid", "left_anti")
+
     # anti-join away excluded docids (field-restricted where the spec says so)
     if exclude_tids:
         exc_conds = []

@@ -65,19 +65,27 @@ def test_resume_identical_stats(spark, two_indexes):
     assert t1 == t2
 
 
-def test_compaction_preserves_results_and_reports_fanin(spark, index_dir, oracle_index):
+def test_compaction_preserves_results_and_reports_fanin(spark, index_dir, oracle_index,
+                                                        tmp_path):
     from open_source_search_engine_spark.operators.index_build import compact_segments
     from open_source_search_engine_spark.operators.query_engine import topk
 
+    # compaction consumes the generation dirs → run it on a copy so the
+    # shared fixture keeps serving the other tests
+    idx = str(tmp_path / "copy")
+    shutil.copytree(index_dir, idx)
     q = "binary search"
-    before = [(r["docid"], r["score"]) for r in topk(spark, index_dir, q, 10).collect()]
-    stats = compact_segments(spark, index_dir)
+    before = [(r["docid"], r["score"]) for r in topk(spark, idx, q, 10).collect()]
+    stats = compact_segments(spark, idx)
     assert stats["max_fanin"] >= 1 and stats["n_termlists"] > 0
-    after = [(r["docid"], r["score"]) for r in topk(spark, index_dir, q, 10).collect()]
+    after = [(r["docid"], r["score"]) for r in topk(spark, idx, q, 10).collect()]
     assert before == after
-    # compacted runs are single-salt
-    comp = spark.read.parquet(f"{index_dir}/compacted")
+    # compacted runs are single-salt; consumed generations are gone
+    comp = spark.read.parquet(f"{idx}/compacted")
     assert [r["salt"] for r in comp.select("salt").distinct().collect()] == [0]
+    import os
+    assert not any(g.startswith("gen=") for g in os.listdir(f"{idx}/segments")) \
+        or not os.path.isdir(f"{idx}/segments")
 
 
 def test_hot_terms_are_salted(spark, index_dir):

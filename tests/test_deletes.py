@@ -1,0 +1,89 @@
+"""Document delete / reindex tests (SURVEY §2.4 M10): tombstone filtering at
+query time, physical annihilation at compaction, reindex via a new
+generation (streamed append)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def del_index(spark, tmp_path_factory):
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.index_build import build_index
+
+    d = str(tmp_path_factory.mktemp("deltest") / "idx")
+    shutil.rmtree(d, ignore_errors=True)
+    build_index(spark, corpus_df(spark, 120, partitions=4), d, n_chunks=1)
+    return d
+
+
+def _ids(spark, idx, q, k=1000):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    return [r["docid"] for r in topk(spark, idx, q, k).collect()]
+
+
+def test_delete_filters_queries_and_compaction_annihilates(spark, del_index):
+    from open_source_search_engine_spark.operators.index_build import (
+        compact_segments, delete_docs,
+    )
+
+    q = "binary search"
+    before = _ids(spark, del_index, q)
+    assert len(before) >= 3
+    victims = before[:2]
+    delete_docs(spark, del_index, victims)
+
+    after = _ids(spark, del_index, q)
+    assert after == [d for d in before if d not in victims]
+    # unrelated query also never returns the victims
+    assert not set(victims) & set(_ids(spark, del_index, "value"))
+
+    stats = compact_segments(spark, del_index)
+    assert stats["docs_dropped"] == 2
+    # physically gone: results unchanged, and the victims' postings are
+    # absent from the compacted segments (candidate sets shrink)
+    assert _ids(spark, del_index, q) == after
+    comp = spark.read.parquet(f"{del_index}/compacted")
+    mx = comp.agg(F.max("max_docid"), F.min("min_docid")).collect()[0]
+    assert mx is not None  # segments still present
+    # tombstones cleared after compaction
+    tomb = spark.read.parquet(f"{del_index}/tombstones")
+    assert tomb.count() == 0
+
+
+def test_reindex_after_delete(spark, tmp_path):
+    """Reindex (M10's DocReindex): delete docs, compact (physical drop),
+    then stream exactly those docs back as a new generation — they reappear
+    in query results."""
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index, compact_segments, delete_docs, with_doc_identity,
+    )
+    from open_source_search_engine_spark.streaming.incremental import (
+        incremental_index_build,
+    )
+
+    idx = str(tmp_path / "ridx")
+    shutil.rmtree(idx, ignore_errors=True)
+    corpus = corpus_df(spark, 120, partitions=4)
+    build_index(spark, corpus, idx, n_chunks=1)
+
+    q = "binary search"
+    orig = _ids(spark, idx, q)
+    victims = orig[:2]
+    delete_docs(spark, idx, victims)
+    compact_segments(spark, idx)
+    assert set(_ids(spark, idx, q)) == set(orig) - set(victims)
+
+    # reindex: stream exactly the dropped docs back in
+    victims_rows = with_doc_identity(corpus).filter(
+        F.col("docid").isin([int(d) for d in victims])
+    ).select("repo", "path", "commit", "lang", "content")
+    corpus_dir = str(tmp_path / "reindex_corpus")
+    victims_rows.repartition(1).write.parquet(corpus_dir)
+    incremental_index_build(spark, corpus_dir, idx)
+
+    assert set(_ids(spark, idx, q)) == set(orig)
