@@ -99,6 +99,40 @@ def test_encode_runs_matches_per_block_reference(data):
     assert got == expect
 
 
+def test_slab_roundtrip():
+    from open_source_search_engine_spark.functions.varint import (
+        pack_counts, pack_slab, unpack_counts, unpack_slab,
+    )
+
+    rng = np.random.default_rng(3)
+    tids = np.sort(rng.integers(0, 2**48, 20))
+    fields = rng.integers(0, 10, 20)
+    nds, nps, bufs = [], [], []
+    ref = []
+    for i in range(20):
+        docids = np.unique(rng.integers(0, 2**38, rng.integers(1, 10)))
+        tfs = rng.integers(1, 4, len(docids))
+        dls = rng.integers(1, 100, len(docids))
+        pos = np.concatenate([np.sort(rng.integers(0, 2**18, t)) for t in tfs])
+        bufs.append(encode_block(docids, tfs, pos, dls))
+        nds.append(len(docids))
+        nps.append(int(tfs.sum()))
+        ref.append((docids, tfs, dls, pos))
+    payload = pack_slab(tids, fields, np.array(nds), np.array(nps), bufs)
+    t2, f2, nd2, np2, d2, tf2, dl2, p2 = unpack_slab(payload)
+    assert (t2 == tids).all() and (f2 == fields).all()
+    assert (nd2 == np.array(nds)).all() and (np2 == np.array(nps)).all()
+    assert (d2 == np.concatenate([r[0] for r in ref])).all()
+    assert (tf2 == np.concatenate([r[1] for r in ref])).all()
+    assert (dl2 == np.concatenate([r[2] for r in ref])).all()
+    assert (p2 == np.concatenate([r[3] for r in ref])).all()
+
+    keys = np.sort(rng.integers(0, 2**48, 50))
+    counts = rng.integers(1, 1000, 50)
+    k2, c2 = unpack_counts(pack_counts(keys, counts))
+    assert (k2 == keys).all() and (c2 == counts).all()
+
+
 def test_compression_ratio():
     # sorted dense docids compress far below the 8+4 bytes/posting raw cost
     docids = np.arange(10_000, dtype=np.int64) * 3 + 7
