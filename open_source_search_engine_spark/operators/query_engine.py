@@ -262,12 +262,13 @@ def topk(
 
 
 def _block_range_prune(spark: SparkSession, seg: DataFrame, plan: QueryPlan,
-                       dfs: dict[int, int], max_ranges: int = 8192) -> DataFrame:
-    """Lossless block pruning: collect the rarest required term's block
-    [min_docid, max_docid] intervals (metadata only) and drop other terms'
-    blocks that overlap none of them — the sorted-list zig-zag skip of
-    addDocIdVotes re-expressed as metadata pruning. Falls back to no-op when
-    the rarest term is itself hot (interval list too big).
+                       dfs: dict[int, int]) -> DataFrame:
+    """Lossless block pruning: keep the rarest required term's blocks plus
+    only those other-term blocks whose [min_docid, max_docid] overlaps some
+    rare-term block — the sorted-list zig-zag skip of addDocIdVotes
+    (/root/reference/PosdbTable.cpp:4803-5097) re-expressed as a broadcast
+    range semi-join on block METADATA (no payload decode; stays inside the
+    one query job — no driver-side collect).
 
     With boolean OR groups, only a term that is a SINGLETON group is
     genuinely required in every candidate, so pruning ranges come from the
@@ -279,24 +280,17 @@ def _block_range_prune(spark: SparkSession, seg: DataFrame, plan: QueryPlan,
     singletons = [ts[0] for ts in groups.values() if len(ts) == 1]
     if not singletons:
         return seg
-    req = singletons
-    rare = min(req, key=lambda t: dfs.get(t.termid, 0))
+    rare = min(singletons, key=lambda t: dfs.get(t.termid, 0))
     cond = F.col("termid") == int(rare.termid)
     if rare.field is not None:
         cond = cond & (F.col("field") == int(rare.field))
-    ranges = seg.filter(cond).select("min_docid", "max_docid").limit(max_ranges + 1).collect()
-    if not ranges or len(ranges) > max_ranges:
-        return seg
-    lo = np.array(sorted(r["min_docid"] for r in ranges), dtype=np.int64)
-    hi = np.array(sorted(r["max_docid"] for r in ranges), dtype=np.int64)
-    lo_list = [int(x) for x in lo]
-    hi_list = [int(x) for x in hi]
-
-    # a block [a,b] overlaps some rare interval iff NOT every interval is
-    # entirely left of a or right of b: count(min_docid_i <= b) > count(max_docid_i < a)
-    lo_arr = F.array([F.lit(x) for x in lo_list])
-    hi_arr = F.array([F.lit(x) for x in hi_list])
-    n_le_b = F.size(F.filter(lo_arr, lambda x: x <= F.col("max_docid")))
-    n_lt_a = F.size(F.filter(hi_arr, lambda x: x < F.col("min_docid")))
-    keep_other = n_le_b > n_lt_a
-    return seg.filter(cond | keep_other)
+    ranges = F.broadcast(
+        seg.filter(cond).select(F.col("min_docid").alias("_rlo"),
+                                F.col("max_docid").alias("_rhi"))
+    )
+    others = seg.filter(~cond).join(
+        ranges,
+        (F.col("min_docid") <= F.col("_rhi")) & (F.col("max_docid") >= F.col("_rlo")),
+        "leftsemi",
+    )
+    return seg.filter(cond).unionByName(others)
