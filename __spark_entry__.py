@@ -56,8 +56,8 @@ def _bm25_sql(words: list[str], *, lang: str | None = None,
     attach, SURVEY.md §2.5 Q7)."""
     optional_terms = optional_terms or []
     or_group = or_group or []
-    scan_words = (words + ([exclude] if exclude else [])
-                  + [w for w, _ in optional_terms] + or_group)
+    _excl = [exclude] if isinstance(exclude, str) else (exclude or [])
+    scan_words = (words + _excl + [w for w, _ in optional_terms] + or_group)
     wl = ", ".join(f"'{w}'" for w in scan_words)
     joins, contribs = [], []
     for i, w in enumerate(words):
@@ -111,9 +111,10 @@ bigdf AS (SELECT count(*) AS df FROM big)"""
         )
     if lang is not None:
         joins.append(f"JOIN toks tk ON tk.doc_id = d.doc_id AND tk.lang = '{lang}'")
-    if exclude is not None:
+    excludes = ([exclude] if isinstance(exclude, str) else (exclude or []))
+    for ex in excludes:
         filters.append(
-            f"NOT EXISTS (SELECT 1 FROM tf fx WHERE fx.doc_id = d.doc_id AND fx.tok = '{exclude}')"
+            f"NOT EXISTS (SELECT 1 FROM tf fx WHERE fx.doc_id = d.doc_id AND fx.tok = '{ex}')"
         )
     where = ("WHERE " + " AND ".join(filters)) if filters else ""
     return f"""
@@ -316,6 +317,93 @@ def _engine_query(query: str, k: int = 1_000_000):
         )
 
     return fn
+
+
+_NESTED_OR_SQL = f"""
+WITH{TOKS_CTE},
+base AS (SELECT count(*) AS n, (sum(len(t)) / count(*)) AS avgdl FROM toks),
+occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ
+       WHERE tok IN ('hash', 'merge', 'vector') GROUP BY 1, 2),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks)
+SELECT d.doc_id,
+       round(
+         (CASE WHEN th.tf IS NOT NULL THEN {_IDF.format(n='b.n', df='xh.df')} * {_TFNORM.format(tf='th.tf', dl='d.dl', avgdl='b.avgdl')} ELSE 0.0 END)
+       + (CASE WHEN tm.tf IS NOT NULL THEN {_IDF.format(n='b.n', df='xm.df')} * {_TFNORM.format(tf='tm.tf', dl='d.dl', avgdl='b.avgdl')} ELSE 0.0 END)
+       + (CASE WHEN tv.tf IS NOT NULL THEN {_IDF.format(n='b.n', df='xv.df')} * {_TFNORM.format(tf='tv.tf', dl='d.dl', avgdl='b.avgdl')} ELSE 0.0 END)
+       , 4) AS score_r,
+       sha256(t2.text) AS content_sha256
+FROM dl d
+CROSS JOIN base b
+LEFT JOIN tf th ON th.doc_id = d.doc_id AND th.tok = 'hash'
+LEFT JOIN tf tm ON tm.doc_id = d.doc_id AND tm.tok = 'merge'
+LEFT JOIN tf tv ON tv.doc_id = d.doc_id AND tv.tok = 'vector'
+CROSS JOIN (SELECT df FROM dfs WHERE tok = 'hash') xh
+CROSS JOIN (SELECT df FROM dfs WHERE tok = 'merge') xm
+CROSS JOIN (SELECT df FROM dfs WHERE tok = 'vector') xv
+JOIN documents t2 ON t2.doc_id = d.doc_id
+WHERE th.tf IS NOT NULL OR (tm.tf IS NOT NULL AND tv.tf IS NOT NULL)
+"""
+
+_PHRASE3_WORDS = ("hash", "value", "table")
+
+
+def _phrase3_sql() -> str:
+    """Oracle for the 3-word positional phrase '"hash value table"': required
+    unigrams + BOTH required bigrams at weight 5 + contiguity t[i],t[i+1],
+    t[i+2] — the adjacency check the engine performs from stored word
+    positions."""
+    w1, w2, w3 = _PHRASE3_WORDS
+    uni = ", ".join(f"'{w}'" for w in (w1, w2, w3))
+    big = ("len(list_filter(range(1, len(t)), i -> t[i] = '{a}' AND t[i+1] = '{b}'))")
+    tri = (f"len(list_filter(range(1, len(t) - 1), i -> t[i] = '{w1}' "
+           f"AND t[i+1] = '{w2}' AND t[i+2] = '{w3}'))")
+    b12 = big.format(a=w1, b=w2)
+    b23 = big.format(a=w2, b=w3)
+    contribs = []
+    joins = []
+    for i, w in enumerate((w1, w2, w3)):
+        joins.append(f"JOIN tf f{i} ON f{i}.doc_id = d.doc_id AND f{i}.tok = '{w}'")
+        joins.append(f"CROSS JOIN (SELECT df FROM dfs WHERE tok = '{w}') x{i}")
+        contribs.append(
+            f"({_IDF.format(n='b.n', df=f'x{i}.df')} * "
+            f"{_TFNORM.format(tf=f'f{i}.tf', dl='d.dl', avgdl='b.avgdl')})"
+        )
+    for nm, expr in (("g12", b12), ("g23", b23)):
+        joins.append(f"JOIN {nm} ON {nm}.doc_id = d.doc_id")
+        joins.append(f"CROSS JOIN {nm}df")
+        contribs.append(
+            f"((5.0 * {_IDF.format(n='b.n', df=f'{nm}df.df')}) * "
+            f"{_TFNORM.format(tf=f'{nm}.tf', dl='d.dl', avgdl='b.avgdl')})"
+        )
+    return f"""
+WITH{TOKS_CTE},
+base AS (SELECT count(*) AS n, (sum(len(t)) / count(*)) AS avgdl FROM toks),
+occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ WHERE tok IN ({uni}) GROUP BY 1, 2),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+g12 AS (SELECT doc_id, {b12} AS tf FROM toks WHERE {b12} > 0),
+g12df AS (SELECT count(*) AS df FROM g12),
+g23 AS (SELECT doc_id, {b23} AS tf FROM toks WHERE {b23} > 0),
+g23df AS (SELECT count(*) AS df FROM g23),
+tri AS (SELECT doc_id FROM toks WHERE {tri} > 0)
+SELECT d.doc_id,
+       round({' + '.join(contribs)}, 4) AS score_r,
+       sha256(t2.text) AS content_sha256
+FROM dl d
+CROSS JOIN base b
+{chr(10).join(joins)}
+JOIN tri ON tri.doc_id = d.doc_id
+JOIN documents t2 ON t2.doc_id = d.doc_id
+"""
+
+
+def _q_engine_site_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 whitelist analog: site:/repo: restricts candidates to one source
+    before top-k (/root/reference/PosdbTable.cpp:4297-4372)."""
+    return _engine_query("site:src3 hash table")(spark, sf_dir)
 
 
 def _q_engine_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -602,21 +690,17 @@ def _q_engine_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_engine_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7/T6 synonym expansion (/root/reference/Query.cpp:1008-1035, weight
-    0.9 per /root/reference/Parms.cpp:3883-3893): 'sort' required, synonym
-    'order' attached optional at 0.9 — scores add where the synonym hits."""
-    from open_source_search_engine_spark.functions.hashing import TokenHasher
+    0.9 per /root/reference/Parms.cpp:3883-3893): parse_query with expansion
+    on auto-attaches the dictionary synonyms of 'sort' as optional specs at
+    0.9 — scores add where a synonym hits."""
     from open_source_search_engine_spark.operators.query_engine import topk
-    from open_source_search_engine_spark.plans.plan import TermSpec, parse_query
+    from open_source_search_engine_spark.plans.plan import parse_query
     from open_source_search_engine_spark.sources.testdata import (
         doc_id_from_path, ensure_index,
     )
 
     idx = ensure_index(spark, sf_dir)
-    plan = parse_query("sort")
-    syn_tid = int(TokenHasher().termids(["order"])[0])
-    plan.terms.append(
-        TermSpec(syn_tid, "order", None, 0.9, required=False)
-    )
+    plan = parse_query("sort", expand_synonyms=True)
     res = topk(spark, idx, plan, 1_000_000)
     return doc_id_from_path(res).select(
         "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
@@ -682,6 +766,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_boolean_or": _engine_query("hash | merge lang:en"),
         "engine_phrase": _engine_query('"hash table"'),
         "engine_bm25_not": _engine_query("hash -merge"),
+        "engine_boolean_nested": _engine_query("hash OR (merge AND vector)"),
+        "engine_boolean_not_kw": _engine_query("sort NOT (hash OR merge)"),
+        "engine_phrase3": _engine_query('"hash value table"'),
+        "engine_site_filter": _q_engine_site_filter,
         "engine_field_title": _engine_query("title:123"),
         "engine_term_df": _q_engine_term_df,
         "engine_total_hits": _q_engine_total_hits,
@@ -725,6 +813,15 @@ def oracle_sql() -> dict[str, str]:
         "engine_phrase": _bm25_sql(["hash", "table"], bigram=("hash", "table"),
                                    bigram_required=True),
         "engine_bm25_not": _bm25_sql(["hash"], exclude="merge"),
+        "engine_boolean_nested": _NESTED_OR_SQL,
+        "engine_boolean_not_kw": _bm25_sql(["sort"], exclude=["hash", "merge"]),
+        "engine_phrase3": _phrase3_sql(),
+        "engine_site_filter": f"""
+SELECT s.doc_id, s.score_r, s.content_sha256
+FROM ({_bm25_sql(['hash', 'table'], bigram=('hash', 'table'))}) s
+JOIN documents dd ON dd.doc_id = s.doc_id
+WHERE dd.source = 'src3'
+""",
         "engine_field_title": f"""
 WITH base AS (SELECT count(*) AS n FROM documents)
 SELECT doc_id,
@@ -764,7 +861,11 @@ SELECT s.doc_id, s.score_r,
 FROM ({_bm25_sql(['vector'])}) s
 JOIN documents d ON d.doc_id = s.doc_id
 """,
-        "engine_synonyms": _bm25_sql(["sort"], optional_terms=[("order", 0.9)]),
+        "engine_synonyms": _bm25_sql(["sort"], optional_terms=[
+            (s, 0.9) for s in __import__(
+                "open_source_search_engine_spark.functions.synonyms",
+                fromlist=["SYNONYMS"]).SYNONYMS["sort"]
+        ]),
         "engine_pagination": f"""
 SELECT doc_id, score_r FROM (
   SELECT doc_id, score_r,

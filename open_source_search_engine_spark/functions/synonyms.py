@@ -1,0 +1,69 @@
+"""Query-time synonym dictionary (T6/Q7 analog).
+
+The reference expands query terms with Wiktionary-derived synonyms and STO
+word variations at weight 0.9 (/root/reference/Synonyms.cpp — 524 LoC driven
+by external lexicons; default weight /root/reference/Parms.cpp:3883-3893;
+query-side attach /root/reference/Query.cpp:1008-1035). Those lexicons are
+data files, not algorithms; the rebuild ships a small committed dictionary of
+common English + programming synonym sets assembled from general public
+knowledge. The *mechanism* — parse-time expansion into optional weighted
+term specs — mirrors the reference exactly; the dictionary is intentionally
+modest and swappable.
+
+Entries are directed: ``SYNONYMS[w]`` lists terms attached when ``w`` is
+queried. Expansion terms score at :data:`SYNONYM_WEIGHT` wherever they match
+but never affect the candidate set (optional specs).
+"""
+
+from __future__ import annotations
+
+SYNONYM_WEIGHT = 0.9  # /root/reference/Parms.cpp:3883-3893 default
+
+SYNONYMS: dict[str, list[str]] = {
+    # general english
+    "sort": ["order"],
+    "order": ["sort"],
+    "fast": ["quick"],
+    "quick": ["fast"],
+    "big": ["large"],
+    "large": ["big"],
+    "small": ["little"],
+    "begin": ["start"],
+    "start": ["begin"],
+    "end": ["finish"],
+    "error": ["fault"],
+    "fix": ["repair"],
+    "find": ["locate"],
+    "search": ["lookup"],
+    "make": ["build"],
+    "build": ["make"],
+    # programming vocabulary
+    "delete": ["remove"],
+    "remove": ["delete"],
+    "insert": ["add"],
+    "function": ["method"],
+    "method": ["function"],
+    "array": ["list"],
+    "map": ["dict"],
+    "dict": ["map"],
+    "folder": ["directory"],
+    "directory": ["folder"],
+    "arg": ["argument"],
+    "argument": ["arg"],
+    "param": ["parameter"],
+    "parameter": ["param"],
+    "init": ["initialize"],
+    "config": ["configuration"],
+    "configuration": ["config"],
+    "auth": ["authentication"],
+    "doc": ["document"],
+    "document": ["doc"],
+    "spec": ["specification"],
+    "test": ["check"],
+    "check": ["test"],
+}
+
+
+def synonyms_for(token: str) -> list[str]:
+    """Synonym expansion terms for one query token (empty if none)."""
+    return SYNONYMS.get(token, [])

@@ -50,17 +50,28 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("docid", T.LongType(), False),
         T.StructField("tf", T.LongType(), False),
         T.StructField("dl", T.LongType(), False),
+        # token positions for this (termid, field, doc) — emitted only for
+        # termids that a quoted-phrase constraint needs (null otherwise), so
+        # the common path pays nothing for positional data
+        T.StructField("positions", T.ArrayType(T.LongType()), True),
     ]
 )
 
 
 @dataclass
 class IndexHandle:
-    """Driver-side handle: small stats loaded once, segments lazy."""
+    """Driver-side handle: small stats loaded once, segments lazy.
+
+    ``_df_cache`` memoizes per-termid document frequencies — the analog of
+    the reference's 500 s term-freq cache (/root/reference/Posdb.cpp:257-302):
+    repeated queries over a warm index skip the stats-lookup job entirely."""
 
     index_dir: str
     n_docs: int
     avgdl: dict  # field -> float
+
+    def __post_init__(self) -> None:
+        self._df_cache: dict[int, int] = {}
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "IndexHandle":
@@ -72,45 +83,87 @@ class IndexHandle:
                    FIELD_URL: g["avgdl_url"]},
         )
 
+    def term_dfs(self, spark: SparkSession, termids: list[int]) -> dict[int, int]:
+        missing = [int(t) for t in termids if int(t) not in self._df_cache]
+        if missing:
+            rows = (
+                catalog.read_table(spark, self.index_dir, "term_stats")
+                .filter(F.col("termid").isin(missing))
+                .collect()
+            )
+            found = {r["termid"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {int(t): self._df_cache[int(t)] for t in termids}
 
-def _term_dfs(spark: SparkSession, index_dir: str, termids: list[int]) -> dict[int, int]:
-    rows = (
-        catalog.read_table(spark, index_dir, "term_stats")
-        .filter(F.col("termid").isin([int(t) for t in termids]))
-        .collect()
-    )
-    return {r["termid"]: r["df"] for r in rows}
+
+# handle cache keyed by (index_dir, globals mtime): a rebuild/finalize
+# rewrites globals/, which invalidates stale stats automatically
+_HANDLE_CACHE: dict[str, tuple[float, IndexHandle]] = {}
 
 
-def _decode_udf(include_tids: list[int]):
-    """mapInPandas decoder: segment block rows → (termid, field, docid, tf)."""
+def cached_handle(spark: SparkSession, index_dir: str) -> IndexHandle:
+    import os
+
+    try:
+        mtime = os.path.getmtime(catalog.table_path(index_dir, "globals"))
+    except OSError:
+        mtime = -1.0
+    hit = _HANDLE_CACHE.get(index_dir)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    h = IndexHandle.open(spark, index_dir)
+    _HANDLE_CACHE[index_dir] = (mtime, h)
+    return h
+
+
+def _decode_udf(include_tids: list[int], pos_tids: list[int] | None = None):
+    """mapInPandas decoder: segment block rows → per-(termid, field, doc)
+    rows (termid, field, docid, tf, dl, positions?).
+
+    One :func:`~..functions.varint.decode_blocks_concat` call per Arrow batch
+    decodes EVERY block's varint stream in a single vectorized pass — the
+    serving-side analog of the build's whole-partition decode (a per-block
+    Python loop here was the query path's row-at-a-time bottleneck for hot
+    terms). Positions are materialized only for ``pos_tids`` (quoted-phrase
+    members)."""
     tid_set = set(int(t) for t in include_tids)
+    pos_set = set(int(t) for t in (pos_tids or []))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.varint import decode_block
+        from ..functions.varint import decode_blocks_concat
 
         for pdf in batches:
-            outs = []
-            for tid, field, buf in zip(
-                pdf["termid"].values, pdf["field"].values, pdf["postings"].values
-            ):
-                if int(tid) not in tid_set:
-                    continue
-                d, tf, dl, _ = decode_block(bytes(buf))
-                n = len(d)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "termid": np.full(n, tid, dtype=np.int64),
-                            "field": np.full(n, field, dtype=np.int32),
-                            "docid": d,
-                            "tf": tf,
-                            "dl": dl,
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            tids = pdf["termid"].values.astype(np.int64)
+            keep = np.isin(tids, np.fromiter(tid_set, dtype=np.int64))
+            if not keep.any():
+                continue
+            pdf = pdf.iloc[np.nonzero(keep)[0]]
+            tids = pdf["termid"].values.astype(np.int64)
+            fields = pdf["field"].values.astype(np.int64)
+            nd = pdf["n_docs"].values.astype(np.int64)
+            nposts = pdf["n_postings"].values.astype(np.int64)
+            bufs = [bytes(b) for b in pdf["postings"].values]
+            docids, tfs, dls, positions = decode_blocks_concat(bufs, nd, nposts)
+            t_doc = np.repeat(tids, nd)
+            f_doc = np.repeat(fields, nd)
+            out = pd.DataFrame(
+                {"termid": t_doc, "field": f_doc.astype(np.int32),
+                 "docid": docids, "tf": tfs, "dl": dls}
+            )
+            if pos_set:
+                need = np.isin(t_doc, np.fromiter(pos_set, dtype=np.int64))
+                # split the concatenated position stream at doc boundaries,
+                # keep arrays only for phrase-member rows
+                ends = np.cumsum(tfs)
+                starts = ends - tfs
+                out["positions"] = [
+                    positions[a:b] if m else None
+                    for a, b, m in zip(starts, ends, need)
+                ]
+            else:
+                out["positions"] = None
+            yield out
 
     return gen
 
@@ -118,31 +171,71 @@ def _decode_udf(include_tids: list[int]):
 def _spec_table(spark: SparkSession, plan: QueryPlan, dfs: dict[int, int], n_docs: int):
     """Small broadcast table: one row per (spec, concrete field) with the
     driver-precomputed weight*idf product — identical floats to the oracle.
+    ``spec_id`` = index into ``plan.terms``; the membership expression
+    references these ids."""
+    from .. import FIELD_LANG
 
-    Boolean OR (Q5): required specs sharing a ``group`` get ONE spec_id, so
-    the distinct-matched-spec_id membership count treats them as a
-    disjunction; ``n_required`` is the number of distinct groups."""
     rows = []
-    include = plan.required + plan.optional
-    group_ids: dict = {}
-    spec_of: list[int] = []
-    for i, t in enumerate(include):
-        key = ("g", t.group) if (t.required and t.group is not None) else ("u", i)
-        if key not in group_ids:
-            group_ids[key] = len(group_ids)
-        spec_of.append(group_ids[key])
-    n_required = len({s for t, s in zip(include, spec_of) if t.required})
-    for t, spec_id in zip(include, spec_of):
+    for spec_id, t in enumerate(plan.terms):
         idf = float(bm25_idf(dfs.get(t.termid, 0), n_docs))
-        fields = [t.field] if t.field is not None else [FIELD_BODY, FIELD_TITLE, FIELD_URL]
+        fields = ([t.field] if t.field is not None
+                  else [FIELD_BODY, FIELD_TITLE, FIELD_LANG, FIELD_URL])
+        w_term = 0.0 if t.excluded else t.weight
         for f in fields:
-            w = t.weight * FIELD_WEIGHTS.get(f, 0.0)
-            rows.append((spec_id, int(t.termid), int(f), float(w * idf),
-                         bool(t.required)))
-    df = spark.createDataFrame(
-        rows, "spec_id int, termid long, field int, wid double, required boolean"
-    )
-    return df, n_required
+            w = w_term * FIELD_WEIGHTS.get(f, 0.0)
+            rows.append((spec_id, int(t.termid), int(f), float(w * idf)))
+    df = spark.createDataFrame(rows, "spec_id int, termid long, field int, wid double")
+    return df
+
+
+def _expr_column(expr, phrase_flags: dict[int, F.Column]) -> F.Column:
+    """Compile the plan's NNF membership expression to a boolean Column over
+    the aggregated ``matched`` spec-id array (the per-docid truth-table
+    evaluation of /root/reference/PosdbTable.cpp:5099-5331, vectorized)."""
+    from ..plans.plan import Leaf, Node
+
+    if isinstance(expr, Leaf):
+        if expr.is_phrase:
+            c = phrase_flags[expr.spec]
+        else:
+            c = F.array_contains(F.col("matched"), expr.spec)
+        return ~c if expr.negated else c
+    assert isinstance(expr, Node)
+    cols = [_expr_column(c, phrase_flags) for c in expr.children]
+    out = cols[0]
+    for c in cols[1:]:
+        out = (out & c) if expr.op == "and" else (out | c)
+    return out
+
+
+def _phrase_matches(decoded: DataFrame, plan: QueryPlan) -> list[DataFrame]:
+    """One DataFrame of phrase-satisfying docids per plan phrase: explode the
+    stored positions of each member term, normalize by the member's offset,
+    and demand all members agree on one base position — adjacency from the
+    word-position cursor (the reference checks quoted phrases from positions,
+    /root/reference/Query.h:216-222, /root/reference/PosdbTable.h:76)."""
+    spark = decoded.sparkSession
+    out = []
+    for pid, ph in enumerate(plan.phrases):
+        members = spark.createDataFrame(
+            [(int(t), i) for i, t in enumerate(ph.termids)], "termid long, mi int"
+        )
+        hits = (
+            decoded.filter(
+                (F.col("field") == int(ph.field)) & F.col("positions").isNotNull()
+            )
+            .join(F.broadcast(members), "termid")
+            .select("docid", "mi", F.explode("positions").alias("p"))
+            .select("docid", "mi", (F.col("p") - F.col("mi")).alias("base"))
+            .groupBy("docid", "base")
+            .agg(F.countDistinct("mi").alias("nm"))
+            .filter(F.col("nm") == len(ph.termids))
+            .select("docid")
+            .distinct()
+            .withColumn(f"_ph{pid}", F.lit(True))
+        )
+        out.append(hits)
+    return out
 
 
 def topk(
@@ -158,17 +251,14 @@ def topk(
     """Top-k BM25 search. Returns DataFrame
     (rank, docid, score, repo, path, content_sha256)."""
     plan = parse_query(query) if isinstance(query, str) else query
-    if not plan.required:
+    if not plan.required or plan.expr is None:
         return spark.createDataFrame(
             [], "rank int, docid long, score double, repo string, path string, "
             "content_sha256 string")
-    h = handle or IndexHandle.open(spark, index_dir)
+    h = handle or cached_handle(spark, index_dir)
 
     all_tids = sorted({t.termid for t in plan.terms})
-    include = plan.required + plan.optional
-    include_tids = sorted({t.termid for t in include})
-    exclude_tids = sorted({t.termid for t in plan.excluded})
-    dfs = _term_dfs(spark, index_dir, all_tids)
+    dfs = h.term_dfs(spark, all_tids)
 
     seg = serving_segments(spark, h.index_dir)
     n_buckets = catalog.N_BUCKETS_DEFAULT
@@ -176,11 +266,18 @@ def topk(
     seg = seg.filter(F.col("bucket").isin(buckets)).filter(
         F.col("termid").isin([int(t) for t in all_tids])
     )
+    if plan.docid_filter is not None:
+        # gbdocid: pin — block metadata min/max prunes before any decode
+        d = int(plan.docid_filter)
+        seg = seg.filter((F.col("min_docid") <= d) & (F.col("max_docid") >= d))
 
     if prune and len(plan.required) > 1:
         seg = _block_range_prune(spark, seg, plan, dfs)
 
-    decoded = seg.mapInPandas(_decode_udf(all_tids), DECODED_SCHEMA)
+    pos_tids = sorted({int(t) for ph in plan.phrases for t in ph.termids})
+    decoded = seg.mapInPandas(_decode_udf(all_tids, pos_tids), DECODED_SCHEMA)
+    if plan.docid_filter is not None:
+        decoded = decoded.filter(F.col("docid") == int(plan.docid_filter))
 
     # pending deletes (M10): tombstoned docs are filtered immediately; the
     # next compaction drops their postings physically
@@ -190,25 +287,13 @@ def topk(
     if tomb is not None:
         decoded = decoded.join(F.broadcast(tomb), "docid", "left_anti")
 
-    # anti-join away excluded docids (field-restricted where the spec says so)
-    if exclude_tids:
-        exc_conds = []
-        for t in plan.excluded:
-            c = F.col("termid") == int(t.termid)
-            if t.field is not None:
-                c = c & (F.col("field") == int(t.field))
-            exc_conds.append(c)
-        exc_pred = exc_conds[0]
-        for c in exc_conds[1:]:
-            exc_pred = exc_pred | c
-        excluded_docs = decoded.filter(exc_pred).select("docid").distinct()
-        decoded = decoded.join(F.broadcast(excluded_docs), "docid", "left_anti")
-    decoded = decoded.filter(F.col("termid").isin([int(t) for t in include_tids]))
-
-    spec_df, n_required = _spec_table(spark, plan, dfs, h.n_docs)
+    spec_df = _spec_table(spark, plan, dfs, h.n_docs)
     # dl travels inside the posting blocks (varint.encode_block), so scoring
     # needs NO doc-length join — the doc_stats side table never touches the
-    # query path (it would shuffle in full per query at corpus scale)
+    # query path (it would shuffle in full per query at corpus scale).
+    # Excluded (-term / NOT) specs join here too with wid=0: exclusion is
+    # evaluated inside the same membership aggregation, costing ZERO extra
+    # shuffles and no broadcast of decoded docids at any scale.
     matched = decoded.join(F.broadcast(spec_df), ["termid", "field"], "inner")
 
     # per-(spec,field) BM25 contribution — pure JVM column math
@@ -223,21 +308,42 @@ def topk(
     tfnorm = tf * F.lit(BM25_K1 + 1.0) / (
         tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl / avg)
     )
-    # zero-weight (filter-only) fields still count for required membership;
+    # zero-weight (filter-only / excluded) fields still count for membership;
     # their 0.0 contribution is exact under float addition
     matched = matched.withColumn("contrib", F.col("wid") * tfnorm)
 
-    # conjunctive membership + canonical-order score sum
+    # membership flags + canonical-order score sum in ONE aggregation
     agg = matched.groupBy("docid").agg(
-        F.size(F.array_distinct(
-            F.collect_list(F.when(F.col("required"), F.col("spec_id")))
-        )).alias("n_req"),
+        F.array_distinct(F.collect_list("spec_id")).alias("matched"),
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("termid", "field", "contrib"))),
             F.lit(0.0),
             lambda acc, x: acc + x["contrib"],
         ).alias("score"),
-    ).filter(F.col("n_req") == n_required)
+    )
+
+    # quoted phrases: left-join the positional-adjacency docid sets as flags
+    phrase_flags: dict[int, F.Column] = {}
+    for pid, ph_df in enumerate(_phrase_matches(decoded, plan)):
+        agg = agg.join(ph_df, "docid", "left")
+        phrase_flags[pid] = F.coalesce(F.col(f"_ph{pid}"), F.lit(False))
+
+    # evaluate the boolean membership expression per docid (Q5 truth table)
+    agg = agg.filter(_expr_column(plan.expr, phrase_flags)).select("docid", "score")
+
+    # document filters (J6 whitelist analog): restrict by docmap BEFORE top-k
+    if plan.site_filters or plan.ext_filters:
+        dm = spark.read.parquet(catalog.table_path(h.index_dir, "docmap"))
+        cond = F.lit(True)
+        if plan.site_filters:
+            cond = cond & F.col("repo").isin(list(plan.site_filters))
+        if plan.ext_filters:
+            ext_c = F.lit(False)
+            for e in plan.ext_filters:
+                ext_c = ext_c | F.col("path").endswith("." + e)
+            cond = cond & ext_c
+        allowed = dm.filter(cond).select("docid")
+        agg = agg.join(allowed, "docid", "leftsemi")
 
     if cursor is not None:
         s0, d0 = cursor
@@ -272,12 +378,13 @@ def _block_range_prune(spark: SparkSession, seg: DataFrame, plan: QueryPlan,
 
     With boolean OR groups, only a term that is a SINGLETON group is
     genuinely required in every candidate, so pruning ranges come from the
-    rarest singleton; if every group is a disjunction, pruning is skipped
+    rarest singleton; if every group is a disjunction — or the membership
+    expression is not a flat conjunction at all — pruning is skipped
     (lossless-ness first)."""
-    groups: dict = {}
-    for t in plan.required:
-        groups.setdefault(t.group if t.group is not None else ("u", t.termid, t.field), []).append(t)
-    singletons = [ts[0] for ts in groups.values() if len(ts) == 1]
+    groups = plan.conjunctive_groups()
+    if not groups:
+        return seg
+    singletons = [plan.terms[g[0]] for g in groups if len(g) == 1]
     if not singletons:
         return seg
     rare = min(singletons, key=lambda t: dfs.get(t.termid, 0))

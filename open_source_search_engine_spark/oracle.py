@@ -1,13 +1,18 @@
 """Single-node BM25 oracle — the rank-identity ground truth.
 
 A deliberately naive pure-Python (dicts + loops, no Spark) implementation of
-exactly the semantics in SURVEY.md §7.4: conjunctive candidate set
-(/root/reference/PosdbTable.cpp:4803+ analog), per-(term, field) weighted BM25
-scoring, tie-break (score desc, docid asc)
-(/root/reference/Msg3a.cpp:783-794), pagination strictly-after a (score,
-docid) cursor (/root/reference/PosdbTable.cpp:3948-3983). It shares the
-tokenizer / hashing / plan / BM25 modules with the Spark engine, so identical
-ranks are a consequence of shared semantics, not of tuned tolerances.
+exactly the semantics in SURVEY.md §7.4: boolean membership expression over
+per-term match flags (/root/reference/PosdbTable.cpp:5099-5331 truth-table
+analog; plain queries reduce to the conjunctive candidate set of
+/root/reference/PosdbTable.cpp:4803+), positional phrase verification
+(/root/reference/PosdbTable.h:76), per-(term, field) weighted BM25 scoring,
+tie-break (score desc, docid asc) (/root/reference/Msg3a.cpp:783-794),
+pagination strictly-after a (score, docid) cursor
+(/root/reference/PosdbTable.cpp:3948-3983), and the site/ext document
+filters (/root/reference/PosdbTable.cpp:4297-4372 whitelist analog). It
+shares the tokenizer / hashing / plan / BM25 modules with the Spark engine,
+so identical ranks are a consequence of shared semantics, not of tuned
+tolerances.
 """
 
 from __future__ import annotations
@@ -18,8 +23,8 @@ from dataclasses import dataclass
 from . import FIELD_BODY, FIELD_TITLE, FIELD_URL
 from .functions.bm25 import bm25_idf, bm25_tfnorm
 from .functions.hashing import TokenHasher, docid_for_url
-from .functions.tokenizer import KIND_BIGRAM, index_document
-from .plans.plan import FIELD_WEIGHTS, QueryPlan, parse_query
+from .functions.tokenizer import index_document
+from .plans.plan import FIELD_WEIGHTS, Leaf, Node, QueryPlan, parse_query
 
 _DL_FIELD = {FIELD_BODY: "dl_body", FIELD_TITLE: "dl_title", FIELD_URL: "dl_url"}
 
@@ -38,6 +43,8 @@ class OracleIndex:
     def __init__(self) -> None:
         # postings[termid][field][docid] = tf
         self.postings: dict[int, dict[int, dict[int, int]]] = {}
+        # positions[termid][field][docid] = sorted list of word positions
+        self.positions: dict[int, dict[int, dict[int, list[int]]]] = {}
         self.df_any: dict[int, int] = {}
         self.docs: dict[int, OracleDoc] = {}
         self.avgdl: dict[int, float] = {}
@@ -58,9 +65,12 @@ class OracleIndex:
                 {FIELD_BODY: arrs["dl_body"], FIELD_TITLE: arrs["dl_title"],
                  FIELD_URL: arrs["dl_url"]},
             )
-            for tid, f in zip(arrs["termid"].tolist(), arrs["field"].tolist()):
+            for tid, f, p in zip(arrs["termid"].tolist(), arrs["field"].tolist(),
+                                 arrs["wordpos"].tolist()):
                 ix.postings.setdefault(tid, {}).setdefault(f, {})
                 ix.postings[tid][f][docid] = ix.postings[tid][f].get(docid, 0) + 1
+                ix.positions.setdefault(tid, {}).setdefault(f, {}).setdefault(
+                    docid, []).append(p)
                 docs_of_term.setdefault(tid, set()).add(docid)
         ix.n_docs = len(ix.docs)
         ix.df_any = {t: len(s) for t, s in docs_of_term.items()}
@@ -80,38 +90,80 @@ class OracleIndex:
             return out
         return set(by_field.get(field, {}).keys())
 
+    def _phrase_match(self, docid: int, phrase) -> bool:
+        """Positional adjacency: ∃p with member i at position p+i for all i
+        (cursor delta 1 = adjacent tokens separated by whitespace only)."""
+        pos_sets = []
+        for tid in phrase.termids:
+            ps = self.positions.get(tid, {}).get(phrase.field, {}).get(docid)
+            if not ps:
+                return False
+            pos_sets.append(set(ps))
+        first = pos_sets[0]
+        return any(all((p + i) in s for i, s in enumerate(pos_sets[1:], start=1))
+                   for p in first)
+
+    def _eval(self, expr, matched: set[int], phrase_ok: list[bool]) -> bool:
+        if isinstance(expr, Leaf):
+            v = phrase_ok[expr.spec] if expr.is_phrase else (expr.spec in matched)
+            return (not v) if expr.negated else v
+        if isinstance(expr, Node):
+            it = (self._eval(c, matched, phrase_ok) for c in expr.children)
+            return all(it) if expr.op == "and" else any(it)
+        return False
+
     def topk(self, query: str | QueryPlan, k: int = 10,
              cursor: tuple[float, int] | None = None) -> list[dict]:
         plan = parse_query(query) if isinstance(query, str) else query
 
-        required = plan.required
-        if not required:
+        if not plan.required or plan.expr is None:
             return []
-        # membership groups: OR-siblings (shared group) union before the
-        # conjunctive intersection (boolean truth-table analog, Q5)
-        groups: dict = {}
-        for t in required:
-            key = t.group if t.group is not None else ("u", t.termid, t.field)
-            groups.setdefault(key, []).append(t)
-        group_docs = []
-        for ts in groups.values():
-            docs: set[int] = set()
-            for t in ts:
-                docs |= self._matching_docs(t.termid, t.field)
-            group_docs.append(docs)
-        cands: set[int] | None = None
-        for docs in sorted(group_docs, key=len):
-            cands = docs if cands is None else (cands & docs)
-            if not cands:
-                return []
-        for t in plan.excluded:
-            cands -= self._matching_docs(t.termid, t.field)
+
+        # candidate universe: docs matching any spec referenced by the
+        # expression (the reachability the reference has — it only scores
+        # docids present in some termlist it read)
+        leaf_specs = set()
+
+        def walk(e):
+            if isinstance(e, Leaf):
+                if not e.is_phrase:
+                    leaf_specs.add(e.spec)
+            elif isinstance(e, Node):
+                for c in e.children:
+                    walk(c)
+
+        walk(plan.expr)
+        universe: set[int] = set()
+        for ix in leaf_specs:
+            t = plan.terms[ix]
+            universe |= self._matching_docs(t.termid, t.field)
+
+        # document filters (J6 whitelist analog) + gbdocid pin
+        if plan.docid_filter is not None:
+            universe &= {plan.docid_filter}
+        if plan.site_filters:
+            universe = {d for d in universe if self.docs[d].repo in plan.site_filters}
+        if plan.ext_filters:
+            universe = {
+                d for d in universe
+                if any(self.docs[d].path.endswith("." + e) for e in plan.ext_filters)
+            }
+
+        cands: list[int] = []
+        for d in universe:
+            matched = {
+                ix for ix in leaf_specs
+                if d in self._matching_docs(plan.terms[ix].termid, plan.terms[ix].field)
+            }
+            phrase_ok = [self._phrase_match(d, ph) for ph in plan.phrases]
+            if self._eval(plan.expr, matched, phrase_ok):
+                cands.append(d)
         if not cands:
             return []
 
         # canonical contribution order: (termid, field) ascending — the Spark
         # scorer sums in the same order for bit-identical floats
-        include = required + plan.optional
+        include = plan.required + plan.optional
         scored: list[tuple[float, int]] = []
         for d in cands:
             contribs: list[tuple[int, int, float]] = []

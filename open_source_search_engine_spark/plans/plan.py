@@ -1,18 +1,44 @@
 """Query string → logical plan (the Query::set analog).
 
-Implements the SURVEY.md §2.5 subset: bare terms (conjunctive — all required,
-mirroring the reference's docid-vote intersection,
-/root/reference/PosdbTable.cpp:4803-5097), ``-term`` exclusion
-(/root/reference/Query.h:195-199), ``"quoted phrases"`` via required bigram
-chains (/root/reference/Query.h:216-222), ``field:`` operators restricted to a
-hashGroup (/root/reference/Query.h:35-104 — here: title/inurl/lang), and the
-automatic bigram attach for adjacent query terms with weight 5.0
-(/root/reference/Query.cpp:2143-2146, default weight
-/root/reference/Parms.cpp:3902-3905).
+Implements the SURVEY.md §2.5 surface:
+
+- bare terms, implicit AND (the conjunctive docid-vote intersection,
+  /root/reference/PosdbTable.cpp:4803-5097);
+- full boolean expressions ``AND OR NOT ( )`` plus the ``|`` pipe and the
+  ``-term`` sign, compiled to a negation-normal-form tree over term specs —
+  the Expression tree of /root/reference/Query.h:148-158 /
+  /root/reference/Query.cpp, evaluated per docid like the truth-table walk
+  of /root/reference/PosdbTable.cpp:5099-5331;
+- ``"quoted phrases"`` — required unigrams + required bigram chain
+  (/root/reference/Query.h:216-222) **plus a positional-adjacency
+  constraint** verified from stored word positions at serving time
+  (/root/reference/PosdbTable.h:76: phrase membership enforced via
+  positions);
+- ``field:`` operators (/root/reference/Query.h:35-104): ``title:``
+  ``inurl:`` ``lang:`` restrict a term to a hashGroup; ``site:``/``repo:``
+  and ``ext:``/``filetype:`` are document filters (the J6 whitelist,
+  /root/reference/PosdbTable.cpp:4297-4372); ``gbdocid:`` pins one docid;
+- automatic bigram attach for adjacent bare terms at weight 5.0
+  (/root/reference/Query.cpp:2143-2146, /root/reference/Parms.cpp:3902-3905);
+- optional synonym expansion at weight 0.9 (/root/reference/Query.cpp:1008-1035,
+  /root/reference/Parms.cpp:3883-3893) from the committed dictionary in
+  ``functions.synonyms``;
+- modifyQuery heuristics (/root/reference/Query.cpp:2473+): a domain-like
+  query (``example.com``) additionally scores its tokens against the URL
+  field at 10× weight; an API-like word (``file.open()``, ``foo::bar()``)
+  splits into tokens that are ALL required — which falls out naturally from
+  multi-token words expanding to a conjunction of their tokens.
 
 The plan is plain data; the Spark engine compiles it to a DataFrame plan and
-the oracle interprets it with dict loops. Both share these termids/weights, so
-rank-identity is a property of the plan, not of either executor.
+the oracle interprets it with dict loops. Both share these termids/weights/
+expressions, so rank-identity is a property of the plan, not of either
+executor.
+
+Membership semantics: the boolean expression is evaluated over "spec
+matched" flags per document. A document can only be considered if it matches
+at least one term that appears in the expression (positively or under NOT) —
+the same reachability the reference has, since it can only score docids
+present in some termlist it read.
 """
 
 from __future__ import annotations
@@ -22,6 +48,7 @@ from dataclasses import dataclass, field as dc_field
 
 from .. import FIELD_BODY, FIELD_LANG, FIELD_TITLE, FIELD_URL
 from ..functions.hashing import TokenHasher
+from ..functions.synonyms import SYNONYM_WEIGHT, synonyms_for
 from ..functions.tokenizer import STOP_WORDS, code_tokens
 
 # Per-field score weights — the hashGroup weight analog
@@ -30,8 +57,15 @@ from ..functions.tokenizer import STOP_WORDS, code_tokens
 # weights; see operators/query_engine.py.
 FIELD_WEIGHTS = {FIELD_BODY: 1.0, FIELD_TITLE: 8.0, FIELD_URL: 1.0, FIELD_LANG: 0.0}
 BIGRAM_WEIGHT = 5.0
+DOMAIN_URL_WEIGHT = 10.0  # looksLikeADomain INURL boost, Query.cpp:2473+
 
+# term-restricting field operators → hashGroup
 _FIELD_OPS = {"title": FIELD_TITLE, "inurl": FIELD_URL, "lang": FIELD_LANG}
+# document-filtering field operators (J6 whitelist family)
+_SITE_OPS = {"site", "repo"}
+_EXT_OPS = {"ext", "filetype"}
+
+_TLDS = {"com", "org", "net", "io", "edu", "gov", "dev", "co"}
 
 _hasher = TokenHasher()
 
@@ -42,20 +76,46 @@ class TermSpec:
     token: str                 # surface form (debugging / snippets)
     field: int | None          # None = any field (weighted); else restricted
     weight: float              # multiplier on the BM25 contribution
-    required: bool             # conjunctive membership
-    excluded: bool = False     # -term (anti-join)
+    required: bool             # appears as a positive membership leaf
+    excluded: bool = False     # appears ONLY under NOT (scores zero)
     is_bigram: bool = False
-    # membership group for boolean OR (`a | b`): required specs sharing a
-    # group satisfy membership if ANY of them matches (the docid-vote truth
-    # table of /root/reference/PosdbTable.cpp:5099-5331 restricted to
-    # disjunctions of conjunctions); None = own group (plain AND)
-    group: int | None = None
+
+
+@dataclass(frozen=True)
+class Leaf:
+    """Membership leaf: ``spec`` indexes ``plan.terms`` (or ``plan.phrases``
+    when ``is_phrase``); ``negated`` means the NOT of the match flag."""
+
+    spec: int
+    negated: bool = False
+    is_phrase: bool = False
+
+
+@dataclass(frozen=True)
+class Node:
+    op: str                 # 'and' | 'or'
+    children: tuple         # of Leaf | Node
+
+
+@dataclass(frozen=True)
+class Phrase:
+    """Positional constraint: tokens must occur at strictly consecutive
+    positions (cursor delta 1) in the given field."""
+
+    termids: tuple          # member unigram termids, in phrase order
+    tokens: tuple           # surface forms
+    field: int = FIELD_BODY
 
 
 @dataclass
 class QueryPlan:
     raw: str
     terms: list[TermSpec] = dc_field(default_factory=list)
+    expr: Leaf | Node | None = None
+    phrases: list[Phrase] = dc_field(default_factory=list)
+    site_filters: list[str] = dc_field(default_factory=list)   # repo whitelist
+    ext_filters: list[str] = dc_field(default_factory=list)    # path suffixes
+    docid_filter: int | None = None                            # gbdocid:
 
     @property
     def required(self) -> list[TermSpec]:
@@ -69,94 +129,363 @@ class QueryPlan:
     def optional(self) -> list[TermSpec]:
         return [t for t in self.terms if not t.required and not t.excluded]
 
-
-_PHRASE_RE = re.compile(r'"([^"]*)"')
-
-
-def parse_query(q: str) -> QueryPlan:
-    plan = QueryPlan(raw=q)
-
-    def add_unigram(tok: str, field: int | None, required: bool, excluded: bool,
-                    weight: float = 1.0) -> None:
-        plan.terms.append(
-            TermSpec(int(_hasher.termids([tok])[0]), tok, field, weight, required, excluded)
+    def conjunctive_groups(self) -> list[list[int]] | None:
+        """If the expression is a flat conjunction of positive leaves /
+        OR-of-leaves groups (with optional top-level NOT leaves), return the
+        positive groups as lists of spec indices; else None. Phrase leaves
+        are ignored here (they are extra constraints, not term groups)."""
+        if self.expr is None:
+            return None
+        children = (
+            list(self.expr.children)
+            if isinstance(self.expr, Node) and self.expr.op == "and"
+            else [self.expr]
         )
+        groups: list[list[int]] = []
+        for c in children:
+            if isinstance(c, Leaf):
+                if c.is_phrase:
+                    continue
+                if not c.negated:
+                    groups.append([c.spec])
+            elif isinstance(c, Node) and c.op == "or":
+                g = []
+                for x in c.children:
+                    if not isinstance(x, Leaf) or x.negated or x.is_phrase:
+                        return None
+                    g.append(x.spec)
+                groups.append(g)
+            else:
+                return None
+        return groups
 
-    def add_bigram(t1: str, t2: str, required: bool, weight: float) -> None:
-        both_stop = t1 in STOP_WORDS and t2 in STOP_WORDS
-        tid = int(_hasher.bigram_ids([(t1, t2, both_stop)])[0])
-        plan.terms.append(
-            TermSpec(tid, f"{t1} {t2}", FIELD_BODY, weight, required, False, True)
-        )
 
-    # 1) quoted phrases → required unigrams + required bigram chain
-    rest = q
-    for m in _PHRASE_RE.finditer(q):
-        toks = code_tokens(m.group(1))
-        for t in toks:
-            add_unigram(t, None, required=True, excluded=False)
-        for a, b in zip(toks, toks[1:]):
-            add_bigram(a, b, required=True, weight=BIGRAM_WEIGHT)
-    rest = _PHRASE_RE.sub(" ", rest)
+# ---------------------------------------------------------------------------
+# lexer
+# ---------------------------------------------------------------------------
 
-    # 2) signed / fielded / bare words; `|` between words = boolean OR
-    #    (operands join one membership group, SURVEY.md §2.5 Q5)
-    bare_seq: list[str] = []  # adjacent bare terms, for the bigram attach
-    next_group = [1000]       # offset avoids colliding with phrase groups
-    last_group: list[int | None] = [None]
-    or_pending = False
-    for raw_word in rest.split():
-        if raw_word == "|":
-            or_pending = True
-            bare_seq.append("\x00")  # OR breaks bigram adjacency
-            continue
-        excluded = raw_word.startswith("-")
-        word = raw_word.lstrip("+-")
+_LEX_RE = re.compile(r'"[^"]*"|\(|\)|\||\S+')
+
+
+def _lex(q: str) -> list[str]:
+    out = []
+    for m in _LEX_RE.finditer(q):
+        tok = m.group(0)
+        # split word-adjacent parens: foo) / (foo
+        while tok.startswith("(") and len(tok) > 1:
+            out.append("(")
+            tok = tok[1:]
+        trail = 0
+        while tok.endswith(")") and len(tok) > 1 and not tok.startswith('"'):
+            trail += 1
+            tok = tok[:-1]
+        if tok:
+            out.append(tok)
+        out.extend(")" * trail)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parser (recursive descent):
+#   or    := and ("OR" and)*
+#   and   := tight+                       (implicit adjacency = AND)
+#   tight := unary ("|" unary)*           (the pipe is a term-level OR chain,
+#                                          binding tighter than adjacency —
+#                                          "a | b c" = (a|b) AND c, matching
+#                                          the reference's pipe semantics;
+#                                          the OR keyword is the boolean
+#                                          Expression operator and binds
+#                                          looser: "a OR b c" = a OR (b AND c))
+#   unary := "NOT" unary | atom
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Atom:
+    """Raw parse-tree leaf before spec expansion."""
+
+    kind: str               # 'word' | 'phrase'
+    value: str
+    field: int | None = None
+    negated: bool = False
+
+
+@dataclass
+class _Tree:
+    op: str
+    children: list
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self):
+        node = self.or_expr()
+        return node
+
+    def or_expr(self):
+        parts = [self.and_expr()]
+        while self.peek() == "OR":
+            self.next()
+            parts.append(self.and_expr())
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else _Tree("or", parts)
+
+    def and_expr(self):
+        parts = []
+        while True:
+            t = self.peek()
+            if t is None or t in ("OR", ")"):
+                break
+            u = self.tight()
+            if u is not None:
+                parts.append(u)
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else _Tree("and", parts)
+
+    def tight(self):
+        parts = [self.unary()]
+        while self.peek() == "|":
+            self.next()
+            if self.peek() is None or self.peek() in ("OR", ")"):
+                break
+            parts.append(self.unary())
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else _Tree("or", parts)
+
+    def unary(self):
+        t = self.peek()
+        if t == "NOT":
+            self.next()
+            u = self.unary()
+            return _Tree("not", [u]) if u is not None else None
+        return self.atom()
+
+    def atom(self):
+        t = self.next()
+        if t == "(":
+            node = self.or_expr()
+            if self.peek() == ")":
+                self.next()
+            return node
+        if t == ")":
+            return None
+        if t in ("AND",):  # stray AND keywords are connective no-ops
+            return None
+        negated = t.startswith("-") and len(t) > 1
+        word = t.lstrip("+-") if not t.startswith('"') else t
         if not word:
-            continue
+            return None
+        if word.startswith('"') and word.endswith('"'):
+            body = word[1:-1]
+            a = _Atom("phrase", body, None, negated)
+            return a
         field: int | None = None
         if ":" in word:
             op, _, val = word.partition(":")
-            if op in _FIELD_OPS:
-                field = _FIELD_OPS[op]
+            opl = op.lower()
+            if opl in _FIELD_OPS and val:
+                field = _FIELD_OPS[opl]
                 word = val
-        toks = code_tokens(word)
+            elif opl in _SITE_OPS and val:
+                return _Atom("site", val, None, negated)
+            elif opl in _EXT_OPS and val:
+                return _Atom("ext", val, None, negated)
+            elif opl == "gbdocid" and val:
+                return _Atom("docid", val, None, negated)
+        return _Atom("word", word, field, negated)
+
+
+# ---------------------------------------------------------------------------
+# plan construction
+# ---------------------------------------------------------------------------
+
+
+def _looks_like_domain(q: str) -> bool:
+    """looksLikeADomain (/root/reference/Query.cpp:2473+): single token of
+    dotted labels ending in a known TLD."""
+    w = q.strip().lower()
+    if not re.fullmatch(r"[a-z0-9-]+(\.[a-z0-9-]+)+", w):
+        return False
+    return w.rsplit(".", 1)[-1] in _TLDS
+
+
+class _PlanBuilder:
+    def __init__(self, plan: QueryPlan, expand_synonyms: bool):
+        self.plan = plan
+        self.expand_synonyms = expand_synonyms
+        self._spec_ix: dict[tuple, int] = {}
+
+    def spec(self, termid: int, token: str, field: int | None, weight: float,
+             required: bool, excluded: bool, is_bigram: bool = False) -> int:
+        key = (termid, field, weight, required, excluded, is_bigram)
+        ix = self._spec_ix.get(key)
+        if ix is None:
+            ix = len(self.plan.terms)
+            self.plan.terms.append(
+                TermSpec(termid, token, field, weight, required, excluded, is_bigram)
+            )
+            self._spec_ix[key] = ix
+        return ix
+
+    def attach_optional(self, token: str, field: int | None, weight: float,
+                        *, is_bigram: bool = False, pair=None) -> None:
+        if is_bigram:
+            tid = int(_hasher.bigram_ids([pair])[0])
+        else:
+            tid = int(_hasher.termids([token])[0])
+        self.spec(tid, token, field, weight, required=False, excluded=False,
+                  is_bigram=is_bigram)
+
+    def word_leaves(self, atom: _Atom, negated: bool):
+        """Expand a word atom → conjunction of its code tokens (a multi-token
+        word like ``foo.bar()`` requires ALL its tokens — the API-like rule
+        and plain AND semantics; negation De-Morgans to an OR of negated
+        leaves)."""
+        toks = code_tokens(atom.value)
         if not toks:
-            continue
-        if or_pending and last_group[0] is not None and not excluded:
-            grp = last_group[0]
-        else:
-            grp = next_group[0]
-            next_group[0] += 1
-        or_pending = False
+            return None
+        leaves = []
         for t in toks:
-            if excluded:
-                add_unigram(t, field, required=False, excluded=True)
+            tid = int(_hasher.termids([t])[0])
+            ix = self.spec(tid, t, atom.field, 1.0,
+                           required=not negated, excluded=negated)
+            leaves.append(Leaf(ix, negated=negated))
+            if not negated and self.expand_synonyms:
+                for s in synonyms_for(t):
+                    self.attach_optional(s, atom.field, SYNONYM_WEIGHT)
+        if len(leaves) == 1:
+            return leaves[0]
+        return Node("or" if negated else "and", tuple(leaves))
+
+    def phrase_leaves(self, atom: _Atom, negated: bool):
+        toks = code_tokens(atom.value)
+        if not toks:
+            return None
+        leaves = []
+        for t in toks:
+            tid = int(_hasher.termids([t])[0])
+            ix = self.spec(tid, t, None, 1.0,
+                           required=not negated, excluded=negated)
+            leaves.append(Leaf(ix, negated=negated))
+        for a, b in zip(toks, toks[1:]):
+            both_stop = a in STOP_WORDS and b in STOP_WORDS
+            tid = int(_hasher.bigram_ids([(a, b, both_stop)])[0])
+            ix = self.spec(tid, f"{a} {b}", FIELD_BODY, BIGRAM_WEIGHT,
+                           required=not negated, excluded=negated,
+                           is_bigram=True)
+            leaves.append(Leaf(ix, negated=negated))
+        if len(toks) >= 2:
+            pid = len(self.plan.phrases)
+            self.plan.phrases.append(Phrase(
+                tuple(int(_hasher.termids([t])[0]) for t in toks), tuple(toks)
+            ))
+            leaves.append(Leaf(pid, negated=negated, is_phrase=True))
+        if len(leaves) == 1:
+            return leaves[0]
+        return Node("or" if negated else "and", tuple(leaves))
+
+    def build(self, tree, negated: bool = False):
+        """Parse tree → NNF expression over specs, registering specs/filters
+        as a side effect."""
+        if tree is None:
+            return None
+        if isinstance(tree, _Atom):
+            neg = negated ^ tree.negated
+            if tree.kind == "word":
+                return self.word_leaves(tree, neg)
+            if tree.kind == "phrase":
+                return self.phrase_leaves(tree, neg)
+            if tree.kind == "site":
+                self.plan.site_filters.append(tree.value)
+                return None
+            if tree.kind == "ext":
+                self.plan.ext_filters.append(tree.value.lstrip("."))
+                return None
+            if tree.kind == "docid":
+                try:
+                    self.plan.docid_filter = int(tree.value)
+                except ValueError:
+                    pass
+                return None
+            return None
+        if tree.op == "not":
+            return self.build(tree.children[0], not negated)
+        op = tree.op if not negated else ("or" if tree.op == "and" else "and")
+        kids = tuple(
+            c for c in (self.build(ch, negated) for ch in tree.children)
+            if c is not None
+        )
+        if not kids:
+            return None
+        if len(kids) == 1:
+            return kids[0]
+        # flatten nested same-op nodes
+        flat = []
+        for k in kids:
+            if isinstance(k, Node) and k.op == op:
+                flat.extend(k.children)
             else:
-                plan.terms.append(TermSpec(
-                    int(_hasher.termids([t])[0]), t, field, 1.0,
-                    required=True, group=grp,
-                ))
-        if not excluded:
-            last_group[0] = grp
-        if not excluded and field is None:
-            bare_seq.extend(toks)
-        else:
-            bare_seq.append("\x00")  # break adjacency
+                flat.append(k)
+        return Node(op, tuple(flat))
 
-    # 3) bigram attach: adjacent bare query terms get an OPTIONAL boosted
-    #    bigram term (Query.cpp:2143-2146 analog)
-    for a, b in zip(bare_seq, bare_seq[1:]):
-        if a != "\x00" and b != "\x00":
-            add_bigram(a, b, required=False, weight=BIGRAM_WEIGHT)
 
-    # dedupe identical specs (repeated words)
-    seen: set[tuple] = set()
-    uniq: list[TermSpec] = []
-    for t in plan.terms:
-        k = (t.termid, t.field, t.required, t.excluded, t.group)
-        if k not in seen:
-            seen.add(k)
-            uniq.append(t)
-    plan.terms = uniq
+def parse_query(q: str, *, expand_synonyms: bool = False) -> QueryPlan:
+    plan = QueryPlan(raw=q)
+    b = _PlanBuilder(plan, expand_synonyms)
+
+    # modifyQuery heuristic: domain-like single-token query also scores
+    # its tokens against the URL field at 10x (Query.cpp:2473+ analog)
+    domain_boost = _looks_like_domain(q)
+
+    tree = _Parser(_lex(q)).parse()
+    plan.expr = b.build(tree)
+
+    if domain_boost:
+        for t in code_tokens(q):
+            b.attach_optional(t, FIELD_URL, DOMAIN_URL_WEIGHT)
+
+    # bigram attach: adjacent POSITIVE bare word atoms in one top-level AND
+    # chain get an OPTIONAL boosted bigram term (Query.cpp:2143-2146 analog).
+    # Adjacency breaks at any operator, paren, phrase, sign or field op —
+    # reconstructed from the raw lexeme stream.
+    bare_seq: list[str] = []
+    skip_next = False
+    for lx in _lex(q):
+        if lx == "NOT":
+            skip_next = True  # the negated word is not a scorable adjacency
+            bare_seq.append("\x00")
+            continue
+        if (lx in ("(", ")", "|", "OR", "AND") or lx.startswith(("-", '"'))
+                or (":" in lx)):
+            bare_seq.append("\x00")
+            skip_next = False
+            continue
+        if skip_next:
+            skip_next = False
+            bare_seq.append("\x00")
+            continue
+        toks = code_tokens(lx.lstrip("+"))
+        bare_seq.extend(toks if toks else ["\x00"])
+    for a, bb in zip(bare_seq, bare_seq[1:]):
+        if a != "\x00" and bb != "\x00":
+            both_stop = a in STOP_WORDS and bb in STOP_WORDS
+            b.attach_optional(f"{a} {bb}", FIELD_BODY, BIGRAM_WEIGHT,
+                              is_bigram=True, pair=(a, bb, both_stop))
+
     return plan

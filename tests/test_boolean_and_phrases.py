@@ -1,0 +1,174 @@
+"""Boolean expression trees (Q5), positional phrase verification (Q4),
+document filters (J6 analog: site:/ext:/gbdocid:), synonym auto-attach (Q7),
+and the multi-token-word AND regression — engine vs pure-Python oracle on a
+handcrafted corpus where the distinctions are observable."""
+
+import pytest
+
+# docs crafted so positional phrases, boolean nesting and filters all have
+# discriminating answers. doc0 has "alpha beta" and "beta gamma" on separate
+# lines (the bigram-chain false-positive case); doc1 has the contiguous
+# phrase; doc2 shares tokens across punctuation (cursor gap = 2, not 1).
+ROWS = [
+    {"repo": "r_a", "path": "src/one.py", "lang": "py",
+     "content": "alpha beta here\nother beta gamma there\nzeta quux"},
+    {"repo": "r_a", "path": "src/two.cpp", "lang": "cpp",
+     "content": "alpha beta gamma delta\nnothing else\nsort merge"},
+    {"repo": "r_b", "path": "src/three.py", "lang": "py",
+     "content": "alpha, beta, gamma\npunctuated tokens only\norder value"},
+    {"repo": "r_b", "path": "lib/four.txt", "lang": "py",
+     "content": "sort things fast\nalpha alone here\nmerge tools"},
+    {"repo": "r_c", "path": "lib/five.cpp", "lang": "cpp",
+     "content": "gamma delta epsilon\nfoo.bar call site\nsort order"},
+    {"repo": "r_c", "path": "lib/six.txt", "lang": "go",
+     "content": "foo only appears here without the other token\nbeta"},
+]
+
+
+@pytest.fixture(scope="module")
+def mini(spark, tmp_path_factory):
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+    from open_source_search_engine_spark.operators.index_build import build_index
+    from open_source_search_engine_spark.oracle import OracleIndex
+
+    rows = [dict(r, commit="0") for r in ROWS]
+    d = str(tmp_path_factory.mktemp("mini") / "idx")
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
+        CORPUS_SCHEMA_DDL,
+    )
+    build_index(spark, df, d, n_chunks=1)
+    return d, OracleIndex.build(rows)
+
+
+def _run(spark, idx, q, k=100):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    rows = topk(spark, idx, q, k).collect()
+    return [(r["docid"], r["score"], r["path"]) for r in rows]
+
+
+def _match(spark, mini, q, k=100):
+    idx, oracle = mini
+    eng = _run(spark, idx, q, k)
+    ora = [(r["docid"], r["score"], r["path"]) for r in oracle.topk(q, k)]
+    assert [e[0] for e in eng] == [o[0] for o in ora], f"docids for {q!r}"
+    for e, o in zip(eng, ora):
+        assert e[1] == pytest.approx(o[1], rel=1e-6)
+    return eng
+
+
+QUERIES = [
+    # boolean trees (nested, keywords, De Morgan through NOT)
+    "alpha AND (gamma OR quux)",
+    "(alpha OR sort) NOT beta",
+    "sort OR alpha gamma",          # OR binds looser than adjacency
+    "alpha | sort gamma",           # pipe binds tighter than adjacency
+    "NOT alpha sort",
+    "NOT (alpha OR beta) sort",
+    # positional phrases
+    '"alpha beta gamma"',
+    '"alpha beta"',
+    '"beta gamma"',
+    # filters
+    "repo:r_a alpha",
+    "site:r_b sort",
+    "ext:txt sort",
+    "ext:cpp ext:txt sort",
+    # multi-token word = conjunction of its tokens
+    "foo.bar",
+    # synonyms off (baseline)
+    "sort",
+]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_engine_matches_oracle(spark, mini, q):
+    _match(spark, mini, q)
+
+
+def test_phrase3_positional_not_bigram_chain(spark, mini):
+    """doc0 contains 'alpha beta' AND 'beta gamma' on different lines — the
+    old bigram-chain encoding wrongly matched it for the 3-word phrase; the
+    positional check must reject it and keep only doc1 (contiguous)."""
+    idx, _ = mini
+    paths = {p for _, _, p in _run(spark, idx, '"alpha beta gamma"')}
+    assert paths == {"src/two.cpp"}
+
+
+def test_phrase_requires_cursor_adjacency(spark, mini):
+    """doc2 has 'alpha, beta' — a punctuation run advances the cursor by 2,
+    so the quoted phrase (delta exactly 1) must not match, while the plain
+    AND query still does."""
+    idx, _ = mini
+    phrase_paths = {p for _, _, p in _run(spark, idx, '"alpha beta"')}
+    assert "src/three.py" not in phrase_paths
+    and_paths = {p for _, _, p in _run(spark, idx, "alpha beta")}
+    assert "src/three.py" in and_paths
+
+
+def test_multi_token_word_is_conjunctive(spark, mini):
+    """'foo.bar' must require BOTH tokens (the round-1 regression made it a
+    disjunction): doc5 contains only 'foo', doc4 contains 'foo.bar'."""
+    idx, _ = mini
+    paths = {p for _, _, p in _run(spark, idx, "foo.bar")}
+    assert paths == {"lib/five.cpp"}
+
+
+def test_boolean_or_widens_and_not_excludes(spark, mini):
+    idx, _ = mini
+    alpha = {d for d, _, _ in _run(spark, idx, "alpha")}
+    sort_ = {d for d, _, _ in _run(spark, idx, "sort")}
+    both = {d for d, _, _ in _run(spark, idx, "alpha OR sort")}
+    assert both == alpha | sort_
+    not_beta = {d for d, _, _ in _run(spark, idx, "(alpha OR sort) NOT beta")}
+    beta = {d for d, _, _ in _run(spark, idx, "beta")}
+    assert not_beta == both - beta
+
+
+def test_site_filter_restricts_repo(spark, mini):
+    idx, _ = mini
+    paths = {p for _, _, p in _run(spark, idx, "repo:r_a alpha")}
+    assert paths and all(p in ("src/one.py", "src/two.cpp") for p in paths)
+
+
+def test_gbdocid_pins_single_doc(spark, mini):
+    idx, oracle = mini
+    some = oracle.topk("alpha", 1)[0]["docid"]
+    rows = _run(spark, idx, f"gbdocid:{some} alpha")
+    assert [r[0] for r in rows] == [some]
+    # oracle agrees
+    ora = oracle.topk(f"gbdocid:{some} alpha", 10)
+    assert [r["docid"] for r in ora] == [some]
+
+
+def test_synonym_auto_attach(spark, mini):
+    """parse_query(expand_synonyms=True) attaches dictionary synonyms at 0.9;
+    docs matching 'sort' AND containing 'order' must outscore the plain run
+    exactly as the oracle computes."""
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    idx, oracle = mini
+    plan = parse_query("sort", expand_synonyms=True)
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    eng = [(r["docid"], r["score"]) for r in topk(spark, idx, plan, 100).collect()]
+    ora = [(r["docid"], r["score"]) for r in oracle.topk(plan, 100)]
+    assert [e[0] for e in eng] == [o[0] for o in ora]
+    for e, o in zip(eng, ora):
+        assert e[1] == pytest.approx(o[1], rel=1e-6)
+    # the synonym really contributed: some score differs from the plain query
+    plain = dict((r["docid"], r["score"]) for r in oracle.topk("sort", 100))
+    assert any(abs(plain[d] - s) > 1e-9 for d, s in ora if d in plain)
+
+
+def test_domain_like_query_boosts_url(spark, mini):
+    """modifyQuery heuristic: 'example.com' attaches URL-field specs at 10x —
+    plan-level check plus engine/oracle agreement on a corpus with no hits."""
+    from open_source_search_engine_spark.plans.plan import FIELD_WEIGHTS, parse_query
+    from open_source_search_engine_spark import FIELD_URL
+
+    plan = parse_query("example.com")
+    url_specs = [t for t in plan.terms if t.field == FIELD_URL and t.weight == 10.0]
+    assert {t.token for t in url_specs} == {"example", "com"}
+    assert FIELD_WEIGHTS[FIELD_URL] == 1.0
