@@ -293,7 +293,10 @@ def sum_count_slabs(slabs: DataFrame, *, partitions: int,
 
 
 def _merge_gen(block_docs: int, collapse_salt: bool,
-               drop_docids: np.ndarray | None = None):
+               drop_docids: np.ndarray | None = None,
+               sup_docids: np.ndarray | None = None,
+               sup_gens: np.ndarray | None = None,
+               max_run_blocks: int | None = None):
     """mapInPandas generator merging sorted partial blocks per group
     ((termid, field, salt), or (termid, field) with ``collapse_salt`` for
     compaction). Fully vectorized: concat-decode all blocks, one lexsort
@@ -302,7 +305,14 @@ def _merge_gen(block_docs: int, collapse_salt: bool,
 
     ``drop_docids`` (sorted) are annihilated during the merge — the
     negative-key deletion of /root/reference/Rdb.h:73-87 applied at
-    compaction time."""
+    compaction time. ``sup_docids``/``sup_gens`` (sorted by docid) implement
+    newest-generation-wins: postings of a superseded docid from any
+    generation other than its newest are annihilated (the fork's global
+    docid index consumed at /root/reference/PosdbTable.cpp:3653); requires a
+    ``gen_seq`` input column. With ``collapse_salt``, groups whose total
+    block count exceeds ``max_run_blocks`` KEEP their salted runs (the 90 MB
+    termlist-cap spirit of /root/reference/Msg2.cpp:23 — a hot term's
+    termlist is never forced through one in-memory flush)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -310,32 +320,51 @@ def _merge_gen(block_docs: int, collapse_salt: bool,
         def flush(pdf: pd.DataFrame) -> pd.DataFrame:
             t = pdf["termid"].values.astype(np.int64)
             f = pdf["field"].values.astype(np.int64)
-            s = (np.zeros(len(pdf), dtype=np.int64) if collapse_salt
-                 else pdf["salt"].values.astype(np.int64))
+            salt_in = pdf["salt"].values.astype(np.int64)
+            if not collapse_salt:
+                s = salt_in
+            elif max_run_blocks is None:
+                s = np.zeros(len(pdf), dtype=np.int64)
+            else:
+                # per-(termid, field) block counts; over-cap groups keep salt
+                tf_change = np.empty(len(t), dtype=bool)
+                tf_change[0] = True
+                tf_change[1:] = (t[1:] != t[:-1]) | (f[1:] != f[:-1])
+                run_start = np.nonzero(tf_change)[0]
+                run_len = np.diff(np.append(run_start, len(t)))
+                over = run_len > max_run_blocks
+                s = np.where(np.repeat(over, run_len), salt_in, 0)
             ndocs = pdf["n_docs"].values.astype(np.int64)
             nposts = pdf["n_postings"].values.astype(np.int64)
             bufs = [bytes(b) for b in pdf["postings"].values]
             docids, tfs, dls, positions = decode_blocks_concat(bufs, ndocs, nposts)
-            # per-doc group ids from block-row group boundaries
-            grp_change = np.empty(len(t), dtype=bool)
-            grp_change[0] = True
-            grp_change[1:] = (t[1:] != t[:-1]) | (f[1:] != f[:-1]) | (s[1:] != s[:-1])
-            gid_rows = np.cumsum(grp_change) - 1
+            # per-doc group ids from block-row group boundaries; rows with the
+            # same (t, f, s) may be non-adjacent after salt reassignment, so
+            # use a dense order-preserving id
+            key = (t * 16 + f) * 64 + s
+            _, gid_rows = np.unique(key, return_inverse=True)
             gid_doc = np.repeat(gid_rows, ndocs)
             tdoc = np.repeat(t, ndocs)
             fdoc = np.repeat(f, ndocs)
             sdoc = np.repeat(s, ndocs)
+            keep = np.ones(len(docids), dtype=bool)
             if drop_docids is not None and len(docids):
-                keep = ~np.isin(docids, drop_docids)
-                if not keep.all():
-                    positions = positions[np.repeat(keep, tfs)]
-                    docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
-                    gid_doc, tdoc, fdoc, sdoc = (
-                        gid_doc[keep], tdoc[keep], fdoc[keep], sdoc[keep]
-                    )
-                    if not len(docids):
-                        return _runs_frame(encode_runs(
-                            docids, fdoc, sdoc, docids, positions, dls, block_docs))
+                keep &= ~np.isin(docids, drop_docids)
+            if sup_docids is not None and len(docids):
+                gdoc = np.repeat(pdf["gen_seq"].values.astype(np.int64), ndocs)
+                ix = np.searchsorted(sup_docids, docids)
+                ix_c = np.minimum(ix, len(sup_docids) - 1)
+                is_sup = sup_docids[ix_c] == docids
+                keep &= ~(is_sup & (gdoc != sup_gens[ix_c]))
+            if not keep.all():
+                positions = positions[np.repeat(keep, tfs)]
+                docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
+                gid_doc, tdoc, fdoc, sdoc = (
+                    gid_doc[keep], tdoc[keep], fdoc[keep], sdoc[keep]
+                )
+                if not len(docids):
+                    return _runs_frame(encode_runs(
+                        docids, fdoc, sdoc, docids, positions, dls, block_docs))
             d2, t2, dl2, p2, order = merge_sorted_runs(gid_doc, docids, tfs, dls, positions)
             tkey = tdoc[order]
             fkey = fdoc[order]
@@ -489,6 +518,69 @@ def load_manifest(spark: SparkSession, index_dir: str) -> DataFrame | None:
     return catalog.read_table(spark, index_dir, "manifest")
 
 
+# --------------------------------------------------------------------------
+# newest-generation-wins (M7): the global docid index analog
+# --------------------------------------------------------------------------
+# The fork maintains a global docid -> newest-file index so only a document's
+# newest version ever scores (/root/reference/RdbIndex.cpp, consumed at
+# /root/reference/PosdbTable.cpp:3653 via DocumentIndexChecker). Here the
+# analog is a small `superseded` side table (docid, gen_seq of the NEWEST
+# generation) maintained at ingest time: the query path and compaction keep
+# only postings whose generation matches, so re-ingesting a changed document
+# without an explicit delete serves exactly the latest version.
+
+STREAM_GEN_SEQ_BASE = 1_000_000  # streamed generations sort after batch chunks
+
+
+def gen_seq_of(gen: str) -> int:
+    """Generation directory label -> monotone sequence number."""
+    return STREAM_GEN_SEQ_BASE + int(gen[1:]) if gen.startswith("s") else int(gen)
+
+
+def load_superseded(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    if not catalog.table_exists(index_dir, "superseded"):
+        return None
+    t = (
+        catalog.read_table(spark, index_dir, "superseded")
+        .groupBy("docid").agg(F.max("gen_seq").alias("gen_seq"))
+    )
+    return t
+
+
+def register_generation(spark: SparkSession, index_dir: str,
+                        new_docids: DataFrame, gen_seq: int) -> None:
+    """Post-append bookkeeping for one new generation:
+
+    1. docids that already existed in docmap get a `superseded` row pointing
+       at this (newest) generation — consulted by the query path and
+       annihilated physically at the next compaction;
+    2. re-added docids are removed from the tombstone table, so
+       delete -> reindex works without an intervening compaction (a pending
+       tombstone would otherwise both hide the re-added doc and annihilate
+       its NEW postings at the next merge)."""
+    new_docids = new_docids.select("docid").distinct()
+    if catalog.table_exists(index_dir, "docmap"):
+        old = (
+            spark.read.parquet(catalog.table_path(index_dir, "docmap"))
+            .filter(F.col("gen_seq") < gen_seq)
+            .select("docid")
+        )
+        re_added = new_docids.join(old, "docid", "leftsemi")
+        re_added.select(
+            "docid", F.lit(int(gen_seq)).alias("gen_seq")
+        ).write.mode("append").parquet(catalog.table_path(index_dir, "superseded"))
+    if catalog.table_exists(index_dir, "tombstones"):
+        tomb_path = catalog.table_path(index_dir, "tombstones")
+        remaining = (
+            spark.read.parquet(tomb_path).select("docid").distinct()
+            .join(new_docids, "docid", "left_anti")
+        ).collect()
+        spark.createDataFrame(
+            [(int(r["docid"]),) for r in remaining] or [], "docid long"
+        ).write.mode("overwrite").parquet(tomb_path)
+        spark.catalog.refreshByPath(tomb_path)
+
+
 def _done_chunks(spark: SparkSession, index_dir: str) -> set[int]:
     m = load_manifest(spark, index_dir)
     if m is None:
@@ -553,8 +645,12 @@ def build_index(
         from pyspark.sql import Observation
 
         obs_docs = Observation()
+        register_generation(
+            spark, index_dir, part.select("docid"), gen_seq_of(str(chunk))
+        )
         catalog.write_table(
             part.select("docid", "repo", "path", "lang", "content_sha256")
+            .withColumn("gen_seq", F.lit(gen_seq_of(str(chunk))))
             .observe(obs_docs, F.count(F.lit(1)).alias("n")),
             index_dir, f"docmap/gen={chunk}",
         )
@@ -657,7 +753,11 @@ def finalize_stats(spark: SparkSession, index_dir: str) -> None:
 
     field_stats = spark.read.parquet(catalog.table_path(index_dir, "field_stats"))
     docmap = spark.read.parquet(catalog.table_path(index_dir, "docmap"))
-    n_docs = docmap.count()
+    # distinct: a reindexed doc has one docmap row per generation until the
+    # next compaction rewrites docmap (df/avgdl partials stay additive-stale
+    # until rebuild_stats — the same staleness the reference accepts with its
+    # RdbMap df estimates, /root/reference/Posdb.cpp:257-302)
+    n_docs = docmap.select("docid").distinct().count()
     sums = {
         r["field"]: int(r["s"])
         for r in field_stats.groupBy("field").agg(F.sum("sum_dl").alias("s")).collect()
@@ -720,7 +820,9 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
     deletion applied at compaction, /root/reference/Rdb.h:73-87) and the
     tombstone table is cleared once the compacted segments are written. The
     delete set is broadcast to the merge tasks as a sorted array; at very
-    large delete cardinalities switch to a full rebuild instead.
+    large delete cardinalities switch to a full rebuild instead. Superseded
+    generations of re-ingested docids (the `superseded` side table, M7) are
+    annihilated the same way, and docmap is rewritten newest-row-only.
 
     Input = previous compaction (if any) ∪ all segment generations; consumed
     generation dirs are removed afterwards and the new compacted set is
@@ -734,17 +836,25 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
     seg_path = catalog.table_path(index_dir, "segments")
     sources = []
     consumed_gens: list[str] = []
+    cols = [x.name for x in SEGMENT_SCHEMA]
     if catalog.table_exists(index_dir, "segments"):
-        sources.append(spark.read.parquet(seg_path))
+        s = spark.read.parquet(seg_path)
+        gen_seq = F.when(
+            F.col("gen").cast("string").startswith("s"),
+            F.lit(STREAM_GEN_SEQ_BASE)
+            + F.substring(F.col("gen").cast("string"), 2, 12).cast("long"),
+        ).otherwise(F.col("gen").cast("string").cast("long"))
+        sources.append(s.select(*cols, gen_seq.alias("gen_seq")))
         consumed_gens = [
             os.path.join(seg_path, g) for g in os.listdir(seg_path)
             if g.startswith("gen=")
         ]
     had_compacted = catalog.table_exists(index_dir, "compacted")
     if had_compacted:
-        sources.append(spark.read.parquet(catalog.table_path(index_dir, "compacted")))
-    cols = [x.name for x in SEGMENT_SCHEMA]
-    sources = [s.select(*cols) for s in sources]  # drop gen/bucket partition cols
+        sources.append(
+            spark.read.parquet(catalog.table_path(index_dir, "compacted"))
+            .select(*cols, F.lit(-1).cast("long").alias("gen_seq"))
+        )
     seg = sources[0] if len(sources) == 1 else sources[0].unionByName(sources[1])
 
     tomb = load_tombstones(spark, index_dir)
@@ -755,6 +865,19 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
         if drop_list:
             drop = np.array(drop_list, dtype=np.int64)
             n_dropped = len(drop_list)
+
+    # newest-generation-wins annihilation set (small: only re-added docids).
+    # Postings in the previous compacted set carry gen_seq -1, so any
+    # superseded entry annihilates them too.
+    sup = load_superseded(spark, index_dir)
+    sup_docids = sup_gens = None
+    if sup is not None:
+        rows = sorted(
+            ((int(r["docid"]), int(r["gen_seq"])) for r in sup.collect())
+        )
+        if rows:
+            sup_docids = np.array([d for d, _ in rows], dtype=np.int64)
+            sup_gens = np.array([g for _, g in rows], dtype=np.int64)
 
     # fan-in stats collected NOW — the source files are removed below
     stats = (
@@ -775,11 +898,15 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
         seg.withColumn("bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
         .repartition(min(partitions, n_buckets), "bucket")
         .sortWithinPartitions("termid", "field", "salt", "min_docid")
-        .select("termid", "field", "salt", "n_docs", "n_postings", "postings")
+        .select("termid", "field", "salt", "n_docs", "n_postings", "postings",
+                "gen_seq")
     )
 
     compacted = part.mapInPandas(
-        _merge_gen(block_docs, collapse_salt=True, drop_docids=drop), SEGMENT_SCHEMA
+        _merge_gen(block_docs, collapse_salt=True, drop_docids=drop,
+                   sup_docids=sup_docids, sup_gens=sup_gens,
+                   max_run_blocks=max_run_blocks),
+        SEGMENT_SCHEMA,
     ).withColumn("bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
     # write-new → swap (the input may include the previous compacted/)
     catalog.write_table(compacted, index_dir, "compacted_new", partition_by=["bucket"])
@@ -792,11 +919,37 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
     # invalidate Spark's cached file listings for the rewritten paths
     spark.catalog.refreshByPath(seg_path)
     spark.catalog.refreshByPath(catalog.table_path(index_dir, "compacted"))
+
+    # docmap cleanup: newest row per docid, tombstoned docids dropped —
+    # matches what now physically remains in the compacted postings
+    dm_path = catalog.table_path(index_dir, "docmap")
+    if (sup_docids is not None or drop is not None) and os.path.isdir(dm_path):
+        dm = spark.read.parquet(dm_path)
+        if sup_docids is not None:
+            sup_small = sup.withColumnRenamed("gen_seq", "_newest")
+            dm = (
+                dm.join(F.broadcast(sup_small), "docid", "left")
+                .filter(F.col("_newest").isNull()
+                        | (F.col("gen_seq") == F.col("_newest")))
+                .drop("_newest")
+            )
+        if drop is not None and tomb is not None:
+            dm = dm.join(F.broadcast(tomb), "docid", "left_anti")
+        dm_cols = ["docid", "repo", "path", "lang", "content_sha256", "gen_seq"]
+        catalog.write_table(dm.select(*dm_cols), index_dir, "docmap_new/gen=0")
+        _shutil.rmtree(dm_path, ignore_errors=True)
+        os.rename(catalog.table_path(index_dir, "docmap_new"), dm_path)
+        spark.catalog.refreshByPath(dm_path)
+
     if drop is not None:
         # deletions are now physical — clear the tombstone table
         spark.createDataFrame([], "docid long").write.mode("overwrite").parquet(
             catalog.table_path(index_dir, "tombstones")
         )
+    if sup_docids is not None:
+        # supersession is now physical — clear the side table
+        spark.createDataFrame([], "docid long, gen_seq long").write.mode(
+            "overwrite").parquet(catalog.table_path(index_dir, "superseded"))
 
     return {
         "max_fanin": int(stats["max_fanin"]),
@@ -808,14 +961,85 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
 
 def serving_segments(spark: SparkSession, index_dir: str) -> DataFrame:
     """Serving view: the compacted set (if any) plus generations appended
-    since the last compaction — independent sorted runs either way."""
+    since the last compaction — independent sorted runs either way. Carries
+    ``gen_seq`` (compacted = -1) so the query path can apply
+    newest-generation-wins against the `superseded` side table."""
     cols = [x.name for x in SEGMENT_SCHEMA] + ["bucket"]
     parts = []
-    for name in ("compacted", "segments"):
-        if catalog.table_exists(index_dir, name):
-            parts.append(
-                spark.read.parquet(catalog.table_path(index_dir, name)).select(*cols)
-            )
+    if catalog.table_exists(index_dir, "compacted"):
+        parts.append(
+            spark.read.parquet(catalog.table_path(index_dir, "compacted"))
+            .select(*cols, F.lit(-1).cast("long").alias("gen_seq"))
+        )
+    if catalog.table_exists(index_dir, "segments"):
+        s = spark.read.parquet(catalog.table_path(index_dir, "segments"))
+        gen_seq = F.when(
+            F.col("gen").cast("string").startswith("s"),
+            F.lit(STREAM_GEN_SEQ_BASE)
+            + F.substring(F.col("gen").cast("string"), 2, 12).cast("long"),
+        ).otherwise(F.col("gen").cast("string").cast("long"))
+        parts.append(s.select(*cols, gen_seq.alias("gen_seq")))
     if not parts:
         raise FileNotFoundError(f"no segments under {index_dir}")
     return parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+
+
+def rebuild_stats(spark: SparkSession, index_dir: str, *,
+                  partitions: int | None = None) -> None:
+    """Recompute exact term_stats (df) and globals (n_docs, avgdl) from the
+    SERVING postings + docmap — used after reindex/delete + compaction to
+    restore exact BM25 statistics (the additive per-chunk partials assume
+    docid-disjoint chunks, which reindexing breaks). One full index scan,
+    decode per partition in numpy; run it with compaction (DailyMerge
+    cadence), not per query."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    seg = serving_segments(spark, index_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tids = pdf["termid"].values.astype(np.int64)
+            nd = pdf["n_docs"].values.astype(np.int64)
+            nposts = pdf["n_postings"].values.astype(np.int64)
+            bufs = [bytes(b) for b in pdf["postings"].values]
+            docids, tfs, dls, _ = decode_blocks_concat(bufs, nd, nposts)
+            yield pd.DataFrame({
+                "termid": np.repeat(tids, nd),
+                "field": np.repeat(pdf["field"].values.astype(np.int64), nd),
+                "docid": docids,
+                "dl": dls,
+            })
+
+    decoded = seg.mapInPandas(
+        gen, "termid long, field long, docid long, dl long"
+    )
+    term_stats = (
+        decoded.select("termid", "docid").distinct()
+        .groupBy("termid").agg(F.count("*").alias("df"))
+    )
+    catalog.write_table(term_stats, index_dir, "term_stats_new")
+    import shutil as _shutil
+
+    ts_path = catalog.table_path(index_dir, "term_stats")
+    _shutil.rmtree(ts_path, ignore_errors=True)
+    os.rename(catalog.table_path(index_dir, "term_stats_new"), ts_path)
+    spark.catalog.refreshByPath(ts_path)
+
+    docmap = spark.read.parquet(catalog.table_path(index_dir, "docmap"))
+    n_docs = docmap.select("docid").distinct().count()
+    # dl is inlined per (docid, field) in every block — distinct gives the
+    # exact per-field length sums without a doc-side pass
+    sums = {
+        int(r["field"]): int(r["s"])
+        for r in decoded.select("field", "docid", "dl").distinct()
+        .groupBy("field").agg(F.sum("dl").alias("s")).collect()
+    }
+
+    def avgdl(field: int) -> float:
+        return sums.get(field, 0) / max(n_docs, 1)
+
+    globals_df = spark.createDataFrame(
+        [(n_docs, avgdl(FIELD_BODY), avgdl(FIELD_TITLE), avgdl(FIELD_URL))],
+        "n_docs long, avgdl_body double, avgdl_title double, avgdl_url double",
+    )
+    catalog.write_table(globals_df, index_dir, "globals")

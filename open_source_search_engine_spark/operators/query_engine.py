@@ -50,6 +50,9 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("docid", T.LongType(), False),
         T.StructField("tf", T.LongType(), False),
         T.StructField("dl", T.LongType(), False),
+        # generation of the segment row (compacted = -1) for the
+        # newest-generation-wins filter (M7)
+        T.StructField("gen_seq", T.LongType(), False),
         # token positions for this (termid, field, doc) — emitted only for
         # termids that a quoted-phrase constraint needs (null otherwise), so
         # the common path pays nothing for positional data
@@ -147,9 +150,10 @@ def _decode_udf(include_tids: list[int], pos_tids: list[int] | None = None):
             docids, tfs, dls, positions = decode_blocks_concat(bufs, nd, nposts)
             t_doc = np.repeat(tids, nd)
             f_doc = np.repeat(fields, nd)
+            g_doc = np.repeat(pdf["gen_seq"].values.astype(np.int64), nd)
             out = pd.DataFrame(
                 {"termid": t_doc, "field": f_doc.astype(np.int32),
-                 "docid": docids, "tf": tfs, "dl": dls}
+                 "docid": docids, "tf": tfs, "dl": dls, "gen_seq": g_doc}
             )
             if pos_set:
                 need = np.isin(t_doc, np.fromiter(pos_set, dtype=np.int64))
@@ -281,11 +285,25 @@ def topk(
 
     # pending deletes (M10): tombstoned docs are filtered immediately; the
     # next compaction drops their postings physically
-    from .index_build import load_tombstones
+    from .index_build import load_superseded, load_tombstones
 
     tomb = load_tombstones(spark, h.index_dir)
     if tomb is not None:
         decoded = decoded.join(F.broadcast(tomb), "docid", "left_anti")
+
+    # newest-generation-wins (M7): a re-ingested docid serves ONLY its newest
+    # generation's postings — the fork's global docid index consulted at
+    # query time (/root/reference/PosdbTable.cpp:3653); `superseded` is small
+    # (re-added docids only) and broadcast
+    sup = load_superseded(spark, h.index_dir)
+    if sup is not None:
+        sup_b = F.broadcast(sup.withColumnRenamed("gen_seq", "_newest"))
+        decoded = (
+            decoded.join(sup_b, "docid", "left")
+            .filter(F.col("_newest").isNull()
+                    | (F.col("gen_seq") == F.col("_newest")))
+            .drop("_newest")
+        )
 
     spec_df = _spec_table(spark, plan, dfs, h.n_docs)
     # dl travels inside the posting blocks (varint.encode_block), so scoring
@@ -355,6 +373,16 @@ def topk(
     top = agg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
     docmap = spark.read.parquet(catalog.table_path(h.index_dir, "docmap"))
+    if sup is not None:
+        # one docmap row per docid: a reindexed doc keeps rows for every
+        # generation until compaction rewrites docmap — join the newest only
+        sup_b = F.broadcast(sup.withColumnRenamed("gen_seq", "_newest"))
+        docmap = (
+            docmap.join(sup_b, "docid", "left")
+            .filter(F.col("_newest").isNull()
+                    | (F.col("gen_seq") == F.col("_newest")))
+            .drop("_newest")
+        )
     out = (
         top.join(docmap, "docid", "inner")
         .select("docid", "score", "repo", "path", "content_sha256")

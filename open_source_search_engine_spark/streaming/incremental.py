@@ -93,8 +93,8 @@ def incremental_index_build(
     from ..functions.varint import unpack_counts
     from ..operators.index_build import (
         SLAB_BLOCKS, SLAB_FIELD_DL, SLAB_FIELD_DOCS, SLAB_TERM_DF,
-        finalize_stats, map_encode, merge_partial_segments, sum_count_slabs,
-        with_doc_identity,
+        finalize_stats, gen_seq_of, map_encode, merge_partial_segments,
+        register_generation, sum_count_slabs, with_doc_identity,
     )
     from ..sources import catalog
 
@@ -110,8 +110,12 @@ def incremental_index_build(
             part.unpersist()
             return
         t0 = time.time()
+        # newest-generation-wins bookkeeping (M7): re-added docids get a
+        # superseded row pointing here; pending tombstones on them clear
+        register_generation(spark, index_dir, part.select("docid"), gen_seq_of(gen))
         catalog.write_table(
-            part.select("docid", "repo", "path", "lang", "content_sha256"),
+            part.select("docid", "repo", "path", "lang", "content_sha256")
+            .withColumn("gen_seq", F.lit(int(gen_seq_of(gen)))),
             index_dir, f"docmap/gen={gen}",
         )
         mapped = map_encode(part, n_buckets=n_buckets).persist()

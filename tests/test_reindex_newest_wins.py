@@ -1,0 +1,159 @@
+"""Newest-generation-wins (M7): re-ingesting a changed document without an
+explicit delete must serve ONLY the latest version — the fork's global
+docid→newest-file index (/root/reference/RdbIndex.cpp, consumed at
+/root/reference/PosdbTable.cpp:3653) re-expressed as the `superseded` side
+table + compaction annihilation. Also the delete→reindex-before-compaction
+lifecycle (tombstones clear on re-add)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+N = 60
+MARKER_V2 = "qv2_reindex_marker"
+MARKER_V1 = "qv1_original_marker"
+
+
+def _mk_rows(n):
+    from open_source_search_engine_spark.corpus import make_corpus_rows
+
+    rows = make_corpus_rows(n)
+    # give doc 7 a v1-only marker so version visibility is observable
+    rows[7] = dict(rows[7], content=rows[7]["content"] + f"\n{MARKER_V1} = 1;")
+    return rows
+
+
+def _v2_rows(rows):
+    out = [dict(r) for r in rows]
+    out[7] = dict(
+        out[7],
+        content=out[7]["content"].replace(MARKER_V1, MARKER_V2),
+    )
+    return out
+
+
+def _df(spark, rows):
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+
+    return spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
+        CORPUS_SCHEMA_DDL,
+    )
+
+
+def _topk(spark, idx, q, k=1000):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    return topk(spark, idx, q, k).collect()
+
+
+@pytest.fixture(scope="module")
+def reindexed(spark, tmp_path_factory):
+    """Index built on v1, then doc 7 re-streamed with v2 content (no delete,
+    no compaction yet)."""
+    from open_source_search_engine_spark.operators.index_build import build_index
+    from open_source_search_engine_spark.streaming.incremental import (
+        incremental_index_build,
+    )
+
+    base = tmp_path_factory.mktemp("reidx")
+    idx = str(base / "idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    rows = _mk_rows(N)
+    build_index(spark, _df(spark, rows), idx, n_chunks=1)
+
+    v2 = _v2_rows(rows)
+    corpus_dir = str(base / "v2corpus")
+    _df(spark, [v2[7]]).repartition(1).write.parquet(corpus_dir)
+    incremental_index_build(spark, corpus_dir, idx)
+    return idx, rows, v2
+
+
+def test_pre_compaction_serves_only_newest(spark, reindexed):
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+    import hashlib
+
+    idx, rows, v2 = reindexed
+    docid = docid_for_url(v2[7]["repo"] + "/" + v2[7]["path"])
+    sha_v2 = hashlib.sha256(v2[7]["content"].encode()).hexdigest()
+
+    got = _topk(spark, idx, MARKER_V2)
+    assert [r["docid"] for r in got] == [docid]
+    assert got[0]["content_sha256"] == sha_v2
+    # the v1-only marker no longer matches anything
+    assert _topk(spark, idx, MARKER_V1) == []
+
+
+def test_pre_compaction_no_duplicate_rows_or_tf(spark, reindexed):
+    """The reindexed doc appears once (docmap deduped to newest) and its tf
+    is not double-counted: the candidate-set membership of a term present
+    once per version stays a single match."""
+    idx, rows, v2 = reindexed
+    res = _topk(spark, idx, "binary search")
+    ids = [r["docid"] for r in res]
+    assert len(ids) == len(set(ids)), "duplicate ranked rows for one docid"
+
+
+def test_post_compaction_matches_oracle_on_latest(spark, reindexed):
+    """compact + rebuild_stats → engine is exactly the oracle built on the
+    v2 corpus (df/avgdl/N all reflect latest content only)."""
+    from open_source_search_engine_spark.operators.index_build import (
+        compact_segments, rebuild_stats,
+    )
+    from open_source_search_engine_spark.oracle import OracleIndex
+
+    idx, rows, v2 = reindexed
+    compact_segments(spark, idx)
+    rebuild_stats(spark, idx)
+    oracle = OracleIndex.build(v2)
+
+    for q in [MARKER_V2, "binary search", "hash table", "if", '"binary search tree"']:
+        eng = [(r["docid"], r["score"], r["content_sha256"])
+               for r in _topk(spark, idx, q, 20)]
+        ora = [(r["docid"], r["score"], r["content_sha256"])
+               for r in oracle.topk(q, 20)]
+        assert [e[0] for e in eng] == [o[0] for o in ora], q
+        for e, o in zip(eng, ora):
+            assert e[1] == pytest.approx(o[1], rel=1e-6)
+            assert e[2] == o[2]
+    assert _topk(spark, idx, MARKER_V1) == []
+    # superseded side table cleared once annihilation is physical
+    sup = spark.read.parquet(f"{idx}/superseded")
+    assert sup.count() == 0
+    # docmap rewritten newest-row-only
+    dm = spark.read.parquet(f"{idx}/docmap")
+    assert dm.count() == dm.select("docid").distinct().count() == N
+
+
+def test_delete_then_reindex_before_compaction(spark, tmp_path):
+    """delete → re-add WITHOUT compacting: the pending tombstone must clear
+    on re-add (else it hides the new doc now and annihilates its postings at
+    the next merge)."""
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index, compact_segments, delete_docs,
+    )
+    from open_source_search_engine_spark.streaming.incremental import (
+        incremental_index_build,
+    )
+
+    idx = str(tmp_path / "idx")
+    rows = _mk_rows(N)
+    build_index(spark, _df(spark, rows), idx, n_chunks=1)
+    v2 = _v2_rows(rows)
+    docid = docid_for_url(v2[7]["repo"] + "/" + v2[7]["path"])
+
+    delete_docs(spark, idx, [docid])
+    assert _topk(spark, idx, MARKER_V1) == []
+
+    corpus_dir = str(tmp_path / "v2corpus")
+    _df(spark, [v2[7]]).repartition(1).write.parquet(corpus_dir)
+    incremental_index_build(spark, corpus_dir, idx)
+
+    # served again immediately (tombstone cleared on re-add), v2 content
+    assert [r["docid"] for r in _topk(spark, idx, MARKER_V2)] == [docid]
+    # and still present AFTER compaction (new generation not annihilated)
+    compact_segments(spark, idx)
+    assert [r["docid"] for r in _topk(spark, idx, MARKER_V2)] == [docid]
+    assert _topk(spark, idx, MARKER_V1) == []
