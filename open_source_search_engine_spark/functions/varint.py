@@ -125,8 +125,11 @@ def encode_runs(
     wordpos p); ``dl`` per posting (constant within a (doc, field)).
     Output: tuple of per-block arrays
       (termids, fields, salts, block_ids, min_docid, max_docid, n_docs,
-       n_postings, max_tf, buffers: list[bytes])
+       n_postings, max_tf, min_dl, buffers: list[bytes])
     with each buffer byte-identical to :func:`encode_block` of that block.
+    ``max_tf``/``min_dl`` are the block-max metadata for WAND pruning: the
+    tightest per-block BM25 upper bound is idf·tfnorm(max_tf, min_dl)
+    (tfnorm is monotone up in tf and down in dl).
 
     Why: a corpus partition holds hundreds of thousands of tiny termlist
     groups (every distinct bigram is one); per-group numpy calls cost more
@@ -134,7 +137,7 @@ def encode_runs(
     varint stream are all computed array-wide; the only per-block Python is
     slicing the finished byte stream."""
     n = len(d)
-    empty = (np.empty(0, dtype=np.int64),) * 9 + ([],)
+    empty = (np.empty(0, dtype=np.int64),) * 10 + ([],)
     if n == 0:
         return empty
     t = np.ascontiguousarray(t, dtype=np.int64)
@@ -213,11 +216,12 @@ def encode_runs(
     buffers = [raw[a:b] for a, b in zip(b0, b1)]
 
     max_tf = np.maximum.reduceat(tf, blk_start)
+    min_dl = np.minimum.reduceat(dldoc, blk_start)
     return (
         t[post_start], f[post_start], s[post_start],
         blk_in_grp[blk_start],
         docid[blk_start], docid[blk_end - 1],
-        blk_ndocs, blk_nposts, max_tf, buffers,
+        blk_ndocs, blk_nposts, max_tf, min_dl, buffers,
     )
 
 

@@ -80,6 +80,9 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("n_docs", T.IntegerType(), False),
         T.StructField("n_postings", T.LongType(), False),
         T.StructField("max_tf", T.IntegerType(), False),
+        # smallest doc length in the block: with max_tf this gives the block
+        # BM25 upper bound idf·tfnorm(max_tf, min_dl) for block-max WAND
+        T.StructField("min_dl", T.IntegerType(), False),
         T.StructField("postings", T.BinaryType(), False),
     ]
 )
@@ -214,7 +217,7 @@ def map_encode(
             run_len = np.diff(np.append(run_start, len(t)))
             salt_run = np.where(run_len > hot_threshold, task_id % n_salts, 0)
             s = np.repeat(salt_run, run_len).astype(np.int64)
-            tt, ff, ss, _bid, _mind, _maxd, ndocs, nposts, _mtf, bufs = encode_runs(
+            tt, ff, ss, _bid, _mind, _maxd, ndocs, nposts, _mtf, _mdl, bufs = encode_runs(
                 t, f, s, d, p, dl, block_docs
             )
             # slab per (bucket, salt); stable sort keeps termid ascending
@@ -487,7 +490,7 @@ def merge_partial_segments(mapped_slabs: DataFrame, *, partitions: int,
 
 def _runs_frame(res: tuple) -> pd.DataFrame:
     """encode_runs output tuple → a SEGMENT_SCHEMA pandas frame."""
-    tt, ff, ss, bid, mind, maxd, ndocs, nposts, mtf, bufs = res
+    tt, ff, ss, bid, mind, maxd, ndocs, nposts, mtf, mdl, bufs = res
     return pd.DataFrame(
         {
             "termid": tt,
@@ -499,6 +502,7 @@ def _runs_frame(res: tuple) -> pd.DataFrame:
             "n_docs": ndocs.astype(np.int32),
             "n_postings": nposts.astype(np.int64),
             "max_tf": mtf.astype(np.int32),
+            "min_dl": mdl.astype(np.int32),
             "postings": bufs,
         }
     )

@@ -251,9 +251,23 @@ def topk(
     cursor: tuple[float, int] | None = None,
     prune: bool = True,
     handle: IndexHandle | None = None,
+    wand_cells: int | None = None,
+    wand_counters: dict | None = None,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame
-    (rank, docid, score, repo, path, content_sha256)."""
+    (rank, docid, score, repo, path, content_sha256).
+
+    Two physical strategies behind one logical result:
+
+    - **block-max WAND** (``prune=True`` and the query is a flat boolean
+      conjunction of term groups, no phrase/cursor/filters, k bounded):
+      document-at-a-time scoring with a running top-k threshold per docid
+      cell — hot termlists are only decoded where a candidate's optimistic
+      bound can still beat the floor (operators/wand.py);
+    - **declarative aggregation** otherwise (and always for ``prune=False``):
+      decode → spec join → groupBy membership+score → TakeOrdered. The A/B
+      equality of the two is a standing test.
+    """
     plan = parse_query(query) if isinstance(query, str) else query
     if not plan.required or plan.expr is None:
         return spark.createDataFrame(
@@ -275,6 +289,18 @@ def topk(
         d = int(plan.docid_filter)
         seg = seg.filter((F.col("min_docid") <= d) & (F.col("max_docid") >= d))
 
+    from .index_build import load_superseded
+    from .wand import wand_eligible, wand_topk
+
+    if prune and wand_eligible(plan, k, cursor):
+        top = (
+            wand_topk(spark, seg, plan, dfs, h.n_docs, h.avgdl, h.index_dir,
+                      k, n_cells=wand_cells, decode_counters=wand_counters)
+            .orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        )
+        sup = load_superseded(spark, h.index_dir)
+        return _join_docmap(spark, h, top, sup)
+
     if prune and len(plan.required) > 1:
         seg = _block_range_prune(spark, seg, plan, dfs)
 
@@ -285,7 +311,7 @@ def topk(
 
     # pending deletes (M10): tombstoned docs are filtered immediately; the
     # next compaction drops their postings physically
-    from .index_build import load_superseded, load_tombstones
+    from .index_build import load_tombstones
 
     tomb = load_tombstones(spark, h.index_dir)
     if tomb is not None:
@@ -371,7 +397,13 @@ def topk(
         )
 
     top = agg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    return _join_docmap(spark, h, top, sup)
 
+
+def _join_docmap(spark: SparkSession, h: IndexHandle, top: DataFrame,
+                 sup: DataFrame | None) -> DataFrame:
+    """(docid, score) top rows → final result via the doc-store lookup
+    (Msg20 title-rec analog)."""
     docmap = spark.read.parquet(catalog.table_path(h.index_dir, "docmap"))
     if sup is not None:
         # one docmap row per docid: a reindexed doc keeps rows for every

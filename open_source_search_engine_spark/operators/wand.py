@@ -1,0 +1,457 @@
+"""Block-max WAND top-k scoring (the real threshold-adaptive pruning path).
+
+The reference's query core processes docids document-at-a-time per shard,
+keeps a bounded TopTree, and once it is full uses the lowest score as a
+pruning threshold against per-termlist max-possible-score bounds
+(/root/reference/PosdbTable.cpp:4102-4261 ``getMaxPossibleScore``,
+threshold feedback ``PosdbTable.cpp:4043-4048,3726-3781``,
+/root/reference/TopTree.cpp:184-420). Catalyst cannot express a runtime
+top-k threshold (SURVEY.md §7.5), so this module re-creates the shape
+Spark-natively:
+
+1. the query's posting blocks (already bucket/termid-pruned) are assigned to
+   ``n_cells`` docid-range cells and shuffled so each cell holds EVERY query
+   term's blocks for its docid range — the Msg39 shard analog; the shuffle
+   volume is the query's compressed termlists, not the corpus;
+2. each cell runs a document-at-a-time scorer (this file): the rarest
+   required group is decoded as the pivot, cheap lists are decoded fully,
+   HOT lists stay compressed and are resolved lazily per candidate via the
+   per-block upper bound ``Σwid · tfnorm(max_tf, min_dl)``; candidates are
+   processed in descending optimistic-bound order with a running top-k heap,
+   so once the heap is full and the next bound is below the floor the cell
+   STOPS — hot-term blocks past that point are never decoded;
+3. per-cell top-k rows merge with a global ``orderBy(score, docid).limit(k)``
+   (the Msg3a shard merge, /root/reference/Msg3a.cpp:661-949).
+
+Losslessness: a cell owns the docids in its range, every block containing
+one of its docids overlaps the cell, bounds are true upper bounds (tfnorm
+monotone ↑tf, ↓dl), and the stop rule only skips candidates whose bound is
+strictly below the k-th best exact score in the cell — so per-cell top-k is
+exact and the global merge is exact. The A/B gate (``prune`` on/off) asserts
+bit-equality against the declarative aggregation path.
+
+Scores are bit-identical to the declarative path: per-(termid, field, spec)
+contributions are sorted by (termid, field, contrib) and summed left-to-right
+in float64 — the same canonical order as the Catalyst ``array_sort`` fold and
+the oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import DOCID_MASK, FIELD_BODY, FIELD_LANG, FIELD_TITLE, FIELD_URL
+from ..functions.bm25 import bm25_idf, bm25_tfnorm
+from ..plans.plan import FIELD_WEIGHTS, QueryPlan
+from ..sources import catalog
+
+WAND_MAX_K = 1000        # beyond this, full enumeration is the better plan
+DEFER_MIN_DOCS = 256     # lists smaller than this are decoded outright
+
+
+def _side_table_arrays(index_dir: str, name: str, cols: list[str]):
+    """Driver-side read of a small side table (tombstones / superseded) via
+    pyarrow — no Spark job. Returns None when absent or empty."""
+    import pyarrow.parquet as pq
+
+    path = catalog.table_path(index_dir, name)
+    if not os.path.isdir(path):
+        return None
+    arrs = {c: [] for c in cols}
+    for f in sorted(os.listdir(path)):
+        if f.startswith((".", "_")) or not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(path, f), columns=cols)
+        for c in cols:
+            arrs[c].append(t.column(c).to_numpy(zero_copy_only=False))
+    if not arrs[cols[0]]:
+        return None
+    out = [np.concatenate(arrs[c]).astype(np.int64) for c in cols]
+    if len(out[0]) == 0:
+        return None
+    return out
+
+
+def load_delete_state(index_dir: str):
+    """(tombstoned docids sorted, superseded docids sorted, newest gen per
+    superseded docid) — each None when empty."""
+    tomb = _side_table_arrays(index_dir, "tombstones", ["docid"])
+    sup = _side_table_arrays(index_dir, "superseded", ["docid", "gen_seq"])
+    tomb_d = np.unique(tomb[0]) if tomb is not None else None
+    sup_d = sup_g = None
+    if sup is not None:
+        order = np.argsort(sup[0], kind="stable")
+        d, g = sup[0][order], sup[1][order]
+        # newest gen per docid (duplicates possible after repeated re-adds)
+        starts = np.nonzero(np.append(True, d[1:] != d[:-1]))[0]
+        sup_d = d[starts]
+        sup_g = np.maximum.reduceat(g, starts)
+    return tomb_d, sup_d, sup_g
+
+
+def wand_eligible(plan: QueryPlan, k: int, cursor) -> bool:
+    return (
+        cursor is None
+        and k <= WAND_MAX_K
+        and not plan.phrases
+        and not plan.site_filters
+        and not plan.ext_filters
+        and plan.docid_filter is None
+        and plan.conjunctive_groups() is not None
+    )
+
+
+def _build_query_meta(plan: QueryPlan, dfs: dict[int, int], n_docs: int,
+                      avgdl: dict) -> dict:
+    """Driver-side plan compilation shared with the cell scorer:
+
+    - ``lists``: (termid, field) → list of wid weights (one per spec touching
+      that concrete list; wid = weight · field_weight · idf, EXACTLY the
+      spec-table floats of the declarative path);
+    - ``groups``: required membership groups as lists of (termid, field)
+      keys (group matched when any member list contains the doc);
+    - ``excluded``: excluded specs' (termid, field) keys.
+    """
+    all_fields = [FIELD_BODY, FIELD_TITLE, FIELD_LANG, FIELD_URL]
+    lists: dict = {}
+    spec_lists: list[list] = []
+    for t in plan.terms:
+        idf = float(bm25_idf(dfs.get(t.termid, 0), n_docs))
+        fields = [t.field] if t.field is not None else all_fields
+        keys = []
+        for f in fields:
+            w = (0.0 if t.excluded else t.weight) * FIELD_WEIGHTS.get(f, 0.0)
+            key = (int(t.termid), int(f))
+            lists.setdefault(key, []).append(float(w * idf))
+            keys.append(key)
+        spec_lists.append(keys)
+    groups = [
+        [k for ix in g for k in spec_lists[ix]]
+        for g in plan.conjunctive_groups()
+    ]
+    excluded = [k for ix, t in enumerate(plan.terms) if t.excluded
+                for k in spec_lists[ix]]
+    return {
+        "lists": lists,
+        "groups": [list(dict.fromkeys(g)) for g in groups],
+        "excluded": list(dict.fromkeys(excluded)),
+        "avgdl": {int(f): max(float(avgdl.get(f, 1.0)), 1e-9)
+                  for f in all_fields},
+    }
+
+
+class _Run:
+    """One sorted block run of a (termid, field) list inside a cell."""
+
+    __slots__ = ("mind", "maxd", "max_tf", "min_dl", "bufs", "nd", "npst",
+                 "gen_seq", "decoded")
+
+    def __init__(self, pdf: pd.DataFrame):
+        order = np.argsort(pdf["min_docid"].values, kind="stable")
+        self.mind = pdf["min_docid"].values[order]
+        self.maxd = pdf["max_docid"].values[order]
+        self.max_tf = pdf["max_tf"].values[order].astype(np.int64)
+        self.min_dl = pdf["min_dl"].values[order].astype(np.int64)
+        self.nd = pdf["n_docs"].values[order].astype(np.int64)
+        self.npst = pdf["n_postings"].values[order].astype(np.int64)
+        bufs = pdf["postings"].values
+        self.bufs = [bufs[i] for i in order]
+        self.gen_seq = int(pdf["gen_seq"].values[0])
+        self.decoded: dict = {}
+
+    def covering(self, docids: np.ndarray):
+        """Index of the block possibly containing each docid (-1 = none)."""
+        ix = np.searchsorted(self.mind, docids, side="right") - 1
+        ok = (ix >= 0) & (docids <= self.maxd[np.maximum(ix, 0)])
+        return np.where(ok, ix, -1)
+
+    def decode_block(self, bi: int, filt, on_miss=None):
+        got = self.decoded.get(bi)
+        if got is None:
+            from ..functions.varint import decode_block as _dec
+
+            d, tf, dl, _ = _dec(bytes(self.bufs[bi]))
+            d, tf, dl = filt(d, tf, dl, self.gen_seq)
+            got = (d, tf, dl)
+            self.decoded[bi] = got
+            if on_miss is not None:
+                on_miss()
+        return got
+
+
+def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
+    """mapInPandas factory: block rows (with a `cell` column) → per-cell
+    top-k (docid, score) rows."""
+    lists_meta = meta["lists"]
+    groups = meta["groups"]
+    excluded_keys = set(map(tuple, meta["excluded"]))
+    avgdl = meta["avgdl"]
+    tomb = meta.get("tomb")
+    sup_d = meta.get("sup_d")
+    sup_g = meta.get("sup_g")
+    cell_w = (DOCID_MASK + n_cells) // n_cells
+
+    def filt(d, tf, dl, gen_seq):
+        """Apply tombstone + newest-generation filters to one decoded run."""
+        keep = np.ones(len(d), dtype=bool)
+        if tomb is not None and len(d):
+            keep &= ~np.isin(d, tomb)
+        if sup_d is not None and len(d):
+            ix = np.searchsorted(sup_d, d)
+            ixc = np.minimum(ix, len(sup_d) - 1)
+            is_sup = sup_d[ixc] == d
+            keep &= ~(is_sup & (sup_g[ixc] != gen_seq))
+        return (d[keep], tf[keep], dl[keep]) if not keep.all() else (d, tf, dl)
+
+    def tfnorm(tf, dl, field):
+        return bm25_tfnorm(tf, dl, avgdl[field])
+
+    def count_decoded(termid: int, n: int = 1):
+        if counters is not None and termid in counters:
+            counters[termid].add(n)
+
+    def run_cell(pdf: pd.DataFrame, lo: int, hi: int) -> list[tuple]:
+        # organize rows: (termid, field) -> [_Run per (salt, gen_seq)]
+        lists: dict = {}
+        key_cols = ["termid", "field", "salt", "gen_seq"]
+        for (t, f, _s, _g), sub in pdf.groupby(key_cols, sort=False):
+            lists.setdefault((int(t), int(f)), []).append(_Run(sub))
+
+        def list_ndocs(key) -> int:
+            return sum(int(r.nd.sum()) for r in lists.get(key, []))
+
+        def decode_list(key):
+            """Fully decode a list within the cell → (docids, tfs, dls)
+            sorted by docid."""
+            runs = lists.get(key, [])
+            parts = []
+            for r in runs:
+                for bi in range(len(r.bufs)):
+                    if r.maxd[bi] < lo or r.mind[bi] >= hi:
+                        continue
+                    parts.append(r.decode_block(
+                        bi, filt, on_miss=lambda t=key[0]: count_decoded(t)))
+            if not parts:
+                z = np.empty(0, dtype=np.int64)
+                return z, z, z
+            d = np.concatenate([p[0] for p in parts])
+            tf = np.concatenate([p[1] for p in parts])
+            dl = np.concatenate([p[2] for p in parts])
+            m = (d >= lo) & (d < hi)
+            d, tf, dl = d[m], tf[m], dl[m]
+            o = np.argsort(d, kind="stable")
+            return d[o], tf[o], dl[o]
+
+        # pivot = required group with the fewest in-cell docs
+        gsizes = [sum(list_ndocs(tuple(key)) for key in g) for g in groups]
+        pivot_i = int(np.argmin(gsizes))
+        if gsizes[pivot_i] == 0:
+            return []
+
+        # classify non-pivot lists: decoded now vs deferred (hot)
+        pivot_keys = {tuple(key) for key in groups[pivot_i]}
+        decoded: dict = {}
+        deferred: list = []
+        for key in lists:
+            if key not in lists_meta and key not in excluded_keys:
+                continue
+            if key in pivot_keys or list_ndocs(key) <= max(
+                DEFER_MIN_DOCS, 2 * gsizes[pivot_i]
+            ):
+                decoded[key] = decode_list(key)
+            else:
+                deferred.append(key)
+        deferred_set = set(deferred)
+
+        # candidate docids = union of pivot member lists
+        cand_parts = [decoded[key][0] for key in pivot_keys if key in decoded]
+        if not cand_parts:
+            return []
+        cand = np.unique(np.concatenate(cand_parts))
+        if len(cand) == 0:
+            return []
+        nc = len(cand)
+
+        # exact contributions + presence for every decoded list (vectorized)
+        exact_contrib = np.zeros(nc, dtype=np.float64)
+        present: dict = {}
+        per_list_tfn: dict = {}
+        for key, (d, tf, dl) in decoded.items():
+            ix = np.searchsorted(d, cand)
+            ixc = np.minimum(ix, max(len(d) - 1, 0))
+            hit = (len(d) > 0) & (d[ixc] == cand) if len(d) else np.zeros(nc, bool)
+            present[key] = hit
+            if key in lists_meta and hit.any():
+                tfn = np.zeros(nc, dtype=np.float64)
+                tfn[hit] = tfnorm(tf[ixc[hit]], dl[ixc[hit]], key[1])
+                per_list_tfn[key] = tfn
+                wsum = sum(lists_meta[key])
+                if wsum:
+                    exact_contrib += wsum * tfn
+
+        # optimistic bound from deferred lists' covering-block UBs
+        bound = exact_contrib.copy()
+        covers: dict = {}
+        for key in deferred:
+            ub = np.zeros(nc, dtype=np.float64)
+            cov_any = np.zeros(nc, dtype=bool)
+            cov_ix = []
+            for r in lists.get(key, []):
+                ci = r.covering(cand)
+                has = ci >= 0
+                cov_any |= has
+                if key in lists_meta and has.any():
+                    wsum = sum(lists_meta[key])
+                    if wsum:
+                        b = wsum * tfnorm(r.max_tf[ci[has]], r.min_dl[ci[has]], key[1])
+                        ub[has] = np.maximum(ub[has], b)
+                cov_ix.append(ci)
+            covers[key] = (cov_any, cov_ix)
+            bound += ub
+
+        # membership: every required group must be coverable
+        keep = np.ones(nc, dtype=bool)
+        for g in groups:
+            gkeys = [tuple(x) for x in g]
+            m = np.zeros(nc, dtype=bool)
+            for key in gkeys:
+                if key in present:
+                    m |= present[key]
+                elif key in covers:
+                    m |= covers[key][0]
+            keep &= m
+        # decoded exclusions drop immediately
+        for key in excluded_keys:
+            if key in present:
+                keep &= ~present[key]
+        cand_ix = np.nonzero(keep)[0]
+        if len(cand_ix) == 0:
+            return []
+
+        order = cand_ix[np.argsort(-bound[cand_ix], kind="stable")]
+        heap: list = []  # (score, -docid)
+
+        wid_items = sorted(lists_meta.items())  # canonical (termid, field)
+        runs_of = lists
+        for i in order:
+            if len(heap) == k and bound[i] < heap[0][0]:
+                break  # every remaining bound is lower — WAND stop
+            d = int(cand[i])
+            # resolve deferred lists for this doc
+            ok = True
+            resolved: dict = {}
+            for key in deferred:
+                cov_any, cov_ix = covers[key]
+                got_tf = 0
+                got_dl = 0
+                if cov_any[i]:
+                    for r, ci in zip(runs_of.get(key, []), cov_ix):
+                        bi = int(ci[i])
+                        if bi < 0:
+                            continue
+                        dd, tt, ll = r.decode_block(
+                            bi, filt, on_miss=lambda t=key[0]: count_decoded(t))
+                        j = np.searchsorted(dd, d)
+                        if j < len(dd) and dd[j] == d:
+                            got_tf, got_dl = int(tt[j]), int(ll[j])
+                            break
+                if got_tf:
+                    if key in excluded_keys:
+                        ok = False
+                        break
+                    resolved[key] = (got_tf, got_dl)
+            if not ok:
+                continue
+            # required groups containing deferred members: re-check with
+            # exact membership
+            for g in groups:
+                m = False
+                for kk in g:
+                    key = tuple(kk)
+                    if key in present and present[key][i]:
+                        m = True
+                        break
+                    if key in resolved:
+                        m = True
+                        break
+                if not m:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            # exact score: canonical (termid, field, contrib) order
+            contribs = []
+            for key, wids in wid_items:
+                if key in per_list_tfn and present[key][i]:
+                    tfn = float(per_list_tfn[key][i])
+                elif key in resolved:
+                    tfn = float(tfnorm(resolved[key][0], resolved[key][1], key[1]))
+                else:
+                    continue
+                for w in wids:
+                    contribs.append((key[0], key[1], w * tfn))
+            contribs.sort()
+            s = 0.0
+            for _, _, v in contribs:
+                s += v
+            item = (s, -d)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heappushpop(heap, item)
+        return [(-nd, s) for s, nd in heap]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        for cell, sub in pdf.groupby("cell", sort=False):
+            lo = int(cell) * cell_w
+            hi = lo + cell_w
+            rows = run_cell(sub, lo, hi)
+            if rows:
+                yield pd.DataFrame(rows, columns=["docid", "score"])
+
+    return gen
+
+
+def wand_topk(
+    spark: SparkSession,
+    seg: DataFrame,
+    plan: QueryPlan,
+    dfs: dict[int, int],
+    n_docs: int,
+    avgdl: dict,
+    index_dir: str,
+    k: int,
+    *,
+    n_cells: int | None = None,
+    decode_counters: dict | None = None,
+) -> DataFrame:
+    """Block-max WAND plan: cell-assign → shuffle → per-cell DAAT top-k →
+    (docid, score) rows for the global merge. ``decode_counters`` may be a
+    dict {termid: SparkAccumulator} for decoded-block instrumentation."""
+    if n_cells is None:
+        n_cells = spark.sparkContext.defaultParallelism
+    meta = _build_query_meta(plan, dfs, n_docs, avgdl)
+    tomb, sup_d, sup_g = load_delete_state(index_dir)
+    meta["tomb"], meta["sup_d"], meta["sup_g"] = tomb, sup_d, sup_g
+
+    cell_w = (DOCID_MASK + n_cells) // n_cells
+    cells = F.sequence(
+        (F.col("min_docid") / F.lit(cell_w)).cast("long"),
+        (F.col("max_docid") / F.lit(cell_w)).cast("long"),
+    )
+    part = (
+        seg.withColumn("cell", F.explode(cells))
+        .repartition(n_cells, "cell")
+    )
+    scorer = _cell_scorer(meta, k, n_cells, decode_counters)
+    return part.mapInPandas(scorer, "docid long, score double")

@@ -94,7 +94,7 @@ def test_encode_runs_matches_per_block_reference(data):
         np.concatenate(d_l), np.concatenate(p_l), np.concatenate(dl_l),
         block_docs,
     )
-    tt, ff, ss, bid, _, _, _, _, _, bufs = res
+    tt, ff, ss, bid, _, _, _, _, _, _, bufs = res
     got = list(zip(tt.tolist(), ff.tolist(), ss.tolist(), bid.tolist(), bufs))
     assert got == expect
 

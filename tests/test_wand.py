@@ -1,0 +1,100 @@
+"""Block-max WAND effectiveness gates: a hot-term query must NOT decode the
+hot term's full termlist (the r1 gap — docid-range pruning alone decoded
+every posting of `if`-class terms). Decoded-block counts are observed via
+accumulators; losslessness is the standing prune on/off equality in
+test_rank_identity plus the exact-oracle checks here."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def fine_index(spark, tmp_path_factory):
+    """Index with tiny blocks (block_docs=2) so hot terms have MANY blocks —
+    the geometry where block-max skipping is observable at test scale (at
+    corpus scale the same ratio arises with block_docs=128)."""
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.index_build import build_index
+
+    d = str(tmp_path_factory.mktemp("wandidx") / "idx")
+    shutil.rmtree(d, ignore_errors=True)
+    build_index(spark, corpus_df(spark, 480, partitions=8), d, n_chunks=1,
+                block_docs=2)
+    return d
+
+
+def _tid(w):
+    from open_source_search_engine_spark.functions.hashing import TokenHasher
+
+    return int(TokenHasher().termids([w])[0])
+
+
+def _block_count(spark, idx, tid):
+    from open_source_search_engine_spark.operators.index_build import serving_segments
+
+    return serving_segments(spark, idx).filter(F.col("termid") == tid).count()
+
+
+def _run_counted(spark, idx, q, hot, k=10):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    counters = {_tid(hot): spark.sparkContext.accumulator(0)}
+    rows = topk(spark, idx, q, k, wand_cells=1, wand_counters=counters).collect()
+    return rows, counters[_tid(hot)].value
+
+
+def test_hot_term_blocks_mostly_skipped(spark, fine_index, oracle_index):
+    """`scan if`: 'if' is the rank-1 stop term (present in ~every doc).
+    With a running top-10 threshold, only candidates whose bound can still
+    beat the floor resolve their 'if' blocks — far fewer than the full
+    termlist."""
+    rows, decoded = _run_counted(spark, fine_index, "scan if", "if", k=10)
+    assert rows, "query must produce results"
+    total = _block_count(spark, fine_index, _tid("if"))
+    assert total >= 100, f"fixture geometry broke: only {total} hot blocks"
+    frac = decoded / total
+    assert frac < 0.20, f"decoded {decoded}/{total} = {frac:.0%} of hot blocks"
+
+
+def test_rare_pivot_decodes_almost_nothing_of_hot(spark, fine_index):
+    """A rare+hot conjunction touches only the hot blocks covering the rare
+    term's few candidates (the docid zig-zag, now at doc granularity)."""
+    rows, decoded = _run_counted(
+        spark, fine_index, "binsearch_rare7 if", "if", k=10)
+    total = _block_count(spark, fine_index, _tid("if"))
+    assert decoded <= max(8, 0.1 * total), (decoded, total)
+
+
+def test_wand_results_match_unpruned_and_oracle(spark, fine_index):
+    """The counted runs are still exact: equal to the declarative prune=False
+    plan bit-for-bit, and to a freshly built oracle on the same corpus."""
+    from open_source_search_engine_spark.corpus import make_corpus_rows
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.oracle import OracleIndex
+
+    oracle = OracleIndex.build(make_corpus_rows(480))
+    for q in ["scan if", "if table", "binsearch_rare7 if", "buffer | scan if"]:
+        a = [(r["docid"], r["score"]) for r in
+             topk(spark, fine_index, q, 10, prune=True).collect()]
+        b = [(r["docid"], r["score"]) for r in
+             topk(spark, fine_index, q, 10, prune=False).collect()]
+        assert a == b, f"prune on/off diverged for {q!r}"
+        ora = [(r["docid"], r["score"]) for r in oracle.topk(q, 10)]
+        assert [x[0] for x in a] == [x[0] for x in ora], q
+        for (_, sa), (_, so) in zip(a, ora):
+            assert sa == pytest.approx(so, rel=1e-6)
+
+
+def test_wand_multicell_equals_singlecell(spark, fine_index):
+    """Cell partitioning is a pure parallelization axis: any cell count
+    produces the same top-k."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    base = [(r["docid"], r["score"]) for r in
+            topk(spark, fine_index, "scan if", 10, wand_cells=1).collect()]
+    for cells in (3, 8):
+        got = [(r["docid"], r["score"]) for r in
+               topk(spark, fine_index, "scan if", 10, wand_cells=cells).collect()]
+        assert got == base, cells
