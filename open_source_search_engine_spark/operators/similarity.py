@@ -95,13 +95,22 @@ def _hyperplanes(dim: int, planes: int, seed: int) -> np.ndarray:
 
 def hyperplane_signs(vec: Column, planes: int, seed: int, dim: int = 64) -> Column:
     """Bucket id = sign-bit pattern of the vector against ``planes``
-    deterministic hyperplanes, as an int column (expression-level)."""
+    deterministic hyperplanes, as an int column (expression-level).
+
+    Fails loudly on a dimension mismatch: ``zip_with`` would otherwise
+    null-pad, every dot product would go NULL, all sign bits would fall to
+    0 and every vector would silently land in bucket 0."""
     H = _hyperplanes(dim, planes, seed)
     bucket = F.lit(0)
     for i in range(planes):
         bit = F.when(dot_col(vec, vec_lit(H[i])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bucket + bit
-    return bucket
+    return F.when(F.size(vec) == dim, bucket).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"hyperplane_signs: embedding dim != {dim} (got "),
+            F.size(vec).cast("string"), F.lit(")"),
+        ))
+    )
 
 
 def ann_index(

@@ -109,3 +109,64 @@ def test_embedding_neardup(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     n = emb.count()
     assert sum((i, i + 10000) in got for i in range(n)) == n
+
+def test_simhash_matches_python_reference(docs):
+    """The numpy-fold simhash must equal an independent per-token Python
+    majority computation (md5 strategy — what the DuckDB oracle replicates)."""
+    import hashlib
+
+    fps = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash(docs, bits=16, hash_strategy="md5").collect()}
+    for doc_id, text in DOCS:
+        counts = [0] * 16
+        for tok in text.lower().split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for j in range(16):
+                counts[j] += 1 if (h >> j) & 1 else -1
+        expect = sum((1 << j) for j in range(16) if counts[j] > 0)
+        assert fps[doc_id] == expect, doc_id
+
+
+def test_simhash_empty_doc_is_zero(spark):
+    df = spark.createDataFrame([(0, ""), (1, "word")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, bits=16).collect()}
+    assert rows[0] == 0 and rows[1] != 0
+
+
+def test_embedding_neardup_infers_dim(spark):
+    """dim is probed from the data: 16-d vectors must bucket correctly (the
+    old fixed dim=64 null-padded every dot product and returned 0 pairs)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(30)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    dup = emb.withColumn("vec_id", F.col("vec_id") + 1000)
+    pairs = dedup.embedding_neardup_pairs(
+        emb.unionByName(dup), threshold=0.999, planes=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert sum((i, i + 1000) in got for i in range(30)) == 30
+
+
+def test_hyperplane_dim_mismatch_fails_loudly(spark):
+    from open_source_search_engine_spark.operators.similarity import hyperplane_signs
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>")
+    bad = df.select(hyperplane_signs(F.col("embedding"), 4, 7, dim=8).alias("b"))
+    with pytest.raises(Exception, match="dim"):
+        bad.collect()
+
+
+def test_lsh_dropped_buckets_reported(spark):
+    """The quadratic guard's drops are observable: identical docs overflow a
+    bucket at max_bucket=2 and lsh_dropped_buckets reports it."""
+    df = spark.createDataFrame(
+        [(i, "same text everywhere repeated tokens") for i in range(6)],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(df, num_hashes=8, shingle_w=2)
+    dropped = dedup.lsh_dropped_buckets(sigs, bands=2, max_bucket=2).collect()
+    assert dropped and all(r["n_members"] == 6 for r in dropped)
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=2, max_bucket=2)
+    assert pairs.count() == 0  # guard dropped them, as the report says
