@@ -688,6 +688,39 @@ def _q_engine_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNIPPET_TERMS = ["vector", "merge"]  # rarity-first (df 382 < 393 at sf0.01)
+
+
+def _q_engine_snippets_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 multi-term summary selection (/root/reference/Summary.cpp:181,
+    Matches.cpp:248): per result, candidate windows around each query term's
+    first occurrence, scored by distinct query terms contained, best wins."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.operators.snippets import multi_term_snippet
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    res = doc_id_from_path(topk(spark, idx, " ".join(_SNIPPET_TERMS), 1_000_000))
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    snip, n_terms = multi_term_snippet(F.col("text"), _SNIPPET_TERMS, 60)
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score_r"))
+        .join(docs, "doc_id", "inner")
+        .select("doc_id", "score_r", snip, n_terms)
+    )
+
+
+def _q_engine_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speller analog: edit-distance-1 suggestions for a misspelled query
+    token from the corpus vocabulary, ranked by df."""
+    from open_source_search_engine_spark.operators.suggest import suggest, vocabulary
+
+    vocab = vocabulary(_docs(spark, sf_dir))
+    return suggest(vocab, "vectr", 5)
+
+
 def _q_engine_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7/T6 synonym expansion (/root/reference/Query.cpp:1008-1035, weight
     0.9 per /root/reference/Parms.cpp:3883-3893): parse_query with expansion
@@ -775,6 +808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_total_hits": _q_engine_total_hits,
         "engine_site_clustering": _q_engine_site_clustering,
         "engine_snippets": _q_engine_snippets,
+        "engine_snippets_multi": _q_engine_snippets_multi,
+        "engine_suggest": _q_engine_suggest,
         "engine_synonyms": _q_engine_synonyms,
         "engine_pagination": _q_engine_pagination,
         # --- tokenize/stats primitives ---
@@ -860,6 +895,46 @@ SELECT s.doc_id, s.score_r,
        substr(d.text, greatest(1, strpos(lower(d.text), 'vector') - 30), 60) AS snippet
 FROM ({_bm25_sql(['vector'])}) s
 JOIN documents d ON d.doc_id = s.doc_id
+""",
+        "engine_snippets_multi": f"""
+WITH scored AS ({_bm25_sql(_SNIPPET_TERMS,
+                           bigram=tuple(_SNIPPET_TERMS))}),
+win AS (
+  SELECT s.doc_id, s.score_r, d.text,
+         strpos(lower(d.text), '{_SNIPPET_TERMS[0]}') AS p0,
+         strpos(lower(d.text), '{_SNIPPET_TERMS[1]}') AS p1
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+cand AS (
+  SELECT doc_id, score_r,
+         CASE WHEN p0 > 0 THEN substr(text, greatest(1, p0 - 30), 60) ELSE '' END AS w0,
+         CASE WHEN p1 > 0 THEN substr(text, greatest(1, p1 - 30), 60) ELSE '' END AS w1
+  FROM win
+),
+sc AS (
+  SELECT doc_id, score_r, w0, w1,
+         (CASE WHEN strpos(lower(w0), '{_SNIPPET_TERMS[0]}') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN strpos(lower(w0), '{_SNIPPET_TERMS[1]}') > 0 THEN 1 ELSE 0 END) AS s0,
+         (CASE WHEN strpos(lower(w1), '{_SNIPPET_TERMS[0]}') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN strpos(lower(w1), '{_SNIPPET_TERMS[1]}') > 0 THEN 1 ELSE 0 END) AS s1
+  FROM cand
+)
+SELECT doc_id, score_r,
+       CASE WHEN s1 > s0 THEN w1 ELSE w0 END AS snippet,
+       CASE WHEN s1 > s0 THEN s1 ELSE s0 END AS n_terms
+FROM sc
+""",
+        "engine_suggest": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                          x -> x <> ''))) AS token
+  FROM documents
+),
+vocab AS (SELECT token, count(*)::BIGINT AS df FROM toks GROUP BY token)
+SELECT token, df FROM vocab
+WHERE levenshtein(token, 'vectr') <= 1
+ORDER BY df DESC, token LIMIT 5
 """,
         "engine_synonyms": _bm25_sql(["sort"], optional_terms=[
             (s, 0.9) for s in __import__(

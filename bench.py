@@ -71,7 +71,10 @@ def main() -> None:
         "q_bm25_topk": "hash table",
         "q_bm25_and3": "hash lang:en table",
         "q_bm25_phrase": '"hash table"',
+        "q_bm25_phrase3": '"hash value table"',
         "q_bm25_not": "hash -merge",
+        "q_bm25_boolean": "hash OR (table AND merge)",
+        "q_bm25_site": "site:src3 hash table",
     }
     lat_ms = []
     for name, q in bm25_queries.items():
@@ -107,6 +110,12 @@ def main() -> None:
     textstats.quality_score(textstats.language_id(docs)) \
         .agg(F.avg("quality"), F.count("*")).collect()
     queries["q_text_stats"] = round(time.time() - t0, 3)
+
+    from open_source_search_engine_spark.operators.suggest import suggest, vocabulary
+
+    t0 = time.time()
+    suggest(vocabulary(docs), "vectr", 5).collect()
+    queries["q_suggest"] = round(time.time() - t0, 3)
 
     total = time.time() - t_suite0
     out = {

@@ -1,0 +1,401 @@
+"""Batch-vectorized tokenizer + hasher: whole-Arrow-batch numpy scan.
+
+Produces EXACTLY the postings of :func:`..functions.tokenizer.index_document`
+(same termids, fields, word positions, doc lengths — the property test
+asserts multiset equality, and segment fingerprints stay byte-identical)
+but with no per-token Python:
+
+- all documents' field strings are concatenated into ONE byte buffer and
+  classified with 256-entry lookup tables; token spans come from run/boundary
+  masks (the Words.cpp:169-358 token rules re-derived in array form:
+  identifier runs with the ``c++``/``c#``/``'s`` suffixes, digit runs with
+  ``3.14``/``1,000`` separator extension);
+- the word-position cursor (+1/token, +2/punct-run, +30/line-or-";",
+  +100/field — /root/reference/XmlDoc.cpp:20055-20142 analog) becomes
+  per-segment cumulative sums over break/punct class prefix counts;
+- termids are tabulation-hashed DIRECTLY from the byte buffer with one
+  gather + xor.reduceat per token set (/root/reference/hash.h:55-163
+  structure) — token strings are never materialized, the per-unique-token
+  dict cache is gone;
+- bigram ids reuse the first token's XOR contribution and re-gather the
+  second token's bytes at the continued position offset
+  (/root/reference/Phrases.cpp:109-263), stop-stop pairs XOR-salted.
+
+Non-ASCII documents (where byte-domain and str-domain \\s classes can
+disagree) fall back to the scalar reference tokenizer per document — the
+fast path covers the overwhelmingly-ASCII source-code corpus.
+
+The scalar ``tokenize_text``/``index_document`` remain the semantic
+reference (and the oracle's tokenizer); this module is the build's hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import FIELD_BODY, FIELD_LANG, FIELD_TITLE, FIELD_URL
+from .hashing import HASHTAB, STOPWORD_BIGRAM_SALT, _START_HASH, termid_for_token
+from ..import TERMID_MASK
+from .tokenizer import (
+    FIELD_GAP, KIND_BIGRAM, KIND_SYNONYM, KIND_UNIGRAM, LINE_UNITS,
+    MAX_WORDPOS, PUNCT_UNITS, STOP_WORDS, _basename, index_document,
+)
+
+_U64 = np.uint64
+
+# byte class tables
+_IDENTC = np.zeros(256, dtype=bool)
+for _c in b"abcdefghijklmnopqrstuvwxyz0123456789_":
+    _IDENTC[_c] = True
+_ALPHA = _IDENTC.copy()
+for _c in b"0123456789":
+    _ALPHA[_c] = False
+_DIGIT = np.zeros(256, dtype=bool)
+for _c in b"0123456789":
+    _DIGIT[_c] = True
+_BREAK = np.zeros(256, dtype=bool)
+_BREAK[ord("\n")] = _BREAK[ord(";")] = True
+_SPACE = np.zeros(256, dtype=bool)
+for _c in b" \t\n\r\x0b\x0c":
+    _SPACE[_c] = True
+_PUNCT = ~_SPACE & ~_IDENTC
+_PUNCT[0] = False  # padding byte, never counted
+
+_STOP_TIDS = np.array(sorted(termid_for_token(w) for w in STOP_WORDS),
+                      dtype=np.int64)
+
+_EMPTY = {
+    "termid": np.empty(0, dtype=np.int64),
+    "docid": np.empty(0, dtype=np.int64),
+    "wordpos": np.empty(0, dtype=np.int64),
+    "field": np.empty(0, dtype=np.int64),
+    "kind": np.empty(0, dtype=np.int64),
+    "dl": np.empty(0, dtype=np.int64),
+}
+
+
+def _token_spans(b: np.ndarray):
+    """Byte buffer → (starts, ends) of tokens, replicating the scanning
+    order/consumption of the reference regex."""
+    n = len(b)
+    identc = _IDENTC[b]
+    if not identc.any():
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    edge = np.empty(n, dtype=bool)
+    edge[0] = identc[0]
+    np.not_equal(identc[1:], identc[:-1], out=edge[1:])
+    edge &= identc
+    rs = np.nonzero(edge)[0]
+    edge2 = np.empty(n, dtype=bool)
+    edge2[:-1] = identc[:-1] & ~identc[1:]
+    edge2[-1] = identc[-1]
+    re_ = np.nonzero(edge2)[0] + 1
+
+    alpha_first = _ALPHA[b[rs]]
+    alpha_pos = np.nonzero(_ALPHA[b])[0]
+
+    starts_l = [rs[alpha_first]]
+    ends_l = [re_[alpha_first]]
+    is_num_l = [np.zeros(int(alpha_first.sum()), dtype=bool)]
+
+    drs, dre = rs[~alpha_first], re_[~alpha_first]
+    if len(drs):
+        ix = np.searchsorted(alpha_pos, drs)
+        ixc = np.minimum(ix, max(len(alpha_pos) - 1, 0))
+        fa = alpha_pos[ixc] if len(alpha_pos) else np.full(len(drs), n)
+        has_alpha = (len(alpha_pos) > 0) & (ix < len(alpha_pos)) & (fa < dre)
+        num_end = np.where(has_alpha, fa, dre)
+        starts_l.append(drs)
+        ends_l.append(num_end)
+        is_num_l.append(np.ones(len(drs), dtype=bool))
+        if has_alpha.any():
+            starts_l.append(fa[has_alpha])
+            ends_l.append(dre[has_alpha])
+            is_num_l.append(np.zeros(int(has_alpha.sum()), dtype=bool))
+
+    starts = np.concatenate(starts_l)
+    ends = np.concatenate(ends_l)
+    is_num = np.concatenate(is_num_l)
+    order = np.argsort(starts, kind="stable")
+    starts, ends, is_num = starts[order], ends[order], is_num[order]
+
+    # number separator extension: "3" "." "14" → "3.14"; chains merge one
+    # link per pass ("1,000,000" needs two)
+    pad = np.zeros(4, dtype=np.uint8)
+    bp = np.concatenate([b, pad])
+    keep = np.ones(len(starts), dtype=bool)
+    while True:
+        e = ends
+        sep_ok = is_num & ((bp[e] == ord(".")) | (bp[e] == ord(","))) & _DIGIT[bp[e + 1]]
+        if not sep_ok.any():
+            break
+        # the absorbed token starts at e+1 and must itself be a number; a
+        # chain ("1,000,000") converges over passes — absorbed middle links
+        # keep extending so their absorbers can take their final end
+        nxt = np.searchsorted(starts, e + 1)
+        nxtc = np.minimum(nxt, len(starts) - 1)
+        hit = sep_ok & (starts[nxtc] == e + 1) & is_num[nxtc]
+        if not hit.any():
+            break
+        new_ends = ends.copy()
+        new_ends[hit] = ends[nxtc[hit]]
+        keep[nxtc[hit]] = False
+        if (new_ends == ends).all():
+            break
+        ends = new_ends
+    starts, ends, is_num = starts[keep], ends[keep], is_num[keep]
+
+    # ident suffixes: ++ / + / #, then 's (numbers take none)
+    e = ends.copy()
+    idnt = ~is_num
+    plus2 = idnt & (bp[e] == ord("+")) & (bp[e + 1] == ord("+"))
+    e = np.where(plus2, e + 2, e)
+    plus1 = idnt & ~plus2 & ((bp[e] == ord("+")) | (bp[e] == ord("#")))
+    e = np.where(plus1, e + 1, e)
+    poss = idnt & (bp[e] == ord("'")) & (bp[e + 1] == ord("s"))
+    if poss.any():
+        # the "'s" swallows the start of the following identifier run — fix
+        # the (rare) overlapped tokens scalar-side
+        e2 = np.where(poss, e + 2, e)
+        starts, e2 = _fix_possessive_overlaps(b, starts, e2, poss)
+        return starts, e2
+    return starts, e
+
+
+def _fix_possessive_overlaps(b, starts, ends, poss):
+    """After extending token T by "'s", any token that started AT that 's'
+    must drop its first byte and (if it began with a digit after the shift)
+    be re-split — delegate the rare cases to the reference regex."""
+    import re as _re
+
+    from .tokenizer import _TOKEN_RE
+
+    s_pos = ends[poss] - 1  # position of the consumed 's'
+    affected = np.nonzero(np.isin(starts, s_pos))[0]
+    if len(affected) == 0:
+        return starts, ends
+    kill = set(affected.tolist())
+    add = []
+    for i in affected.tolist():
+        seg = b[int(starts[i]) + 1: int(ends[i])].tobytes().decode("latin1")
+        base = int(starts[i]) + 1
+        for m in _TOKEN_RE.finditer(seg):
+            add.append((base + m.start(), base + m.end()))
+    s_l = [int(x) for i, x in enumerate(starts) if i not in kill]
+    e_l = [int(x) for i, x in enumerate(ends) if i not in kill]
+    for a, bb in add:
+        s_l.append(a)
+        e_l.append(bb)
+    s = np.array(s_l, dtype=np.int64)
+    e = np.array(e_l, dtype=np.int64)
+    o = np.argsort(s, kind="stable")
+    return s[o], e[o]
+
+
+def _hash_spans(b: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                offsets: np.ndarray | None = None) -> np.ndarray:
+    """Tabulation-hash XOR contribution of each span (vectorized gather):
+    U[k] = XOR_i HASHTAB[(off_k + i) & 0xff, b[s_k + i]]."""
+    lens = ends - starts
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(len(starts), dtype=np.uint64)
+    base = np.repeat(starts, lens)
+    rel = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    tab_pos = rel if offsets is None else rel + np.repeat(offsets, lens)
+    vals = HASHTAB[(tab_pos & 0xFF).astype(np.intp), b[base + rel]]
+    out = np.zeros(len(starts), dtype=np.uint64)
+    nz = lens > 0
+    # xor.reduceat needs the first index of each nonempty token region
+    first = (np.cumsum(lens) - lens)[nz]
+    out[nz] = np.bitwise_xor.reduceat(vals, first)
+    return out
+
+
+def index_batch(repos, paths, langs, contents, docids) -> dict:
+    """Tokenize + hash a whole batch of documents into flat posting arrays
+    (termid, docid, field, wordpos, kind, dl) plus per-(doc, field) length
+    stats ``seg_doc/seg_field/seg_dl`` for the additive avgdl partials."""
+    seg_texts: list[bytes] = []
+    seg_field: list[int] = []
+    seg_doc: list[int] = []
+    slow_rows = []  # non-ascii docs → scalar reference path
+    for i in range(len(repos)):
+        body = contents[i].lower()
+        title = _basename(paths[i]).lower()
+        url = (repos[i] + "/" + paths[i]).lower()
+        lang = langs[i].lower()
+        if not (body.isascii() and title.isascii() and url.isascii()
+                and lang.isascii()):
+            slow_rows.append(i)
+            continue
+        for fcode, txt in ((FIELD_BODY, body), (FIELD_TITLE, title),
+                           (FIELD_URL, url), (FIELD_LANG, lang)):
+            seg_texts.append(txt.encode("ascii"))
+            seg_field.append(fcode)
+            seg_doc.append(int(docids[i]))
+
+    outs = []
+    stats = []
+    if seg_texts:
+        outs.append(_index_segments(seg_texts, np.asarray(seg_field),
+                                    np.asarray(seg_doc, dtype=np.int64), stats))
+    if slow_rows:
+        from .hashing import TokenHasher
+
+        hasher = TokenHasher()
+        for i in slow_rows:
+            arrs = index_document(repos[i], paths[i], langs[i], contents[i], hasher)
+            n = len(arrs["termid"])
+            outs.append({
+                "termid": arrs["termid"].astype(np.int64),
+                "docid": np.full(n, int(docids[i]), dtype=np.int64),
+                "wordpos": arrs["wordpos"].astype(np.int64),
+                "field": arrs["field"].astype(np.int64),
+                "kind": arrs["kind"].astype(np.int64),
+                "dl": arrs["dl"].astype(np.int64),
+            })
+            for fc, key in ((FIELD_BODY, "dl_body"), (FIELD_TITLE, "dl_title"),
+                            (FIELD_URL, "dl_url")):
+                stats.append((int(docids[i]), fc, int(arrs[key])))
+    if not outs:
+        res = dict(_EMPTY)
+    else:
+        res = {k: np.concatenate([o[k] for o in outs]) for k in _EMPTY}
+    sd = np.array([s[0] for s in stats], dtype=np.int64)
+    sf = np.array([s[1] for s in stats], dtype=np.int64)
+    sl = np.array([s[2] for s in stats], dtype=np.int64)
+    res["seg_doc"], res["seg_field"], res["seg_dl"] = sd, sf, sl
+    return res
+
+
+def _index_segments(seg_texts, seg_field, seg_doc, stats) -> dict:
+    nseg = len(seg_texts)
+    lens = np.array([len(t) for t in seg_texts], dtype=np.int64)
+    seg_start = np.zeros(nseg, dtype=np.int64)
+    seg_start[1:] = np.cumsum(lens + 1)[:-1]
+    seg_end = seg_start + lens
+    buf = b"\n".join(seg_texts)
+    b = np.frombuffer(buf, dtype=np.uint8)
+
+    starts, ends = _token_spans(b)
+    ntok = len(starts)
+
+    # prefix counts for the cursor math
+    brk = np.zeros(len(b) + 1, dtype=np.int64)
+    np.cumsum(_BREAK[b], out=brk[1:])
+    pnc = np.zeros(len(b) + 1, dtype=np.int64)
+    np.cumsum(_PUNCT[b], out=pnc[1:])
+
+    seg_of = np.searchsorted(seg_start, starts, side="right") - 1
+    # previous token end within the same segment (else the segment start)
+    prev_end = np.empty(ntok, dtype=np.int64)
+    if ntok:
+        prev_end[0] = seg_start[seg_of[0]]
+        same = seg_of[1:] == seg_of[:-1]
+        prev_end[1:] = np.where(same, ends[:-1], seg_start[seg_of[1:]])
+    gap_nb = brk[starts] - brk[prev_end]
+    gap_punct = (pnc[starts] - pnc[prev_end]) > 0
+    units = np.where(gap_nb > 0, LINE_UNITS * gap_nb, PUNCT_UNITS * gap_punct)
+
+    # per-segment token counts / unit sums → end cursors → field chaining
+    tok_seg_counts = np.bincount(seg_of, minlength=nseg).astype(np.int64)
+    unit_sums = np.bincount(seg_of, weights=units, minlength=nseg).astype(np.int64)
+    last_tok_end = seg_start.copy()
+    if ntok:
+        seg_last = np.nonzero(np.append(seg_of[1:] != seg_of[:-1], True))[0]
+        last_tok_end[seg_of[seg_last]] = ends[seg_last]
+    trail_breaks = brk[seg_end] - brk[last_tok_end]
+    total_units = unit_sums + tok_seg_counts + LINE_UNITS * trail_breaks
+
+    # field chaining per doc: segments come in (BODY, TITLE, URL, LANG)
+    # groups of 4 → vectorized across docs, sequential over the 4 fields
+    start_cursor = np.zeros(nseg, dtype=np.int64)
+    assert nseg % 4 == 0
+    ndocs = nseg // 4
+    view = total_units.reshape(ndocs, 4)
+    sc = np.zeros(ndocs, dtype=np.int64)
+    for f in range(4):
+        start_cursor[f::4] = np.minimum(sc, MAX_WORDPOS)
+        end_c = np.minimum(np.minimum(sc, MAX_WORDPOS) + view[:, f], MAX_WORDPOS)
+        sc = np.minimum(end_c + FIELD_GAP, MAX_WORDPOS)
+
+    # positions: per-segment cumsum of (units) + local index
+    cum_units = np.cumsum(units)
+    seg_first = np.zeros(nseg, dtype=np.int64)
+    if ntok:
+        firsts = np.nonzero(np.append(True, seg_of[1:] != seg_of[:-1]))[0]
+        base_cum = np.zeros(ntok, dtype=np.int64)
+        base_cum[firsts] = np.where(firsts > 0, cum_units[firsts - 1], 0)
+        np.maximum.accumulate(base_cum, out=base_cum)
+        local_ix = np.arange(ntok) - np.repeat(firsts, np.diff(np.append(firsts, ntok)))
+        pos = (start_cursor[seg_of] + (cum_units - base_cum) + local_ix)
+        pos = np.minimum(pos, MAX_WORDPOS)
+    else:
+        pos = np.empty(0, dtype=np.int64)
+    del seg_first
+
+    # termids
+    contrib = _hash_spans(b, starts, ends)
+    tids = (np.uint64(_START_HASH) ^ contrib).astype(np.int64) & TERMID_MASK
+
+    # possessive: tokens ending "'s" (len>2) → synonym row of the base form
+    tok_len = ends - starts
+    pad = np.zeros(2, dtype=np.uint8)
+    bp = np.concatenate([b, pad])
+    is_poss = (tok_len > 2) & (bp[ends - 1] == ord("s")) & (bp[ends - 2] == ord("'"))
+    poss_ix = np.nonzero(is_poss)[0]
+    if len(poss_ix):
+        base_tids = (np.uint64(_START_HASH)
+                     ^ _hash_spans(b, starts[poss_ix], ends[poss_ix] - 2)
+                     ).astype(np.int64) & TERMID_MASK
+
+    # bigrams: adjacent tokens, same segment, no line break between
+    if ntok > 1:
+        adj = (seg_of[1:] == seg_of[:-1]) & (gap_nb[1:] == 0)
+        a_ix = np.nonzero(adj)[0]
+    else:
+        a_ix = np.empty(0, dtype=np.int64)
+    if len(a_ix):
+        first_contrib = contrib[a_ix]
+        second = _hash_spans(b, starts[a_ix + 1], ends[a_ix + 1],
+                             offsets=tok_len[a_ix])
+        bh = np.uint64(_START_HASH) ^ first_contrib ^ second
+        both_stop = (np.isin(tids[a_ix], _STOP_TIDS)
+                     & np.isin(tids[a_ix + 1], _STOP_TIDS))
+        bh = np.where(both_stop, bh ^ np.uint64(STOPWORD_BIGRAM_SALT), bh)
+        big_tids = bh.astype(np.int64) & TERMID_MASK
+        big_pos = pos[a_ix]
+        big_seg = seg_of[a_ix]
+
+    # dl per segment = unigram token count
+    dl_seg = tok_seg_counts
+    for d, f, l in zip(seg_doc.tolist(), seg_field.tolist(), dl_seg.tolist()):
+        if f in (FIELD_BODY, FIELD_TITLE, FIELD_URL):
+            stats.append((d, f, l))
+
+    parts_t = [tids]
+    parts_seg = [seg_of]
+    parts_pos = [pos]
+    parts_kind = [np.full(ntok, KIND_UNIGRAM, dtype=np.int64)]
+    if len(poss_ix):
+        parts_t.append(base_tids)
+        parts_seg.append(seg_of[poss_ix])
+        parts_pos.append(pos[poss_ix])
+        parts_kind.append(np.full(len(poss_ix), KIND_SYNONYM, dtype=np.int64))
+    if len(a_ix):
+        parts_t.append(big_tids)
+        parts_seg.append(big_seg)
+        parts_pos.append(big_pos)
+        parts_kind.append(np.full(len(a_ix), KIND_BIGRAM, dtype=np.int64))
+    t_all = np.concatenate(parts_t)
+    seg_all = np.concatenate(parts_seg)
+    return {
+        "termid": t_all,
+        "docid": seg_doc[seg_all],
+        "wordpos": np.concatenate(parts_pos),
+        "field": seg_field[seg_all].astype(np.int64),
+        "kind": np.concatenate(parts_kind),
+        "dl": dl_seg[seg_all],
+    }

@@ -48,8 +48,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .. import FIELD_BODY, FIELD_TITLE, FIELD_URL
-from ..functions.hashing import TokenHasher, docid_for_url
-from ..functions.tokenizer import index_document
+from ..functions.hashing import docid_for_url
 from ..functions.varint import (
     decode_blocks_concat, encode_runs, merge_sorted_runs,
     pack_counts, pack_slab, unpack_counts, unpack_slab,
@@ -174,32 +173,32 @@ def map_encode(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
+        from ..functions.tokenizer_batch import index_batch
+
         tc = TaskContext.get()
         task_id = tc.partitionId() if tc is not None else 0
-        hasher = TokenHasher()
         tl, docl, fl, pl, dll = [], [], [], [], []
         field_docs: dict[int, int] = {}
         field_dl: dict[int, int] = {}
         for pdf in batches:
-            for docid, repo, path, lang, content in zip(
-                pdf["docid"].values, pdf["repo"].values, pdf["path"].values,
-                pdf["lang"].values, pdf["content"].values,
-            ):
-                arrs = index_document(repo, path, lang, content, hasher)
-                for fcode, key in ((FIELD_BODY, "dl_body"), (FIELD_TITLE, "dl_title"),
-                                   (FIELD_URL, "dl_url")):
-                    v = int(arrs[key])
-                    if v > 0:
-                        field_docs[fcode] = field_docs.get(fcode, 0) + 1
-                        field_dl[fcode] = field_dl.get(fcode, 0) + v
-                n = len(arrs["termid"])
-                if not n:
-                    continue
+            # whole-batch vectorized tokenize + hash (no per-token Python) —
+            # multiset-identical to the scalar index_document reference
+            arrs = index_batch(
+                pdf["repo"].values, pdf["path"].values, pdf["lang"].values,
+                pdf["content"].values, pdf["docid"].values,
+            )
+            for d_, f_, l_ in zip(arrs["seg_doc"].tolist(),
+                                  arrs["seg_field"].tolist(),
+                                  arrs["seg_dl"].tolist()):
+                if l_ > 0:
+                    field_docs[f_] = field_docs.get(f_, 0) + 1
+                    field_dl[f_] = field_dl.get(f_, 0) + l_
+            if len(arrs["termid"]):
                 tl.append(arrs["termid"])
-                docl.append(np.full(n, docid, dtype=np.int64))
-                fl.append(arrs["field"].astype(np.int64))
-                pl.append(arrs["wordpos"].astype(np.int64))
-                dll.append(arrs["dl"].astype(np.int64))
+                docl.append(arrs["docid"])
+                fl.append(arrs["field"])
+                pl.append(arrs["wordpos"])
+                dll.append(arrs["dl"])
         out_rows: list[tuple] = []
         if tl:
             t = np.concatenate(tl)

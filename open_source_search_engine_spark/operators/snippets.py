@@ -1,0 +1,53 @@
+"""Result snippets / highlight-window selection (K7).
+
+The reference picks a summary by finding query-term matches in the document
+(/root/reference/Matches.cpp:248), scoring candidate sentence windows by how
+many distinct query terms they contain, and keeping the best
+(/root/reference/Summary.cpp:181, highlight /root/reference/Highlight.cpp:43).
+
+Re-expressed as pure JVM column expressions (no UDF — snippets run over just
+the top-k rows joined back to the doc store, but the expressions would
+whole-stage-codegen over any scale):
+
+- one candidate window per query term: ``width`` chars centred on the term's
+  first occurrence;
+- each window scored by the count of distinct query terms it contains;
+- the best window wins (ties → the earlier term in the caller's order, which
+  callers pass rarity-first, mirroring the reference's term-weight order).
+
+Deterministic and integer-valued — the DuckDB oracle replicates it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def candidate_window(text: Column, term: str, width: int) -> Column:
+    """width-char window centred on the first occurrence of ``term``
+    (empty string when absent)."""
+    pos = F.locate(term.lower(), F.lower(text))
+    start = F.greatest(F.lit(1), pos - int(width // 2))
+    return F.when(pos > 0, F.substring(text, start, width)).otherwise(F.lit(""))
+
+
+def window_score(window: Column, terms: list[str]) -> Column:
+    """Distinct query terms contained in the window."""
+    s = F.lit(0)
+    for t in terms:
+        s = s + F.when(F.locate(t.lower(), F.lower(window)) > 0, 1).otherwise(0)
+    return s
+
+
+def multi_term_snippet(text: Column, terms: list[str], width: int = 60):
+    """(snippet, n_terms) columns: the best candidate window and its distinct
+    matched-term count. ``terms`` in priority (rarity-first) order."""
+    wins = [candidate_window(text, t, width) for t in terms]
+    scores = [window_score(w, terms) for w in wins]
+    best_w = wins[0]
+    best_s = scores[0]
+    for w, s in zip(wins[1:], scores[1:]):
+        better = s > best_s
+        best_w = F.when(better, w).otherwise(best_w)
+        best_s = F.when(better, s).otherwise(best_s)
+    return best_w.alias("snippet"), best_s.alias("n_terms")

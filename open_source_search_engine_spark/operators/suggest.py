@@ -1,0 +1,65 @@
+"""Spelling suggestions (the Speller analog).
+
+The reference suggests alternates for query terms from its dictionary
+(/root/reference/Speller.cpp); here the dictionary is the corpus itself — a
+(token, df) vocabulary table — and candidates come from the classic
+deletion-neighbourhood scheme (SymSpell-style): two strings are within edit
+distance 1 only if one's delete-1 set touches the other (or the strings
+match), so a precomputed exploded (delete_key → token) index turns
+suggestion lookup into an equi-join; exactness is restored by a JVM-side
+``levenshtein`` verification (the delete-intersection admits e.g.
+transpositions at distance 2). No Python in the candidate path; the index
+is partitionable/bucketable by delete_key at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def vocabulary(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(token, df) from whitespace tokens — the suggestion dictionary."""
+    toks = F.filter(F.split(F.lower(F.col(text)), r"\s+"), lambda x: x != "")
+    return (
+        docs.select(F.explode(F.array_distinct(toks)).alias("token"))
+        .groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    )
+
+
+def _deletes(col):
+    """All delete-1 variants of a token plus the token itself, as an array —
+    transform over character positions, JVM-side."""
+    n = F.length(col)
+    dels = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(F.substring(col, 1, (i - 1).cast("int")),
+                           col.substr(i + 1, n)),
+    )
+    return F.array_union(dels, F.array(col))
+
+
+def suggest_index(vocab: DataFrame) -> DataFrame:
+    """Materializable (delete_key, token, df) index: explode each vocabulary
+    token's delete-1 neighbourhood. Size ≈ Σ len(token) rows; bucket by
+    delete_key for pruned lookups at scale."""
+    return vocab.select(
+        F.explode(_deletes(F.col("token"))).alias("delete_key"), "token", "df"
+    )
+
+
+def suggest(vocab: DataFrame, word: str, k: int = 5) -> DataFrame:
+    """Top-k suggestions for ``word``: vocabulary tokens within edit
+    distance 1, ranked by df desc then token asc. Candidates via the
+    delete-neighbourhood equi-join, verified with built-in levenshtein."""
+    w = word.lower()
+    dels = [w] + [w[:i] + w[i + 1:] for i in range(len(w))]
+    idx = suggest_index(vocab)
+    cands = (
+        idx.filter(F.col("delete_key").isin(dels))
+        .select("token", "df").distinct()
+    )
+    return (
+        cands.filter(F.levenshtein(F.col("token"), F.lit(w)) <= 1)
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(k)
+    )

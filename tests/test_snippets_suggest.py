@@ -1,0 +1,56 @@
+"""Multi-term snippet selection (K7 Summary.cpp analog) and the
+edit-distance-1 suggestion operator (Speller analog)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_multi_term_snippet_picks_best_window(spark):
+    from open_source_search_engine_spark.operators.snippets import multi_term_snippet
+
+    rows = [
+        # both terms near each other late in the doc: window around 'alpha'
+        # (first occurrence, start) contains only alpha; window around 'beta'
+        # contains both → beta's window must win
+        (0, "alpha " + "x " * 60 + "alpha beta together here"),
+        (1, "only alpha here"),
+        (2, "beta first then " + "y " * 40 + "alpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    snip, n = multi_term_snippet(F.col("text"), ["alpha", "beta"], 60)
+    got = {r["doc_id"]: r for r in df.select("doc_id", snip, n).collect()}
+    assert got[0]["n_terms"] == 2
+    assert "beta" in got[0]["snippet"] and "alpha" in got[0]["snippet"]
+    assert got[1]["n_terms"] == 1 and "alpha" in got[1]["snippet"]
+    assert got[2]["n_terms"] == 1
+
+
+def test_suggest_edit_distance_one(spark):
+    from open_source_search_engine_spark.operators.suggest import (
+        suggest, vocabulary,
+    )
+
+    rows = [(i, t) for i, t in enumerate(
+        ["vector scan", "vector merge", "victor once", "vect here", "scan again"]
+    )]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = vocabulary(docs)
+    got = [(r["token"], r["df"]) for r in suggest(vocab, "vectr", 5).collect()]
+    # vector (df 2, insertion) ranks first; victor (substitution+… dist 2)
+    # and vect (deletion dist … "vectr"->"vect" = 1 deletion) qualify by rank
+    assert got[0] == ("vector", 2)
+    toks = [t for t, _ in got]
+    assert "vect" in toks
+    assert "victor" not in toks  # levenshtein("victor","vectr") == 2
+    assert "scan" not in toks
+
+
+def test_suggest_exact_word_included(spark):
+    from open_source_search_engine_spark.operators.suggest import (
+        suggest, vocabulary,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "merge sort"), (1, "merge scan")], "doc_id long, text string")
+    got = [r["token"] for r in suggest(vocabulary(docs), "merge", 3).collect()]
+    assert got[0] == "merge"

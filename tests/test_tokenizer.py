@@ -1,6 +1,7 @@
 """Tokenizer unit tests (FIXTURES.md §2 tokenizer_vectors role; semantics per
 /root/reference/Words.cpp:169-358 + Phrases.cpp:109-263 adapted to code)."""
 
+from hypothesis import given, settings, strategies as st
 from open_source_search_engine_spark.functions.hashing import TokenHasher
 from open_source_search_engine_spark.functions.tokenizer import (
     KIND_BIGRAM,
@@ -79,3 +80,65 @@ def test_empty_content():
     arrs = index_document("o/r", "a.py", "py", "", TokenHasher())
     assert arrs["dl_body"] == 0
     assert len(arrs["termid"]) > 0  # title/url/lang still indexed
+
+
+# ---------------------------------------------------------------------------
+# batch-vectorized tokenizer ≡ scalar reference
+# ---------------------------------------------------------------------------
+
+def _batch_vs_scalar(rows):
+    import numpy as np
+
+    from open_source_search_engine_spark.functions.hashing import (
+        TokenHasher, docid_for_url,
+    )
+    from open_source_search_engine_spark.functions.tokenizer import index_document
+    from open_source_search_engine_spark.functions.tokenizer_batch import index_batch
+
+    docids = [docid_for_url(r["repo"] + "/" + r["path"]) for r in rows]
+    got = index_batch([r["repo"] for r in rows], [r["path"] for r in rows],
+                      [r["lang"] for r in rows], [r["content"] for r in rows],
+                      docids)
+    h = TokenHasher()
+    ref_rows = []
+    for r, did in zip(rows, docids):
+        a = index_document(r["repo"], r["path"], r["lang"], r["content"], h)
+        for t, f, p, k, dl in zip(a["termid"].tolist(), a["field"].tolist(),
+                                  a["wordpos"].tolist(), a["kind"].tolist(),
+                                  a["dl"].tolist()):
+            ref_rows.append((did, f, t, p, k, dl))
+    got_rows = sorted(zip(got["docid"].tolist(), got["field"].tolist(),
+                          got["termid"].tolist(), got["wordpos"].tolist(),
+                          got["kind"].tolist(), got["dl"].tolist()))
+    assert got_rows == sorted(ref_rows)
+
+
+def test_batch_tokenizer_matches_scalar_on_corpus():
+    from open_source_search_engine_spark.corpus import make_corpus_rows
+
+    _batch_vs_scalar(make_corpus_rows(120))
+
+
+def test_batch_tokenizer_edge_cases():
+    _batch_vs_scalar([
+        {"repo": "r", "path": "a/b.c", "lang": "c", "content":
+         "bob's c++ c# x+'s 3.14 1,000,000 9abc _9 3.x a;b\n\n"
+         "foo.bar(baz, qux); 'sx bob'sx bob's here s"},
+        {"repo": "r", "path": "w.py", "lang": "py", "content": ""},
+        {"repo": "r", "path": "u.py", "lang": "py", "content": ";;;\n\n  ,,, !!"},
+        {"repo": "r", "path": "v.py", "lang": "py", "content":
+         "one    two\tthree;four five's six's7 12ab34cd 3, _++'s tail"},
+        {"repo": "r", "path": "nb.py", "lang": "py", "content":
+         "café naïve résumé unicode fallback doc"},
+    ])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.text(alphabet="abc_9 +#'.,;\n\t()", min_size=0, max_size=120),
+    min_size=1, max_size=6,
+))
+def test_batch_tokenizer_property(texts):
+    rows = [{"repo": "r", "path": f"p{i}.py", "lang": "py", "content": t}
+            for i, t in enumerate(texts)]
+    _batch_vs_scalar(rows)
