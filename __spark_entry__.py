@@ -631,6 +631,46 @@ def _q_events_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum_value", F.round(F.col("sum_value").cast("double"), 6))
 
 
+def _q_events_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    session counts with a 30-min gap, state folded per micro-batch; the last
+    update per user must equal the batch window computation."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from open_source_search_engine_spark.streaming.incremental import (
+        sessionize_stateful,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = sessionize_stateful(stream)
+    ckpt = tempfile.mkdtemp(prefix="osse_sess_ckpt_")
+    q = (
+        agg.writeStream.format("memory").queryName("osse_sessions_stateful")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    upd = spark.table("osse_sessions_stateful").withColumn(
+        "_r", F.monotonically_increasing_id()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("_r"))
+    return (
+        upd.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "n_sessions")
+    )
+
+
 def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -837,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_streaming_hourly": _q_events_streaming_hourly,
         "events_sessions": _q_events_sessions,
+        "events_sessions_stateful": _q_events_sessions_stateful,
     }
 
 
@@ -1022,6 +1063,17 @@ GROUP BY r_name
 """,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_streaming_hourly": EVENTS_HOURLY_SQL,
+        "events_sessions_stateful": """
+WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       (1 + sum(CASE WHEN prev_ts IS NOT NULL AND epoch(ts) - epoch(prev_ts) > 1800
+                     THEN 1 ELSE 0 END))::BIGINT AS n_sessions
+FROM e GROUP BY user_id
+""",
         "events_sessions": """
 WITH e AS (
   SELECT user_id, ts,

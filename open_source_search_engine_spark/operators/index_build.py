@@ -206,8 +206,15 @@ def map_encode(
             f = np.concatenate(fl)
             p = np.concatenate(pl)
             dl = np.concatenate(dll)
-            o = np.lexsort((p, d, f, t))
+            # composite sort keys: (termid, field) and (docid, wordpos) both
+            # fit one int64 (48+4 and 38+18 bits), halving the radix passes
+            # of a 4-key lexsort — this sort is the map task's largest
+            # memory-bandwidth consumer
+            key_tf = t * np.int64(16) + f
+            key_dp = (d << np.int64(18)) | p
+            o = np.lexsort((key_dp, key_tf))
             t, d, f, p, dl = t[o], d[o], f[o], p[o], dl[o]
+            del key_tf, key_dp
             # local-hot salt per (termid, field) run
             run_change = np.empty(len(t), dtype=bool)
             run_change[0] = True

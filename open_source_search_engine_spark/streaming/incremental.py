@@ -56,6 +56,57 @@ def windowed_event_counts(
     )
 
 
+def sessionize_stateful(
+    events: DataFrame,
+    *,
+    gap_sec: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-key session counting with a
+    ``gap_sec`` inactivity break, via ``applyInPandasWithState`` (the
+    arbitrary-state API — the shape a training-data pipeline uses for
+    operators watermarked window aggregation can't express).
+
+    State per key = (last event ts, events so far, sessions so far); each
+    micro-batch folds its (ts-sorted) events into the state and emits the
+    updated totals, so the LATEST update per key equals the batch windowed
+    computation over everything seen. Works on a batch DataFrame too (state
+    starts empty, one "batch") — the parity the gate test exploits."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, n_events long, n_sessions long"
+    state_schema = "last_ts double, n_events long, n_sessions long"
+
+    def fold(key, pdfs, state: GroupState):
+        last_ts, n_events, n_sessions = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        parts = [p for p in pdfs if len(p)]
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True)
+            pdf = pdf.sort_values([ts_col, id_col])
+            ts = pdf[ts_col].astype("int64").to_numpy() / 1e9  # epoch seconds
+            for t in ts:
+                if last_ts is None or (t - last_ts) > gap_sec:
+                    n_sessions += 1
+                last_ts = float(t)
+            n_events += len(pdf)
+            state.update((last_ts, n_events, n_sessions))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n_events], "n_sessions": [n_sessions]}
+        )
+
+    src = events
+    if dict(src.dtypes).get(ts_col) == "timestamp_ntz":
+        src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return src.groupBy(key_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str) -> DataFrame:
     """Run a streaming DataFrame to completion with Trigger.AvailableNow into
     an in-memory sink; return the result as a batch DataFrame. Used to gate

@@ -90,3 +90,78 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     for k in expect:
         assert got[k][0] == expect[k][0]
         assert got[k][1] == pytest.approx(expect[k][1], rel=1e-9)
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionization: state must CARRY across
+    micro-batches — events split into time-ordered files fed one per
+    trigger, final per-user counts equal the batch window computation."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from open_source_search_engine_spark.streaming.incremental import (
+        sessionize_stateful,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+
+    # batch comparator (the events_sessions semantics)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = ev.withColumn("is_break", F.when(gap > 1800, 1).otherwise(0))
+    expect = {
+        r["user_id"]: (r["n_events"], r["n_sessions"])
+        for r in sess.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            (F.lit(1) + F.sum("is_break")).alias("n_sessions"),
+        ).collect()
+    }
+
+    # two time-ordered files (earlier half, later half) with forced mtimes
+    # so the file source ingests them in ts order, one per trigger
+    split_ts = ev.orderBy("ts").limit(int(ev.count() // 2)) \
+        .agg(F.max("ts")).collect()[0][0]
+    d = str(tmp_path / "sessev")
+    os.makedirs(d)
+    ev.filter(F.col("ts") <= split_ts).repartition(1).write.parquet(d + "/p1")
+    ev.filter(F.col("ts") > split_ts).repartition(1).write.parquet(d + "/p2")
+    files = []
+    for sub in ("p1", "p2"):
+        for f in os.listdir(os.path.join(d, sub)):
+            if f.endswith(".parquet"):
+                src = os.path.join(d, sub, f)
+                dst = os.path.join(d, f"{sub}_{f}")
+                os.rename(src, dst)
+                files.append(dst)
+    for i, f in enumerate(sorted(files)):
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d)
+    )
+    q = (
+        sessionize_stateful(stream).writeStream.format("memory")
+        .queryName("t_sessions_stateful").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    upd = spark.table("t_sessions_stateful").withColumn(
+        "_r", F.monotonically_increasing_id())
+    w2 = Window.partitionBy("user_id").orderBy(F.desc("_r"))
+    got = {
+        r["user_id"]: (r["n_events"], r["n_sessions"])
+        for r in upd.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "n_sessions").collect()
+    }
+    # state carried: at least 2 batches produced updates
+    assert upd.count() > len(expect)
+    assert got == expect
