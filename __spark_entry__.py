@@ -499,6 +499,35 @@ def _q_embedding_neardup_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_engine_contenthash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9/Q2 gbcontenthash: — the content-hash dedup term
+    (/root/reference/XmlDoc_Indexing.cpp:152-220) as a sha256 docmap filter
+    per BASELINE input_hint."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    sha = (
+        _docs(spark, sf_dir).filter(F.col("doc_id") == 0)
+        .select(F.sha2("text", 256)).collect()[0][0]
+    )
+    res = topk(spark, idx, f"gbcontenthash:{sha} table", 100)
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.repetition_stats(_docs(spark, sf_dir), frag_w=5)
+    return out.select(
+        "doc_id", "n_frags", "n_distinct_frags",
+        F.round("frag_repetition", 6).alias("frag_repetition_r"),
+        F.round("distinct_token_ratio", 6).alias("distinct_token_ratio_r"),
+    )
+
+
 def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
 
@@ -843,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_boolean_not_kw": _engine_query("sort NOT (hash OR merge)"),
         "engine_phrase3": _engine_query('"hash value table"'),
         "engine_site_filter": _q_engine_site_filter,
+        "engine_contenthash": _q_engine_contenthash,
         "engine_field_title": _engine_query("title:123"),
         "engine_term_df": _q_engine_term_df,
         "engine_total_hits": _q_engine_total_hits,
@@ -866,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text analysis ---
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
+        "text_repetition": _q_text_repetition,
         "text_token_count": _q_text_token_count,
         "text_fingerprint": _q_text_fingerprint,
         # --- multimodal plumbing ---
@@ -897,6 +928,11 @@ SELECT s.doc_id, s.score_r, s.content_sha256
 FROM ({_bm25_sql(['hash', 'table'], bigram=('hash', 'table'))}) s
 JOIN documents dd ON dd.doc_id = s.doc_id
 WHERE dd.source = 'src3'
+""",
+        "engine_contenthash": f"""
+SELECT s.doc_id, s.score_r, s.content_sha256
+FROM ({_bm25_sql(['table'])}) s
+WHERE s.content_sha256 = (SELECT sha256(text) FROM documents WHERE doc_id = 0)
 """,
         "engine_field_title": f"""
 WITH base AS (SELECT count(*) AS n FROM documents)
@@ -1028,6 +1064,27 @@ WHERE a.vec_id < 25
 """,
         "text_langid": _LANGID_SQL,
         "text_quality": _QUALITY_SQL,
+        "text_repetition": f"""
+WITH{TOKS_CTE},
+sh AS (
+  SELECT doc_id, len(t) AS nt,
+         CASE WHEN len(t) >= 5
+           THEN list_transform(range(1, len(t) - 3),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+           ELSE [] END AS s,
+         list_distinct(t) AS dt
+  FROM toks
+)
+SELECT doc_id,
+       len(s)::BIGINT AS n_frags,
+       len(list_distinct(s))::BIGINT AS n_distinct_frags,
+       round(CASE WHEN len(s) > 0
+             THEN 1.0 - len(list_distinct(s))::DOUBLE / len(s) ELSE 0.0 END, 6)
+         AS frag_repetition_r,
+       round(CASE WHEN nt > 0 THEN len(dt)::DOUBLE / nt ELSE 0.0 END, 6)
+         AS distinct_token_ratio_r
+FROM sh
+""",
         "text_token_count": rf"""
 SELECT doc_id,
        len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_tokens_ws,

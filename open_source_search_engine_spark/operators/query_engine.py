@@ -376,7 +376,7 @@ def topk(
     agg = agg.filter(_expr_column(plan.expr, phrase_flags)).select("docid", "score")
 
     # document filters (J6 whitelist analog): restrict by docmap BEFORE top-k
-    if plan.site_filters or plan.ext_filters:
+    if plan.site_filters or plan.ext_filters or plan.sha_filters:
         dm = spark.read.parquet(catalog.table_path(h.index_dir, "docmap"))
         cond = F.lit(True)
         if plan.site_filters:
@@ -386,6 +386,9 @@ def topk(
             for e in plan.ext_filters:
                 ext_c = ext_c | F.col("path").endswith("." + e)
             cond = cond & ext_c
+        if plan.sha_filters:
+            # gbcontenthash: — the content-hash dedup term analog
+            cond = cond & F.col("content_sha256").isin(list(plan.sha_filters))
         allowed = dm.filter(cond).select("docid")
         agg = agg.join(allowed, "docid", "leftsemi")
 

@@ -206,18 +206,49 @@ def ivf_assign(
     *,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    expr_max_centroids: int = 32,
 ) -> DataFrame:
     """(id, vec, centroid_id): each vector assigned to its max-dot centroid.
-    Expression-level argmax over the (small, broadcast-as-literals) centroid
-    set. Persist partitioned by centroid_id."""
-    best = F.lit(0)
-    best_d = dot_col(F.col(vec), vec_lit(centroids[0]))
-    for j in range(1, len(centroids)):
-        d = dot_col(F.col(vec), vec_lit(centroids[j]))
-        cond = d > best_d
-        best = F.when(cond, F.lit(j)).otherwise(best)
-        best_d = F.when(cond, d).otherwise(best_d)
-    return df.select(F.col(id_col), F.col(vec), best.alias("centroid_id"))
+    Persist partitioned by centroid_id.
+
+    Two physical strategies: ≤ ``expr_max_centroids`` centroids compile to an
+    expression-level argmax (whole-stage codegen, zero Python); larger
+    codebooks switch to one numpy matmul per Arrow batch (mapInPandas) —
+    the (batch × dim) @ (dim × k) product is the scale path, since a
+    k-thousand-way when/otherwise chain would blow up codegen."""
+    if len(centroids) <= expr_max_centroids:
+        best = F.lit(0)
+        best_d = dot_col(F.col(vec), vec_lit(centroids[0]))
+        for j in range(1, len(centroids)):
+            d = dot_col(F.col(vec), vec_lit(centroids[j]))
+            cond = d > best_d
+            best = F.when(cond, F.lit(j)).otherwise(best)
+            best_d = F.when(cond, d).otherwise(best_d)
+        return df.select(F.col(id_col), F.col(vec), best.alias("centroid_id"))
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64).T  # (dim, k)
+    src = df.select(F.col(id_col), F.col(vec))
+    id_f = df.schema[id_col]
+    vec_f = df.schema[vec]
+    out_schema = T.StructType([
+        T.StructField(id_col, id_f.dataType, id_f.nullable),
+        T.StructField(vec, vec_f.dataType, vec_f.nullable),
+        T.StructField("centroid_id", T.IntegerType(), False),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+            if len(X) == 0:
+                continue
+            assign = np.argmax(X @ C, axis=1).astype(np.int32)
+            yield pd.DataFrame({id_col: pdf[id_col], vec: pdf[vec],
+                                "centroid_id": assign})
+
+    return src.mapInPandas(gen, out_schema)
 
 
 def ivf_topk(

@@ -125,3 +125,36 @@ def fingerprint(
         F.slice(F.array_sort(F.transform(sh, F.md5)), 1, keep), "|"
     )
     return df.withColumn(out, fp)
+
+
+def repetition_stats(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    *, frag_w: int = 5,
+) -> DataFrame:
+    """Repeated-fragment ("word spam") statistics — the batch analog of the
+    reference's frag-vector spam rank (/root/reference/XmlDoc.cpp:20287+
+    ``getFragVec``: repeated ≥5-word fragments get a repetition penalty) and
+    the diversity signal's doc-wide term-count table
+    (/root/reference/XmlDoc.cpp:20212-20284).
+
+    Per doc: ``n_frags`` (number of ``frag_w``-token shingles),
+    ``n_distinct_frags``, ``frag_repetition`` = 1 - distinct/total (0 = no
+    repeated fragments, → 1 for boilerplate), ``distinct_token_ratio`` =
+    distinct tokens / tokens (the diversity-rank input). Pure map-side
+    column expressions; a curation pipeline filters on these before
+    training-data export."""
+    toks = tokens_col(text)
+    sh = shingles_col(toks, frag_w)
+    n_tok = F.size(toks)
+    n_frag = F.size(sh)
+    n_dis = F.size(F.array_distinct(sh))
+    n_tok_dis = F.size(F.array_distinct(toks))
+    return df.select(
+        F.col(id_col),
+        F.greatest(n_frag, F.lit(0)).cast("long").alias("n_frags"),
+        F.greatest(n_dis, F.lit(0)).cast("long").alias("n_distinct_frags"),
+        F.when(n_frag > 0, F.lit(1.0) - n_dis.cast("double") / n_frag)
+        .otherwise(F.lit(0.0)).alias("frag_repetition"),
+        F.when(n_tok > 0, n_tok_dis.cast("double") / n_tok)
+        .otherwise(F.lit(0.0)).alias("distinct_token_ratio"),
+    )

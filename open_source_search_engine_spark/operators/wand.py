@@ -102,6 +102,7 @@ def wand_eligible(plan: QueryPlan, k: int, cursor) -> bool:
         and not plan.phrases
         and not plan.site_filters
         and not plan.ext_filters
+        and not plan.sha_filters
         and plan.docid_filter is None
         and plan.conjunctive_groups() is not None
     )

@@ -148,6 +148,9 @@ class OracleIndex:
                 d for d in universe
                 if any(self.docs[d].path.endswith("." + e) for e in plan.ext_filters)
             }
+        if plan.sha_filters:
+            universe = {d for d in universe
+                        if self.docs[d].content_sha256 in plan.sha_filters}
 
         cands: list[int] = []
         for d in universe:

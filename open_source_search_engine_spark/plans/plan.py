@@ -59,11 +59,13 @@ FIELD_WEIGHTS = {FIELD_BODY: 1.0, FIELD_TITLE: 8.0, FIELD_URL: 1.0, FIELD_LANG: 
 BIGRAM_WEIGHT = 5.0
 DOMAIN_URL_WEIGHT = 10.0  # looksLikeADomain INURL boost, Query.cpp:2473+
 
-# term-restricting field operators → hashGroup
-_FIELD_OPS = {"title": FIELD_TITLE, "inurl": FIELD_URL, "lang": FIELD_LANG}
+# term-restricting field operators → hashGroup (gblang: is the reference's
+# spelling, Query.h:35-104)
+_FIELD_OPS = {"title": FIELD_TITLE, "inurl": FIELD_URL, "lang": FIELD_LANG,
+              "gblang": FIELD_LANG}
 # document-filtering field operators (J6 whitelist family)
 _SITE_OPS = {"site", "repo"}
-_EXT_OPS = {"ext", "filetype"}
+_EXT_OPS = {"ext", "filetype", "type"}
 
 _TLDS = {"com", "org", "net", "io", "edu", "gov", "dev", "co"}
 
@@ -116,6 +118,7 @@ class QueryPlan:
     site_filters: list[str] = dc_field(default_factory=list)   # repo whitelist
     ext_filters: list[str] = dc_field(default_factory=list)    # path suffixes
     docid_filter: int | None = None                            # gbdocid:
+    sha_filters: list[str] = dc_field(default_factory=list)    # gbcontenthash:
 
     @property
     def required(self) -> list[TermSpec]:
@@ -308,6 +311,11 @@ class _Parser:
                 return _Atom("ext", val, None, negated)
             elif opl == "gbdocid" and val:
                 return _Atom("docid", val, None, negated)
+            elif opl == "gbcontenthash" and val:
+                # the content-hash dedup term
+                # (/root/reference/XmlDoc_Indexing.cpp:152-220, Query.h:87);
+                # per input_hint the invariant is sha256 → docmap filter
+                return _Atom("sha", val, None, negated)
         return _Atom("word", word, field, negated)
 
 
@@ -422,6 +430,9 @@ class _PlanBuilder:
                     self.plan.docid_filter = int(tree.value)
                 except ValueError:
                     pass
+                return None
+            if tree.kind == "sha":
+                self.plan.sha_filters.append(tree.value.lower())
                 return None
             return None
         if tree.op == "not":

@@ -172,3 +172,19 @@ def test_domain_like_query_boosts_url(spark, mini):
     url_specs = [t for t in plan.terms if t.field == FIELD_URL and t.weight == 10.0]
     assert {t.token for t in url_specs} == {"example", "com"}
     assert FIELD_WEIGHTS[FIELD_URL] == 1.0
+
+
+def test_gbcontenthash_filter(spark, mini):
+    """gbcontenthash: pins results to one exact content version (the
+    content-hash dedup term analog)."""
+    import hashlib
+
+    idx, oracle = mini
+    sha = hashlib.sha256(ROWS[1]["content"].encode()).hexdigest()
+    eng = _match(spark, mini, f"gbcontenthash:{sha} alpha")
+    assert len(eng) == 1 and eng[0][2] == "src/two.cpp"
+
+
+def test_gblang_and_type_aliases(spark, mini):
+    _match(spark, mini, "gblang:cpp alpha")
+    _match(spark, mini, "type:txt sort")

@@ -71,3 +71,18 @@ def test_ivf(emb, qvec):
     # same caveat as the LSH test: near-random vectors cluster poorly, so
     # nprobe=4/8 recall is partial by construction
     assert len(set(exact) & {r["vec_id"] for r in got}) >= 4
+
+
+def test_ivf_assign_batch_equals_expr(spark, emb):
+    """The numpy-matmul assign path (large codebooks) must agree with the
+    expression-level argmax path."""
+    import numpy as np
+
+    from open_source_search_engine_spark.operators import similarity
+
+    C = similarity.train_centroids(emb, n_centroids=8)
+    a = {r["vec_id"]: r["centroid_id"] for r in
+         similarity.ivf_assign(emb, C).collect()}
+    b = {r["vec_id"]: r["centroid_id"] for r in
+         similarity.ivf_assign(emb, C, expr_max_centroids=0).collect()}
+    assert a == b

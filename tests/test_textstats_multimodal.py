@@ -111,3 +111,30 @@ def test_decode_stubs():
         multimodal.decode_image(b"x")
     with _pt.raises(NotImplementedError):
         multimodal.decode_audio(b"x")
+
+
+def test_repetition_stats_reference(spark):
+    from open_source_search_engine_spark.operators import textstats
+
+    rows = [
+        (0, "a b c d e f g h"),                    # 4 distinct 5-grams
+        (1, "x y z x y z x y z x y z"),            # heavy repetition
+        (2, "short doc"),                          # no 5-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+
+    def ref(text):
+        t = text.split()
+        sh = [" ".join(t[i:i + 5]) for i in range(len(t) - 4)] if len(t) >= 5 else []
+        fr = 1.0 - len(set(sh)) / len(sh) if sh else 0.0
+        dr = len(set(t)) / len(t) if t else 0.0
+        return len(sh), len(set(sh)), fr, dr
+
+    for did, text in rows:
+        n, nd, fr, dr = ref(text)
+        r = got[did]
+        assert (r["n_frags"], r["n_distinct_frags"]) == (n, nd)
+        assert abs(r["frag_repetition"] - fr) < 1e-9
+        assert abs(r["distinct_token_ratio"] - dr) < 1e-9
+    assert got[1]["frag_repetition"] > 0.5 > got[0]["frag_repetition"]

