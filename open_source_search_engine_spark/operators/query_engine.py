@@ -253,6 +253,9 @@ def topk(
     handle: IndexHandle | None = None,
     wand_cells: int | None = None,
     wand_counters: dict | None = None,
+    site_max: int | None = None,
+    dedup_content: bool = False,
+    temperature: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame
     (rank, docid, score, repo, path, content_sha256).
@@ -267,7 +270,28 @@ def topk(
     - **declarative aggregation** otherwise (and always for ``prune=False``):
       decode → spec join → groupBy membership+score → TakeOrdered. The A/B
       equality of the two is a standing test.
+
+    Result post-processing (Msg40/Msg3a analogs):
+
+    - ``site_max``: at most N results per repo (site clustering,
+      /root/reference/Msg3a.cpp:802-845);
+    - ``dedup_content``: drop lower-ranked results with identical
+      content_sha256 (dup-content removal, /root/reference/Msg40.cpp:1113+);
+    - both fetch 2× headroom and re-query deeper (doubling) when filtering
+      starves the page — the reference's recall loop
+      (/root/reference/Msg40.cpp m_docsToGet *= 2; TopTree's ≥2× headroom,
+      /root/reference/TopTree.h:13-50);
+    - ``temperature``: optional (docid, temperature) prior multiplied into
+      the score before ranking (page-temperature analog,
+      /root/reference/PageTemperatureRegistry.h:9-30,
+      /root/reference/PosdbTable.cpp:3924-3941); forces the declarative
+      path (a score multiplier would invalidate WAND's upper bounds).
     """
+    if site_max is not None or dedup_content:
+        return _topk_postprocessed(
+            spark, index_dir, query, k, cursor=cursor, prune=prune,
+            handle=handle, site_max=site_max, dedup_content=dedup_content,
+            temperature=temperature)
     plan = parse_query(query) if isinstance(query, str) else query
     if not plan.required or plan.expr is None:
         return spark.createDataFrame(
@@ -292,7 +316,7 @@ def topk(
     from .index_build import load_superseded
     from .wand import wand_eligible, wand_topk
 
-    if prune and wand_eligible(plan, k, cursor):
+    if prune and temperature is None and wand_eligible(plan, k, cursor):
         top = (
             wand_topk(spark, seg, plan, dfs, h.n_docs, h.avgdl, h.index_dir,
                       k, n_cells=wand_cells, decode_counters=wand_counters)
@@ -375,6 +399,17 @@ def topk(
     # evaluate the boolean membership expression per docid (Q5 truth table)
     agg = agg.filter(_expr_column(plan.expr, phrase_flags)).select("docid", "score")
 
+    if temperature is not None:
+        # page-temperature prior: score *= temp (1.0 when absent)
+        t_b = F.broadcast(temperature.select(
+            "docid", F.col("temperature").alias("_temp")))
+        agg = (
+            agg.join(t_b, "docid", "left")
+            .select("docid",
+                    (F.col("score") * F.coalesce(F.col("_temp"), F.lit(1.0))
+                     ).alias("score"))
+        )
+
     # document filters (J6 whitelist analog): restrict by docmap BEFORE top-k
     if plan.site_filters or plan.ext_filters or plan.sha_filters:
         dm = spark.read.parquet(catalog.table_path(h.index_dir, "docmap"))
@@ -401,6 +436,51 @@ def topk(
 
     top = agg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
     return _join_docmap(spark, h, top, sup)
+
+
+def _topk_postprocessed(
+    spark: SparkSession, index_dir: str, query, k: int, *,
+    cursor, prune, handle, site_max, dedup_content, temperature,
+) -> DataFrame:
+    """Site clustering / dup-content removal with the reference's recall
+    loop: fetch 2× headroom, filter, and re-query deeper (doubling, ≤3
+    rounds) if fewer than k survive while deeper results may exist."""
+    fetch_k = max(2 * k, k + 10)
+    for _ in range(3):
+        base = topk(spark, index_dir, query, fetch_k, cursor=cursor,
+                    prune=prune, handle=handle, temperature=temperature)
+        rows = base.collect()
+        kept = _apply_result_filters(rows, site_max, dedup_content)
+        if len(kept) >= k or len(rows) < fetch_k:
+            break
+        fetch_k *= 2
+    kept = kept[:k]
+    schema = ("rank int, docid long, score double, repo string, path string, "
+              "content_sha256 string")
+    data = [(i + 1, r["docid"], r["score"], r["repo"], r["path"],
+             r["content_sha256"]) for i, r in enumerate(kept)]
+    return spark.createDataFrame(data, schema)
+
+
+def _apply_result_filters(rows, site_max, dedup_content):
+    """Rows are already (score desc, docid asc); one ordered pass applies
+    ≤site_max per repo and first-occurrence-per-content_sha256."""
+    seen_sha: set = set()
+    per_site: dict = {}
+    out = []
+    for r in rows:
+        if dedup_content:
+            if r["content_sha256"] in seen_sha:
+                continue
+        if site_max is not None:
+            if per_site.get(r["repo"], 0) >= site_max:
+                continue
+        out.append(r)
+        if dedup_content:
+            seen_sha.add(r["content_sha256"])
+        if site_max is not None:
+            per_site[r["repo"]] = per_site.get(r["repo"], 0) + 1
+    return out
 
 
 def _join_docmap(spark: SparkSession, h: IndexHandle, top: DataFrame,

@@ -1,0 +1,91 @@
+"""Serving-path result post-processing: site clustering ≤N/repo (K5,
+Msg3a.cpp:802-845), dup-content removal (K6, Msg40.cpp:1113+) with the
+recall loop, and the page-temperature score prior (SC6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+# one repo dominating the results + exact-dup content pairs
+ROWS = [
+    {"repo": "big", "path": f"src/a{i}.py", "lang": "py",
+     "content": f"target term here filler{i} unique{i}"}
+    for i in range(6)
+] + [
+    {"repo": "small", "path": "src/b0.py", "lang": "py",
+     "content": "target term other words entirely"},
+    {"repo": "small", "path": "src/b1.py", "lang": "py",
+     "content": "dup content target block exact"},
+    {"repo": "tiny", "path": "src/c0.py", "lang": "py",
+     "content": "dup content target block exact"},   # exact dup of b1
+    {"repo": "tiny", "path": "src/c1.py", "lang": "py",
+     "content": "target appears once more here"},
+]
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, tmp_path_factory):
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+    from open_source_search_engine_spark.operators.index_build import build_index
+
+    d = str(tmp_path_factory.mktemp("pp") / "idx")
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], "0", r["lang"], r["content"]) for r in ROWS],
+        CORPUS_SCHEMA_DDL,
+    )
+    build_index(spark, df, d, n_chunks=1)
+    return d
+
+
+def _run(spark, idx, **kw):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    return topk(spark, idx, "target", **kw).collect()
+
+
+def test_site_clustering_limits_per_repo(spark, pidx):
+    base = _run(spark, pidx, k=20)
+    assert sum(r["repo"] == "big" for r in base) == 6
+    got = _run(spark, pidx, k=20, site_max=2)
+    per = {}
+    for r in got:
+        per[r["repo"]] = per.get(r["repo"], 0) + 1
+    assert per["big"] == 2 and per["small"] == 2
+    # clustering preserves relative order of the kept rows
+    kept_ids = [r["docid"] for r in got]
+    base_order = [r["docid"] for r in base if r["docid"] in set(kept_ids)]
+    assert kept_ids == base_order
+
+
+def test_dedup_content_removes_exact_dups(spark, pidx):
+    base = _run(spark, pidx, k=20)
+    shas = [r["content_sha256"] for r in base]
+    assert len(shas) != len(set(shas)), "fixture must contain dup content"
+    got = _run(spark, pidx, k=20, dedup_content=True)
+    shas2 = [r["content_sha256"] for r in got]
+    assert len(shas2) == len(set(shas2))
+    assert len(got) == len(set(shas))
+
+
+def test_recall_loop_fills_page(spark, pidx):
+    """k=3 with site_max=1: the first 2x fetch (6 rows, all from 'big' +
+    others) must re-query deeper until 3 distinct repos fill the page."""
+    got = _run(spark, pidx, k=3, site_max=1)
+    assert len(got) == 3
+    assert len({r["repo"] for r in got}) == 3
+    assert [r["rank"] for r in got] == [1, 2, 3]
+
+
+def test_page_temperature_rescales_and_reranks(spark, pidx):
+    base = _run(spark, pidx, k=20)
+    # boost the lowest-ranked doc far above everyone
+    last = base[-1]["docid"]
+    temp = spark.createDataFrame(
+        [(int(last), 100.0)], "docid long, temperature double")
+    got = _run(spark, pidx, k=20, temperature=temp)
+    assert got[0]["docid"] == last
+    assert got[0]["score"] == pytest.approx(base[-1]["score"] * 100.0, rel=1e-9)
+    # everyone else keeps their base score (temp defaults to 1.0)
+    rest = {r["docid"]: r["score"] for r in got[1:]}
+    for r in base:
+        if r["docid"] != last:
+            assert rest[r["docid"]] == pytest.approx(r["score"], rel=1e-12)
