@@ -400,6 +400,24 @@ JOIN documents t2 ON t2.doc_id = d.doc_id
 """
 
 
+def _q_engine_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC4 sliding-window proximity ranker: BM25 × minimal-covering-window
+    factor from stored positions. The min-window computation is not
+    SQL-expressible, so this entry has no oracle_sql (rows-only check);
+    exactness vs the pure-Python oracle is pytest-gated
+    (tests/test_proximity.py)."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    res = topk(spark, idx, "hash table", 1_000_000, ranker="bm25_proximity")
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
 def _q_engine_site_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 whitelist analog: site:/repo: restricts candidates to one source
     before top-k (/root/reference/PosdbTable.cpp:4297-4372)."""
@@ -873,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_phrase3": _engine_query('"hash value table"'),
         "engine_site_filter": _q_engine_site_filter,
         "engine_contenthash": _q_engine_contenthash,
+        "engine_proximity": _q_engine_proximity,
         "engine_field_title": _engine_query("title:123"),
         "engine_term_df": _q_engine_term_df,
         "engine_total_hits": _q_engine_total_hits,

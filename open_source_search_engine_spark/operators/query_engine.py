@@ -212,6 +212,77 @@ def _expr_column(expr, phrase_flags: dict[int, F.Column]) -> F.Column:
     return out
 
 
+def _min_window_spans(decoded: DataFrame, member_tids: list[int]) -> DataFrame:
+    """(docid, span) for documents whose BODY contains ALL member terms:
+    span = minimal (max_pos - min_pos) over windows covering every member —
+    the sliding-window proximity of /root/reference/PosdbTable.cpp:3285-3441
+    computed from stored positions. One aggregation + a per-doc numpy merge
+    (docs are the conjunctive candidates, the same per-docid work the
+    reference does in findMinTermPairScoreInWindow)."""
+    m = len(member_tids)
+    mem = (
+        decoded.filter(
+            F.col("termid").isin([int(t) for t in member_tids])
+            & (F.col("field") == FIELD_BODY)
+            & F.col("positions").isNotNull()
+        )
+        .groupBy("docid")
+        .agg(F.collect_list(F.struct("termid", "positions")).alias("lists"))
+        .filter(F.size(F.array_distinct(F.transform(
+            F.col("lists"), lambda x: x["termid"]))) == m)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tid_ix = {int(t): i for i, t in enumerate(member_tids)}
+        for pdf in batches:
+            out_d, out_s = [], []
+            for docid, lists in zip(pdf["docid"].values, pdf["lists"].values):
+                pos_l, tag_l = [], []
+                for row in lists:
+                    t, ps = row["termid"], np.asarray(row["positions"], dtype=np.int64)
+                    pos_l.append(ps)
+                    tag_l.append(np.full(len(ps), tid_ix[int(t)], dtype=np.int64))
+                pos = np.concatenate(pos_l)
+                tag = np.concatenate(tag_l)
+                o = np.argsort(pos, kind="stable")
+                pos, tag = pos[o], tag[o]
+                # classic minimal covering window over the merged stream
+                need = m
+                count = np.zeros(m, dtype=np.int64)
+                best = None
+                left = 0
+                for right in range(len(pos)):
+                    if count[tag[right]] == 0:
+                        need -= 1
+                    count[tag[right]] += 1
+                    while need == 0:
+                        span = int(pos[right] - pos[left])
+                        if best is None or span < best:
+                            best = span
+                        count[tag[left]] -= 1
+                        if count[tag[left]] == 0:
+                            need += 1
+                        left += 1
+                if best is not None:
+                    out_d.append(int(docid))
+                    out_s.append(best)
+            if out_d:
+                yield pd.DataFrame({"docid": out_d, "span": out_s})
+
+    return mem.mapInPandas(gen, "docid long, span long")
+
+
+def proximity_factor(span: F.Column, n_terms: int) -> F.Column:
+    """Score multiplier from the minimal covering span: 2.0 at perfect
+    adjacency (span = n_terms-1), → 1.0 as terms drift apart — the bounded
+    analog of the reference's 1/(dist+1) pair weighting
+    (/root/reference/PosdbTable.cpp:551-732)."""
+    return F.lit(1.0) + F.lit(1.0) / F.greatest(
+        F.lit(1.0),
+        F.lit(1.0) + (span - F.lit(float(n_terms - 1))).cast("double"),
+    )
+
+
 def _phrase_matches(decoded: DataFrame, plan: QueryPlan) -> list[DataFrame]:
     """One DataFrame of phrase-satisfying docids per plan phrase: explode the
     stored positions of each member term, normalize by the member's offset,
@@ -256,6 +327,7 @@ def topk(
     site_max: int | None = None,
     dedup_content: bool = False,
     temperature: DataFrame | None = None,
+    ranker: str = "bm25",
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame
     (rank, docid, score, repo, path, content_sha256).
@@ -285,13 +357,16 @@ def topk(
       the score before ranking (page-temperature analog,
       /root/reference/PageTemperatureRegistry.h:9-30,
       /root/reference/PosdbTable.cpp:3924-3941); forces the declarative
-      path (a score multiplier would invalidate WAND's upper bounds).
+      path (a score multiplier would invalidate WAND's upper bounds);
+    - ``ranker="bm25_proximity"``: multiplies BM25 by a proximity factor
+      from the minimal window covering all required terms (SC4
+      sliding-window analog; declarative path only).
     """
     if site_max is not None or dedup_content:
         return _topk_postprocessed(
             spark, index_dir, query, k, cursor=cursor, prune=prune,
             handle=handle, site_max=site_max, dedup_content=dedup_content,
-            temperature=temperature)
+            temperature=temperature, ranker=ranker)
     plan = parse_query(query) if isinstance(query, str) else query
     if not plan.required or plan.expr is None:
         return spark.createDataFrame(
@@ -316,7 +391,8 @@ def topk(
     from .index_build import load_superseded
     from .wand import wand_eligible, wand_topk
 
-    if prune and temperature is None and wand_eligible(plan, k, cursor):
+    if (prune and temperature is None and ranker == "bm25"
+            and wand_eligible(plan, k, cursor)):
         top = (
             wand_topk(spark, seg, plan, dfs, h.n_docs, h.avgdl, h.index_dir,
                       k, n_cells=wand_cells, decode_counters=wand_counters)
@@ -329,6 +405,14 @@ def topk(
         seg = _block_range_prune(spark, seg, plan, dfs)
 
     pos_tids = sorted({int(t) for ph in plan.phrases for t in ph.termids})
+    prox_members: list[int] = []
+    if ranker == "bm25_proximity":
+        prox_members = sorted({
+            int(t.termid) for t in plan.required
+            if not t.is_bigram and (t.field is None or t.field == FIELD_BODY)
+        })
+        if len(prox_members) >= 2:
+            pos_tids = sorted(set(pos_tids) | set(prox_members))
     decoded = seg.mapInPandas(_decode_udf(all_tids, pos_tids), DECODED_SCHEMA)
     if plan.docid_filter is not None:
         decoded = decoded.filter(F.col("docid") == int(plan.docid_filter))
@@ -410,6 +494,20 @@ def topk(
                      ).alias("score"))
         )
 
+    if len(prox_members) >= 2:
+        # SC4 sliding-window proximity: boost docs whose required terms
+        # cluster tightly in the body (factor 1.0 when some term is absent
+        # from the body — the window is undefined there)
+        spans = _min_window_spans(decoded, prox_members)
+        agg = (
+            agg.join(spans, "docid", "left")
+            .select("docid",
+                    F.when(F.col("span").isNotNull(),
+                           F.col("score")
+                           * proximity_factor(F.col("span"), len(prox_members)))
+                    .otherwise(F.col("score")).alias("score"))
+        )
+
     # document filters (J6 whitelist analog): restrict by docmap BEFORE top-k
     if plan.site_filters or plan.ext_filters or plan.sha_filters:
         dm = spark.read.parquet(catalog.table_path(h.index_dir, "docmap"))
@@ -441,6 +539,7 @@ def topk(
 def _topk_postprocessed(
     spark: SparkSession, index_dir: str, query, k: int, *,
     cursor, prune, handle, site_max, dedup_content, temperature,
+    ranker: str = "bm25",
 ) -> DataFrame:
     """Site clustering / dup-content removal with the reference's recall
     loop: fetch 2× headroom, filter, and re-query deeper (doubling, ≤3
@@ -448,7 +547,8 @@ def _topk_postprocessed(
     fetch_k = max(2 * k, k + 10)
     for _ in range(3):
         base = topk(spark, index_dir, query, fetch_k, cursor=cursor,
-                    prune=prune, handle=handle, temperature=temperature)
+                    prune=prune, handle=handle, temperature=temperature,
+                    ranker=ranker)
         rows = base.collect()
         kept = _apply_result_filters(rows, site_max, dedup_content)
         if len(kept) >= k or len(rows) < fetch_k:

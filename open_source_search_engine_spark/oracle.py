@@ -112,8 +112,38 @@ class OracleIndex:
             return all(it) if expr.op == "and" else any(it)
         return False
 
+    def _min_window_span(self, docid: int, member_tids: list[int]) -> int | None:
+        """Minimal (max_pos - min_pos) over BODY windows covering every
+        member term; None when some member is absent from the body."""
+        streams = []
+        for i, tid in enumerate(member_tids):
+            ps = self.positions.get(tid, {}).get(FIELD_BODY, {}).get(docid)
+            if not ps:
+                return None
+            streams.extend((p, i) for p in ps)
+        streams.sort()
+        m = len(member_tids)
+        count = [0] * m
+        need = m
+        best = None
+        left = 0
+        for right in range(len(streams)):
+            if count[streams[right][1]] == 0:
+                need -= 1
+            count[streams[right][1]] += 1
+            while need == 0:
+                span = streams[right][0] - streams[left][0]
+                if best is None or span < best:
+                    best = span
+                count[streams[left][1]] -= 1
+                if count[streams[left][1]] == 0:
+                    need += 1
+                left += 1
+        return best
+
     def topk(self, query: str | QueryPlan, k: int = 10,
-             cursor: tuple[float, int] | None = None) -> list[dict]:
+             cursor: tuple[float, int] | None = None,
+             ranker: str = "bm25") -> list[dict]:
         plan = parse_query(query) if isinstance(query, str) else query
 
         if not plan.required or plan.expr is None:
@@ -186,6 +216,23 @@ class OracleIndex:
             for _, _, v in contribs:
                 s += v
             scored.append((s, d))
+
+        if ranker == "bm25_proximity":
+            # SC4 sliding-window proximity boost (mirrors the engine's
+            # _min_window_spans + proximity_factor exactly)
+            members = sorted({
+                t.termid for t in plan.required
+                if not t.is_bigram and (t.field is None or t.field == FIELD_BODY)
+            })
+            if len(members) >= 2:
+                rescored = []
+                for s, d in scored:
+                    span = self._min_window_span(d, members)
+                    if span is not None:
+                        s = s * (1.0 + 1.0 / max(
+                            1.0, 1.0 + float(span - (len(members) - 1))))
+                    rescored.append((s, d))
+                scored = rescored
 
         # tie-break score desc, docid asc; pagination strictly after cursor
         scored.sort(key=lambda sd: (-sd[0], sd[1]))

@@ -1,0 +1,73 @@
+"""Proximity ranker (SC4 sliding-window analog): BM25 × minimal-covering-
+window factor, engine vs oracle, and the ordering effect it exists for."""
+
+import pytest
+
+ROWS = [
+    {"repo": "r", "path": "near.py", "lang": "py",
+     "content": "alpha beta close together\nfiller line here\nmore filler"},
+    {"repo": "r", "path": "far.py", "lang": "py",
+     "content": "alpha starts here\nmany words pass\nfinally beta arrives"},
+    {"repo": "r", "path": "only.py", "lang": "py",
+     "content": "alpha appears alone repeatedly alpha alpha"},
+]
+
+
+@pytest.fixture(scope="module")
+def prox(spark, tmp_path_factory):
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+    from open_source_search_engine_spark.operators.index_build import build_index
+    from open_source_search_engine_spark.oracle import OracleIndex
+
+    rows = [dict(r, commit="0") for r in ROWS]
+    d = str(tmp_path_factory.mktemp("prox") / "idx")
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
+        CORPUS_SCHEMA_DDL,
+    )
+    build_index(spark, df, d, n_chunks=1)
+    return d, OracleIndex.build(rows)
+
+
+def test_proximity_matches_oracle(spark, prox):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, oracle = prox
+    for q in ["alpha beta", "alpha OR beta", "alpha"]:
+        eng = [(r["docid"], r["score"]) for r in
+               topk(spark, idx, q, 10, ranker="bm25_proximity").collect()]
+        ora = [(r["docid"], r["score"]) for r in
+               oracle.topk(q, 10, ranker="bm25_proximity")]
+        assert [e[0] for e in eng] == [o[0] for o in ora], q
+        for e, o in zip(eng, ora):
+            assert e[1] == pytest.approx(o[1], rel=1e-6)
+
+
+def test_proximity_boosts_adjacent_over_spread(spark, prox):
+    """near.py has 'alpha beta' adjacent (span 1 → factor 2.0); far.py has
+    them ~2 lines apart — under plain BM25 their scores may order either
+    way, under proximity the adjacent doc must lead."""
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, oracle = prox
+    near = docid_for_url("r/near.py")
+    rows = topk(spark, idx, "alpha beta", 10, ranker="bm25_proximity").collect()
+    assert rows[0]["docid"] == near
+    base = {r["docid"]: r["score"]
+            for r in topk(spark, idx, "alpha beta", 10).collect()}
+    prox_s = {r["docid"]: r["score"] for r in rows}
+    # adjacent doc: exactly 2.0x; the spread doc: strictly less than 2.0x
+    assert prox_s[near] == pytest.approx(base[near] * 2.0, rel=1e-12)
+    far = docid_for_url("r/far.py")
+    assert 1.0 < prox_s[far] / base[far] < 2.0
+
+
+def test_proximity_noop_for_single_term(spark, prox):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, _ = prox
+    a = [(r["docid"], r["score"]) for r in topk(spark, idx, "alpha", 10).collect()]
+    b = [(r["docid"], r["score"]) for r in
+         topk(spark, idx, "alpha", 10, ranker="bm25_proximity").collect()]
+    assert a == b
