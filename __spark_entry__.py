@@ -418,6 +418,24 @@ def _q_engine_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_engine_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2/R4 rank-weighted BM25: per-posting density/word-spam ranks stored
+    in the rankbuf sidecar weight each occurrence
+    (/root/reference/PosdbTable.cpp:257-258). Occurrence-level weights are
+    not SQL-expressible, so no oracle_sql (rows-only check); exactness vs
+    the pure-Python oracle is pytest-gated (tests/test_ranks.py)."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    res = topk(spark, idx, "hash table", 1_000_000, ranker="bm25_ranks")
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
 def _q_engine_site_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 whitelist analog: site:/repo: restricts candidates to one source
     before top-k (/root/reference/PosdbTable.cpp:4297-4372)."""
@@ -892,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_site_filter": _q_engine_site_filter,
         "engine_contenthash": _q_engine_contenthash,
         "engine_proximity": _q_engine_proximity,
+        "engine_ranks": _q_engine_ranks,
         "engine_field_title": _engine_query("title:123"),
         "engine_term_df": _q_engine_term_df,
         "engine_total_hits": _q_engine_total_hits,

@@ -1,0 +1,187 @@
+"""Per-occurrence scoring ranks: density, word-spam, diversity.
+
+The reference stores three small ranks in every posdb key
+(/root/reference/Posdb.h:65-73: 5-bit density, 4-bit word-spam, 4-bit
+diversity) and multiplies each occurrence's score by the density and
+word-spam weights (/root/reference/PosdbTable.cpp:257-258, 4226-4227).
+Diversity is computed and stored but its scoring multiplication is commented
+out (/root/reference/PosdbTable.cpp:683-684, 775-776); the only live reader
+is the score-explain page (/root/reference/PageResults.cpp:3283-3299). We
+mirror that exactly: all three ranks are computed and stored per posting,
+and the ``bm25_ranks`` ranker folds ONLY density x word-spam into the score.
+
+Semantics (re-expressed for the code corpus; shared verbatim by the scalar
+tokenizer, the batch tokenizer, and the oracle):
+
+- density rank (/root/reference/XmlDoc.cpp:20144-20206): per source line
+  ("sentence"): ``MAX_DENSITY - (unigrams_in_line - 1)``, floor 1; short
+  fields (title/url/lang) use the whole string. Computed in the tokenizers.
+- word-spam rank (getFragVec, /root/reference/XmlDoc.cpp:20290-20470
+  re-expressed): hash every run of ``NUMWORDS``=5 consecutive body unigrams;
+  a token covered by a window whose exact 5-token sequence occurs ``c``
+  times in the document gets rank ``MAXWORDSPAMRANK // c`` — 15 (clean) for
+  unrepeated text, 7 for a once-repeated fragment, and so on. Note the
+  stored rank is *cleanliness* (15 = not spam), matching the reference's
+  key encoding where MAXWORDSPAMRANK means no spam.
+- diversity rank (getDiversityVec, /root/reference/XmlDoc.cpp:20212-20288
+  re-expressed): per body unigram occurrence, with ``N`` = occurrences of
+  the word in the body and ``P`` = occurrences of the bigram starting at
+  this token (0 when no bigram starts here): ``15 - (15*P)//N`` — low when
+  the word is locked inside one repeated phrase, high when it appears in
+  varied contexts (the word-to-phrase-ratio demotion of
+  getWordToPhraseRatioWeights).
+
+Weight curves are the reference's exactly:
+
+- density: scale_quadratic over rank/31 between densityWeightMin=0.35 and
+  densityWeightMax=1.0 (/root/reference/ScoringWeights.cpp:25,
+  /root/reference/ScalingFunctions.cpp:29-40, defaults
+  /root/reference/Parms.cpp:3734-3750);
+- word-spam: scale_linear between 1/15 and 1.0
+  (/root/reference/ScoringWeights.cpp:29), computed as
+  ``(15 + 14*rank)/225`` so rank 15 gives exactly 1.0.
+
+A rank value packs all three into 13 bits: ``(density << 8) | (diversity
+<< 4) | spam``. For clean prose (density 31, spam 15) the occurrence weight
+is exactly 1.0, so ``bm25_ranks`` degenerates to plain BM25 on clean
+documents — a tested identity.
+
+Everything here is numpy over flat arrays with a segment-id column, so one
+call serves a whole Arrow batch; the scalar tokenizer passes a single
+segment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_WORDSPAM = 15    # MAXWORDSPAMRANK  (/root/reference/Posdb.h:69)
+MAX_DIVERSITY = 15   # MAXDIVERSITYRANK (/root/reference/Posdb.h:70)
+MAX_DENSITY = 31     # MAXDENSITYRANK   (/root/reference/Posdb.h:68)
+NUMWORDS = 5         # frag window width (/root/reference/XmlDoc.cpp:20289)
+
+DENSITY_WEIGHT_MIN = 0.35  # /root/reference/Parms.cpp:3739
+DENSITY_WEIGHT_MAX = 1.0
+
+# rank of every non-body / non-ranked posting: clean on all axes
+CLEAN_SPAM = MAX_WORDSPAM
+CLEAN_DIV = MAX_DIVERSITY
+
+_M1 = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier: order-sensitive window hash
+_POWS = np.array([1, 0, 0, 0, 0], dtype=np.uint64)
+with np.errstate(over="ignore"):  # uint64 wraparound is the intended ring
+    for _j in range(1, NUMWORDS):
+        _POWS[_j] = _POWS[_j - 1] * _M1
+_SEG_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def pack_rank(density, diversity, spam):
+    """(density, diversity, spam) -> 13-bit packed rank (arrays or scalars)."""
+    return (np.asarray(density, dtype=np.int64) << 8) | \
+        (np.asarray(diversity, dtype=np.int64) << 4) | \
+        np.asarray(spam, dtype=np.int64)
+
+
+def density_of(rank):
+    return (np.asarray(rank, dtype=np.int64) >> 8) & MAX_DENSITY
+
+
+def diversity_of(rank):
+    return (np.asarray(rank, dtype=np.int64) >> 4) & MAX_DIVERSITY
+
+
+def spam_of(rank):
+    return np.asarray(rank, dtype=np.int64) & MAX_WORDSPAM
+
+
+def density_weight(dr):
+    """scale_quadratic(dr, 0, 31, 0.35, 1.0) — float64, vectorized
+    (/root/reference/ScalingFunctions.cpp:29-40)."""
+    r = np.asarray(dr, dtype=np.float64) / float(MAX_DENSITY)
+    return (((r + 1.0) * (r + 1.0) - 1.0) / 3.0
+            * (DENSITY_WEIGHT_MAX - DENSITY_WEIGHT_MIN) + DENSITY_WEIGHT_MIN)
+
+
+def spam_weight(wsr):
+    """scale_linear(wsr, 0, 15, 1/15, 1.0) in the integer-exact form
+    (15 + 14*wsr)/225 so wsr=15 -> exactly 1.0."""
+    return (15.0 + 14.0 * np.asarray(wsr, dtype=np.float64)) / 225.0
+
+
+def occurrence_weight(rank):
+    """Packed rank -> density_weight x spam_weight (diversity excluded from
+    scoring, as in the reference — PosdbTable.cpp:683-684 commented out)."""
+    r = np.asarray(rank, dtype=np.int64)
+    return density_weight((r >> 8) & MAX_DENSITY) * spam_weight(r & MAX_WORDSPAM)
+
+
+def _group_counts(seg: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """count of (seg, vals[i]) pairs, scattered back per element."""
+    n = len(vals)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort((vals, seg))
+    s, v = seg[order], vals[order]
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = (s[1:] != s[:-1]) | (v[1:] != v[:-1])
+    run_start = np.nonzero(new)[0]
+    run_len = np.diff(np.append(run_start, n))
+    counts_sorted = np.repeat(run_len, run_len)
+    out = np.empty(n, dtype=np.int64)
+    out[order] = counts_sorted
+    return out
+
+
+def spam_ranks(seg: np.ndarray, tids: np.ndarray) -> np.ndarray:
+    """Word-spam rank per token of a flat (segment-id, termid) token stream.
+
+    Windows never cross segment boundaries; within a segment they DO cross
+    line breaks (the reference's getFragVec scans all body words). Rank =
+    ``15 // c`` with ``c`` the max repeat count over the <=5 windows covering
+    the token (1 when the token is in no complete window)."""
+    n = len(tids)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    seg = np.ascontiguousarray(seg, dtype=np.int64)
+    t = tids.astype(np.uint64)
+    out = np.full(n, MAX_WORDSPAM, dtype=np.int64)
+    if n < NUMWORDS:
+        return out
+    nw = n - NUMWORDS + 1
+    h = np.zeros(nw, dtype=np.uint64)
+    for j in range(NUMWORDS):
+        h += t[j:j + nw] * _POWS[j]
+    # mix the segment id so identical fragments in different docs/fields
+    # never pool their counts
+    h ^= (seg[:nw].astype(np.uint64) + np.uint64(1)) * _SEG_MIX
+    valid = seg[:nw] == seg[NUMWORDS - 1:]
+    c_win = _group_counts(seg[:nw], h.astype(np.int64))
+    c_win = np.where(valid, c_win, 0)
+    # token coverage: max window count over starts [i-4, i]
+    c_tok = np.zeros(n, dtype=np.int64)
+    for j in range(NUMWORDS):
+        lo, hi = j, j + nw
+        np.maximum(c_tok[lo:hi], c_win, out=c_tok[lo:hi])
+    c_tok = np.maximum(c_tok, 1)
+    return MAX_WORDSPAM // c_tok
+
+
+def diversity_ranks(seg: np.ndarray, tids: np.ndarray,
+                    bigram_start_ix: np.ndarray,
+                    bigram_ids: np.ndarray) -> np.ndarray:
+    """Diversity rank per token: ``15 - (15*P)//N`` (see module docstring).
+
+    ``bigram_start_ix[i]`` is the token index where bigram ``bigram_ids[i]``
+    starts (bigrams never cross segments by construction)."""
+    n = len(tids)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    seg = np.ascontiguousarray(seg, dtype=np.int64)
+    N = _group_counts(seg, np.ascontiguousarray(tids, dtype=np.int64))
+    P_tok = np.zeros(n, dtype=np.int64)
+    if len(bigram_start_ix):
+        big_seg = seg[bigram_start_ix]
+        P_big = _group_counts(big_seg, np.ascontiguousarray(bigram_ids, dtype=np.int64))
+        P_tok[bigram_start_ix] = P_big
+    return MAX_DIVERSITY - (MAX_DIVERSITY * P_tok) // np.maximum(N, 1)

@@ -81,6 +81,9 @@ class TokenizedField:
     kinds: list[int] = dc_field(default_factory=list)
     bigram_pairs: list[tuple[str, str, bool]] = dc_field(default_factory=list)
     bigram_positions: list[int] = dc_field(default_factory=list)
+    # index of each bigram's FIRST word within the unigram-only sequence
+    # (for the diversity-rank word-to-phrase counts, functions/ranks.py)
+    bigram_start_uni: list[int] = dc_field(default_factory=list)
     n_words: int = 0          # dl: unigram count (BM25 doc length)
     end_cursor: int = 0
 
@@ -128,6 +131,7 @@ def tokenize_text(text: str, start_cursor: int = 0, per_line_density: bool = Tru
             both_stop = prev_tok in STOP_WORDS and tok in STOP_WORDS
             out.bigram_pairs.append((prev_tok, tok, both_stop))
             out.bigram_positions.append(prev_pos)
+            out.bigram_start_uni.append(out.n_words - 2)
         prev_tok = tok
         prev_pos = pos
         cursor = min(cursor + 1, MAX_WORDPOS)
@@ -180,9 +184,20 @@ def index_document(
     Returns dict of equal-length arrays: termid(int64), wordpos(int32),
     field(int8), density(int8), kind(int8), dl(int32 — the row's field
     length, inlined so posting blocks carry BM25 doc length and the query
-    path needs no doc-length join); plus scalar doc lengths per field under
-    'dl_body','dl_title','dl_url'.
+    path needs no doc-length join), rank(int64 — the packed
+    density/diversity/word-spam posting rank of functions/ranks.py, the
+    Posdb-key rank bits analog /root/reference/Posdb.h:65-73); plus scalar
+    doc lengths per field under 'dl_body','dl_title','dl_url'.
+
+    Rank assignment: body unigrams get full per-occurrence ranks; synonym
+    rows inherit their base token's ranks; bigram rows carry the first
+    word's density and word-spam with clean diversity (phrase keys carry
+    ranks in the reference too, XmlDoc_Indexing.cpp hashWords); short
+    fields (title/url/lang) are clean on the spam/diversity axes.
     """
+    from .ranks import (
+        CLEAN_DIV, CLEAN_SPAM, diversity_ranks, pack_rank, spam_ranks,
+    )
     fields = [
         (FIELD_BODY, content, True),
         (FIELD_TITLE, _basename(path), False),
@@ -195,6 +210,7 @@ def index_document(
     densities: list[np.ndarray] = []
     kinds: list[np.ndarray] = []
     dls: list[np.ndarray] = []
+    rank_arrs: list[np.ndarray] = []
     dl = {FIELD_BODY: 0, FIELD_TITLE: 0, FIELD_URL: 0}
 
     cursor = 0
@@ -205,15 +221,35 @@ def index_document(
             dl[fcode] = tf.n_words
         n_uni = len(tf.tokens)
         n_big = len(tf.bigram_pairs)
+        tids_rows = hasher.termids(tf.tokens) if n_uni else np.empty(0, dtype=np.int64)
+        big_ids = hasher.bigram_ids(tf.bigram_pairs) if n_big else np.empty(0, dtype=np.int64)
+        big_start = np.asarray(tf.bigram_start_uni, dtype=np.int64)
+        dens_rows = np.asarray(tf.densities, dtype=np.int64)
+        kind_rows = np.asarray(tf.kinds, dtype=np.int64)
+        mask_uni = kind_rows == KIND_UNIGRAM
+        uni_rows = np.nonzero(mask_uni)[0]
+        uni_tids = tids_rows[uni_rows]
+        if fcode == FIELD_BODY and len(uni_tids):
+            seg0 = np.zeros(len(uni_tids), dtype=np.int64)
+            spam_u = spam_ranks(seg0, uni_tids)
+            div_u = diversity_ranks(seg0, uni_tids, big_start, big_ids)
+        else:
+            spam_u = np.full(len(uni_tids), CLEAN_SPAM, dtype=np.int64)
+            div_u = np.full(len(uni_tids), CLEAN_DIV, dtype=np.int64)
         if n_uni:
-            termids.append(hasher.termids(tf.tokens))
+            # each row takes the most recent unigram's spam/diversity
+            # (synonym rows directly follow and inherit their base token)
+            base_ix = np.cumsum(mask_uni) - 1
+            rank_rows = pack_rank(dens_rows, div_u[base_ix], spam_u[base_ix])
+            termids.append(tids_rows)
             positions.append(np.asarray(tf.positions, dtype=np.int32))
             fcodes.append(np.full(n_uni, fcode, dtype=np.int8))
-            densities.append(np.asarray(tf.densities, dtype=np.int8))
-            kinds.append(np.asarray(tf.kinds, dtype=np.int8))
+            densities.append(dens_rows.astype(np.int8))
+            kinds.append(kind_rows.astype(np.int8))
             dls.append(np.full(n_uni, tf.n_words, dtype=np.int32))
+            rank_arrs.append(rank_rows)
         if n_big:
-            termids.append(hasher.bigram_ids(tf.bigram_pairs))
+            termids.append(big_ids)
             positions.append(np.asarray(tf.bigram_positions, dtype=np.int32))
             fcodes.append(np.full(n_big, fcode, dtype=np.int8))
             densities.append(np.full(n_big, MAX_DENSITY, dtype=np.int8))
@@ -221,6 +257,10 @@ def index_document(
             # bigram rows score against the field's unigram length (the
             # oracle's dl lookup is per (doc, field), kind-independent)
             dls.append(np.full(n_big, tf.n_words, dtype=np.int32))
+            rank_arrs.append(pack_rank(
+                dens_rows[uni_rows[big_start]],
+                np.full(n_big, CLEAN_DIV, dtype=np.int64),
+                spam_u[big_start]))
 
     if termids:
         res = {
@@ -230,6 +270,7 @@ def index_document(
             "density": np.concatenate(densities),
             "kind": np.concatenate(kinds),
             "dl": np.concatenate(dls),
+            "rank": np.concatenate(rank_arrs),
         }
     else:
         res = {
@@ -239,6 +280,7 @@ def index_document(
             "density": np.empty(0, dtype=np.int8),
             "kind": np.empty(0, dtype=np.int8),
             "dl": np.empty(0, dtype=np.int32),
+            "rank": np.empty(0, dtype=np.int64),
         }
     res["dl_body"] = dl[FIELD_BODY]
     res["dl_title"] = dl[FIELD_TITLE]

@@ -71,6 +71,7 @@ _EMPTY = {
     "field": np.empty(0, dtype=np.int64),
     "kind": np.empty(0, dtype=np.int64),
     "dl": np.empty(0, dtype=np.int64),
+    "rank": np.empty(0, dtype=np.int64),
 }
 
 
@@ -255,6 +256,7 @@ def index_batch(repos, paths, langs, contents, docids) -> dict:
                 "field": arrs["field"].astype(np.int64),
                 "kind": arrs["kind"].astype(np.int64),
                 "dl": arrs["dl"].astype(np.int64),
+                "rank": arrs["rank"].astype(np.int64),
             })
             for fc, key in ((FIELD_BODY, "dl_body"), (FIELD_TITLE, "dl_title"),
                             (FIELD_URL, "dl_url")):
@@ -375,20 +377,61 @@ def _index_segments(seg_texts, seg_field, seg_doc, stats) -> dict:
         if f in (FIELD_BODY, FIELD_TITLE, FIELD_URL):
             stats.append((d, f, l))
 
+    # posting ranks (functions/ranks.py): density per source line for body /
+    # whole string otherwise; word-spam + diversity over body tokens only —
+    # identical semantics to the scalar index_document (parity-tested)
+    from .ranks import (
+        CLEAN_DIV, CLEAN_SPAM, diversity_ranks, pack_rank, spam_ranks,
+    )
+    from .tokenizer import MAX_DENSITY
+
+    if ntok:
+        ln = brk[starts] - brk[seg_start[seg_of]]
+        fld_tok = seg_field[seg_of]
+        body_tok = fld_tok == FIELD_BODY
+        key_line = seg_of * (int(ln.max()) + 1) + ln
+        cnt_line = np.bincount(key_line)[key_line]
+        cnt = np.where(body_tok, cnt_line, tok_seg_counts[seg_of])
+        dens = np.clip(MAX_DENSITY - (cnt - 1), 1, MAX_DENSITY).astype(np.int64)
+        spam = np.full(ntok, CLEAN_SPAM, dtype=np.int64)
+        div = np.full(ntok, CLEAN_DIV, dtype=np.int64)
+        b_ix = np.nonzero(body_tok)[0]
+        if len(b_ix):
+            spam[b_ix] = spam_ranks(seg_of[b_ix], tids[b_ix])
+            body_pos = np.cumsum(body_tok) - 1
+            if len(a_ix):
+                in_body = body_tok[a_ix]
+                big_start_body = body_pos[a_ix[in_body]]
+                big_ids_body = big_tids[in_body]
+            else:
+                big_start_body = np.empty(0, dtype=np.int64)
+                big_ids_body = np.empty(0, dtype=np.int64)
+            div[b_ix] = diversity_ranks(
+                seg_of[b_ix], tids[b_ix], big_start_body, big_ids_body)
+        rank_uni = pack_rank(dens, div, spam)
+    else:
+        rank_uni = np.empty(0, dtype=np.int64)
+
     parts_t = [tids]
     parts_seg = [seg_of]
     parts_pos = [pos]
     parts_kind = [np.full(ntok, KIND_UNIGRAM, dtype=np.int64)]
+    parts_rank = [rank_uni]
     if len(poss_ix):
         parts_t.append(base_tids)
         parts_seg.append(seg_of[poss_ix])
         parts_pos.append(pos[poss_ix])
         parts_kind.append(np.full(len(poss_ix), KIND_SYNONYM, dtype=np.int64))
+        parts_rank.append(rank_uni[poss_ix])  # synonym inherits base ranks
     if len(a_ix):
         parts_t.append(big_tids)
         parts_seg.append(big_seg)
         parts_pos.append(big_pos)
         parts_kind.append(np.full(len(a_ix), KIND_BIGRAM, dtype=np.int64))
+        # bigram: first word's density + spam, clean diversity
+        parts_rank.append(pack_rank(
+            dens[a_ix], np.full(len(a_ix), CLEAN_DIV, dtype=np.int64),
+            spam[a_ix]))
     t_all = np.concatenate(parts_t)
     seg_all = np.concatenate(parts_seg)
     return {
@@ -398,4 +441,5 @@ def _index_segments(seg_texts, seg_field, seg_doc, stats) -> dict:
         "field": seg_field[seg_all].astype(np.int64),
         "kind": np.concatenate(parts_kind),
         "dl": dl_seg[seg_all],
+        "rank": np.concatenate(parts_rank),
     }

@@ -281,6 +281,40 @@ def _parse_block_values(
     return docids, tfs, dls, positions
 
 
+def encode_rank_streams(ranks: np.ndarray, n_posts: np.ndarray) -> list[bytes]:
+    """Per-posting packed ranks (functions/ranks.py) → one varint byte string
+    per block, sliced from a single whole-array encode.
+
+    The rank stream is a SIDECAR to the posting payload (a separate column),
+    not part of the block codec: the default query path never reads it, the
+    payload bytes stay byte-identical to the rank-free format, and only the
+    ``bm25_ranks`` ranker pays the extra decode — the columnar split of the
+    reference's in-key rank bits (/root/reference/Posdb.h:65-73)."""
+    nb = len(n_posts)
+    if nb == 0:
+        return []
+    stream, nbytes = encode_varints_with_lengths(
+        np.ascontiguousarray(ranks, dtype=np.uint64))
+    byte_off = np.zeros(len(ranks) + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=byte_off[1:])
+    post_off = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(np.ascontiguousarray(n_posts, dtype=np.int64), out=post_off[1:])
+    raw = stream.tobytes()
+    b0 = byte_off[post_off[:-1]]
+    b1 = byte_off[post_off[1:]]
+    return [raw[a:b] for a, b in zip(b0, b1)]
+
+
+def decode_rank_streams(buffers: list) -> np.ndarray:
+    """Concatenated inverse of :func:`encode_rank_streams`: many rank-stream
+    byte strings → one flat int64 rank array in block order (boundaries are
+    the caller's ``n_posts``)."""
+    if not buffers:
+        return np.empty(0, dtype=np.int64)
+    raw = np.frombuffer(b"".join(bytes(b) for b in buffers), dtype=np.uint8)
+    return decode_varints(raw).astype(np.int64)
+
+
 def pack_slab(
     termids: np.ndarray, fields: np.ndarray,
     n_docs: np.ndarray, n_posts: np.ndarray, buffers: list,
@@ -353,13 +387,17 @@ def unpack_counts(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
 def merge_sorted_runs(
     group_ids: np.ndarray,
     docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, positions: np.ndarray,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Reorder decoded doc runs so each group's docs are docid-ascending,
     carrying each doc's position run along as a unit (vectorized gather).
 
     ``group_ids`` is per-doc (monotone non-decreasing); the k-way merge of
     per-map-task partial runs is just this one stable lexsort — the Spark
-    re-expression of posdbMerge_r (/root/reference/RdbList.cpp:2186)."""
+    re-expression of posdbMerge_r (/root/reference/RdbList.cpp:2186).
+
+    Returns (docids', tfs', dls', positions', order, gather): ``order`` is
+    the per-doc permutation, ``gather`` the per-posting one — apply it to any
+    other posting-aligned sidecar (e.g. the rank stream)."""
     order = np.lexsort((docids, group_ids))
     pos_start = np.cumsum(tfs) - tfs
     lens = tfs[order]
@@ -369,7 +407,7 @@ def merge_sorted_runs(
         np.repeat(pos_start[order] - offs, lens) + np.arange(total)
         if total else np.empty(0, dtype=np.int64)
     )
-    return docids[order], tfs[order], dls[order], positions[gather], order
+    return docids[order], tfs[order], dls[order], positions[gather], order, gather
 
 
 def _cumsum_with_resets(deltas: np.ndarray, tfs: np.ndarray) -> np.ndarray:

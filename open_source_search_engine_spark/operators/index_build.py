@@ -50,7 +50,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from .. import FIELD_BODY, FIELD_TITLE, FIELD_URL
 from ..functions.hashing import docid_for_url
 from ..functions.varint import (
-    decode_blocks_concat, encode_runs, merge_sorted_runs,
+    decode_blocks_concat, decode_rank_streams, encode_rank_streams,
+    encode_runs, merge_sorted_runs,
     pack_counts, pack_slab, unpack_counts, unpack_slab,
 )
 from ..sources import catalog
@@ -83,6 +84,10 @@ SEGMENT_SCHEMA = T.StructType(
         # BM25 upper bound idf·tfnorm(max_tf, min_dl) for block-max WAND
         T.StructField("min_dl", T.IntegerType(), False),
         T.StructField("postings", T.BinaryType(), False),
+        # posting-aligned packed rank sidecar (functions/ranks.py; varint
+        # stream, one value per posting) — read ONLY by the bm25_ranks
+        # ranker, so the default path's payload decode cost is unchanged
+        T.StructField("rankbuf", T.BinaryType(), False),
     ]
 )
 
@@ -95,6 +100,10 @@ SLAB_SCHEMA = T.StructType(
         T.StructField("salt", T.IntegerType(), False),
         T.StructField("kind", T.IntegerType(), False),
         T.StructField("payload", T.BinaryType(), False),
+        # concatenated per-block rank streams (SLAB_BLOCKS rows only; null
+        # for the stats sentinels) — boundaries derive from the payload's
+        # per-block n_posts, so no extra header is needed
+        T.StructField("rankpay", T.BinaryType(), True),
     ]
 )
 SLAB_BLOCKS = 0     # partial posting blocks (pack_slab)
@@ -177,7 +186,7 @@ def map_encode(
 
         tc = TaskContext.get()
         task_id = tc.partitionId() if tc is not None else 0
-        tl, docl, fl, pl, dll = [], [], [], [], []
+        tl, docl, fl, pl, dll, rl = [], [], [], [], [], []
         field_docs: dict[int, int] = {}
         field_dl: dict[int, int] = {}
         for pdf in batches:
@@ -199,6 +208,7 @@ def map_encode(
                 fl.append(arrs["field"])
                 pl.append(arrs["wordpos"])
                 dll.append(arrs["dl"])
+                rl.append(arrs["rank"])
         out_rows: list[tuple] = []
         if tl:
             t = np.concatenate(tl)
@@ -206,6 +216,7 @@ def map_encode(
             f = np.concatenate(fl)
             p = np.concatenate(pl)
             dl = np.concatenate(dll)
+            r = np.concatenate(rl)
             # composite sort keys: (termid, field) and (docid, wordpos) both
             # fit one int64 (48+4 and 38+18 bits), halving the radix passes
             # of a 4-key lexsort — this sort is the map task's largest
@@ -213,7 +224,7 @@ def map_encode(
             key_tf = t * np.int64(16) + f
             key_dp = (d << np.int64(18)) | p
             o = np.lexsort((key_dp, key_tf))
-            t, d, f, p, dl = t[o], d[o], f[o], p[o], dl[o]
+            t, d, f, p, dl, r = t[o], d[o], f[o], p[o], dl[o], r[o]
             del key_tf, key_dp
             # local-hot salt per (termid, field) run
             run_change = np.empty(len(t), dtype=bool)
@@ -226,6 +237,7 @@ def map_encode(
             tt, ff, ss, _bid, _mind, _maxd, ndocs, nposts, _mtf, _mdl, bufs = encode_runs(
                 t, f, s, d, p, dl, block_docs
             )
+            rank_bufs = encode_rank_streams(r, nposts)
             # slab per (bucket, salt); stable sort keeps termid ascending
             bkt = tt % n_buckets
             key = bkt * (ss.max() + 1 if len(ss) else 1) + ss
@@ -239,6 +251,7 @@ def map_encode(
                     int(bkt[idx[0]]), int(ss[idx[0]]), SLAB_BLOCKS,
                     pack_slab(tt[idx], ff[idx], ndocs[idx], nposts[idx],
                               [bufs[i] for i in idx]),
+                    b"".join(rank_bufs[i] for i in idx),
                 ))
 
             # df partials: distinct (termid, docid) over all fields/kinds
@@ -259,16 +272,18 @@ def map_encode(
                 idx = so2[a:b]
                 out_rows.append((
                     int(tbs[a]), 0, SLAB_TERM_DF,
-                    pack_counts(tids[idx], df_counts[idx]),
+                    pack_counts(tids[idx], df_counts[idx]), None,
                 ))
         if field_docs:
             fcodes = np.array(sorted(field_docs), dtype=np.int64)
             out_rows.append((0, 0, SLAB_FIELD_DOCS, pack_counts(
-                fcodes, np.array([field_docs[int(fc)] for fc in fcodes], dtype=np.int64))))
+                fcodes, np.array([field_docs[int(fc)] for fc in fcodes], dtype=np.int64)), None))
             out_rows.append((0, 0, SLAB_FIELD_DL, pack_counts(
-                fcodes, np.array([field_dl[int(fc)] for fc in fcodes], dtype=np.int64))))
+                fcodes, np.array([field_dl[int(fc)] for fc in fcodes], dtype=np.int64)), None))
         if out_rows:
-            yield pd.DataFrame(out_rows, columns=["bucket", "salt", "kind", "payload"])
+            yield pd.DataFrame(
+                out_rows,
+                columns=["bucket", "salt", "kind", "payload", "rankpay"])
 
     return corpus_with_id.select(cols).mapInPandas(gen, SLAB_SCHEMA)
 
@@ -347,6 +362,7 @@ def _merge_gen(block_docs: int, collapse_salt: bool,
             nposts = pdf["n_postings"].values.astype(np.int64)
             bufs = [bytes(b) for b in pdf["postings"].values]
             docids, tfs, dls, positions = decode_blocks_concat(bufs, ndocs, nposts)
+            ranks = decode_rank_streams(list(pdf["rankbuf"].values))
             # per-doc group ids from block-row group boundaries; rows with the
             # same (t, f, s) may be non-adjacent after salt reassignment, so
             # use a dense order-preserving id
@@ -366,15 +382,19 @@ def _merge_gen(block_docs: int, collapse_salt: bool,
                 is_sup = sup_docids[ix_c] == docids
                 keep &= ~(is_sup & (gdoc != sup_gens[ix_c]))
             if not keep.all():
-                positions = positions[np.repeat(keep, tfs)]
+                pkeep = np.repeat(keep, tfs)
+                positions = positions[pkeep]
+                ranks = ranks[pkeep]
                 docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
                 gid_doc, tdoc, fdoc, sdoc = (
                     gid_doc[keep], tdoc[keep], fdoc[keep], sdoc[keep]
                 )
                 if not len(docids):
                     return _runs_frame(encode_runs(
-                        docids, fdoc, sdoc, docids, positions, dls, block_docs))
-            d2, t2, dl2, p2, order = merge_sorted_runs(gid_doc, docids, tfs, dls, positions)
+                        docids, fdoc, sdoc, docids, positions, dls,
+                        block_docs), [])
+            d2, t2, dl2, p2, order, gather = merge_sorted_runs(
+                gid_doc, docids, tfs, dls, positions)
             tkey = tdoc[order]
             fkey = fdoc[order]
             skey = sdoc[order]
@@ -383,9 +403,9 @@ def _merge_gen(block_docs: int, collapse_salt: bool,
             flat_s = np.repeat(skey, t2)
             flat_d = np.repeat(d2, t2)
             flat_dl = np.repeat(dl2, t2)
-            return _runs_frame(
-                encode_runs(flat_t, flat_f, flat_s, flat_d, p2, flat_dl, block_docs)
-            )
+            res = encode_runs(
+                flat_t, flat_f, flat_s, flat_d, p2, flat_dl, block_docs)
+            return _runs_frame(res, encode_rank_streams(ranks[gather], res[7]))
 
         group_cols = ["termid", "field"] + ([] if collapse_salt else ["salt"])
         for pdf in batches:
@@ -428,8 +448,10 @@ def merge_partial_segments(mapped_slabs: DataFrame, *, partitions: int,
 
         def flush(pdf: pd.DataFrame) -> pd.DataFrame:
             t_l, f_l, s_l, nd_l, np_l = [], [], [], [], []
-            d_l, tf_l, dl_l, p_l = [], [], [], []
-            for salt, payload in zip(pdf["salt"].values, pdf["payload"].values):
+            d_l, tf_l, dl_l, p_l, r_l = [], [], [], [], []
+            for salt, payload, rankpay in zip(pdf["salt"].values,
+                                              pdf["payload"].values,
+                                              pdf["rankpay"].values):
                 tids, fields, n_docs, n_posts, docids, tfs, dls, poss = unpack_slab(
                     bytes(payload)
                 )
@@ -442,6 +464,7 @@ def merge_partial_segments(mapped_slabs: DataFrame, *, partitions: int,
                 tf_l.append(tfs)
                 dl_l.append(dls)
                 p_l.append(poss)
+                r_l.append(decode_rank_streams([rankpay]))
             t = np.concatenate(t_l)
             f = np.concatenate(f_l)
             s = np.concatenate(s_l)
@@ -450,19 +473,22 @@ def merge_partial_segments(mapped_slabs: DataFrame, *, partitions: int,
             tfs = np.concatenate(tf_l)
             dls = np.concatenate(dl_l)
             poss = np.concatenate(p_l)
+            ranks = np.concatenate(r_l)
             # group label per block: (termid, field, salt) → dense id whose
             # ascending order is (t, f, s)-lexicographic
             key = (t * 16 + f) * 64 + s
             _, gid_blk = np.unique(key, return_inverse=True)
             gid_doc = np.repeat(gid_blk, nd)
-            d2, t2, dl2, p2, order = merge_sorted_runs(gid_doc, docids, tfs, dls, poss)
+            d2, t2, dl2, p2, order, gather = merge_sorted_runs(
+                gid_doc, docids, tfs, dls, poss)
             tdoc = np.repeat(t, nd)[order]
             fdoc = np.repeat(f, nd)[order]
             sdoc = np.repeat(s, nd)[order]
-            return _runs_frame(encode_runs(
+            res = encode_runs(
                 np.repeat(tdoc, t2), np.repeat(fdoc, t2), np.repeat(sdoc, t2),
                 np.repeat(d2, t2), p2, np.repeat(dl2, t2), block_docs,
-            ))
+            )
+            return _runs_frame(res, encode_rank_streams(ranks[gather], res[7]))
 
         for pdf in batches:
             if carry is not None:
@@ -489,13 +515,14 @@ def merge_partial_segments(mapped_slabs: DataFrame, *, partitions: int,
     part = (
         mapped_slabs.repartition(partitions, "bucket", "salt")
         .sortWithinPartitions("bucket", "salt")
-        .select("bucket", "salt", "payload")
+        .select("bucket", "salt", "payload", "rankpay")
     )
     return part.mapInPandas(gen, SEGMENT_SCHEMA)
 
 
-def _runs_frame(res: tuple) -> pd.DataFrame:
-    """encode_runs output tuple → a SEGMENT_SCHEMA pandas frame."""
+def _runs_frame(res: tuple, rank_bufs: list) -> pd.DataFrame:
+    """encode_runs output tuple (+ per-block rank sidecars) → a
+    SEGMENT_SCHEMA pandas frame."""
     tt, ff, ss, bid, mind, maxd, ndocs, nposts, mtf, mdl, bufs = res
     return pd.DataFrame(
         {
@@ -510,6 +537,7 @@ def _runs_frame(res: tuple) -> pd.DataFrame:
             "max_tf": mtf.astype(np.int32),
             "min_dl": mdl.astype(np.int32),
             "postings": bufs,
+            "rankbuf": rank_bufs,
         }
     )
 
@@ -909,7 +937,7 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
         .repartition(min(partitions, n_buckets), "bucket")
         .sortWithinPartitions("termid", "field", "salt", "min_docid")
         .select("termid", "field", "salt", "n_docs", "n_postings", "postings",
-                "gen_seq")
+                "rankbuf", "gen_seq")
     )
 
     compacted = part.mapInPandas(
@@ -1004,7 +1032,8 @@ def rebuild_stats(spark: SparkSession, index_dir: str, *,
     cadence), not per query."""
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
-    seg = serving_segments(spark, index_dir)
+    seg = serving_segments(spark, index_dir).select(
+        "termid", "field", "n_docs", "n_postings", "postings")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -57,6 +57,10 @@ DECODED_SCHEMA = T.StructType(
         # termids that a quoted-phrase constraint needs (null otherwise), so
         # the common path pays nothing for positional data
         T.StructField("positions", T.ArrayType(T.LongType()), True),
+        # rank-weighted tf Σ densityWeight·spamWeight over occurrences
+        # (functions/ranks.py) — computed numpy-side from the rankbuf
+        # sidecar, and ONLY when ranker="bm25_ranks" (null otherwise)
+        T.StructField("wtf", T.DoubleType(), True),
     ]
 )
 
@@ -120,21 +124,26 @@ def cached_handle(spark: SparkSession, index_dir: str) -> IndexHandle:
     return h
 
 
-def _decode_udf(include_tids: list[int], pos_tids: list[int] | None = None):
+def _decode_udf(include_tids: list[int], pos_tids: list[int] | None = None,
+                with_wtf: bool = False):
     """mapInPandas decoder: segment block rows → per-(termid, field, doc)
-    rows (termid, field, docid, tf, dl, positions?).
+    rows (termid, field, docid, tf, dl, positions?, wtf?).
 
     One :func:`~..functions.varint.decode_blocks_concat` call per Arrow batch
     decodes EVERY block's varint stream in a single vectorized pass — the
     serving-side analog of the build's whole-partition decode (a per-block
     Python loop here was the query path's row-at-a-time bottleneck for hot
     terms). Positions are materialized only for ``pos_tids`` (quoted-phrase
-    members)."""
+    members). With ``with_wtf`` the rankbuf sidecar is decoded too and the
+    rank-weighted tf (Σ densityWeight·spamWeight, functions/ranks.py — the
+    per-occurrence weighting of /root/reference/PosdbTable.cpp:257-258) is
+    emitted per doc; the default path never touches the sidecar."""
     tid_set = set(int(t) for t in include_tids)
     pos_set = set(int(t) for t in (pos_tids or []))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.varint import decode_blocks_concat
+        from ..functions.ranks import occurrence_weight
+        from ..functions.varint import decode_blocks_concat, decode_rank_streams
 
         for pdf in batches:
             tids = pdf["termid"].values.astype(np.int64)
@@ -155,6 +164,14 @@ def _decode_udf(include_tids: list[int], pos_tids: list[int] | None = None):
                 {"termid": t_doc, "field": f_doc.astype(np.int32),
                  "docid": docids, "tf": tfs, "dl": dls, "gen_seq": g_doc}
             )
+            if with_wtf:
+                ranks = decode_rank_streams(list(pdf["rankbuf"].values))
+                w = occurrence_weight(ranks)
+                starts = np.cumsum(tfs) - tfs
+                out["wtf"] = (np.add.reduceat(w, starts)
+                              if len(tfs) else np.empty(0, dtype=np.float64))
+            else:
+                out["wtf"] = None
             if pos_set:
                 need = np.isin(t_doc, np.fromiter(pos_set, dtype=np.int64))
                 # split the concatenated position stream at doc boundaries,
@@ -360,7 +377,11 @@ def topk(
       path (a score multiplier would invalidate WAND's upper bounds);
     - ``ranker="bm25_proximity"``: multiplies BM25 by a proximity factor
       from the minimal window covering all required terms (SC4
-      sliding-window analog; declarative path only).
+      sliding-window analog; declarative path only);
+    - ``ranker="bm25_ranks"``: BM25 over the rank-weighted tf — each
+      occurrence contributes its densityWeight·spamWeight from the stored
+      posting ranks (R2/R4, /root/reference/PosdbTable.cpp:257-258 via
+      functions/ranks.py; declarative path only).
     """
     if site_max is not None or dedup_content:
         return _topk_postprocessed(
@@ -413,7 +434,12 @@ def topk(
         })
         if len(prox_members) >= 2:
             pos_tids = sorted(set(pos_tids) | set(prox_members))
-    decoded = seg.mapInPandas(_decode_udf(all_tids, pos_tids), DECODED_SCHEMA)
+    with_wtf = ranker == "bm25_ranks"
+    if not with_wtf:
+        # keep the rank sidecar column out of the scan entirely
+        seg = seg.drop("rankbuf")
+    decoded = seg.mapInPandas(
+        _decode_udf(all_tids, pos_tids, with_wtf=with_wtf), DECODED_SCHEMA)
     if plan.docid_filter is not None:
         decoded = decoded.filter(F.col("docid") == int(plan.docid_filter))
 
@@ -452,7 +478,11 @@ def topk(
     avgdl_map = F.create_map(
         *[x for fld, a in h.avgdl.items() for x in (F.lit(int(fld)), F.lit(max(float(a), 1e-9)))]
     )
-    tf = F.col("tf").cast("double")
+    # bm25_ranks replaces raw tf with the rank-weighted tf (SC2 occurrence
+    # weighting, /root/reference/PosdbTable.cpp:257-258): each occurrence
+    # contributes densityWeight·spamWeight instead of 1. Clean text weighs
+    # exactly 1.0, so the two rankers agree on clean documents.
+    tf = F.col("wtf") if ranker == "bm25_ranks" else F.col("tf").cast("double")
     dl = F.col("dl").cast("double")
     # fields outside the scored set (e.g. LANG, weight 0) need a non-null
     # avgdl so their 0.0 contribution stays 0.0 rather than poisoning the sum

@@ -451,7 +451,8 @@ def wand_topk(
         (F.col("max_docid") / F.lit(cell_w)).cast("long"),
     )
     part = (
-        seg.withColumn("cell", F.explode(cells))
+        seg.drop("rankbuf")  # rank sidecar never feeds the WAND scorer
+        .withColumn("cell", F.explode(cells))
         .repartition(n_cells, "cell")
     )
     scorer = _cell_scorer(meta, k, n_cells, decode_counters)

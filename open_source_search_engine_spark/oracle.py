@@ -45,6 +45,9 @@ class OracleIndex:
         self.postings: dict[int, dict[int, dict[int, int]]] = {}
         # positions[termid][field][docid] = sorted list of word positions
         self.positions: dict[int, dict[int, dict[int, list[int]]]] = {}
+        # wtf[termid][field][docid] = Σ densityWeight·spamWeight over
+        # occurrences (functions/ranks.py — the bm25_ranks weighted tf)
+        self.wtf: dict[int, dict[int, dict[int, float]]] = {}
         self.df_any: dict[int, int] = {}
         self.docs: dict[int, OracleDoc] = {}
         self.avgdl: dict[int, float] = {}
@@ -65,12 +68,18 @@ class OracleIndex:
                 {FIELD_BODY: arrs["dl_body"], FIELD_TITLE: arrs["dl_title"],
                  FIELD_URL: arrs["dl_url"]},
             )
-            for tid, f, p in zip(arrs["termid"].tolist(), arrs["field"].tolist(),
-                                 arrs["wordpos"].tolist()):
+            from .functions.ranks import occurrence_weight
+
+            for tid, f, p, rk in zip(arrs["termid"].tolist(),
+                                     arrs["field"].tolist(),
+                                     arrs["wordpos"].tolist(),
+                                     arrs["rank"].tolist()):
                 ix.postings.setdefault(tid, {}).setdefault(f, {})
                 ix.postings[tid][f][docid] = ix.postings[tid][f].get(docid, 0) + 1
                 ix.positions.setdefault(tid, {}).setdefault(f, {}).setdefault(
                     docid, []).append(p)
+                wd = ix.wtf.setdefault(tid, {}).setdefault(f, {})
+                wd[docid] = wd.get(docid, 0.0) + float(occurrence_weight(rk))
                 docs_of_term.setdefault(tid, set()).add(docid)
         ix.n_docs = len(ix.docs)
         ix.df_any = {t: len(s) for t, s in docs_of_term.items()}
@@ -207,6 +216,9 @@ class OracleIndex:
                     tf = by_field.get(f, {}).get(d, 0)
                     w = t.weight * FIELD_WEIGHTS.get(f, 0.0)
                     if tf and w:
+                        if ranker == "bm25_ranks":
+                            # rank-weighted tf (mirrors the engine's wtf)
+                            tf = self.wtf[t.termid][f][d]
                         dl = self.docs[d].dl.get(f, 0)
                         tfn = float(bm25_tfnorm(tf, dl, self.avgdl.get(f, 1.0)))
                         idf = float(bm25_idf(self.df_any.get(t.termid, 0), self.n_docs))

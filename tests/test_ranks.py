@@ -1,0 +1,81 @@
+"""bm25_ranks ranker (R2/R4): BM25 over the rank-weighted tf from the
+stored per-posting density/word-spam ranks — engine vs oracle, the clean-
+text identity, and the spam/density demotion it exists for."""
+
+import pytest
+
+ROWS = [
+    # one token per line, no repeated 5-grams: density 31 + spam 15 on every
+    # body occurrence -> occurrence weight exactly 1.0
+    {"repo": "r", "path": "clean.py", "lang": "py",
+     "content": "alpha\nzeta\ngamma\nomega\n"},
+    # the same 5-token fragment repeated: every covering window recurs, so
+    # spam rank collapses (15 // c) and the weighted tf is far below raw tf
+    {"repo": "r", "path": "spam.py", "lang": "py",
+     "content": "alpha beta gamma delta epsilon\n" * 8},
+    # many words on one line: density rank drops, spam stays clean
+    {"repo": "r", "path": "dense.py", "lang": "py",
+     "content": "alpha beta gamma delta epsilon zeta eta theta iota kappa"},
+]
+
+
+@pytest.fixture(scope="module")
+def rix(spark, tmp_path_factory):
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+    from open_source_search_engine_spark.operators.index_build import build_index
+    from open_source_search_engine_spark.oracle import OracleIndex
+
+    rows = [dict(r, commit="0") for r in ROWS]
+    d = str(tmp_path_factory.mktemp("ranks") / "idx")
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
+        CORPUS_SCHEMA_DDL,
+    )
+    build_index(spark, df, d, n_chunks=1)
+    return d, OracleIndex.build(rows)
+
+
+def test_ranks_matches_oracle(spark, rix):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, oracle = rix
+    for q in ["alpha", "alpha beta", "alpha OR omega", "gamma -kappa"]:
+        eng = [(r["docid"], r["score"]) for r in
+               topk(spark, idx, q, 10, ranker="bm25_ranks").collect()]
+        ora = [(r["docid"], r["score"]) for r in
+               oracle.topk(q, 10, ranker="bm25_ranks")]
+        assert [e[0] for e in eng] == [o[0] for o in ora], q
+        for e, o in zip(eng, ora):
+            assert e[1] == pytest.approx(o[1], rel=1e-9), q
+
+
+def test_ranks_identity_on_clean_text(spark, rix):
+    """Body-only term in a one-token-per-line doc: every occurrence weight
+    is exactly 1.0, so bm25_ranks == bm25 to the bit."""
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, _ = rix
+    clean = docid_for_url("r/clean.py")
+    base = {r["docid"]: r["score"] for r in topk(spark, idx, "omega", 10).collect()}
+    rank = {r["docid"]: r["score"]
+            for r in topk(spark, idx, "omega", 10, ranker="bm25_ranks").collect()}
+    assert rank[clean] == base[clean]
+
+
+def test_ranks_demote_spam_and_density(spark, rix):
+    """The repeated-fragment doc loses the most score share; the dense
+    one-liner loses some; the clean doc none."""
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, _ = rix
+    base = {r["docid"]: r["score"] for r in topk(spark, idx, "alpha", 10).collect()}
+    rank = {r["docid"]: r["score"]
+            for r in topk(spark, idx, "alpha", 10, ranker="bm25_ranks").collect()}
+    ratio = {d: rank[d] / base[d] for d in base}
+    clean = docid_for_url("r/clean.py")
+    spam = docid_for_url("r/spam.py")
+    dense = docid_for_url("r/dense.py")
+    assert ratio[clean] == pytest.approx(1.0, rel=1e-12)
+    assert ratio[spam] < ratio[dense] < 1.0

@@ -103,13 +103,14 @@ def _batch_vs_scalar(rows):
     ref_rows = []
     for r, did in zip(rows, docids):
         a = index_document(r["repo"], r["path"], r["lang"], r["content"], h)
-        for t, f, p, k, dl in zip(a["termid"].tolist(), a["field"].tolist(),
-                                  a["wordpos"].tolist(), a["kind"].tolist(),
-                                  a["dl"].tolist()):
-            ref_rows.append((did, f, t, p, k, dl))
+        for t, f, p, k, dl, rk in zip(a["termid"].tolist(), a["field"].tolist(),
+                                      a["wordpos"].tolist(), a["kind"].tolist(),
+                                      a["dl"].tolist(), a["rank"].tolist()):
+            ref_rows.append((did, f, t, p, k, dl, rk))
     got_rows = sorted(zip(got["docid"].tolist(), got["field"].tolist(),
                           got["termid"].tolist(), got["wordpos"].tolist(),
-                          got["kind"].tolist(), got["dl"].tolist()))
+                          got["kind"].tolist(), got["dl"].tolist(),
+                          got["rank"].tolist()))
     assert got_rows == sorted(ref_rows)
 
 
