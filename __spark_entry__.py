@@ -436,6 +436,29 @@ def _q_engine_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_engine_shortcuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 high-frequency-term shortcuts: hot terms serve a precomputed
+    top-cap truncated termlist (HighFrequencyTermShortcuts /
+    /root/reference/Msg2.cpp:264 substitution). Deliberately approximate,
+    so no oracle_sql (rows-only); exactness vs the oracle's identical
+    truncation rule is pytest-gated (tests/test_shortcuts.py)."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.operators.shortcuts import (
+        build_hot_shortcuts, shortcut_termids,
+    )
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    if not shortcut_termids(idx):
+        build_hot_shortcuts(spark, idx, df_threshold=50, cap=256)
+    res = topk(spark, idx, "hash table", 1_000_000, use_shortcuts=True)
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
 def _q_engine_site_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 whitelist analog: site:/repo: restricts candidates to one source
     before top-k (/root/reference/PosdbTable.cpp:4297-4372)."""
@@ -911,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_contenthash": _q_engine_contenthash,
         "engine_proximity": _q_engine_proximity,
         "engine_ranks": _q_engine_ranks,
+        "engine_shortcuts": _q_engine_shortcuts,
         "engine_field_title": _engine_query("title:123"),
         "engine_term_df": _q_engine_term_df,
         "engine_total_hits": _q_engine_total_hits,

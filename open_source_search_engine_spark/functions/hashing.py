@@ -92,7 +92,18 @@ def prefix_hash(field_name: str) -> int:
 
 def termid_with_prefix(token: str, field_name: str) -> int:
     """Prefixed termId = continued hash of the wordId bytes seeded by the
-    field prefix hash (hash64(wordId, prefixHash) analog)."""
+    field prefix hash (hash64(wordId, prefixHash) analog,
+    /root/reference/XmlDoc_Indexing.cpp:1750-1762).
+
+    Compatibility shim, NOT the engine's storage key: the reference folds
+    the field into the termid so one posting space serves all fields; this
+    engine stores the field as an ordinary int column instead (T3 design
+    substitution), because a plain column gives Catalyst predicate pushdown
+    and parquet row-group pruning on (termid, field) for free, keeps one
+    unigram termlist shared by ``title:x`` and plain ``x`` (no double
+    indexing), and keeps bucket routing purely termid-based. This function
+    exists for interop with reference-style prefixed ids (e.g. importing a
+    reference query log) and is unit-tested for the composition property."""
     wid = hash64_lower(token)
     return hash64_bytes(wid.to_bytes(8, "little"), start=prefix_hash(field_name)) & TERMID_MASK
 

@@ -230,20 +230,26 @@ def _expr_column(expr, phrase_flags: dict[int, F.Column]) -> F.Column:
 
 
 def _min_window_spans(decoded: DataFrame, member_tids: list[int]) -> DataFrame:
-    """(docid, span) for documents whose BODY contains ALL member terms:
-    span = minimal (max_pos - min_pos) over windows covering every member —
-    the sliding-window proximity of /root/reference/PosdbTable.cpp:3285-3441
-    computed from stored positions. One aggregation + a per-doc numpy merge
-    (docs are the conjunctive candidates, the same per-docid work the
-    reference does in findMinTermPairScoreInWindow)."""
+    """(docid, field, span) for (doc, field) pairs containing ALL member
+    terms in that field: span = minimal (max_pos - min_pos) over windows
+    covering every member, from stored positions.
+
+    BODY rows are the sliding-window proximity of
+    /root/reference/PosdbTable.cpp:3285-3441; TITLE/URL rows are the
+    non-body term-pair matrix (SC3,
+    /root/reference/PosdbTable.cpp:551-732 getMaxScoreForNonBodyTermPair —
+    which explicitly excludes body pairs because the sliding window handles
+    those), generalized from best-pair to minimal-covering-window. One
+    aggregation + a per-(doc, field) numpy merge (the same per-docid work
+    the reference does in findMinTermPairScoreInWindow)."""
     m = len(member_tids)
     mem = (
         decoded.filter(
             F.col("termid").isin([int(t) for t in member_tids])
-            & (F.col("field") == FIELD_BODY)
+            & F.col("field").isin([FIELD_BODY, FIELD_TITLE, FIELD_URL])
             & F.col("positions").isNotNull()
         )
-        .groupBy("docid")
+        .groupBy("docid", "field")
         .agg(F.collect_list(F.struct("termid", "positions")).alias("lists"))
         .filter(F.size(F.array_distinct(F.transform(
             F.col("lists"), lambda x: x["termid"]))) == m)
@@ -252,8 +258,10 @@ def _min_window_spans(decoded: DataFrame, member_tids: list[int]) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tid_ix = {int(t): i for i, t in enumerate(member_tids)}
         for pdf in batches:
-            out_d, out_s = [], []
-            for docid, lists in zip(pdf["docid"].values, pdf["lists"].values):
+            out_d, out_f, out_s = [], [], []
+            for docid, fld, lists in zip(pdf["docid"].values,
+                                         pdf["field"].values,
+                                         pdf["lists"].values):
                 pos_l, tag_l = [], []
                 for row in lists:
                     t, ps = row["termid"], np.asarray(row["positions"], dtype=np.int64)
@@ -282,11 +290,13 @@ def _min_window_spans(decoded: DataFrame, member_tids: list[int]) -> DataFrame:
                         left += 1
                 if best is not None:
                     out_d.append(int(docid))
+                    out_f.append(int(fld))
                     out_s.append(best)
             if out_d:
-                yield pd.DataFrame({"docid": out_d, "span": out_s})
+                yield pd.DataFrame({"docid": out_d, "field": out_f,
+                                    "span": out_s})
 
-    return mem.mapInPandas(gen, "docid long, span long")
+    return mem.mapInPandas(gen, "docid long, field int, span long")
 
 
 def proximity_factor(span: F.Column, n_terms: int) -> F.Column:
@@ -345,6 +355,7 @@ def topk(
     dedup_content: bool = False,
     temperature: DataFrame | None = None,
     ranker: str = "bm25",
+    use_shortcuts: bool = False,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame
     (rank, docid, score, repo, path, content_sha256).
@@ -381,7 +392,11 @@ def topk(
     - ``ranker="bm25_ranks"``: BM25 over the rank-weighted tf — each
       occurrence contributes its densityWeight·spamWeight from the stored
       posting ranks (R2/R4, /root/reference/PosdbTable.cpp:257-258 via
-      functions/ranks.py; declarative path only).
+      functions/ranks.py; declarative path only);
+    - ``use_shortcuts``: substitute precomputed truncated termlists for
+      registered high-frequency terms (Q10, operators/shortcuts.py — the
+      Msg2.cpp:264 swap). Opt-in: hot-term recall becomes top-cap
+      approximate; idf stays exact. Composes with both physical paths.
     """
     if site_max is not None or dedup_content:
         return _topk_postprocessed(
@@ -408,6 +423,13 @@ def topk(
         # gbdocid: pin — block metadata min/max prunes before any decode
         d = int(plan.docid_filter)
         seg = seg.filter((F.col("min_docid") <= d) & (F.col("max_docid") >= d))
+
+    if use_shortcuts:
+        # Q10: swap registered hot termids' blocks for their precomputed
+        # truncated lists before either physical path reads them
+        from .shortcuts import substitute_shortcuts
+
+        seg = substitute_shortcuts(spark, h.index_dir, seg, all_tids)
 
     from .index_build import load_superseded
     from .wand import wand_eligible, wand_topk
@@ -525,17 +547,21 @@ def topk(
         )
 
     if len(prox_members) >= 2:
-        # SC4 sliding-window proximity: boost docs whose required terms
-        # cluster tightly in the body (factor 1.0 when some term is absent
-        # from the body — the window is undefined there)
+        # SC4 sliding-window proximity (body) + SC3 non-body pair matrix
+        # (title/url windows): boost by the BEST field's covering window;
+        # factor 1.0 when no single field holds every term
         spans = _min_window_spans(decoded, prox_members)
+        fac = (
+            spans.select(
+                "docid",
+                proximity_factor(F.col("span"), len(prox_members)).alias("_f"))
+            .groupBy("docid").agg(F.max("_f").alias("_prox"))
+        )
         agg = (
-            agg.join(spans, "docid", "left")
+            agg.join(fac, "docid", "left")
             .select("docid",
-                    F.when(F.col("span").isNotNull(),
-                           F.col("score")
-                           * proximity_factor(F.col("span"), len(prox_members)))
-                    .otherwise(F.col("score")).alias("score"))
+                    (F.col("score") * F.coalesce(F.col("_prox"), F.lit(1.0))
+                     ).alias("score"))
         )
 
     # document filters (J6 whitelist analog): restrict by docmap BEFORE top-k

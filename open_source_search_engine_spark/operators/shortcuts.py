@@ -1,0 +1,233 @@
+"""High-frequency-term shortcuts (Q10): precomputed truncated termlists.
+
+The reference ships a binary file of pre-calculated posdb entries for
+high-frequency terms ("is", "the", ...), produced offline by
+``termfreq_posdb_extract`` and substituted for the real termlist read at
+query time (/root/reference/HighFrequencyTermShortcuts.h:9-38, consumed at
+/root/reference/Msg2.cpp:264): an overly-broad query must return something
+relevant without the engine accepting a denial-of-service.
+
+Spark re-expression:
+
+- :func:`build_hot_shortcuts` — an OFFLINE job (DailyMerge cadence, like
+  compaction): for every termid whose df exceeds ``df_threshold``, keep the
+  top ``cap`` postings per (termid, field) by BM25 term factor
+  ``tfnorm(tf, dl)`` (tie-break docid asc — fully deterministic), re-encode
+  them as ordinary posting blocks (rank sidecar included), and write a
+  ``hot_shortcuts`` table in the segment schema.
+
+  Scale: the selection is a two-phase exact top-k — each decode task keeps
+  its local top-``cap`` per (termid, field) (so at most cap × tasks
+  candidate rows ever shuffle, NOT the hot term's full df), then one
+  reducer per (termid, field) takes the global top-``cap``. No stage ever
+  materializes a hot term's full termlist in one place.
+
+- :func:`substitute_shortcuts` — query-side: blocks of shortcut-registered
+  termids are swapped for their precomputed lists BEFORE decode/WAND, the
+  Msg2 substitution point. Opt-in (``topk(..., use_shortcuts=True)``)
+  because results for hot terms become top-cap approximations; document
+  frequencies (idf) stay exact — the stats tables are untouched.
+
+The oracle mirrors the same truncation rule (OracleIndex.apply_shortcuts),
+so engine-vs-oracle identity is pytest-gated even for the approximate path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import FIELD_BODY, FIELD_TITLE, FIELD_URL
+from ..functions.bm25 import bm25_tfnorm
+from ..functions.varint import (
+    decode_blocks_concat, decode_rank_streams, encode_rank_streams,
+    encode_runs,
+)
+from ..sources import catalog
+from .index_build import SEGMENT_SCHEMA, _runs_frame, serving_segments
+
+_DECODED_DOC_SCHEMA = (
+    "termid long, field int, docid long, tf long, dl long, "
+    "positions array<long>, ranks array<long>, score double"
+)
+
+
+def _local_top_decode(hot_tids: list[int], avgdl: dict, cap: int):
+    """mapInPandas: block rows of hot termids → per-doc rows, pre-truncated
+    to the task-local top-``cap`` per (termid, field)."""
+    hot = np.array(sorted(int(t) for t in hot_tids), dtype=np.int64)
+    avgdl_arr = dict(avgdl)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tids = pdf["termid"].values.astype(np.int64)
+            keep = np.isin(tids, hot)
+            if not keep.any():
+                continue
+            pdf = pdf.iloc[np.nonzero(keep)[0]]
+            tids = pdf["termid"].values.astype(np.int64)
+            fields = pdf["field"].values.astype(np.int64)
+            nd = pdf["n_docs"].values.astype(np.int64)
+            nposts = pdf["n_postings"].values.astype(np.int64)
+            bufs = [bytes(b) for b in pdf["postings"].values]
+            docids, tfs, dls, positions = decode_blocks_concat(bufs, nd, nposts)
+            ranks = decode_rank_streams(list(pdf["rankbuf"].values))
+            t_doc = np.repeat(tids, nd)
+            f_doc = np.repeat(fields, nd)
+            # selection score: tfnorm for the BM25-scored fields; raw tf for
+            # the rest (e.g. LANG, whose dl convention differs between the
+            # engine's inlined block dl and the oracle's per-field dict —
+            # tf-only keeps the truncation rule identical on both sides)
+            score = np.zeros(len(docids), dtype=np.float64)
+            for f in np.unique(f_doc):
+                m = f_doc == f
+                if int(f) in (FIELD_BODY, FIELD_TITLE, FIELD_URL):
+                    score[m] = bm25_tfnorm(tfs[m], dls[m],
+                                           float(avgdl_arr.get(int(f), 1.0)))
+                else:
+                    score[m] = tfs[m].astype(np.float64)
+            # local top-cap per (termid, field): sort by (t, f, -score, docid)
+            order = np.lexsort((docids, -score, f_doc, t_doc))
+            ts, fs = t_doc[order], f_doc[order]
+            grp_new = np.empty(len(order), dtype=bool)
+            if len(order):
+                grp_new[0] = True
+                grp_new[1:] = (ts[1:] != ts[:-1]) | (fs[1:] != fs[:-1])
+            grp_start = np.nonzero(grp_new)[0]
+            pos_in_grp = np.arange(len(order)) - np.repeat(
+                grp_start, np.diff(np.append(grp_start, len(order))))
+            surv = order[pos_in_grp < cap]
+            if not len(surv):
+                continue
+            ends = np.cumsum(tfs)
+            starts = ends - tfs
+            yield pd.DataFrame({
+                "termid": t_doc[surv],
+                "field": f_doc[surv].astype(np.int32),
+                "docid": docids[surv],
+                "tf": tfs[surv],
+                "dl": dls[surv],
+                "positions": [positions[a:b] for a, b in
+                              zip(starts[surv], ends[surv])],
+                "ranks": [ranks[a:b] for a, b in
+                          zip(starts[surv], ends[surv])],
+                "score": score[surv],
+            })
+
+    return gen
+
+
+def _final_encode(cap: int, block_docs: int):
+    """applyInPandas per (termid, field): global top-cap, docid-sort,
+    re-encode into posting blocks + rank sidecar."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["score", "docid"], ascending=[False, True], kind="mergesort"
+        ).head(cap).sort_values("docid", kind="mergesort")
+        n = len(pdf)
+        t = pdf["termid"].values.astype(np.int64)
+        f = pdf["field"].values.astype(np.int64)
+        d = pdf["docid"].values.astype(np.int64)
+        dl = pdf["dl"].values.astype(np.int64)
+        tf = pdf["tf"].values.astype(np.int64)
+        pos = (np.concatenate([np.asarray(p, dtype=np.int64)
+                               for p in pdf["positions"].values])
+               if n else np.empty(0, dtype=np.int64))
+        rks = (np.concatenate([np.asarray(r, dtype=np.int64)
+                               for r in pdf["ranks"].values])
+               if n else np.empty(0, dtype=np.int64))
+        res = encode_runs(
+            np.repeat(t, tf), np.repeat(f, tf),
+            np.zeros(int(tf.sum()), dtype=np.int64),
+            np.repeat(d, tf), pos, np.repeat(dl, tf), block_docs,
+        )
+        return _runs_frame(res, encode_rank_streams(rks, res[7]))
+
+    return fn
+
+
+def build_hot_shortcuts(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    df_threshold: int = 10_000,
+    cap: int = 1024,
+    block_docs: int = 128,
+) -> int:
+    """Extract truncated termlists for every term with df >= threshold.
+    Returns the number of shortcut termids written (0 = table removed)."""
+    import shutil
+
+    from .query_engine import IndexHandle
+
+    h = IndexHandle.open(spark, index_dir)
+    hot_rows = (
+        catalog.read_table(spark, index_dir, "term_stats")
+        .filter(F.col("df") >= int(df_threshold))
+        .select("termid").collect()
+    )
+    hot_tids = [int(r["termid"]) for r in hot_rows]
+    path = catalog.table_path(index_dir, "hot_shortcuts")
+    if not hot_tids:
+        shutil.rmtree(path, ignore_errors=True)
+        return 0
+
+    seg = serving_segments(spark, index_dir)
+    local = seg.mapInPandas(
+        _local_top_decode(hot_tids, h.avgdl, cap), _DECODED_DOC_SCHEMA)
+    blocks = (
+        local.repartition("termid", "field")
+        .groupBy("termid", "field")
+        .applyInPandas(_final_encode(cap, block_docs), SEGMENT_SCHEMA)
+        .withColumn("bucket", F.pmod("termid", F.lit(catalog.N_BUCKETS_DEFAULT))
+                    .cast("int"))
+    )
+    catalog.write_table(blocks, index_dir, "hot_shortcuts_new",
+                        partition_by=["bucket"])
+    shutil.rmtree(path, ignore_errors=True)
+    import os
+    os.rename(catalog.table_path(index_dir, "hot_shortcuts_new"), path)
+    spark.catalog.refreshByPath(path)
+    return len(hot_tids)
+
+
+def shortcut_termids(index_dir: str) -> set[int]:
+    """Driver-side registered-term lookup (is_registered_term analog) — a
+    pyarrow read of the small shortcut table's termid column."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = catalog.table_path(index_dir, "hot_shortcuts")
+    if not os.path.isdir(path):
+        return set()
+    out: set[int] = set()
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                t = pq.read_table(os.path.join(root, fn), columns=["termid"])
+                out.update(t.column("termid").to_pylist())
+    return out
+
+
+def substitute_shortcuts(spark: SparkSession, index_dir: str,
+                         seg: DataFrame, query_tids: list[int]) -> DataFrame:
+    """Swap shortcut-registered termids' blocks for their precomputed lists
+    (the Msg2.cpp:264 substitution): full-termlist rows of those termids are
+    dropped and the truncated blocks unioned in with gen_seq -1 (they were
+    extracted from the post-newest-wins serving view)."""
+    reg = shortcut_termids(index_dir) & {int(t) for t in query_tids}
+    if not reg:
+        return seg
+    reg_l = sorted(reg)
+    sc = (
+        spark.read.parquet(catalog.table_path(index_dir, "hot_shortcuts"))
+        .filter(F.col("termid").isin(reg_l))
+        .withColumn("gen_seq", F.lit(-1).cast("long"))
+        .select(*[c for c in seg.columns])
+    )
+    return seg.filter(~F.col("termid").isin(reg_l)).unionByName(sc)

@@ -88,6 +88,31 @@ class OracleIndex:
             ix.avgdl[f] = tot / max(ix.n_docs, 1)
         return ix
 
+    def apply_shortcuts(self, df_threshold: int, cap: int) -> None:
+        """Mirror of operators/shortcuts.py: truncate every termid with
+        df >= threshold to its top-``cap`` postings per field by
+        (bm25_tfnorm(tf, dl) desc, docid asc). Stats (df/avgdl/n_docs) stay
+        exact, as in the engine."""
+        hot = [t for t, d in self.df_any.items() if d >= df_threshold]
+        scored_fields = (FIELD_BODY, FIELD_TITLE, FIELD_URL)
+        for tid in hot:
+            for f, docs in self.postings.get(tid, {}).items():
+                scored = sorted(
+                    (((float(bm25_tfnorm(tf, self.docs[d].dl.get(f, 0),
+                                         self.avgdl.get(f, 1.0)))
+                       if f in scored_fields else float(tf)), d)
+                     for d, tf in docs.items()),
+                    key=lambda sd: (-sd[0], sd[1]))
+                keep = {d for _s, d in scored[:cap]}
+                self.postings[tid][f] = {d: tf for d, tf in docs.items()
+                                         if d in keep}
+                pos_f = self.positions.get(tid, {}).get(f, {})
+                self.positions[tid][f] = {d: p for d, p in pos_f.items()
+                                          if d in keep}
+                wtf_f = self.wtf.get(tid, {}).get(f, {})
+                self.wtf[tid][f] = {d: w for d, w in wtf_f.items()
+                                    if d in keep}
+
     # -- query ---------------------------------------------------------------
 
     def _matching_docs(self, termid: int, field: int | None) -> set[int]:
@@ -121,12 +146,13 @@ class OracleIndex:
             return all(it) if expr.op == "and" else any(it)
         return False
 
-    def _min_window_span(self, docid: int, member_tids: list[int]) -> int | None:
-        """Minimal (max_pos - min_pos) over BODY windows covering every
-        member term; None when some member is absent from the body."""
+    def _min_window_span(self, docid: int, member_tids: list[int],
+                         field: int = FIELD_BODY) -> int | None:
+        """Minimal (max_pos - min_pos) over windows in ``field`` covering
+        every member term; None when some member is absent from it."""
         streams = []
         for i, tid in enumerate(member_tids):
-            ps = self.positions.get(tid, {}).get(FIELD_BODY, {}).get(docid)
+            ps = self.positions.get(tid, {}).get(field, {}).get(docid)
             if not ps:
                 return None
             streams.extend((p, i) for p in ps)
@@ -230,8 +256,9 @@ class OracleIndex:
             scored.append((s, d))
 
         if ranker == "bm25_proximity":
-            # SC4 sliding-window proximity boost (mirrors the engine's
-            # _min_window_spans + proximity_factor exactly)
+            # SC4 sliding-window (body) + SC3 non-body pair windows
+            # (title/url) — best field's factor, mirroring the engine's
+            # _min_window_spans + proximity_factor exactly
             members = sorted({
                 t.termid for t in plan.required
                 if not t.is_bigram and (t.field is None or t.field == FIELD_BODY)
@@ -239,11 +266,13 @@ class OracleIndex:
             if len(members) >= 2:
                 rescored = []
                 for s, d in scored:
-                    span = self._min_window_span(d, members)
-                    if span is not None:
-                        s = s * (1.0 + 1.0 / max(
-                            1.0, 1.0 + float(span - (len(members) - 1))))
-                    rescored.append((s, d))
+                    best = 1.0
+                    for f in (FIELD_BODY, FIELD_TITLE, FIELD_URL):
+                        span = self._min_window_span(d, members, f)
+                        if span is not None:
+                            best = max(best, 1.0 + 1.0 / max(
+                                1.0, 1.0 + float(span - (len(members) - 1))))
+                    rescored.append((s * best, d))
                 scored = rescored
 
         # tie-break score desc, docid asc; pagination strictly after cursor

@@ -42,7 +42,7 @@ def duck():
 # queries whose semantics are not ANSI-SQL-expressible (driver runs the
 # weaker rows-only check; each is exactness-gated against the pure-Python
 # oracle in its own pytest instead)
-ROWS_ONLY = {"engine_proximity", "engine_ranks"}
+ROWS_ONLY = {"engine_proximity", "engine_ranks", "engine_shortcuts"}
 
 
 def test_oracle_keys_subset_of_queries(entrymod):

@@ -10,6 +10,10 @@ ROWS = [
      "content": "alpha starts here\nmany words pass\nfinally beta arrives"},
     {"repo": "r", "path": "only.py", "lang": "py",
      "content": "alpha appears alone repeatedly alpha alpha"},
+    # terms adjacent in the TITLE (basename tokens), far apart in the body:
+    # the SC3 non-body pair window must provide the boost
+    {"repo": "r", "path": "alpha.beta.py", "lang": "py",
+     "content": "alpha starts\nmuch filler between\nthen beta closes"},
 ]
 
 
@@ -61,6 +65,23 @@ def test_proximity_boosts_adjacent_over_spread(spark, prox):
     assert prox_s[near] == pytest.approx(base[near] * 2.0, rel=1e-12)
     far = docid_for_url("r/far.py")
     assert 1.0 < prox_s[far] / base[far] < 2.0
+
+
+def test_nonbody_title_window_boosts(spark, prox):
+    """SC3 analog: 'alpha' and 'beta' sit 3 position units apart in
+    alpha.beta.py's TITLE but lines apart in its body — the title window
+    must set the factor (1 + 1/(1+(3-1)) = 4/3), beating the body span."""
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, _ = prox
+    d = docid_for_url("r/alpha.beta.py")
+    base = {r["docid"]: r["score"]
+            for r in topk(spark, idx, "alpha beta", 10).collect()}
+    prox_s = {r["docid"]: r["score"] for r in
+              topk(spark, idx, "alpha beta", 10,
+                   ranker="bm25_proximity").collect()}
+    assert prox_s[d] / base[d] == pytest.approx(4.0 / 3.0, rel=1e-9)
 
 
 def test_proximity_noop_for_single_term(spark, prox):

@@ -1,0 +1,95 @@
+"""High-frequency-term shortcuts (Q10): precomputed truncated termlists
+substituted at query time (HighFrequencyTermShortcuts / Msg2.cpp:264
+analog) — engine vs the oracle's identical truncation rule, bounded
+results, and default-path isolation."""
+
+import pytest
+
+N_DOCS = 30
+THRESHOLD = 10
+CAP = 5
+
+
+def _rows():
+    rows = []
+    for i in range(N_DOCS):
+        # "common" is in every doc (df=30 >= threshold); "rare7" in 3 docs;
+        # varying tf/dl so the truncation has a real ordering to pick
+        body = ["common word line"] * (1 + i % 4)
+        if i % 10 == 7:
+            body.append("rare7 appears here")
+        body.append(f"filler{i} tail text")
+        rows.append({"repo": "r", "path": f"f{i:02d}.py", "lang": "py",
+                     "content": "\n".join(body)})
+    return rows
+
+
+@pytest.fixture(scope="module")
+def scix(spark, tmp_path_factory):
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+    from open_source_search_engine_spark.operators.index_build import build_index
+    from open_source_search_engine_spark.operators.shortcuts import (
+        build_hot_shortcuts,
+    )
+    from open_source_search_engine_spark.oracle import OracleIndex
+
+    rows = [dict(r, commit="0") for r in _rows()]
+    d = str(tmp_path_factory.mktemp("sc") / "idx")
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
+        CORPUS_SCHEMA_DDL,
+    )
+    build_index(spark, df, d, n_chunks=1)
+    n = build_hot_shortcuts(spark, d, df_threshold=THRESHOLD, cap=CAP)
+    assert n > 0
+    full = OracleIndex.build(rows)
+    trunc = OracleIndex.build(rows)
+    trunc.apply_shortcuts(THRESHOLD, CAP)
+    return d, full, trunc
+
+
+def test_shortcuts_match_truncated_oracle(spark, scix):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, _full, trunc = scix
+    for q in ["common", "common rare7", "filler3 OR common"]:
+        eng = [(r["docid"], r["score"]) for r in
+               topk(spark, idx, q, 100, use_shortcuts=True).collect()]
+        ora = [(r["docid"], r["score"]) for r in trunc.topk(q, 100)]
+        assert [e[0] for e in eng] == [o[0] for o in ora], q
+        for e, o in zip(eng, ora):
+            assert e[1] == pytest.approx(o[1], rel=1e-12), q
+
+
+def test_shortcuts_bound_hot_term_results(spark, scix):
+    """'common' lives only in the BODY field, so its shortcut list keeps at
+    most CAP docs — the whole point of the DoS guard."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, _full, _trunc = scix
+    rows = topk(spark, idx, "common", 100, use_shortcuts=True).collect()
+    assert 0 < len(rows) <= CAP
+
+
+def test_shortcuts_compose_with_wand_prune(spark, scix):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, _full, _trunc = scix
+    a = [(r["docid"], r["score"]) for r in
+         topk(spark, idx, "common word", 10, use_shortcuts=True,
+              prune=True).collect()]
+    b = [(r["docid"], r["score"]) for r in
+         topk(spark, idx, "common word", 10, use_shortcuts=True,
+              prune=False).collect()]
+    assert a == b
+
+
+def test_default_path_unaffected(spark, scix):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, full, _trunc = scix
+    eng = [(r["docid"], r["score"]) for r in
+           topk(spark, idx, "common", 100).collect()]
+    ora = [(r["docid"], r["score"]) for r in full.topk("common", 100)]
+    assert [e[0] for e in eng] == [o[0] for o in ora]
+    assert len(eng) == N_DOCS
