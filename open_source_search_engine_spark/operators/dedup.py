@@ -37,6 +37,34 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark import StorageLevel
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist an intermediate that downstream self-joins consume 2-3×.
+
+    Without this, Spark recomputes the full lineage (tokenize → shingle →
+    hash → signature UDF) once per join branch — measured 3× the signature
+    cost in ``minhash_dedup_pairs`` and 2× the fingerprint cost in
+    ``simhash_neardup_pairs``. MEMORY_AND_DISK keeps the working set
+    spillable; at 100 TB the equivalent move is checkpointing signatures to
+    a table between the sweep and the pair join (they are reused by every
+    downstream tier anyway)."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _fanout(df: DataFrame) -> DataFrame:
+    """Ensure the map-side sweep uses every core.
+
+    A small corpus parquet arrives as one scan partition (one file ≤
+    ``maxPartitionBytes``), which would run the whole signature/fingerprint
+    computation on a single thread. Repartition up only when the input has
+    fewer partitions than the cluster's parallelism — at real scale inputs
+    carry thousands of partitions and this is a no-op (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 MERSENNE_P = (1 << 31) - 1  # modulus for the affine MinHash permutations
 
@@ -144,7 +172,7 @@ def minhash_signatures(
     toks = tokens_col(text)
     sh = shingles_col(toks, shingle_w)
     hs = F.transform(sh, lambda s: F.pmod(_hash60(s, hash_strategy), F.lit(MERSENNE_P)))
-    hashed = df.select(F.col(id_col).alias("_id"), hs.alias("_hs"))
+    hashed = _fanout(df).select(F.col(id_col).alias("_id"), hs.alias("_hs"))
     coeffs = _perm_coeffs(num_hashes, seed)
     A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
     B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
@@ -264,10 +292,10 @@ def minhash_dedup_pairs(
     Jaccard (fraction of agreeing signature positions) ≥ threshold.
 
     Output: (id_a, id_b, est_jaccard)."""
-    sigs = minhash_signatures(
+    sigs = _pin(minhash_signatures(
         df, text, id_col, num_hashes=num_hashes, shingle_w=shingle_w,
         hash_strategy=hash_strategy,
-    )
+    ))
     cand = lsh_candidate_pairs(sigs, id_col, bands=bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -315,7 +343,7 @@ def simhash(
         raise ValueError("bits must be <= 60 (fingerprint stored in a signed long)")
     toks = tokens_col(text)
     hs = F.transform(toks, lambda t: _hash60(t, hash_strategy))
-    hashed = df.select(F.col(id_col).alias("_id"), hs.alias("_hs"))
+    hashed = _fanout(df).select(F.col(id_col).alias("_id"), hs.alias("_hs"))
     id_field = df.schema[id_col]
     out_schema = T.StructType([
         T.StructField(id_col, id_field.dataType, id_field.nullable),
@@ -374,9 +402,9 @@ def simhash_neardup_pairs(
         F.col(id_col).alias("_id"), F.col("simhash").alias("_fp"),
         F.posexplode(chunk_arr).alias("chunk", "chunk_val"),
     )
-    ex = ex.withColumn(
+    ex = _pin(ex.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("chunk", "chunk_val"))
-    ).filter(F.col("bucket_n") <= max_bucket)
+    ).filter(F.col("bucket_n") <= max_bucket))
     a = ex.select("chunk", "chunk_val", F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"))
     b = ex.select("chunk", "chunk_val", F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"))
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
@@ -413,7 +441,7 @@ def ngram_jaccard_pairs(
 
     Output: (id_a, id_b, inter, size_a, size_b, jaccard) with jaccard ≥
     threshold."""
-    sh = df.select(
+    sh = _fanout(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(shingles_col(tokens_col(text), n))).alias("sh"),
     )
@@ -423,6 +451,7 @@ def ngram_jaccard_pairs(
         sh = sh.withColumn(
             "sh_df", F.count("*").over(Window.partitionBy("sh"))
         ).filter(F.col("sh_df") <= max_df).drop("sh_df")
+    sh = _pin(sh)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("_id").alias("id_a"), "sh")
     b = sh.select(F.col("_id").alias("id_b"), "sh")
@@ -486,7 +515,7 @@ def embedding_neardup_pairs(
                     f"id_b {df.schema[id_col].dataType.simpleString()}, cosine double")
         dim = len(head[0])
     signs = hyperplane_signs(F.col(vec), planes, seed, dim)
-    base = df.select(F.col(id_col).alias("_id"), F.col(vec).alias("_v"), signs.alias("_b"))
+    base = _fanout(df).select(F.col(id_col).alias("_id"), F.col(vec).alias("_v"), signs.alias("_b"))
     # multi-probe: each vector also lands in buckets one bit-flip away
     probes = [F.col("_b")]
     if probe_hamming >= 1:
@@ -494,9 +523,9 @@ def embedding_neardup_pairs(
     ex = base.select(
         "_id", "_v", F.col("_b").alias("_home"), F.explode(F.array(*probes)).alias("bucket")
     )
-    ex = ex.withColumn(
+    ex = _pin(ex.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("bucket"))
-    ).filter(F.col("bucket_n") <= max_bucket)
+    ).filter(F.col("bucket_n") <= max_bucket))
     a = ex.filter(F.col("_home") == F.col("bucket")).select(
         F.col("bucket"), F.col("_id").alias("id_a"), F.col("_v").alias("va")
     )

@@ -669,6 +669,15 @@ def build_index(
 
         tp = [t0]
         part = corpus_id.filter(F.pmod("docid", F.lit(n_chunks)) == chunk)
+        # A small corpus (or a chunk of one) can arrive as fewer scan
+        # partitions than the build parallelism — one parquet file scans as
+        # ONE task and the fused tokenize+encode map would run single-core.
+        # Fan out by docid: deterministic (hash of a data column, so a chunk
+        # re-run after resume reproduces the same task layout and therefore
+        # the same salt assignment) and a no-op at real scale, where the
+        # input already carries more partitions than this.
+        if part.rdd.getNumPartitions() < partitions:
+            part = part.repartition(partitions, "docid")
         # DISK_ONLY: the corpus/postings caches are scanned 2-4× each; the
         # deserialized in-memory cache (row objects) degrades sharply under
         # many concurrent scan threads (GC + memory-bandwidth bound), while
