@@ -310,36 +310,6 @@ def proximity_factor(span: F.Column, n_terms: int) -> F.Column:
     )
 
 
-def _phrase_matches(decoded: DataFrame, plan: QueryPlan) -> list[DataFrame]:
-    """One DataFrame of phrase-satisfying docids per plan phrase: explode the
-    stored positions of each member term, normalize by the member's offset,
-    and demand all members agree on one base position — adjacency from the
-    word-position cursor (the reference checks quoted phrases from positions,
-    /root/reference/Query.h:216-222, /root/reference/PosdbTable.h:76)."""
-    spark = decoded.sparkSession
-    out = []
-    for pid, ph in enumerate(plan.phrases):
-        members = spark.createDataFrame(
-            [(int(t), i) for i, t in enumerate(ph.termids)], "termid long, mi int"
-        )
-        hits = (
-            decoded.filter(
-                (F.col("field") == int(ph.field)) & F.col("positions").isNotNull()
-            )
-            .join(F.broadcast(members), "termid")
-            .select("docid", "mi", F.explode("positions").alias("p"))
-            .select("docid", "mi", (F.col("p") - F.col("mi")).alias("base"))
-            .groupBy("docid", "base")
-            .agg(F.countDistinct("mi").alias("nm"))
-            .filter(F.col("nm") == len(ph.termids))
-            .select("docid")
-            .distinct()
-            .withColumn(f"_ph{pid}", F.lit(True))
-        )
-        out.append(hits)
-    return out
-
-
 def topk(
     spark: SparkSession,
     index_dir: str,
@@ -516,21 +486,62 @@ def topk(
     # their 0.0 contribution is exact under float addition
     matched = matched.withColumn("contrib", F.col("wid") * tfnorm)
 
-    # membership flags + canonical-order score sum in ONE aggregation
-    agg = matched.groupBy("docid").agg(
+    # membership flags + canonical-order score sum in ONE aggregation; when
+    # the query has quoted phrases, the members' stored position arrays ride
+    # along in the SAME groupBy (collect_list skips the nulls of
+    # non-phrase-member rows), so adjacency is verified per docid by a pure
+    # column expression — no second decode pass and no per-phrase shuffle
+    # (the reference likewise checks phrases from the positions it already
+    # holds for the doc, /root/reference/PosdbTable.h:76)
+    agg_cols = [
         F.array_distinct(F.collect_list("spec_id")).alias("matched"),
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("termid", "field", "contrib"))),
             F.lit(0.0),
             lambda acc, x: acc + x["contrib"],
         ).alias("score"),
-    )
+    ]
+    if plan.phrases:
+        agg_cols.append(
+            F.collect_list(
+                F.when(
+                    F.col("positions").isNotNull(),
+                    F.struct("termid", "field", "positions"),
+                )
+            ).alias("plists")
+        )
+    agg = matched.groupBy("docid").agg(*agg_cols)
 
-    # quoted phrases: left-join the positional-adjacency docid sets as flags
+    # quoted-phrase flags: exists a base position where every member sits at
+    # base + its offset (cursor delta 1 per member, Query.h:216-222 analog)
     phrase_flags: dict[int, F.Column] = {}
-    for pid, ph_df in enumerate(_phrase_matches(decoded, plan)):
-        agg = agg.join(ph_df, "docid", "left")
-        phrase_flags[pid] = F.coalesce(F.col(f"_ph{pid}"), F.lit(False))
+    for pid, ph in enumerate(plan.phrases):
+
+        def member_pos(tid: int, fld: int) -> F.Column:
+            hit = F.filter(
+                F.col("plists"),
+                lambda x: (x["termid"] == int(tid)) & (x["field"] == int(fld)),
+            )
+            return F.element_at(hit, 1)["positions"]
+
+        pos = [member_pos(t, ph.field) for t in ph.termids]
+        have_all = pos[0].isNotNull()
+        for p_i in pos[1:]:
+            have_all = have_all & p_i.isNotNull()
+        rest = list(enumerate(pos))[1:]
+
+        # single-parameter on purpose: F.exists dispatches on the lambda's
+        # arity (a 2nd param would be interpreted as the element index);
+        # closure capture of `rest` is safe — consumed in this iteration
+        def adjacent(p0):
+            c = F.lit(True)
+            for i, p_i in rest:
+                c = c & F.array_contains(p_i, p0 + i)
+            return c
+
+        phrase_flags[pid] = F.when(
+            have_all, F.exists(pos[0], adjacent)
+        ).otherwise(F.lit(False))
 
     # evaluate the boolean membership expression per docid (Q5 truth table)
     agg = agg.filter(_expr_column(plan.expr, phrase_flags)).select("docid", "score")
@@ -549,7 +560,10 @@ def topk(
     if len(prox_members) >= 2:
         # SC4 sliding-window proximity (body) + SC3 non-body pair matrix
         # (title/url windows): boost by the BEST field's covering window;
-        # factor 1.0 when no single field holds every term
+        # factor 1.0 when no single field holds every term. The span pass is
+        # a second consumer of the decoded stream — persist so the segment
+        # scan + block decode runs once, not once per consumer.
+        decoded = decoded.persist()
         spans = _min_window_spans(decoded, prox_members)
         fac = (
             spans.select(
