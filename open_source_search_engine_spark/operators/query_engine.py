@@ -528,7 +528,8 @@ def topk(
         have_all = pos[0].isNotNull()
         for p_i in pos[1:]:
             have_all = have_all & p_i.isNotNull()
-        rest = list(enumerate(pos))[1:]
+        offs = ph.member_offsets()
+        rest = [(int(offs[i]), pos[i]) for i in range(1, len(pos))]
 
         # single-parameter on purpose: F.exists dispatches on the lambda's
         # arity (a 2nd param would be interpreted as the element index);

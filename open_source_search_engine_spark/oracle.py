@@ -125,17 +125,21 @@ class OracleIndex:
         return set(by_field.get(field, {}).keys())
 
     def _phrase_match(self, docid: int, phrase) -> bool:
-        """Positional adjacency: ∃p with member i at position p+i for all i
-        (cursor delta 1 = adjacent tokens separated by whitespace only)."""
+        """Positional adjacency: ∃p with member i at position p + offsets[i]
+        for all i — offsets from the query-side cursor over the quote text
+        (delta 1 per whitespace-separated token, +2 across punctuation)."""
         pos_sets = []
         for tid in phrase.termids:
             ps = self.positions.get(tid, {}).get(phrase.field, {}).get(docid)
             if not ps:
                 return False
             pos_sets.append(set(ps))
+        offs = phrase.member_offsets()
         first = pos_sets[0]
-        return any(all((p + i) in s for i, s in enumerate(pos_sets[1:], start=1))
-                   for p in first)
+        return any(
+            all((p + offs[i]) in s for i, s in enumerate(pos_sets[1:], start=1))
+            for p in first
+        )
 
     def _eval(self, expr, matched: set[int], phrase_ok: list[bool]) -> bool:
         if isinstance(expr, Leaf):

@@ -49,7 +49,9 @@ from dataclasses import dataclass, field as dc_field
 from .. import FIELD_BODY, FIELD_LANG, FIELD_TITLE, FIELD_URL
 from ..functions.hashing import TokenHasher
 from ..functions.synonyms import SYNONYM_WEIGHT, synonyms_for
-from ..functions.tokenizer import STOP_WORDS, code_tokens
+from ..functions.tokenizer import (
+    KIND_UNIGRAM, STOP_WORDS, code_tokens, tokenize_text,
+)
 
 # Per-field score weights — the hashGroup weight analog
 # (/root/reference/Parms.cpp:3734-3905: body=1, title=8, inurl=1; lang terms
@@ -101,12 +103,20 @@ class Node:
 
 @dataclass(frozen=True)
 class Phrase:
-    """Positional constraint: tokens must occur at strictly consecutive
-    positions (cursor delta 1) in the given field."""
+    """Positional constraint: member i must occur at base + offsets[i] in
+    the given field, where offsets come from running the INDEXER's position
+    cursor over the quote text itself — so `"mod0.py"` matches the exact
+    punctuated form (cursor gap from the dot) while `"mod0 py"` requires the
+    space-separated form, mirroring the reference's query-side position
+    deltas (/root/reference/Query.h:216-222)."""
 
     termids: tuple          # member unigram termids, in phrase order
     tokens: tuple           # surface forms
     field: int = FIELD_BODY
+    offsets: tuple = ()     # cursor offsets per member; () = (0, 1, 2, ...)
+
+    def member_offsets(self) -> tuple:
+        return self.offsets if self.offsets else tuple(range(len(self.termids)))
 
 
 @dataclass
@@ -167,7 +177,10 @@ class QueryPlan:
 # lexer
 # ---------------------------------------------------------------------------
 
-_LEX_RE = re.compile(r'"[^"]*"|\(|\)|\||\S+')
+# a quoted phrase may carry a +/- sign and/or a field prefix
+# (`-"a b"`, `title:"a b"`) — without the explicit alternatives `\S+`
+# would eat `title:"a` and split the phrase at the space
+_LEX_RE = re.compile(r'[-+]?(?:[A-Za-z0-9_]+:)?"[^"]*"|\(|\)|\||\S+')
 
 
 def _lex(q: str) -> list[str]:
@@ -291,13 +304,24 @@ class _Parser:
         if t in ("AND",):  # stray AND keywords are connective no-ops
             return None
         negated = t.startswith("-") and len(t) > 1
-        word = t.lstrip("+-") if not t.startswith('"') else t
+        word = t[1:] if t[0] in "+-" and len(t) > 1 else t
         if not word:
             return None
         if word.startswith('"') and word.endswith('"'):
             body = word[1:-1]
             a = _Atom("phrase", body, None, negated)
             return a
+        if '"' in word and ":" in word.split('"', 1)[0]:
+            # field-scoped quoted phrase: title:"exact words" restricts both
+            # the member terms and the adjacency check to that field
+            # (the reference applies the field prefix to every term of the
+            # quote, /root/reference/Query.cpp:1667-1683)
+            op, _, val = word.partition(":")
+            opl = op.lower()
+            if val.startswith('"') and val.endswith('"') and len(val) >= 2:
+                if opl in _FIELD_OPS:
+                    return _Atom("phrase", val[1:-1], _FIELD_OPS[opl], negated)
+                word = f"{op}:{val[1:-1]}"  # quoted filter value: unquote
         field: int | None = None
         if ":" in word:
             op, _, val = word.partition(":")
@@ -382,26 +406,37 @@ class _PlanBuilder:
         return Node("or" if negated else "and", tuple(leaves))
 
     def phrase_leaves(self, atom: _Atom, negated: bool):
-        toks = code_tokens(atom.value)
+        # run the indexer's own cursor over the quote so punctuation inside
+        # it produces the same position deltas the index stores
+        tf_q = tokenize_text(atom.value, per_line_density=False)
+        toks = [t for t, k in zip(tf_q.tokens, tf_q.kinds) if k == KIND_UNIGRAM]
+        poss = [p for p, k in zip(tf_q.positions, tf_q.kinds) if k == KIND_UNIGRAM]
         if not toks:
             return None
+        offsets = tuple(p - poss[0] for p in poss)
+        # a field-scoped phrase (title:"a b") restricts members, bigrams and
+        # the adjacency check to that field; a bare phrase scores members in
+        # every field but checks adjacency in the body
+        fld = atom.field
+        ph_field = fld if fld is not None else FIELD_BODY
         leaves = []
         for t in toks:
             tid = int(_hasher.termids([t])[0])
-            ix = self.spec(tid, t, None, 1.0,
+            ix = self.spec(tid, t, fld, 1.0,
                            required=not negated, excluded=negated)
             leaves.append(Leaf(ix, negated=negated))
         for a, b in zip(toks, toks[1:]):
             both_stop = a in STOP_WORDS and b in STOP_WORDS
             tid = int(_hasher.bigram_ids([(a, b, both_stop)])[0])
-            ix = self.spec(tid, f"{a} {b}", FIELD_BODY, BIGRAM_WEIGHT,
+            ix = self.spec(tid, f"{a} {b}", ph_field, BIGRAM_WEIGHT,
                            required=not negated, excluded=negated,
                            is_bigram=True)
             leaves.append(Leaf(ix, negated=negated))
         if len(toks) >= 2:
             pid = len(self.plan.phrases)
             self.plan.phrases.append(Phrase(
-                tuple(int(_hasher.termids([t])[0]) for t in toks), tuple(toks)
+                tuple(int(_hasher.termids([t])[0]) for t in toks),
+                tuple(toks), field=ph_field, offsets=offsets,
             ))
             leaves.append(Leaf(pid, negated=negated, is_phrase=True))
         if len(leaves) == 1:
@@ -482,8 +517,8 @@ def parse_query(q: str, *, expand_synonyms: bool = False) -> QueryPlan:
             skip_next = True  # the negated word is not a scorable adjacency
             bare_seq.append("\x00")
             continue
-        if (lx in ("(", ")", "|", "OR", "AND") or lx.startswith(("-", '"'))
-                or (":" in lx)):
+        if (lx in ("(", ")", "|", "OR", "AND")
+                or lx.startswith(("-", '"', '+"')) or (":" in lx)):
             bare_seq.append("\x00")
             skip_next = False
             continue

@@ -22,6 +22,9 @@ ROWS = [
      "content": "gamma delta epsilon\nfoo.bar call site\nsort order"},
     {"repo": "r_c", "path": "lib/six.txt", "lang": "go",
      "content": "foo only appears here without the other token\nbeta"},
+    # repeated-token phrase target: "omega psi omega" contiguous only here
+    {"repo": "r_c", "path": "lib/seven.py", "lang": "py",
+     "content": "omega psi omega repeat check\nomega elsewhere psi"},
 ]
 
 
@@ -70,6 +73,15 @@ QUERIES = [
     '"alpha beta gamma"',
     '"alpha beta"',
     '"beta gamma"',
+    '"omega psi omega"',            # repeated member token
+    '+"beta gamma"',                # signed phrase (lexer regression)
+    'sort -"beta gamma"',           # negated phrase excludes doc1
+    'title:"one.py"',               # field-scoped punctuated phrase: query-
+                                    # side cursor (+2 over '.') matches the
+                                    # title's stored position gap
+    'title:"one py"',               # space-separated quote ≠ dotted title
+    'title:"py one"',               # wrong order in title → no match
+    '"foo.bar"',                    # punctuated phrase in body (call site)
     # filters
     "repo:r_a alpha",
     "site:r_b sort",
@@ -105,6 +117,17 @@ def test_phrase_requires_cursor_adjacency(spark, mini):
     assert "src/three.py" not in phrase_paths
     and_paths = {p for _, _, p in _run(spark, idx, "alpha beta")}
     assert "src/three.py" in and_paths
+
+
+def test_punctuated_phrase_query_side_offsets(spark, mini):
+    """The quote's own punctuation sets the member offsets: 'title:"one.py"'
+    (cursor gap 3 over the dot) matches doc0's title exactly, while the
+    space-separated 'title:"one py"' (gap 1) must not; '"foo.bar"' matches
+    the call site in doc4's body."""
+    idx, _ = mini
+    assert {p for _, _, p in _run(spark, idx, 'title:"one.py"')} == {"src/one.py"}
+    assert _run(spark, idx, 'title:"one py"') == []
+    assert {p for _, _, p in _run(spark, idx, '"foo.bar"')} == {"lib/five.cpp"}
 
 
 def test_multi_token_word_is_conjunctive(spark, mini):
