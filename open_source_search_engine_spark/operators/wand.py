@@ -440,7 +440,15 @@ def wand_topk(
     (docid, score) rows for the global merge. ``decode_counters`` may be a
     dict {termid: SparkAccumulator} for decoded-block instrumentation."""
     if n_cells is None:
-        n_cells = spark.sparkContext.defaultParallelism
+        # work-proportional cell count: one docid cell per ~16k candidate
+        # postings (df upper-bounds per-term candidates), capped at cluster
+        # parallelism. A rare-term query runs as a handful of tasks instead
+        # of fanning empty work across every core; a stop-term query still
+        # uses the full cluster. Losslessness is per-cell, so the choice
+        # only affects scheduling.
+        par = spark.sparkContext.defaultParallelism
+        total_df = sum(dfs.get(int(t.termid), 0) for t in plan.terms)
+        n_cells = max(1, min(par, (total_df + 16383) // 16384))
     meta = _build_query_meta(plan, dfs, n_docs, avgdl)
     tomb, sup_d, sup_g = load_delete_state(index_dir)
     meta["tomb"], meta["sup_d"], meta["sup_g"] = tomb, sup_d, sup_g

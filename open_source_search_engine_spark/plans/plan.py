@@ -335,6 +335,12 @@ class _Parser:
                 return _Atom("ext", val, None, negated)
             elif opl == "gbdocid" and val:
                 return _Atom("docid", val, None, negated)
+            elif opl == "url" and val:
+                # url:<repo>/<path> pins the exact document: the docid IS
+                # hash64b(url) & DOCID_MASK (/root/reference/Titledb.h:67-80),
+                # so the lookup compiles to the same block-metadata-pruned
+                # docid filter as gbdocid:
+                return _Atom("url", val, None, negated)
             elif opl == "gbcontenthash" and val:
                 # the content-hash dedup term
                 # (/root/reference/XmlDoc_Indexing.cpp:152-220, Query.h:87);
@@ -465,6 +471,11 @@ class _PlanBuilder:
                     self.plan.docid_filter = int(tree.value)
                 except ValueError:
                     pass
+                return None
+            if tree.kind == "url":
+                from ..functions.hashing import docid_for_url
+
+                self.plan.docid_filter = int(docid_for_url(tree.value))
                 return None
             if tree.kind == "sha":
                 self.plan.sha_filters.append(tree.value.lower())

@@ -89,6 +89,9 @@ QUERIES = [
     "ext:cpp ext:txt sort",
     # multi-token word = conjunction of its tokens
     "foo.bar",
+    # url: pins the exact document (docid = hash64b(url))
+    "url:r_a/src/one.py alpha",
+    "url:r_a/src/one.py sort",      # doc0 has no 'sort' → empty
     # synonyms off (baseline)
     "sort",
 ]
