@@ -930,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_boolean_nested": _engine_query("hash OR (merge AND vector)"),
         "engine_boolean_not_kw": _engine_query("sort NOT (hash OR merge)"),
         "engine_phrase3": _engine_query('"hash value table"'),
+        "engine_phrase_title": _engine_query('title:"7.txt"'),
         "engine_site_filter": _q_engine_site_filter,
         "engine_contenthash": _q_engine_contenthash,
         "engine_proximity": _q_engine_proximity,
@@ -985,6 +986,29 @@ def oracle_sql() -> dict[str, str]:
         "engine_boolean_nested": _NESTED_OR_SQL,
         "engine_boolean_not_kw": _bm25_sql(["sort"], exclude=["hash", "merge"]),
         "engine_phrase3": _phrase3_sql(),
+        # title:"7.txt": field-scoped punctuated phrase. Title tokens are
+        # ('7','txt') at cursor gap 3 (the dot), matching the quote's own
+        # cursor offsets; members+bigram are TITLE-restricted (weight 8,
+        # dl_title = 2 for every doc so avgdl_title = 2 and tfnorm is
+        # computed with dl = avgdl). dfs: '7' = its own title/url plus any
+        # body containing the bare token; 'txt' = every doc; bigram = 1.
+        "engine_phrase_title": f"""
+WITH{TOKS_CTE},
+base AS (SELECT count(*) AS n FROM toks),
+d7 AS (SELECT count(*) AS df FROM (
+    SELECT DISTINCT doc_id FROM toks WHERE list_contains(t, '7')
+    UNION SELECT 7) u)
+SELECT doc_id,
+       round(8.0 * ({_IDF.format(n='b.n', df='d7.df')}
+                    + {_IDF.format(n='b.n', df='b.n')}
+                    + 5.0 * {_IDF.format(n='b.n', df='1')})
+             * {_TFNORM.format(tf='1', dl='2.0',
+                               avgdl='((SELECT 2 * count(*) FROM documents) / (SELECT count(*) FROM documents))')},
+             4) AS score_r,
+       sha256(text) AS content_sha256
+FROM documents CROSS JOIN base b CROSS JOIN d7
+WHERE doc_id = 7
+""",
         "engine_site_filter": f"""
 SELECT s.doc_id, s.score_r, s.content_sha256
 FROM ({_bm25_sql(['hash', 'table'], bigram=('hash', 'table'))}) s
