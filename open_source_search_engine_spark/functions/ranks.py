@@ -116,15 +116,30 @@ def occurrence_weight(rank):
 
 
 def _group_counts(seg: np.ndarray, vals: np.ndarray) -> np.ndarray:
-    """count of (seg, vals[i]) pairs, scattered back per element."""
-    n = len(vals)
+    """count of (seg, vals[i]) pairs, scattered back per element.
+
+    The pair is folded into ONE uint64 key — ``vals`` multiplied by an odd
+    constant (a bijection on the uint64 ring) xor a segment mix — so the
+    grouping costs a single argsort pass instead of a two-key lexsort.
+    Within a segment the fold is exactly injective in ``vals``; across
+    segments two different pairs collide only on a 2^-64 hash collision,
+    the same identity-by-hash contract the spam window hash already has."""
+    with np.errstate(over="ignore"):
+        key = (vals.astype(np.uint64) * _M1
+               ^ (seg.astype(np.uint64) + np.uint64(1)) * _SEG_MIX)
+    return _counts_by_key(key.view(np.int64))
+
+
+def _counts_by_key(key: np.ndarray) -> np.ndarray:
+    """count of equal values in ``key``, scattered back per element."""
+    n = len(key)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    order = np.lexsort((vals, seg))
-    s, v = seg[order], vals[order]
+    order = np.argsort(key)
+    v = key[order]
     new = np.empty(n, dtype=bool)
     new[0] = True
-    new[1:] = (s[1:] != s[:-1]) | (v[1:] != v[:-1])
+    new[1:] = v[1:] != v[:-1]
     run_start = np.nonzero(new)[0]
     run_len = np.diff(np.append(run_start, n))
     counts_sorted = np.repeat(run_len, run_len)
@@ -156,7 +171,8 @@ def spam_ranks(seg: np.ndarray, tids: np.ndarray) -> np.ndarray:
     # never pool their counts
     h ^= (seg[:nw].astype(np.uint64) + np.uint64(1)) * _SEG_MIX
     valid = seg[:nw] == seg[NUMWORDS - 1:]
-    c_win = _group_counts(seg[:nw], h.astype(np.int64))
+    # h already mixes the segment id — count by it directly
+    c_win = _counts_by_key(h.view(np.int64))
     c_win = np.where(valid, c_win, 0)
     # token coverage: max window count over starts [i-4, i]
     c_tok = np.zeros(n, dtype=np.int64)

@@ -31,16 +31,20 @@ def encode_varints_with_lengths(vals: np.ndarray) -> tuple[np.ndarray, np.ndarra
     n = len(v)
     if n == 0:
         return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    # bound the byte-slot passes by the widest value actually present —
+    # header/delta streams are mostly 1-3 bytes wide, and the fixed 10-pass
+    # version spent most of its time in all-False passes on small arrays
+    maxb = max(1, (int(v.max()).bit_length() + 6) // 7)
     nb = np.ones(n, dtype=np.int64)
-    for k in range(1, 10):
-        nb += (v >= _U64(1 << (7 * k))).astype(np.int64)
+    if maxb == 1:
+        return v.astype(np.uint8), nb
+    for k in range(1, maxb):
+        nb += v >= _U64(1 << (7 * k))
     ends = np.cumsum(nb)
     offs = ends - nb
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    for j in range(10):
+    for j in range(maxb):
         mask = nb > j
-        if not mask.any():
-            break
         chunk = ((v[mask] >> _U64(7 * j)) & _U64(0x7F)).astype(np.uint8)
         cont = (nb[mask] > j + 1).astype(np.uint8) << 7
         out[offs[mask] + j] = chunk | cont
@@ -282,8 +286,14 @@ def _parse_block_values(
 
 
 def encode_rank_streams(ranks: np.ndarray, n_posts: np.ndarray) -> list[bytes]:
-    """Per-posting packed ranks (functions/ranks.py) → one varint byte string
-    per block, sliced from a single whole-array encode.
+    """Per-posting packed ranks (functions/ranks.py) → one byte string per
+    block, sliced from a single whole-array encode.
+
+    Format: fixed-width little-endian uint16 per posting. A packed rank is
+    13 bits — (density<<8)|(diversity<<4)|spam — so LEB128 would emit two
+    bytes for virtually every value anyway (any density ≥ 1 crosses 0x80);
+    fixed width is the same size without the per-byte varint passes, which
+    halved the sidecar's share of the map stage's encode CPU.
 
     The rank stream is a SIDECAR to the posting payload (a separate column),
     not part of the block codec: the default query path never reads it, the
@@ -293,16 +303,11 @@ def encode_rank_streams(ranks: np.ndarray, n_posts: np.ndarray) -> list[bytes]:
     nb = len(n_posts)
     if nb == 0:
         return []
-    stream, nbytes = encode_varints_with_lengths(
-        np.ascontiguousarray(ranks, dtype=np.uint64))
-    byte_off = np.zeros(len(ranks) + 1, dtype=np.int64)
-    np.cumsum(nbytes, out=byte_off[1:])
+    raw = np.ascontiguousarray(ranks, dtype="<u2").tobytes()
     post_off = np.zeros(nb + 1, dtype=np.int64)
     np.cumsum(np.ascontiguousarray(n_posts, dtype=np.int64), out=post_off[1:])
-    raw = stream.tobytes()
-    b0 = byte_off[post_off[:-1]]
-    b1 = byte_off[post_off[1:]]
-    return [raw[a:b] for a, b in zip(b0, b1)]
+    b = post_off * 2
+    return [raw[a:c] for a, c in zip(b[:-1], b[1:])]
 
 
 def decode_rank_streams(buffers: list) -> np.ndarray:
@@ -311,8 +316,8 @@ def decode_rank_streams(buffers: list) -> np.ndarray:
     the caller's ``n_posts``)."""
     if not buffers:
         return np.empty(0, dtype=np.int64)
-    raw = np.frombuffer(b"".join(bytes(b) for b in buffers), dtype=np.uint8)
-    return decode_varints(raw).astype(np.int64)
+    raw = b"".join(bytes(b) for b in buffers)
+    return np.frombuffer(raw, dtype="<u2").astype(np.int64)
 
 
 def pack_slab(

@@ -84,9 +84,9 @@ SEGMENT_SCHEMA = T.StructType(
         # BM25 upper bound idf·tfnorm(max_tf, min_dl) for block-max WAND
         T.StructField("min_dl", T.IntegerType(), False),
         T.StructField("postings", T.BinaryType(), False),
-        # posting-aligned packed rank sidecar (functions/ranks.py; varint
-        # stream, one value per posting) — read ONLY by the bm25_ranks
-        # ranker, so the default path's payload decode cost is unchanged
+        # posting-aligned packed rank sidecar (functions/ranks.py; fixed
+        # uint16 per posting) — read ONLY by the bm25_ranks ranker, so the
+        # default path's payload decode cost is unchanged
         T.StructField("rankbuf", T.BinaryType(), False),
     ]
 )
