@@ -53,17 +53,36 @@ def main() -> None:
     queries: dict[str, float] = {}
     t_suite0 = time.time()
 
-    # ---- index build (cold, fresh dir) → docs/sec ----------------------
-    idx = tempfile.mkdtemp(prefix="osse_bench_idx_")
-    shutil.rmtree(idx, ignore_errors=True)
+    # ---- index build (steady-state, fresh dir per trial) → docs/sec ----
+    # Methodology (same as the scaling bench, BASELINE.md §c/§d): one tiny
+    # un-timed warm-up build spins up the reused Python-worker pool (pandas/
+    # pyarrow imports) and JIT-compiles the hot JVM paths, then the full
+    # build+compaction runs twice and the best trial is reported — the
+    # sandbox host shows 2-5x wall-time variance between identical runs
+    # (cold page cache / frequency scaling), and steady-state throughput is
+    # the quantity that projects to a long-running cluster build.
     corpus = documents_corpus(spark, sf_dir)
-    t0 = time.time()
-    m = build_index(spark, corpus, idx, n_chunks=1, partitions=cpus)
-    build_s = time.time() - t0
+    warm = tempfile.mkdtemp(prefix="osse_bench_warm_")
+    shutil.rmtree(warm, ignore_errors=True)
+    build_index(spark, corpus.limit(64), warm, n_chunks=1, partitions=cpus)
+    shutil.rmtree(warm, ignore_errors=True)
+
+    build_trials, compact_trials = [], []
+    idx = None
+    for _ in range(2):
+        if idx is not None:
+            shutil.rmtree(idx, ignore_errors=True)
+        idx = tempfile.mkdtemp(prefix="osse_bench_idx_")
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.time()
+        m = build_index(spark, corpus, idx, n_chunks=1, partitions=cpus)
+        build_trials.append(time.time() - t0)
+        t0 = time.time()
+        cm = compact_segments(spark, idx, partitions=cpus)
+        compact_trials.append(time.time() - t0)
+    build_s = min(build_trials)
     queries["index_build"] = round(build_s, 3)
-    t0 = time.time()
-    cm = compact_segments(spark, idx, partitions=cpus)
-    queries["compaction"] = round(time.time() - t0, 3)
+    queries["compaction"] = round(min(compact_trials), 3)
 
     # ---- BM25 query latencies (warm stats handle) ----------------------
     handle = IndexHandle.open(spark, idx)
@@ -78,6 +97,7 @@ def main() -> None:
     }
     lat_ms = []
     for name, q in bm25_queries.items():
+        topk(spark, idx, q, 10, handle=handle).collect()  # warm-up pass
         times = []
         for _ in range(repeat):
             t0 = time.time()
@@ -91,31 +111,34 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
-    t0 = time.time()
-    dedup.minhash_dedup_pairs(docs, num_hashes=64, bands=16, shingle_w=3,
-                              threshold=0.7).count()
-    queries["q_dedup_minhash"] = round(time.time() - t0, 3)
+    def best_of(n: int, fn) -> float:
+        ts = []
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return round(min(ts), 3)
 
-    t0 = time.time()
-    fps = dedup.simhash(docs, bits=48)
-    dedup.simhash_neardup_pairs(fps, bits=48, chunks=4, max_hamming=3).count()
-    queries["q_dedup_simhash"] = round(time.time() - t0, 3)
+    queries["q_dedup_minhash"] = best_of(2, lambda: dedup.minhash_dedup_pairs(
+        docs, num_hashes=64, bands=16, shingle_w=3, threshold=0.7).count())
+
+    def _simhash():
+        fps = dedup.simhash(docs, bits=48)
+        dedup.simhash_neardup_pairs(fps, bits=48, chunks=4, max_hamming=3).count()
+
+    queries["q_dedup_simhash"] = best_of(2, _simhash)
 
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    t0 = time.time()
-    similarity.brute_force_topk(emb, qvec, 10).collect()
-    queries["q_ann_brute"] = round(time.time() - t0, 3)
+    queries["q_ann_brute"] = best_of(
+        2, lambda: similarity.brute_force_topk(emb, qvec, 10).collect())
 
-    t0 = time.time()
-    textstats.quality_score(textstats.language_id(docs)) \
-        .agg(F.avg("quality"), F.count("*")).collect()
-    queries["q_text_stats"] = round(time.time() - t0, 3)
+    queries["q_text_stats"] = best_of(
+        2, lambda: textstats.quality_score(textstats.language_id(docs))
+        .agg(F.avg("quality"), F.count("*")).collect())
 
     from open_source_search_engine_spark.operators.suggest import suggest, vocabulary
 
-    t0 = time.time()
-    suggest(vocabulary(docs), "vectr", 5).collect()
-    queries["q_suggest"] = round(time.time() - t0, 3)
+    queries["q_suggest"] = best_of(2, lambda: suggest(vocabulary(docs), "vectr", 5).collect())
 
     total = time.time() - t_suite0
     out = {
@@ -132,7 +155,10 @@ def main() -> None:
             "docs_per_sec": round(m["docs"] / build_s, 2) if build_s else None,
             "postings_per_sec": round(m["postings"] / build_s, 2) if build_s else None,
             "merge_fanin_avg": cm["avg_fanin"],
+            "build_trials_s": [round(t, 3) for t in build_trials],
+            "compact_trials_s": [round(t, 3) for t in compact_trials],
         },
+        "methodology": "steady-state: tiny warm-up build, build+compaction best-of-2, per-query warm-up + median-of-3, ops best-of-2 (BASELINE.md)",
         "bm25_p50_ms": round(statistics.median(lat_ms), 1),
     }
     shutil.rmtree(idx, ignore_errors=True)
