@@ -1,0 +1,81 @@
+"""Result-page serialization (K8 — PageResults analog).
+
+The reference renders merged results as JSON/XML/HTML on the coordinator
+(/root/reference/PageResults.cpp:411 entry; format switch on the request's
+``format`` parameter). Serving-side rendering is inherently driver-side work
+over the already-bounded top-k page (k rows, never the corpus), so this is a
+plain-Python formatter over ``topk(...)`` output rows — there is deliberately
+no Spark stage here.
+
+Row contract: any DataFrame/row-iterable with at least
+``rank, docid, score, repo, path`` (``content_sha256`` and ``snippet``
+surface when present). Output field names follow the reference's JSON result
+object (title/url/docId/score — SearchInput/PageResults surface).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterable
+from xml.sax.saxutils import escape
+
+_CORE = ("rank", "docid", "score", "repo", "path")
+_OPT = ("content_sha256", "snippet")
+
+
+def _result_dicts(rows: Iterable[Any]) -> list[dict]:
+    out = []
+    for r in rows:
+        d = r.asDict() if hasattr(r, "asDict") else dict(r)
+        item = {
+            "rank": int(d["rank"]),
+            "docId": int(d["docid"]),
+            "score": float(d["score"]),
+            # url = repo + '/' + path: the identity the docid is hashed from
+            # (/root/reference/Titledb.h:67-80 analog, SURVEY §7.2)
+            "url": f"{d['repo']}/{d['path']}",
+            "title": str(d["path"]).rsplit("/", 1)[-1],
+        }
+        for c in _OPT:
+            if c in d and d[c] is not None:
+                item[c] = d[c]
+        out.append(item)
+    return out
+
+
+def render_results(rows, query: str, *, fmt: str = "json",
+                   total_hits: int | None = None) -> str:
+    """Serialize one result page. ``rows`` is a ``topk`` DataFrame or its
+    collected rows; ``fmt`` is ``json`` | ``xml`` | ``html`` (the reference's
+    three output formats)."""
+    if hasattr(rows, "collect"):
+        rows = rows.collect()
+    results = _result_dicts(rows)
+    if fmt == "json":
+        page = {"query": query, "hits": len(results), "results": results}
+        if total_hits is not None:
+            page["totalHits"] = int(total_hits)
+        return json.dumps(page, sort_keys=True)
+    if fmt == "xml":
+        parts = ["<response>", f"  <query>{escape(query)}</query>"]
+        if total_hits is not None:
+            parts.append(f"  <totalHits>{int(total_hits)}</totalHits>")
+        for it in results:
+            parts.append("  <result>")
+            for k2 in sorted(it):
+                parts.append(f"    <{k2}>{escape(str(it[k2]))}</{k2}>")
+            parts.append("  </result>")
+        parts.append("</response>")
+        return "\n".join(parts)
+    if fmt == "html":
+        lis = "\n".join(
+            f'<li><a href="{escape(it["url"])}">{escape(it["title"])}</a>'
+            f' <span class="score">{it["score"]:.4f}</span>'
+            + (f'<p>{escape(str(it.get("snippet", "")))}</p>' if it.get("snippet") else "")
+            + "</li>"
+            for it in results
+        )
+        return (
+            f"<html><body><h1>{escape(query)}</h1><ol>\n{lis}\n</ol></body></html>"
+        )
+    raise ValueError(f"unknown format: {fmt!r} (expected json|xml|html)")

@@ -1,0 +1,74 @@
+"""K8 result rendering + T3 prefixed-termid interop shim."""
+
+import json
+import xml.etree.ElementTree as ET
+
+from open_source_search_engine_spark.functions.hashing import (
+    TERMID_MASK,
+    prefix_hash,
+    termid_for_token,
+    termid_with_prefix,
+)
+from open_source_search_engine_spark.operators.render import render_results
+
+ROWS = [
+    {"rank": 1, "docid": 42, "score": 3.5, "repo": "org0/repo1",
+     "path": "src/a.py", "content_sha256": "ab" * 32, "snippet": "def <a>"},
+    {"rank": 2, "docid": 7, "score": 1.25, "repo": "org1/repo2",
+     "path": "lib/b.c", "content_sha256": "cd" * 32},
+]
+
+
+def test_render_json_page():
+    page = json.loads(render_results(ROWS, "binary search", total_hits=17))
+    assert page["query"] == "binary search"
+    assert page["totalHits"] == 17 and page["hits"] == 2
+    r0 = page["results"][0]
+    assert r0["url"] == "org0/repo1/src/a.py" and r0["title"] == "a.py"
+    assert r0["docId"] == 42 and r0["snippet"] == "def <a>"
+    # absent optional columns stay absent, not null
+    assert "snippet" not in page["results"][1]
+
+
+def test_render_xml_escapes_and_roundtrips():
+    xml = render_results(ROWS, 'q < "x"', fmt="xml", total_hits=2)
+    root = ET.fromstring(xml)  # parses ⇒ special chars escaped correctly
+    assert root.find("query").text == 'q < "x"'
+    results = root.findall("result")
+    assert len(results) == 2
+    assert results[0].find("snippet").text == "def <a>"
+    assert results[1].find("docId").text == "7"
+
+
+def test_render_html_links_and_empty_page():
+    html = render_results(ROWS, "x", fmt="html")
+    assert '<a href="org0/repo1/src/a.py">a.py</a>' in html
+    assert "def &lt;a&gt;" in html  # snippet escaped
+    empty = render_results([], "nothing", fmt="html")
+    assert "<ol>" in empty and "<li>" not in empty
+
+
+def test_render_unknown_format_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        render_results(ROWS, "x", fmt="yaml")
+
+
+def test_termid_with_prefix_interop_shim():
+    """T3 compatibility: the prefixed id is a deterministic 48-bit id that
+    separates fields and matches the reference's composition shape
+    (seeded continuation of the wordId bytes, XmlDoc_Indexing.cpp:1750-1762
+    analog)."""
+    a = termid_with_prefix("hash", "title")
+    b = termid_with_prefix("hash", "inurl")
+    c = termid_with_prefix("table", "title")
+    assert len({a, b, c}) == 3  # field and token both separate the id space
+    assert all(0 <= t <= TERMID_MASK for t in (a, b, c))
+    # deterministic and distinct from the unprefixed termid
+    assert a == termid_with_prefix("hash", "title")
+    assert a != termid_for_token("hash")
+    # prefix hash ignores spaces like hash64Lower_utf8_nospaces
+    assert prefix_hash("ti tle") == prefix_hash("title")
+    # case-insensitive on the token, like the unprefixed path
+    assert termid_with_prefix("HASH", "title") == a
