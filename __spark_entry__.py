@@ -868,6 +868,26 @@ def _q_engine_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_engine_soft_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 query stop words (/root/reference/StopWords.cpp:188-252,
+    query_stop_words.*.txt; QueryTerm stop flag /root/reference/
+    Query.h:195-199): with soft_stops on, 'the' stops constraining the
+    candidate set (candidates = docs containing 'hash') but keeps scoring
+    where it occurs; the adjacent query bigram still attaches."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.plans.plan import parse_query
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    plan = parse_query("the hash", soft_stops=True)
+    res = topk(spark, idx, plan, 1_000_000)
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
 def _q_engine_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 pagination (/root/reference/PosdbTable.cpp:3948-3983): page 2 via
     the (score, docid) cursor from page 1's last row."""
@@ -944,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_snippets_multi": _q_engine_snippets_multi,
         "engine_suggest": _q_engine_suggest,
         "engine_synonyms": _q_engine_synonyms,
+        "engine_soft_stops": _q_engine_soft_stops,
         "engine_pagination": _q_engine_pagination,
         # --- tokenize/stats primitives ---
         "doc_term_df": _q_doc_term_df,
@@ -1104,6 +1125,10 @@ ORDER BY df DESC, token LIMIT 5
                 "open_source_search_engine_spark.functions.synonyms",
                 fromlist=["SYNONYMS"]).SYNONYMS["sort"]
         ]),
+        # soft stop: 'the' scores as an optional term at full weight; only
+        # 'hash' gates the candidate set; the adjacent bigram still attaches
+        "engine_soft_stops": _bm25_sql(["hash"], optional_terms=[("the", 1.0)],
+                                       bigram=("the", "hash")),
         "engine_pagination": f"""
 SELECT doc_id, score_r FROM (
   SELECT doc_id, score_r,

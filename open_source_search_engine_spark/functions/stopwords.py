@@ -1,0 +1,79 @@
+"""Per-language query stop-word classification (T7).
+
+The reference ships one stop list per language (``query_stop_words.*.txt``,
+loaded by ``StopWords.cpp:188-252``) and marks matching query terms as
+query-stop-words (``Query.h:195-199``): they still *score*, but do not
+constrain the candidate-docid intersection unless explicitly ``+``-signed —
+a long natural-language query is not required to match its ``the``/``der``/
+``le`` function words. (Index-side phrasing/bigram-salt classification is a
+separate, build-frozen concern: ``tokenizer.STOP_WORDS``.)
+
+Sets here are compact public function-word lists (ASCII-safe forms only —
+the code tokenizer is ASCII-identifier based). Unknown language → English.
+"""
+
+from __future__ import annotations
+
+from .tokenizer import STOP_WORDS as _EN_CODE
+
+_DE = frozenset(
+    """der die das den dem des ein eine einer eines einem einen und oder aber
+    nicht ist sind war waren sein haben hat hatte werden wird wurde auch auf
+    aus bei mit nach von vor zu zum zur im in am an es er sie wir ihr ich du
+    man sich als wie wenn dann noch nur schon so um dass weil""".split()
+)
+
+_FR = frozenset(
+    """le la les un une des du de et ou mais non est sont etait ete etre avoir
+    a ont avait sera dans sur sous avec sans pour par au aux ce cette ces cet
+    il elle ils elles nous vous je tu on se ne pas plus moins tres comme si
+    alors donc quand que qui quoi dont ou y en""".split()
+)
+
+_ES = frozenset(
+    """el la los las un una unos unas y o pero no es son era eran ser estar
+    fue han ha habia sera en de del a al con sin para por sobre este esta
+    estos estas ese esa eso aquel ella ellos ellas nosotros yo tu usted se
+    me te le lo que quien cual cuando donde como si mas muy ya tambien""".split()
+)
+
+_IT = frozenset(
+    """il lo la i gli le un uno una e o ma non e' sono era erano essere avere
+    ha hanno aveva sara in di del della dei delle a al alla con senza per da
+    su questo questa questi queste quello quella io tu lui lei noi voi loro
+    si mi ti ci che chi quando dove come se piu molto gia anche""".split()
+)
+
+_PT = frozenset(
+    """o a os as um uma uns umas e ou mas nao sao era eram ser estar foi
+    tem tinha sera em de do da dos das ao aos com sem para por sobre
+    este esta estes estas esse essa isso aquele ela eles elas nos eu tu voce
+    se me te lhe que quem qual quando onde como mais muito ja tambem""".split()
+)
+
+_NL = frozenset(
+    """de het een en of maar niet is zijn was waren hebben heeft had wordt
+    werd ook op uit bij met na van voor te naar in aan er hij zij wij jullie
+    ik jij men zich als hoe wanneer dan nog maar al zo om dat omdat wat wie
+    waar""".split()
+)
+
+LANG_STOP_WORDS: dict[str, frozenset] = {
+    "en": _EN_CODE,
+    "de": _DE,
+    "fr": _FR,
+    "es": _ES,
+    "it": _IT,
+    "pt": _PT,
+    "nl": _NL,
+}
+
+
+def stop_set(lang: str | None) -> frozenset:
+    """Stop set for a language code (None/unknown → English+code set,
+    the reference's fallback when the query language is undetected)."""
+    return LANG_STOP_WORDS.get((lang or "en").lower()[:2], _EN_CODE)
+
+
+def is_query_stopword(token: str, lang: str | None = None) -> bool:
+    return token.lower() in stop_set(lang)

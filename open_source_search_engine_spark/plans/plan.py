@@ -502,7 +502,8 @@ class _PlanBuilder:
         return Node(op, tuple(flat))
 
 
-def parse_query(q: str, *, expand_synonyms: bool = False) -> QueryPlan:
+def parse_query(q: str, *, expand_synonyms: bool = False,
+                soft_stops: bool = False, lang: str | None = None) -> QueryPlan:
     plan = QueryPlan(raw=q)
     b = _PlanBuilder(plan, expand_synonyms)
 
@@ -545,4 +546,60 @@ def parse_query(q: str, *, expand_synonyms: bool = False) -> QueryPlan:
             b.attach_optional(f"{a} {bb}", FIELD_BODY, BIGRAM_WEIGHT,
                               is_bigram=True, pair=(a, bb, both_stop))
 
+    if soft_stops:
+        apply_soft_stops(plan, lang=lang)
+    return plan
+
+
+def apply_soft_stops(plan: QueryPlan, lang: str | None = None) -> QueryPlan:
+    """Per-language query-stop-word demotion (T7 query side).
+
+    The reference classifies query terms against a per-language stop list
+    (/root/reference/StopWords.cpp:188-252, ``query_stop_words.*.txt``) and
+    marks them query-stop-words (/root/reference/Query.h:195-199): they keep
+    scoring but stop constraining the candidate intersection, unless
+    ``+``-signed. Mirrored here as a plan transform: in a top-level AND
+    conjunction, positive unfielded stop-word leaves are demoted to optional
+    (spec kept — still joins and scores) provided at least one non-stop
+    positive constraint remains; a query of ONLY stop words is left intact
+    (the reference likewise requires them then — something must gate the
+    candidate set). Phrases, OR groups, NOT leaves, fielded terms and
+    bigrams are never demoted.
+    """
+    from dataclasses import replace
+
+    from ..functions.stopwords import is_query_stopword
+
+    expr = plan.expr
+    if expr is None:
+        return plan
+    children = list(expr.children) if isinstance(expr, Node) and expr.op == "and" \
+        else [expr]
+    # '+'-signed words are exempt (the sign is consumed during atom parsing,
+    # so recover it from the raw lexeme stream)
+    plus_tokens = {
+        tok
+        for lx in _lex(plan.raw)
+        if lx.startswith("+") and not lx.startswith('+"') and ":" not in lx
+        for tok in code_tokens(lx[1:])
+    }
+
+    def demotable(ch) -> bool:
+        if not isinstance(ch, Leaf) or ch.negated or ch.is_phrase:
+            return False
+        t = plan.terms[ch.spec]
+        return (t.required and not t.excluded and not t.is_bigram
+                and t.field is None and t.token not in plus_tokens
+                and is_query_stopword(t.token, lang))
+
+    demote = [ch for ch in children if demotable(ch)]
+    keep = [ch for ch in children if not demotable(ch)]
+    # at least one positive (non-NOT) constraint must survive
+    if not demote or not any(
+        not (isinstance(ch, Leaf) and ch.negated) for ch in keep
+    ):
+        return plan
+    for ch in demote:
+        plan.terms[ch.spec] = replace(plan.terms[ch.spec], required=False)
+    plan.expr = keep[0] if len(keep) == 1 else Node("and", tuple(keep))
     return plan

@@ -1,0 +1,83 @@
+"""T7: per-language query stop-word classification + soft-stop demotion."""
+
+from open_source_search_engine_spark.functions.stopwords import (
+    LANG_STOP_WORDS,
+    is_query_stopword,
+    stop_set,
+)
+from open_source_search_engine_spark.plans.plan import Leaf, Node, parse_query
+
+
+def req_tokens(plan):
+    return sorted(t.token for t in plan.required if not t.is_bigram)
+
+
+def opt_tokens(plan):
+    return sorted(t.token for t in plan.optional if not t.is_bigram)
+
+
+def test_language_sets_distinct_and_classify():
+    assert is_query_stopword("the")            # en default
+    assert is_query_stopword("der", "de")
+    assert not is_query_stopword("der", "fr")
+    assert is_query_stopword("les", "fr")
+    assert is_query_stopword("los", "es")
+    assert is_query_stopword("het", "nl")
+    # unknown language falls back to the English+code set
+    assert stop_set("zz") is stop_set("en")
+    # region-tagged codes resolve to the base language
+    assert is_query_stopword("und", "de-AT")
+    # every set is ascii-tokenizer-safe and non-trivial
+    for lang, s in LANG_STOP_WORDS.items():
+        assert len(s) >= 30, lang
+        assert all(w == w.lower() and w.isascii() for w in s), lang
+
+
+def test_soft_stops_demote_but_keep_scoring():
+    plan = parse_query("the hash table", soft_stops=True)
+    assert req_tokens(plan) == ["hash", "table"]
+    assert "the" in opt_tokens(plan)  # spec kept: still joins and scores
+    # without the flag, behavior is unchanged (all terms required)
+    strict = parse_query("the hash table")
+    assert "the" in req_tokens(strict)
+
+
+def test_plus_sign_exempts_stop_word():
+    plan = parse_query("+the hash", soft_stops=True)
+    assert "the" in req_tokens(plan)
+
+
+def test_all_stop_query_left_intact():
+    plan = parse_query("the of and", soft_stops=True)
+    assert req_tokens(plan) == ["and", "of", "the"]
+
+
+def test_language_selects_the_set():
+    de = parse_query("der hash", soft_stops=True, lang="de")
+    assert req_tokens(de) == ["hash"] and "der" in opt_tokens(de)
+    fr = parse_query("der hash", soft_stops=True, lang="fr")
+    assert "der" in req_tokens(fr)  # not a French stop word
+
+
+def test_structures_never_demoted():
+    # OR group member stays (top-level expr is not an AND chain)
+    p = parse_query("the OR hash", soft_stops=True)
+    assert isinstance(p.expr, Node) and p.expr.op == "or"
+    assert "the" in req_tokens(p)
+    # fielded stop word stays required
+    p2 = parse_query("title:the hash", soft_stops=True)
+    assert "the" in req_tokens(p2)
+    # NOT leaf survives demotion and exclusion is preserved
+    p3 = parse_query("the hash -if", soft_stops=True)
+    assert req_tokens(p3) == ["hash"]
+    assert [t.token for t in p3.excluded] == ["if"]
+    # quoted phrase members stay phrase-constrained
+    p4 = parse_query('"the hash" table', soft_stops=True)
+    assert len(p4.phrases) == 1
+    leaves = (p4.expr.children if isinstance(p4.expr, Node) else (p4.expr,))
+    assert any(isinstance(c, Leaf) and c.is_phrase for c in leaves)
+
+
+def test_single_stop_term_not_demoted_to_empty():
+    p = parse_query("the", soft_stops=True)
+    assert req_tokens(p) == ["the"]
