@@ -287,26 +287,71 @@ def minhash_dedup_pairs(
     shingle_w: int = 3,
     threshold: float = 0.7,
     hash_strategy: str = "xxhash64",
+    max_bucket: int = 1000,
+    route_dropped: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash near-dup: signatures → LSH candidates → estimated
     Jaccard (fraction of agreeing signature positions) ≥ threshold.
 
+    Members of buckets the quadratic guard drops (> ``max_bucket``) do not
+    silently vanish: with ``route_dropped`` they are re-checked through the
+    EXACT tier — grouped by content sha256 and emitted as star pairs
+    (keeper = min id ↔ each other member, est_jaccard 1.0). Star pairs are
+    linear in cluster size (all-pairs would re-create the quadratic blow-up
+    the cap exists to prevent) and are enough to reconstruct the cluster by
+    connected components downstream. An over-cap bucket whose members are
+    near- but not byte-identical is beyond LSH's promise at that density;
+    the residue stays observable via :func:`lsh_dropped_buckets`.
+
     Output: (id_a, id_b, est_jaccard)."""
+    from pyspark.sql.window import Window
+
     sigs = _pin(minhash_signatures(
         df, text, id_col, num_hashes=num_hashes, shingle_w=shingle_w,
         hash_strategy=hash_strategy,
     ))
-    cand = lsh_candidate_pairs(sigs, id_col, bands=bands)
+    cand = lsh_candidate_pairs(sigs, id_col, bands=bands, max_bucket=max_bucket)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     ) / F.size("sig_a")
-    return (
+    pairs = (
         cand.join(sa, "id_a").join(sb, "id_b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+    if not route_dropped:
+        return pairs
+    dropped_ids = (
+        _band_explode(sigs, id_col, bands)
+        .withColumn(
+            "bucket_n", F.count("*").over(Window.partitionBy("band", "band_key"))
+        )
+        .filter(F.col("bucket_n") > max_bucket)
+        .select("_id").distinct()
+    )
+    routed = (
+        df.select(F.col(id_col).alias("_id"), F.sha2(F.col(text), 256).alias("_h"))
+        .join(dropped_ids, "_id")
+    )
+    wh = Window.partitionBy("_h")
+    exact_pairs = (
+        routed.withColumn("_min", F.min("_id").over(wh))
+        .filter(F.col("_id") != F.col("_min"))
+        .select(
+            F.col("_min").alias("id_a"),
+            F.col("_id").alias("id_b"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+    )
+    # a pair can surface on both tiers (exact dups agree on every band, so a
+    # non-dropped band may also emit it) — keep the max estimate once
+    return (
+        pairs.unionByName(exact_pairs)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
 
 

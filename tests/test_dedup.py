@@ -170,3 +170,24 @@ def test_lsh_dropped_buckets_reported(spark):
     assert dropped and all(r["n_members"] == 6 for r in dropped)
     pairs = dedup.lsh_candidate_pairs(sigs, bands=2, max_bucket=2)
     assert pairs.count() == 0  # guard dropped them, as the report says
+
+
+def test_dropped_buckets_route_to_exact_tier(spark):
+    """Over-cap bucket members re-enter via the exact tier as star pairs
+    (keeper=min id), so identical docs are still paired despite the guard;
+    non-identical residue in the bucket stays dropped."""
+    rows = [(i, "same text everywhere repeated tokens") for i in range(6)]
+    rows.append((99, "a different doc entirely about spark physical plans"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_dedup_pairs(
+        df, num_hashes=8, bands=2, shingle_w=2, threshold=0.5, max_bucket=2
+    )
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    # star around keeper 0, linear in cluster size — not all 15 pairs
+    assert set(got) == {(0, i) for i in range(1, 6)}
+    assert all(v == 1.0 for v in got.values())
+    # routing off restores the bare guard behavior
+    assert dedup.minhash_dedup_pairs(
+        df, num_hashes=8, bands=2, shingle_w=2, threshold=0.5, max_bucket=2,
+        route_dropped=False,
+    ).count() == 0
