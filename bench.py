@@ -151,11 +151,16 @@ def main() -> None:
     queries["index_build"] = round(build_s, 3)
     queries["compaction"] = round(min(compact_trials), 3)
 
+    # headline = one steady-state pass over the suite (sum of the reported
+    # per-item numbers) — comparable across rounds; the harness itself runs
+    # warm-ups and repeats, so its own wall-clock is a methodology artifact
+    # (reported separately as harness_wall_s)
     total = time.time() - t_suite0
     out = {
         "metric": "index_build_plus_query_suite",
-        "value": round(total, 3),
+        "value": round(sum(queries.values()), 3),
         "unit": "sec",
+        "harness_wall_s": round(total, 3),
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
