@@ -64,7 +64,10 @@ DOMAIN_URL_WEIGHT = 10.0  # looksLikeADomain INURL boost, Query.cpp:2473+
 # term-restricting field operators → hashGroup (gblang: is the reference's
 # spelling, Query.h:35-104)
 _FIELD_OPS = {"title": FIELD_TITLE, "inurl": FIELD_URL, "lang": FIELD_LANG,
-              "gblang": FIELD_LANG}
+              "gblang": FIELD_LANG,
+              # the reference maps suburl: onto inurl:
+              # (/root/reference/Query.cpp:1671-1672)
+              "suburl": FIELD_URL}
 # document-filtering field operators (J6 whitelist family)
 _SITE_OPS = {"site", "repo"}
 _EXT_OPS = {"ext", "filetype", "type"}
@@ -335,6 +338,10 @@ class _Parser:
                 return _Atom("ext", val, None, negated)
             elif opl == "gbdocid" and val:
                 return _Atom("docid", val, None, negated)
+            elif opl == "gbtermid" and val:
+                # the literal number IS the termId — the reference's raw-
+                # termlist debug operator (/root/reference/Query.cpp:292-293)
+                return _Atom("termid", val, None, negated)
             elif opl == "url" and val:
                 # url:<repo>/<path> pins the exact document: the docid IS
                 # hash64b(url) & DOCID_MASK (/root/reference/Titledb.h:67-80),
@@ -460,6 +467,14 @@ class _PlanBuilder:
                 return self.word_leaves(tree, neg)
             if tree.kind == "phrase":
                 return self.phrase_leaves(tree, neg)
+            if tree.kind == "termid":
+                try:
+                    tid = int(tree.value)
+                except ValueError:
+                    return None
+                ix = self.spec(tid, f"gbtermid:{tid}", None, 1.0,
+                               required=not neg, excluded=neg)
+                return Leaf(ix, negated=neg)
             if tree.kind == "site":
                 self.plan.site_filters.append(tree.value)
                 return None

@@ -214,3 +214,24 @@ def test_gbcontenthash_filter(spark, mini):
 def test_gblang_and_type_aliases(spark, mini):
     _match(spark, mini, "gblang:cpp alpha")
     _match(spark, mini, "type:txt sort")
+
+
+def test_gbtermid_is_the_raw_termlist(spark, mini):
+    """gbtermid:<N> uses the literal number as the termId (the reference's
+    raw-termlist debug operator, Query.cpp:292-293): identical ranking to
+    the word whose termid it is."""
+    from open_source_search_engine_spark.functions.hashing import TokenHasher
+
+    idx, _ = mini
+    tid = int(TokenHasher().termids(["alpha"])[0])
+    assert _run(spark, idx, f"gbtermid:{tid}") == _run(spark, idx, "alpha")
+    # and it composes with ordinary terms / negation
+    assert _run(spark, idx, f"gbtermid:{tid} gamma") == _run(spark, idx, "alpha gamma")
+
+
+def test_suburl_maps_to_inurl(spark, mini):
+    """suburl: is an alias of inurl: (the reference rewrites it,
+    Query.cpp:1671-1672)."""
+    idx, _ = mini
+    got = _run(spark, idx, "suburl:lib sort")
+    assert got and got == _run(spark, idx, "inurl:lib sort")
