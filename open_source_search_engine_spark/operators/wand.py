@@ -53,6 +53,11 @@ from ..sources import catalog
 
 WAND_MAX_K = 1000        # beyond this, full enumeration is the better plan
 DEFER_MIN_DOCS = 256     # lists smaller than this are decoded outright
+# The optimistic bound sums per-list grouped weights (wsum·tfnorm) while the
+# exact score folds per-wid contributions in canonical (termid, field) order;
+# the two are equal in exact arithmetic but may differ by ulps in float64, so
+# the stop rule keeps this margin to stay strictly conservative (lossless).
+BOUND_MARGIN = 1e-9
 
 
 def _side_table_arrays(index_dir: str, name: str, cols: list[str]):
@@ -341,7 +346,7 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
         wid_items = sorted(lists_meta.items())  # canonical (termid, field)
         runs_of = lists
         for i in order:
-            if len(heap) == k and bound[i] < heap[0][0]:
+            if len(heap) == k and bound[i] < heap[0][0] - BOUND_MARGIN:
                 break  # every remaining bound is lower — WAND stop
             d = int(cand[i])
             # resolve deferred lists for this doc
