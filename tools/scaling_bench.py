@@ -36,9 +36,13 @@ sys.path.insert(0, %(repo)r)
 n_docs, cores, trials = %(n_docs)d, %(cores)d, %(trials)d
 
 def jif():
+    # (busy_jiffies, steal_jiffies): busy excludes idle/iowait AND steal --
+    # steal is the hypervisor running OTHER tenants, not this job's CPU
+    # work; reported separately so a contaminated trial is self-documenting
     with open("/proc/stat") as f:
-        p = f.readline().split()[1:]
-    return sum(int(x) for x in p) - int(p[3]) - int(p[4])
+        p = [int(x) for x in f.readline().split()[1:]]
+    steal = p[7] if len(p) > 7 else 0
+    return sum(p) - p[3] - p[4] - steal, steal
 
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master(f"local[{cores}]")
@@ -62,15 +66,19 @@ runs = []
 for trial in range(trials):
     idx = tempfile.mkdtemp(prefix=f"osse_scale_{cores}_")
     shutil.rmtree(idx, ignore_errors=True)
-    j0, t0 = jif(), time.time()
+    (j0, st0), t0 = jif(), time.time()
     m = build_index(spark, corpus, idx, n_chunks=1, partitions=cores)
     elapsed = time.time() - t0
-    cpu = (jif() - j0) / 100.0
+    j1, st1 = jif()
+    cpu = (j1 - j0) / 100.0
+    steal = (st1 - st0) / 100.0
     shutil.rmtree(idx, ignore_errors=True)
-    runs.append({"elapsed_s": round(elapsed, 2), "cpu_sec": round(cpu, 1)})
+    runs.append({"elapsed_s": round(elapsed, 2), "cpu_sec": round(cpu, 1),
+                 "steal_sec": round(steal, 1)})
     if best is None or elapsed < best["elapsed_s"]:
         best = {"cores": cores, "docs": m["docs"], "postings": m["postings"],
                 "elapsed_s": round(elapsed, 2), "cpu_sec": round(cpu, 1),
+                "steal_sec": round(steal, 1),
                 "effective_cores": round(cpu / elapsed, 1),
                 "docs_per_sec": round(m["docs"] / elapsed, 2),
                 "postings_per_sec": round(m["postings"] / elapsed, 2)}
