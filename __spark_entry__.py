@@ -465,6 +465,18 @@ def _q_engine_site_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_query("site:src3 hash table")(spark, sf_dir)
 
 
+def _q_engine_gbtermid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 gbtermid: raw-termlist operator (/root/reference/Query.cpp:292-293
+    — the literal number IS the termId). `gbtermid:<tid('hash')> table` must
+    rank identically to the word pair WITHOUT the adjacency bigram (field
+    operators never participate in the Q6 bigram attach), which is exactly
+    what the oracle expresses."""
+    from open_source_search_engine_spark.functions.hashing import TokenHasher
+
+    tid = int(TokenHasher().termids(["hash"])[0])
+    return _engine_query(f"gbtermid:{tid} table")(spark, sf_dir)
+
+
 def _q_engine_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-stats gate: exact df per token from the index's term_stats
     table (SURVEY.md §2.9 A1) mapped back to surface tokens."""
@@ -957,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_ranks": _q_engine_ranks,
         "engine_shortcuts": _q_engine_shortcuts,
         "engine_field_title": _engine_query("title:123"),
+        "engine_gbtermid": _q_engine_gbtermid,
         "engine_term_df": _q_engine_term_df,
         "engine_total_hits": _q_engine_total_hits,
         "engine_site_clustering": _q_engine_site_clustering,
@@ -1004,6 +1017,8 @@ def oracle_sql() -> dict[str, str]:
         "engine_phrase": _bm25_sql(["hash", "table"], bigram=("hash", "table"),
                                    bigram_required=True),
         "engine_bm25_not": _bm25_sql(["hash"], exclude="merge"),
+        # gbtermid:<tid(hash)> table == conjunctive (hash, table), no bigram
+        "engine_gbtermid": _bm25_sql(["hash", "table"]),
         "engine_boolean_nested": _NESTED_OR_SQL,
         "engine_boolean_not_kw": _bm25_sql(["sort"], exclude=["hash", "merge"]),
         "engine_phrase3": _phrase3_sql(),
