@@ -19,6 +19,11 @@ import json
 from typing import Any, Iterable
 from xml.sax.saxutils import escape
 
+# extra entity map for HTML *attribute* contexts: saxutils.escape only
+# covers & < > by default, so a '"' in repo/path would otherwise break out
+# of the href attribute (attribute-injection / XSS-class bug)
+_ATTR = {'"': "&quot;", "'": "&#x27;"}
+
 _CORE = ("rank", "docid", "score", "repo", "path")
 _OPT = ("content_sha256", "snippet")
 
@@ -69,7 +74,7 @@ def render_results(rows, query: str, *, fmt: str = "json",
         return "\n".join(parts)
     if fmt == "html":
         lis = "\n".join(
-            f'<li><a href="{escape(it["url"])}">{escape(it["title"])}</a>'
+            f'<li><a href="{escape(it["url"], _ATTR)}">{escape(it["title"])}</a>'
             f' <span class="score">{it["score"]:.4f}</span>'
             + (f'<p>{escape(str(it.get("snippet", "")))}</p>' if it.get("snippet") else "")
             + "</li>"

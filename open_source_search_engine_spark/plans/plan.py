@@ -77,6 +77,12 @@ _TLDS = {"com", "org", "net", "io", "edu", "gov", "dev", "co"}
 _hasher = TokenHasher()
 
 
+class QueryParseError(ValueError):
+    """Raised for malformed query syntax that must not be silently dropped
+    (e.g. ``gbtermid:xyz`` — the reference errors on bad field values rather
+    than degrading the query)."""
+
+
 @dataclass(frozen=True)
 class TermSpec:
     termid: int
@@ -471,7 +477,11 @@ class _PlanBuilder:
                 try:
                     tid = int(tree.value)
                 except ValueError:
-                    return None
+                    # malformed gbtermid must not silently degrade to the
+                    # rest of the query (ADVICE r2): surface a parse error
+                    raise QueryParseError(
+                        f"gbtermid: expects an integer termid, got "
+                        f"{tree.value!r}")
                 ix = self.spec(tid, f"gbtermid:{tid}", None, 1.0,
                                required=not neg, excluded=neg)
                 return Leaf(ix, negated=neg)

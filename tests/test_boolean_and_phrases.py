@@ -229,6 +229,18 @@ def test_gbtermid_is_the_raw_termlist(spark, mini):
     assert _run(spark, idx, f"gbtermid:{tid} gamma") == _run(spark, idx, "alpha gamma")
 
 
+def test_gbtermid_non_numeric_is_a_parse_error():
+    """A malformed gbtermid must not silently degrade to the rest of the
+    query (`gbtermid:xyz table` != `table`) — it raises (ADVICE r2)."""
+    import pytest
+
+    from open_source_search_engine_spark.plans.plan import (
+        QueryParseError, parse_query)
+
+    with pytest.raises(QueryParseError):
+        parse_query("gbtermid:xyz table")
+
+
 def test_suburl_maps_to_inurl(spark, mini):
     """suburl: is an alias of inurl: (the reference rewrites it,
     Query.cpp:1671-1672)."""

@@ -48,6 +48,17 @@ def test_render_html_links_and_empty_page():
     assert "<ol>" in empty and "<li>" not in empty
 
 
+def test_render_html_escapes_attribute_quotes():
+    """A '"' in repo/path must not break out of the href attribute
+    (ADVICE r2: saxutils.escape covers &<> only, not quotes)."""
+    rows = [{"rank": 1, "docid": 1, "score": 1.0,
+             "repo": 'org/x" onmouseover="evil()',
+             "path": "a.py"}]
+    html = render_results(rows, "x", fmt="html")
+    assert 'onmouseover="evil()"' not in html
+    assert "&quot;" in html
+
+
 def test_render_unknown_format_raises():
     import pytest
 

@@ -42,7 +42,10 @@ def jif():
     with open("/proc/stat") as f:
         p = [int(x) for x in f.readline().split()[1:]]
     steal = p[7] if len(p) > 7 else 0
-    return sum(p) - p[3] - p[4] - steal, steal
+    # guest/guest_nice (fields 8/9) are already folded into user/nice by the
+    # kernel -- subtract them too so busy doesn't double-count guest time
+    guest = (p[8] if len(p) > 8 else 0) + (p[9] if len(p) > 9 else 0)
+    return sum(p) - p[3] - p[4] - steal - guest, steal
 
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master(f"local[{cores}]")
