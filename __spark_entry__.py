@@ -400,11 +400,186 @@ JOIN documents t2 ON t2.doc_id = d.doc_id
 """
 
 
+# shared fragments for the two-word ("hash table") ranker oracles: the same
+# conjunctive-plus-optional-bigram shape _bm25_sql produces, with the raw
+# contributions exposed so the ranker variants can reweight/multiply them.
+_RANKER_W1, _RANKER_W2 = "hash", "table"
+
+
+def _two_word_bigram_ctes(w1: str, w2: str) -> str:
+    """CTE block: toks/base/occ/tf/dfs/dl + the optional adjacent-bigram
+    term (df + per-doc tf), shared by the proximity/ranks/shortcuts
+    oracles."""
+    pair = f"len(list_filter(range(1, len(t)), i -> t[i] = '{w1}' AND t[i+1] = '{w2}'))"
+    return f"""
+WITH{TOKS_CTE},
+base AS (SELECT count(*) AS n, (sum(len(t)) / count(*)) AS avgdl FROM toks),
+occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ WHERE tok IN ('{w1}', '{w2}') GROUP BY 1, 2),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+big AS (SELECT doc_id, {pair} AS tf FROM toks WHERE {pair} > 0),
+bigdf AS (SELECT count(*) AS df FROM big)"""
+
+
+def _two_word_contribs(tf1: str = "f0.tf", tf2: str = "f1.tf",
+                       bigtf: str = "bg.tf",
+                       big_present: str = "bg.tf") -> list[str]:
+    """The three BM25 contributions (w1, w2, optional bigram at weight 5) in
+    the exact float association the engine's scorer uses — identical to the
+    expressions in _bm25_sql(bigram=...), parameterized on the tf source so
+    the ranks oracle can substitute the rank-weighted tf (wtf)."""
+    out = []
+    for i, tf in enumerate((tf1, tf2)):
+        idf = _IDF.format(n="b.n", df=f"x{i}.df")
+        tfn = _TFNORM.format(tf=tf, dl="d.dl", avgdl="b.avgdl")
+        out.append(f"({idf} * {tfn})")
+    idf_b = _IDF.format(n="b.n", df="bd.df")
+    tfn_b = _TFNORM.format(tf=bigtf, dl="d.dl", avgdl="b.avgdl")
+    out.append(
+        f"(CASE WHEN {big_present} IS NOT NULL THEN (5.0 * {idf_b}) * {tfn_b} ELSE 0.0 END)"
+    )
+    return out
+
+
+def _two_word_joins(w1: str, w2: str) -> str:
+    return f"""JOIN tf f0 ON f0.doc_id = d.doc_id AND f0.tok = '{w1}'
+CROSS JOIN (SELECT df FROM dfs WHERE tok = '{w1}') x0
+JOIN tf f1 ON f1.doc_id = d.doc_id AND f1.tok = '{w2}'
+CROSS JOIN (SELECT df FROM dfs WHERE tok = '{w2}') x1
+LEFT JOIN big bg ON bg.doc_id = d.doc_id
+CROSS JOIN bigdf bd"""
+
+
+def _proximity_sql(w1: str = _RANKER_W1, w2: str = _RANKER_W2) -> str:
+    """Oracle for the SC4 bm25_proximity ranker on a two-word query: the
+    bigram-attached BM25 score × the minimal-covering-window factor
+    1 + 1/max(1, 1 + (span - 1)) from BODY word positions (the corpus has no
+    punctuation/newlines, so stored positions differ by exactly the token
+    index deltas; the title/url fields never contain the query words, so the
+    engine's best-of-fields max reduces to the body factor, 1.0 when absent
+    — here always present because both terms are required)."""
+    c = _two_word_contribs()
+    return f"""{_two_word_bigram_ctes(w1, w2)},
+p1 AS (SELECT doc_id, unnest(list_filter(range(1, len(t) + 1), i -> t[i] = '{w1}')) AS p FROM toks),
+p2 AS (SELECT doc_id, unnest(list_filter(range(1, len(t) + 1), i -> t[i] = '{w2}')) AS p FROM toks),
+span AS (SELECT p1.doc_id, min(abs(p1.p - p2.p)) AS span
+         FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id GROUP BY 1)
+SELECT d.doc_id,
+       round(({' + '.join(c)})
+             * (1.0 + 1.0 / greatest(1.0, 1.0 + (sp.span - 1.0))), 4) AS score_r,
+       sha256(t2.text) AS content_sha256
+FROM dl d
+CROSS JOIN base b
+{_two_word_joins(w1, w2)}
+JOIN span sp ON sp.doc_id = d.doc_id
+JOIN documents t2 ON t2.doc_id = d.doc_id
+"""
+
+
+def _ranks_sql(w1: str = _RANKER_W1, w2: str = _RANKER_W2) -> str:
+    """Oracle for the R2/R4 bm25_ranks ranker: every occurrence contributes
+    densityWeight × spamWeight instead of 1, so tf is replaced by
+    wtf = Σ w_d·w_s over the term's body occurrences (functions/ranks.py):
+
+    - density rank: the corpus is single-line, so every body token's line
+      is the whole doc — dr = clamp(31 - (dl-1), 1, 31), weight
+      ((dr/31 + 1)² − 1)/3 × (1 − 0.35) + 0.35 (scale_quadratic);
+    - word-spam rank: c = max count of the identical 5-token window over
+      the ≤5 windows covering the token (1 when none), rank 15 // c,
+      weight (15 + 14·rank)/225 (scale_linear, exact at rank 15);
+    - the attached bigram term's occurrences inherit the FIRST word's
+      density+spam (tokenizer_batch.py bigram rank packing).
+
+    idf/df/membership stay tf-based (only the tf inside tfnorm changes)."""
+    c = _two_word_contribs(tf1="w0.wtf", tf2="w1.wtf", bigtf="bw.wtf",
+                           big_present="bw.wtf")
+    return f"""{_two_word_bigram_ctes(w1, w2)},
+dw AS (SELECT doc_id,
+              (((greatest(least(31 - (dl - 1), 31), 1) / 31.0 + 1.0)
+                * (greatest(least(31 - (dl - 1), 31), 1) / 31.0 + 1.0) - 1.0)
+               / 3.0 * (1.0 - 0.35) + 0.35) AS wd
+       FROM dl),
+win AS (SELECT doc_id,
+               unnest(range(1, len(t) - 3)) AS s,
+               unnest(list_transform(range(1, len(t) - 3),
+                      i -> array_to_string(t[i:i+4], ' '))) AS key
+        FROM toks WHERE len(t) >= 5),
+wc AS (SELECT doc_id, key, count(*) AS c FROM win GROUP BY 1, 2),
+winc AS (SELECT w.doc_id, w.s, wc.c
+         FROM win w JOIN wc ON wc.doc_id = w.doc_id AND wc.key = w.key),
+qocc AS (SELECT tk.doc_id, u.i, tk.t[u.i] AS tok,
+                (CASE WHEN tk.t[u.i] = '{w1}' AND u.i < len(tk.t)
+                           AND tk.t[u.i + 1] = '{w2}'
+                      THEN 1 ELSE 0 END) AS is_big
+         FROM (SELECT doc_id,
+                      unnest(list_filter(range(1, len(t) + 1),
+                             i -> t[i] IN ('{w1}', '{w2}'))) AS i
+               FROM toks) u
+         JOIN toks tk ON tk.doc_id = u.doc_id),
+sw AS (SELECT o.doc_id, o.i, o.tok, o.is_big,
+              (15.0 + 14.0 * (15 // greatest(coalesce(max(w.c), 1), 1))) / 225.0 AS ws
+       FROM qocc o
+       LEFT JOIN winc w ON w.doc_id = o.doc_id AND w.s BETWEEN o.i - 4 AND o.i
+       GROUP BY 1, 2, 3, 4),
+wtfs AS (SELECT s.doc_id, s.tok, sum(dd.wd * s.ws) AS wtf
+         FROM sw s JOIN dw dd ON dd.doc_id = s.doc_id GROUP BY 1, 2),
+bigwtf AS (SELECT s.doc_id, sum(dd.wd * s.ws) AS wtf
+           FROM sw s JOIN dw dd ON dd.doc_id = s.doc_id
+           WHERE s.is_big = 1 GROUP BY 1)
+SELECT d.doc_id,
+       round({' + '.join(c)}, 4) AS score_r,
+       sha256(t2.text) AS content_sha256
+FROM dl d
+CROSS JOIN base b
+{_two_word_joins(w1, w2)}
+JOIN wtfs w0 ON w0.doc_id = d.doc_id AND w0.tok = '{w1}'
+JOIN wtfs w1 ON w1.doc_id = d.doc_id AND w1.tok = '{w2}'
+LEFT JOIN bigwtf bw ON bw.doc_id = d.doc_id
+JOIN documents t2 ON t2.doc_id = d.doc_id
+"""
+
+
+def _shortcuts_sql(w1: str = _RANKER_W1, w2: str = _RANKER_W2,
+                   df_threshold: int = 50, cap: int = 256) -> str:
+    """Oracle for the Q10 shortcut substitution: every termid with
+    df >= {df_threshold} serves only its top-{cap} postings per field by
+    (tfnorm(tf, dl) desc, docid asc); idf/df stay exact. Scoring is then
+    plain bigram-attached BM25 over the truncated membership.
+
+    The engine breaks tfnorm ties by engine docid (a 64-bit url hash the
+    SQL can't express); at sf0.01 no tie straddles the {cap} boundary for
+    either term (verified: the tied tfnorm values at the boundary sit
+    entirely inside the kept set), so the truncated SET — and therefore
+    this oracle — is tie-break independent. The attached bigram's df (27)
+    is under the threshold, so its list is untruncated."""
+    c = _two_word_contribs()
+    tfn_sel = _TFNORM.format(tf="tf.tf", dl="dl2.dl", avgdl="b.avgdl")
+    return f"""{_two_word_bigram_ctes(w1, w2)},
+selsc AS (SELECT tf.doc_id, tf.tok, {tfn_sel} AS s
+          FROM tf JOIN dl dl2 ON dl2.doc_id = tf.doc_id CROSS JOIN base b),
+keep AS (SELECT doc_id, tok FROM (
+           SELECT s.doc_id, s.tok, dd.df,
+                  row_number() OVER (PARTITION BY s.tok ORDER BY s.s DESC) AS rn
+           FROM selsc s JOIN dfs dd ON dd.tok = s.tok)
+         WHERE df < {df_threshold} OR rn <= {cap})
+SELECT d.doc_id,
+       round({' + '.join(c)}, 4) AS score_r,
+       sha256(t2.text) AS content_sha256
+FROM dl d
+CROSS JOIN base b
+{_two_word_joins(w1, w2)}
+JOIN keep k0 ON k0.doc_id = d.doc_id AND k0.tok = '{w1}'
+JOIN keep k1 ON k1.doc_id = d.doc_id AND k1.tok = '{w2}'
+JOIN documents t2 ON t2.doc_id = d.doc_id
+"""
+
+
 def _q_engine_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SC4 sliding-window proximity ranker: BM25 × minimal-covering-window
-    factor from stored positions. The min-window computation is not
-    SQL-expressible, so this entry has no oracle_sql (rows-only check);
-    exactness vs the pure-Python oracle is pytest-gated
+    factor from stored positions. DuckDB oracle: _proximity_sql (the
+    two-term min covering window is min |p1−p2| over body positions);
+    exactness vs the pure-Python oracle is additionally pytest-gated
     (tests/test_proximity.py)."""
     from open_source_search_engine_spark.operators.query_engine import topk
     from open_source_search_engine_spark.sources.testdata import (
@@ -421,9 +596,10 @@ def _q_engine_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_engine_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2/R4 rank-weighted BM25: per-posting density/word-spam ranks stored
     in the rankbuf sidecar weight each occurrence
-    (/root/reference/PosdbTable.cpp:257-258). Occurrence-level weights are
-    not SQL-expressible, so no oracle_sql (rows-only check); exactness vs
-    the pure-Python oracle is pytest-gated (tests/test_ranks.py)."""
+    (/root/reference/PosdbTable.cpp:257-258). DuckDB oracle: _ranks_sql
+    (density from per-doc line length, spam from 5-gram window repeat
+    counts — both window-function-expressible); exactness vs the
+    pure-Python oracle is additionally pytest-gated (tests/test_ranks.py)."""
     from open_source_search_engine_spark.operators.query_engine import topk
     from open_source_search_engine_spark.sources.testdata import (
         doc_id_from_path, ensure_index,
@@ -439,9 +615,11 @@ def _q_engine_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_engine_shortcuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 high-frequency-term shortcuts: hot terms serve a precomputed
     top-cap truncated termlist (HighFrequencyTermShortcuts /
-    /root/reference/Msg2.cpp:264 substitution). Deliberately approximate,
-    so no oracle_sql (rows-only); exactness vs the oracle's identical
-    truncation rule is pytest-gated (tests/test_shortcuts.py)."""
+    /root/reference/Msg2.cpp:264 substitution). DuckDB oracle:
+    _shortcuts_sql (the same deterministic truncation rule, tie-break
+    independence at the cap boundary verified); exactness vs the Python
+    oracle's identical rule is additionally pytest-gated
+    (tests/test_shortcuts.py)."""
     from open_source_search_engine_spark.operators.query_engine import topk
     from open_source_search_engine_spark.operators.shortcuts import (
         build_hot_shortcuts, shortcut_termids,
@@ -1022,6 +1200,9 @@ def oracle_sql() -> dict[str, str]:
         "engine_boolean_nested": _NESTED_OR_SQL,
         "engine_boolean_not_kw": _bm25_sql(["sort"], exclude=["hash", "merge"]),
         "engine_phrase3": _phrase3_sql(),
+        "engine_proximity": _proximity_sql(),
+        "engine_ranks": _ranks_sql(),
+        "engine_shortcuts": _shortcuts_sql(),
         # title:"7.txt": field-scoped punctuated phrase. Title tokens are
         # ('7','txt') at cursor gap 3 (the dot), matching the quote's own
         # cursor offsets; members+bigram are TITLE-restricted (weight 8,

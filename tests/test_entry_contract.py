@@ -39,18 +39,13 @@ def duck():
     return con
 
 
-# queries whose semantics are not ANSI-SQL-expressible (driver runs the
-# weaker rows-only check; each is exactness-gated against the pure-Python
-# oracle in its own pytest instead)
-ROWS_ONLY = {"engine_proximity", "engine_ranks", "engine_shortcuts"}
-
-
 def test_oracle_keys_subset_of_queries(entrymod):
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     assert o <= q
-    # every query is oracle-checked except the declared rows-only set
-    assert q - o == ROWS_ONLY
+    # every query is oracle-checked (r3: the last rows-only holes —
+    # proximity/ranks/shortcuts — got DuckDB oracles)
+    assert q == o
 
 
 def test_entry_smoke(spark, entrymod):
