@@ -1058,6 +1058,69 @@ def _q_engine_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_engine_variations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6/Q7 morphological word variations (the word_variations/Synonyms.cpp
+    gap, /root/reference/word_variations/english_verbs.cc generators,
+    query attach /root/reference/Query.cpp:1008-1035, golden shape
+    /root/reference/test/system/test_search_terms.py): 'sorting' with
+    expansion on recovers its base form 'sort' rule-based and OR-joins it to
+    the membership group at 0.9 — documents containing only 'sort' match
+    and score 0.9·idf·tfnorm."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.plans.plan import parse_query
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    plan = parse_query("sorting", expand_variations=True)
+    res = topk(spark, idx, plan, 1_000_000)
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
+def _variations_sql(token: str = "sorting") -> str:
+    """Oracle for engine_variations, generated from the SAME rule set the
+    engine expands with (functions/variations.py): the token plus each
+    variant as an OR-group — a doc matches when ANY form is present; each
+    present form contributes weight·idf·tfnorm (weight 1.0 for the exact
+    token, 0.9 for variants). df per form is its own exact df (0 for forms
+    absent from the corpus — their CASE arm never fires)."""
+    from open_source_search_engine_spark.functions.variations import (
+        VARIATION_WEIGHT, variants_for,
+    )
+
+    terms = [(token, 1.0)] + [(v, VARIATION_WEIGHT) for v in variants_for(token)]
+    wl = ", ".join(f"'{w}'" for w, _ in terms)
+    joins, contribs, present = [], [], []
+    for i, (w, wt) in enumerate(terms):
+        joins.append(f"LEFT JOIN tf g{i} ON g{i}.doc_id = d.doc_id AND g{i}.tok = '{w}'")
+        df_i = f"(SELECT count(*) FROM tf WHERE tok = '{w}')"
+        idf = _IDF.format(n="b.n", df=df_i)
+        tfn = _TFNORM.format(tf=f"g{i}.tf", dl="d.dl", avgdl="b.avgdl")
+        head = f"{idf}" if wt == 1.0 else f"({wt} * {idf})"
+        contribs.append(
+            f"(CASE WHEN g{i}.tf IS NOT NULL THEN {head} * {tfn} ELSE 0.0 END)"
+        )
+        present.append(f"g{i}.tf IS NOT NULL")
+    return f"""
+WITH{TOKS_CTE},
+base AS (SELECT count(*) AS n, (sum(len(t)) / count(*)) AS avgdl FROM toks),
+occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ WHERE tok IN ({wl}) GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks)
+SELECT d.doc_id,
+       round({' + '.join(contribs)}, 4) AS score_r,
+       sha256(t2.text) AS content_sha256
+FROM dl d
+CROSS JOIN base b
+{chr(10).join(joins)}
+JOIN documents t2 ON t2.doc_id = d.doc_id
+WHERE {' OR '.join(present)}
+"""
+
+
 def _q_engine_soft_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 query stop words (/root/reference/StopWords.cpp:188-252,
     query_stop_words.*.txt; QueryTerm stop flag /root/reference/
@@ -1155,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_snippets_multi": _q_engine_snippets_multi,
         "engine_suggest": _q_engine_suggest,
         "engine_synonyms": _q_engine_synonyms,
+        "engine_variations": _q_engine_variations,
         "engine_soft_stops": _q_engine_soft_stops,
         "engine_pagination": _q_engine_pagination,
         # --- tokenize/stats primitives ---
@@ -1321,6 +1385,7 @@ ORDER BY df DESC, token LIMIT 5
                 "open_source_search_engine_spark.functions.synonyms",
                 fromlist=["SYNONYMS"]).SYNONYMS["sort"]
         ]),
+        "engine_variations": _variations_sql(),
         # soft stop: 'the' scores as an optional term at full weight; only
         # 'hash' gates the candidate set; the adjacent bigram still attaches
         "engine_soft_stops": _bm25_sql(["hash"], optional_terms=[("the", 1.0)],

@@ -1,0 +1,146 @@
+"""Rule-based English morphological variations (the word_variations analog).
+
+The reference expands query terms with inflectional variants driven by STO
+lexicons and Wiktionary data (/root/reference/Synonyms.cpp:64-524 loads and
+attaches them; /root/reference/word_variations/english_verbs.cc and
+english_adjectives_and_adverbs.cc generate verb/adjective forms; query-side
+attach /root/reference/Query.cpp:1008-1035 at the synonym weight,
+/root/reference/Parms.cpp:3883-3893; golden shape
+/root/reference/test/system/test_search_terms.py). Those lexicons are data
+files; this rebuild derives the variants with pure string rules — no data
+files — covering the inflection classes the reference's English generators
+produce:
+
+- noun plural / verb 3rd person: ``+s``, sibilant ``+es``, ``y → ies``;
+- gerund: ``+ing`` with final-e drop and CVC final-consonant doubling;
+- past: ``+ed`` with final-e → ``+d``, ``y → ied``, CVC doubling;
+- comparative/superlative: ``+er`` / ``+est`` (same e/y/CVC adjustments).
+
+Rules run in BOTH directions: :func:`inflections_of` generates forms from a
+base, and :func:`base_candidates` recovers candidate bases from an inflected
+token by inverting the same rules (over-generation is deliberate — a
+candidate like ``merg`` from ``merging`` simply never matches, exactly like
+a lexicon miss). A query for ``sort`` therefore reaches documents containing
+only ``sorting`` and vice versa.
+
+Variants attach at parse time as an OR-group with the base term at
+:data:`VARIATION_WEIGHT` — matching EITHER form satisfies the term's
+membership slot, the reference's QueryTermInfo same-group semantics
+(/root/reference/Query.h:195-222, synonyms share the base term's group).
+"""
+
+from __future__ import annotations
+
+VARIATION_WEIGHT = 0.9  # synonym/variation weight, /root/reference/Parms.cpp:3883-3893
+
+MAX_VARIANTS = 8  # bound the per-token fan-out (lexicon entries are few)
+
+_VOWELS = frozenset("aeiou")
+_SIBILANT = ("s", "x", "z", "ch", "sh")
+# CVC doubling never applies to these finals (follow / box / play)
+_NO_DOUBLE = frozenset("wxy")
+
+
+def _cvc_double(w: str) -> bool:
+    """Final consonant doubles before a vowel suffix (scan → scanning)."""
+    return (
+        len(w) >= 3
+        and w[-1] not in _VOWELS
+        and w[-1] not in _NO_DOUBLE
+        and w[-2] in _VOWELS
+        and w[-3] not in _VOWELS
+    )
+
+
+def _plural(w: str) -> str:
+    if any(w.endswith(s) for s in _SIBILANT):
+        return w + "es"
+    if len(w) >= 2 and w.endswith("y") and w[-2] not in _VOWELS:
+        return w[:-1] + "ies"
+    return w + "s"
+
+
+def _vowel_suffix(w: str, suffix: str) -> str:
+    """Attach -ing/-ed/-er/-est with the shared stem adjustments."""
+    if w.endswith("e") and not w.endswith("ee"):
+        w = w[:-1]
+    elif len(w) >= 2 and w.endswith("y") and w[-2] not in _VOWELS \
+            and suffix != "ing":
+        w = w[:-1] + "i"
+    elif _cvc_double(w):
+        w = w + w[-1]
+    return w + suffix
+
+
+def inflections_of(base: str) -> list[str]:
+    """Inflected forms generated from ``base`` (deduped, base excluded).
+    Tokens under 3 chars don't inflect by rule (the 2-letter English verbs
+    — go/do/be — are all irregular; the reference's lexicon covers them,
+    rules can't)."""
+    if len(base) < 3 or not base.isalpha():
+        return []
+    forms = [
+        _plural(base),
+        _vowel_suffix(base, "ing"),
+        _vowel_suffix(base, "ed"),
+        _vowel_suffix(base, "er"),
+        _vowel_suffix(base, "est"),
+    ]
+    out, seen = [], {base}
+    for f in forms:
+        if f not in seen:
+            seen.add(f)
+            out.append(f)
+    return out
+
+
+def _strip_vowel_suffix(token: str, suffix: str, min_stem: int) -> list[str]:
+    """Invert :func:`_vowel_suffix`: stem, stem+e, undoubled stem, i→y."""
+    stem = token[: -len(suffix)]
+    if len(stem) < min_stem:
+        return []
+    cands = [stem, stem + "e"]
+    if len(stem) >= 2 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS:
+        cands.append(stem[:-1])
+    if stem.endswith("i"):
+        cands.append(stem[:-1] + "y")
+    return cands
+
+
+def base_candidates(token: str) -> list[str]:
+    """Candidate base forms recovered from an inflected token (deduped,
+    the token itself excluded). Over-generates by design."""
+    if len(token) < 3 or not token.isalpha():
+        return []
+    cands: list[str] = []
+    if token.endswith("ies") and len(token) >= 5:
+        cands.append(token[:-3] + "y")
+    if token.endswith("es") and len(token) >= 4:
+        cands.append(token[:-2])
+    if token.endswith("s") and not token.endswith("ss"):
+        cands.append(token[:-1])
+    for suffix, min_stem in (("ing", 2), ("ed", 2), ("est", 2), ("er", 2)):
+        if token.endswith(suffix) and len(token) > len(suffix) + 1:
+            cands.extend(_strip_vowel_suffix(token, suffix, min_stem))
+    out, seen = [], {token}
+    for c in cands:
+        if c and c not in seen:
+            seen.add(c)
+            out.append(c)
+    return out
+
+
+def variants_for(token: str) -> list[str]:
+    """All variation terms attached when ``token`` is queried: its
+    inflections plus its candidate base forms (and THEIR sibling
+    inflections would over-expand — the reference attaches one hop only,
+    Synonyms.cpp getSynonyms does not recurse). Bounded by
+    :data:`MAX_VARIANTS`, deterministic order."""
+    out, seen = [], {token}
+    for v in inflections_of(token) + base_candidates(token):
+        if v not in seen:
+            seen.add(v)
+            out.append(v)
+        if len(out) >= MAX_VARIANTS:
+            break
+    return out

@@ -420,9 +420,12 @@ def topk(
     pos_tids = sorted({int(t) for ph in plan.phrases for t in ph.termids})
     prox_members: list[int] = []
     if ranker == "bm25_proximity":
+        # weight < 1.0 excludes attached variation alternates — a 0.9-form
+        # must not be REQUIRED inside the covering window
         prox_members = sorted({
             int(t.termid) for t in plan.required
-            if not t.is_bigram and (t.field is None or t.field == FIELD_BODY)
+            if not t.is_bigram and t.weight == 1.0
+            and (t.field is None or t.field == FIELD_BODY)
         })
         if len(prox_members) >= 2:
             pos_tids = sorted(set(pos_tids) | set(prox_members))

@@ -265,7 +265,8 @@ class OracleIndex:
             # _min_window_spans + proximity_factor exactly
             members = sorted({
                 t.termid for t in plan.required
-                if not t.is_bigram and (t.field is None or t.field == FIELD_BODY)
+                if not t.is_bigram and t.weight == 1.0
+                and (t.field is None or t.field == FIELD_BODY)
             })
             if len(members) >= 2:
                 rescored = []

@@ -49,6 +49,7 @@ from dataclasses import dataclass, field as dc_field
 from .. import FIELD_BODY, FIELD_LANG, FIELD_TITLE, FIELD_URL
 from ..functions.hashing import TokenHasher
 from ..functions.synonyms import SYNONYM_WEIGHT, synonyms_for
+from ..functions.variations import VARIATION_WEIGHT, variants_for
 from ..functions.tokenizer import (
     KIND_UNIGRAM, STOP_WORDS, code_tokens, tokenize_text,
 )
@@ -377,9 +378,11 @@ def _looks_like_domain(q: str) -> bool:
 
 
 class _PlanBuilder:
-    def __init__(self, plan: QueryPlan, expand_synonyms: bool):
+    def __init__(self, plan: QueryPlan, expand_synonyms: bool,
+                 expand_variations: bool = False):
         self.plan = plan
         self.expand_synonyms = expand_synonyms
+        self.expand_variations = expand_variations
         self._spec_ix: dict[tuple, int] = {}
 
     def spec(self, termid: int, token: str, field: int | None, weight: float,
@@ -416,10 +419,25 @@ class _PlanBuilder:
             tid = int(_hasher.termids([t])[0])
             ix = self.spec(tid, t, atom.field, 1.0,
                            required=not negated, excluded=negated)
-            leaves.append(Leaf(ix, negated=negated))
+            leaf = Leaf(ix, negated=negated)
             if not negated and self.expand_synonyms:
                 for s in synonyms_for(t):
                     self.attach_optional(s, atom.field, SYNONYM_WEIGHT)
+            if not negated and self.expand_variations:
+                # morphological variations join the base term's membership
+                # group (OR) at 0.9 — the reference's QueryTermInfo
+                # same-group semantics for generated word forms
+                # (/root/reference/Query.cpp:1008-1035 attach,
+                # /root/reference/word_variations/ generators)
+                alts = [leaf]
+                for v in variants_for(t):
+                    vid = int(_hasher.termids([v])[0])
+                    vix = self.spec(vid, v, atom.field, VARIATION_WEIGHT,
+                                    required=True, excluded=False)
+                    alts.append(Leaf(vix))
+                if len(alts) > 1:
+                    leaf = Node("or", tuple(alts))
+            leaves.append(leaf)
         if len(leaves) == 1:
             return leaves[0]
         return Node("or" if negated else "and", tuple(leaves))
@@ -528,9 +546,10 @@ class _PlanBuilder:
 
 
 def parse_query(q: str, *, expand_synonyms: bool = False,
+                expand_variations: bool = False,
                 soft_stops: bool = False, lang: str | None = None) -> QueryPlan:
     plan = QueryPlan(raw=q)
-    b = _PlanBuilder(plan, expand_synonyms)
+    b = _PlanBuilder(plan, expand_synonyms, expand_variations)
 
     # modifyQuery heuristic: domain-like single-token query also scores
     # its tokens against the URL field at 10x (Query.cpp:2473+ analog)

@@ -1,0 +1,181 @@
+"""Morphological variation expansion (the word_variations/Synonyms.cpp gap):
+rule properties, round-trips, and engine-vs-oracle identity with OR-group
+membership semantics (a doc containing only an inflected form matches the
+base query, ranked below exact matches)."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from open_source_search_engine_spark.functions.variations import (
+    MAX_VARIANTS,
+    VARIATION_WEIGHT,
+    base_candidates,
+    inflections_of,
+    variants_for,
+)
+
+# ---------------------------------------------------------------------------
+# rule unit tests (golden forms)
+# ---------------------------------------------------------------------------
+
+
+def test_inflections_golden():
+    assert set(inflections_of("sort")) == {
+        "sorts", "sorting", "sorted", "sorter", "sortest"}
+    # final-e drop + e→d past
+    assert "merging" in inflections_of("merge")
+    assert "merged" in inflections_of("merge")
+    # CVC doubling
+    assert "scanning" in inflections_of("scan")
+    assert "scanned" in inflections_of("scan")
+    # sibilant plural, y→ies
+    assert "hashes" in inflections_of("hash")
+    assert "queries" in inflections_of("query")
+    # y→ied past, y stays for -ing
+    assert "queried" in inflections_of("query")
+    assert "querying" in inflections_of("query")
+
+
+def test_base_candidates_golden():
+    assert "sort" in base_candidates("sorting")
+    assert "sort" in base_candidates("sorted")
+    assert "sort" in base_candidates("sorts")
+    assert "merge" in base_candidates("merging")
+    assert "merge" in base_candidates("merged")
+    assert "scan" in base_candidates("scanning")
+    assert "query" in base_candidates("queries")
+    assert "hash" in base_candidates("hashes")
+    assert "fast" in base_candidates("fastest")
+
+
+def test_non_alpha_and_short_tokens_expand_to_nothing():
+    for t in ("a", "x1", "foo.bar", "c++", ""):
+        assert variants_for(t) == [] or all(v.isalpha() for v in variants_for(t))
+    assert inflections_of("a") == []
+    assert base_candidates("ab") == []
+
+
+# ---------------------------------------------------------------------------
+# properties
+# ---------------------------------------------------------------------------
+
+_word = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=2, max_size=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_word)
+def test_round_trip_every_inflection_recovers_base(base):
+    """For any alphabetic base, each generated inflection's reverse rules
+    recover the base (the property the lexicon gives the reference)."""
+    for v in inflections_of(base):
+        assert base in base_candidates(v), (base, v)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_word)
+def test_variants_are_bounded_deterministic_and_never_identity(tok):
+    vs = variants_for(tok)
+    assert vs == variants_for(tok)
+    assert len(vs) <= MAX_VARIANTS
+    assert tok not in vs
+    assert len(set(vs)) == len(vs)
+
+
+# ---------------------------------------------------------------------------
+# engine integration: OR-group membership + 0.9 ranking, engine == oracle
+# ---------------------------------------------------------------------------
+
+ROWS = [
+    {"repo": "r_v", "path": "src/exact.py", "lang": "py",
+     "content": "sort merge data"},
+    {"repo": "r_v", "path": "src/gerund.py", "lang": "py",
+     "content": "sorting merge data"},
+    {"repo": "r_v", "path": "src/past.py", "lang": "py",
+     "content": "sorted merge data"},
+    {"repo": "r_v", "path": "src/plural.py", "lang": "py",
+     "content": "sorts merge data"},
+    {"repo": "r_v", "path": "src/none.py", "lang": "py",
+     "content": "merge only here"},
+]
+
+
+@pytest.fixture(scope="module")
+def vidx(spark, tmp_path_factory):
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+    from open_source_search_engine_spark.operators.index_build import build_index
+    from open_source_search_engine_spark.oracle import OracleIndex
+
+    rows = [dict(r, commit="0") for r in ROWS]
+    d = str(tmp_path_factory.mktemp("vidx") / "idx")
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
+        CORPUS_SCHEMA_DDL,
+    )
+    build_index(spark, df, d, n_chunks=1)
+    return d, OracleIndex.build(rows)
+
+
+def _run_plan(spark, idx, plan, k=100, **kw):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    return [(r["docid"], r["score"], r["path"])
+            for r in topk(spark, idx, plan, k, **kw).collect()]
+
+
+def test_variation_membership_and_ranking(spark, vidx):
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    idx, oracle = vidx
+    plan = parse_query("sort", expand_variations=True)
+    eng = _run_plan(spark, idx, plan)
+    ora = [(r["docid"], r["score"], r["path"]) for r in oracle.topk(plan, 100)]
+    assert [e[0] for e in eng] == [o[0] for o in ora]
+    for e, o in zip(eng, ora):
+        assert e[1] == pytest.approx(o[1], rel=1e-9)
+    # all four inflected/exact docs match; the no-form doc doesn't
+    paths = [e[2] for e in eng]
+    assert set(paths) == {"src/exact.py", "src/gerund.py",
+                          "src/past.py", "src/plural.py"}
+    # exact match outranks every variant-only match (same tf/dl/idf shape,
+    # weight 1.0 vs 0.9)
+    assert paths[0] == "src/exact.py"
+    scores = {p: s for _, s, p in eng}
+    for p in ("src/gerund.py", "src/past.py", "src/plural.py"):
+        assert scores[p] < scores["src/exact.py"]
+        assert scores[p] == pytest.approx(
+            scores["src/exact.py"] * VARIATION_WEIGHT, rel=1e-9)
+
+
+def test_variation_reverse_direction(spark, vidx):
+    """Query an inflected form: base-form docs match via the recovered
+    base candidate."""
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    idx, oracle = vidx
+    plan = parse_query("sorting", expand_variations=True)
+    eng = _run_plan(spark, idx, plan)
+    paths = [e[2] for e in eng]
+    assert "src/exact.py" in paths     # via base candidate 'sort'
+    assert "src/gerund.py" in paths    # exact
+    assert paths[0] == "src/gerund.py"
+    ora = [(r["docid"], r["score"], r["path"]) for r in oracle.topk(plan, 100)]
+    assert [e[0] for e in eng] == [o[0] for o in ora]
+
+
+def test_variation_off_by_default(spark, vidx):
+    idx, _ = vidx
+    eng = _run_plan(spark, idx, "sort")
+    assert [e[2] for e in eng] == ["src/exact.py"]
+
+
+def test_variation_prune_on_off_equality(spark, vidx):
+    """The OR-group flows through both physical paths identically (WAND
+    groups already support disjunctions)."""
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    idx, _ = vidx
+    plan = parse_query("sort", expand_variations=True)
+    a = _run_plan(spark, idx, plan, prune=True)
+    b = _run_plan(spark, idx, plan, prune=False)
+    assert a == b
