@@ -156,6 +156,22 @@ def main() -> None:
     build_s = min(build_trials)
     queries["index_build"] = round(build_s, 3)
     queries["compaction"] = round(min(compact_trials), 3)
+    if compact_trials[-1] <= compact_trials[0]:
+        cm = build_trial.cm  # report the phases of the best (steady) trial
+
+    # ---- bulk delete → compaction (M10 at scale): tombstone 30% of the
+    # corpus, then compact again — the annihilation path measured, not
+    # docstring-claimed. Mutates `idx`, so it runs after every query tier.
+    from open_source_search_engine_spark.operators.index_build import delete_docs
+
+    victims = [
+        r["docid"] for r in spark.read.parquet(f"{idx}/docmap")
+        .select("docid").limit(int(m["docs"] * 0.3)).collect()
+    ]
+    delete_docs(spark, idx, victims)
+    t0 = time.time()
+    cm_del = compact_segments(spark, idx, partitions=cpus)
+    queries["bulk_delete_compaction"] = round(time.time() - t0, 3)
 
     # headline = one steady-state pass over the suite (sum of the reported
     # per-item numbers) — comparable across rounds; the harness itself runs
@@ -183,6 +199,12 @@ def main() -> None:
             "merge_fanin_avg": cm["avg_fanin"],
             "build_trials_s": [round(t, 3) for t in build_trials],
             "compact_trials_s": [round(t, 3) for t in compact_trials],
+            "compaction_phases": cm.get("phases", {}),
+            "bulk_delete": {
+                "docs_dropped": cm_del.get("docs_dropped"),
+                "tier": cm_del.get("annihilation_tier"),
+                "phases": cm_del.get("phases", {}),
+            },
         },
         "methodology": "steady-state: tiny warm-up build, build+compaction best-of-2, per-query warm-up + median-of-3, ops best-of-2 (BASELINE.md)",
         "bm25_p50_ms": round(statistics.median(lat_ms), 1),

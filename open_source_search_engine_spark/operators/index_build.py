@@ -317,9 +317,8 @@ def sum_count_slabs(slabs: DataFrame, *, partitions: int,
 
 
 def _merge_gen(block_docs: int, collapse_salt: bool,
-               drop_docids: np.ndarray | None = None,
-               sup_docids: np.ndarray | None = None,
-               sup_gens: np.ndarray | None = None,
+               drop_docids=None,
+               sup_pairs=None,
                max_run_blocks: int | None = None):
     """mapInPandas generator merging sorted partial blocks per group
     ((termid, field, salt), or (termid, field) with ``collapse_salt`` for
@@ -327,19 +326,74 @@ def _merge_gen(block_docs: int, collapse_salt: bool,
     per slab, re-encode — the k-way merge of posdbMerge_r
     (/root/reference/RdbList.cpp:2186) as array ops.
 
-    ``drop_docids`` (sorted) are annihilated during the merge — the
-    negative-key deletion of /root/reference/Rdb.h:73-87 applied at
-    compaction time. ``sup_docids``/``sup_gens`` (sorted by docid) implement
-    newest-generation-wins: postings of a superseded docid from any
-    generation other than its newest are annihilated (the fork's global
-    docid index consumed at /root/reference/PosdbTable.cpp:3653); requires a
-    ``gen_seq`` input column. With ``collapse_salt``, groups whose total
-    block count exceeds ``max_run_blocks`` KEEP their salted runs (the 90 MB
-    termlist-cap spirit of /root/reference/Msg2.cpp:23 — a hot term's
-    termlist is never forced through one in-memory flush)."""
+    ``drop_docids`` (a ``Broadcast`` of a sorted int64 array, or the array
+    itself) are annihilated during the merge — the negative-key deletion of
+    /root/reference/Rdb.h:73-87 applied at compaction time. ``sup_pairs``
+    (a ``Broadcast`` of docid-sorted ``(docids, gen_seqs)`` arrays, or the
+    tuple itself) implements newest-generation-wins: postings of a
+    superseded docid from any generation other than its newest are
+    annihilated (the fork's global docid index consumed at
+    /root/reference/PosdbTable.cpp:3653); requires a ``gen_seq`` input
+    column. With ``collapse_salt``, groups whose total block count exceeds
+    ``max_run_blocks`` KEEP their salted runs (the 90 MB termlist-cap
+    spirit of /root/reference/Msg2.cpp:23 — a hot term's termlist is never
+    forced through one in-memory flush)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # unwrap Broadcast handles task-side (one copy per executor)
+        drop = getattr(drop_docids, "value", drop_docids)
+        pairs = getattr(sup_pairs, "value", sup_pairs)
+        sup_docids, sup_gens = pairs if pairs is not None else (None, None)
         carry: pd.DataFrame | None = None
+        out_cols = [x.name for x in SEGMENT_SCHEMA]
+
+        def split_passthrough(pdf: pd.DataFrame):
+            """Compaction's dominant case (merge fan-in ≈ 1): a (termid,
+            field) group whose blocks all come from ONE run (same gen_seq +
+            salt) is already one sorted run — and if no pending delete/
+            supersede docid falls inside any of its blocks' [min_docid,
+            max_docid], its bytes need no decode at all. Split such groups
+            off for verbatim pass-through (salt collapsed to 0 — unique,
+            the group has a single run) and return the remainder for the
+            real merge. The range test is two np.searchsorted calls per
+            block against the sorted annihilation arrays — the same block-
+            metadata pruning the query path uses, applied to the merge."""
+            if not collapse_salt or "min_docid" not in pdf.columns:
+                return None, pdf
+            t = pdf["termid"].values.astype(np.int64)
+            f = pdf["field"].values.astype(np.int64)
+            s = pdf["salt"].values.astype(np.int64)
+            g = pdf["gen_seq"].values.astype(np.int64)
+            n = len(pdf)
+            new_grp = np.empty(n, dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = (t[1:] != t[:-1]) | (f[1:] != f[:-1])
+            grp_start = np.nonzero(new_grp)[0]
+            grp_len = np.diff(np.append(grp_start, n))
+            gid = np.repeat(np.arange(len(grp_start)), grp_len)
+            # single run: every row shares the group head's (gen_seq, salt)
+            head_s = np.repeat(s[grp_start], grp_len)
+            head_g = np.repeat(g[grp_start], grp_len)
+            same = (s == head_s) & (g == head_g)
+            single_run = np.ones(len(grp_start), dtype=bool)
+            np.logical_and.at(single_run, gid, same)
+            touched = np.zeros(n, dtype=bool)
+            mind = pdf["min_docid"].values.astype(np.int64)
+            maxd = pdf["max_docid"].values.astype(np.int64)
+            for arr in (drop, sup_docids):
+                if arr is not None and len(arr):
+                    lo = np.searchsorted(arr, mind, side="left")
+                    hi = np.searchsorted(arr, maxd, side="right")
+                    touched |= hi > lo
+            grp_touched = np.zeros(len(grp_start), dtype=bool)
+            np.logical_or.at(grp_touched, gid, touched)
+            pt_row = np.repeat(single_run & ~grp_touched, grp_len)
+            if not pt_row.any():
+                return None, pdf
+            pt = pdf.iloc[np.nonzero(pt_row)[0]][out_cols].copy()
+            pt["salt"] = np.zeros(len(pt), dtype=np.int32)
+            rest = pdf.iloc[np.nonzero(~pt_row)[0]].reset_index(drop=True)
+            return pt, rest
 
         def flush(pdf: pd.DataFrame) -> pd.DataFrame:
             t = pdf["termid"].values.astype(np.int64)
@@ -373,8 +427,8 @@ def _merge_gen(block_docs: int, collapse_salt: bool,
             fdoc = np.repeat(f, ndocs)
             sdoc = np.repeat(s, ndocs)
             keep = np.ones(len(docids), dtype=bool)
-            if drop_docids is not None and len(docids):
-                keep &= ~np.isin(docids, drop_docids)
+            if drop is not None and len(docids):
+                keep &= ~np.isin(docids, drop)
             if sup_docids is not None and len(docids):
                 gdoc = np.repeat(pdf["gen_seq"].values.astype(np.int64), ndocs)
                 ix = np.searchsorted(sup_docids, docids)
@@ -407,6 +461,15 @@ def _merge_gen(block_docs: int, collapse_salt: bool,
                 flat_t, flat_f, flat_s, flat_d, p2, flat_dl, block_docs)
             return _runs_frame(res, encode_rank_streams(ranks[gather], res[7]))
 
+        def emit(pdf: pd.DataFrame):
+            pt, rest = split_passthrough(pdf)
+            if pt is not None and len(pt):
+                yield pt
+            if len(rest):
+                out = flush(rest)
+                if len(out):
+                    yield out
+
         group_cols = ["termid", "field"] + ([] if collapse_salt else ["salt"])
         for pdf in batches:
             if carry is not None:
@@ -423,13 +486,9 @@ def _merge_gen(block_docs: int, collapse_salt: bool,
                 carry = pdf
                 continue
             carry = pdf.iloc[cut:].reset_index(drop=True)
-            out = flush(pdf.iloc[:cut])
-            if len(out):
-                yield out
+            yield from emit(pdf.iloc[:cut])
         if carry is not None and len(carry):
-            out = flush(carry)
-            if len(out):
-                yield out
+            yield from emit(carry)
 
     return gen
 
@@ -608,14 +667,20 @@ def register_generation(spark: SparkSession, index_dir: str,
             "docid", F.lit(int(gen_seq)).alias("gen_seq")
         ).write.mode("append").parquet(catalog.table_path(index_dir, "superseded"))
     if catalog.table_exists(index_dir, "tombstones"):
+        # distributed anti-join rewrite, write-new → swap (never collects
+        # the tombstone set; overwriting a path being lazily read would
+        # otherwise race, hence the rename)
+        import shutil as _shutil
+
         tomb_path = catalog.table_path(index_dir, "tombstones")
-        remaining = (
+        new_path = tomb_path + "_new"
+        (
             spark.read.parquet(tomb_path).select("docid").distinct()
             .join(new_docids, "docid", "left_anti")
-        ).collect()
-        spark.createDataFrame(
-            [(int(r["docid"]),) for r in remaining] or [], "docid long"
-        ).write.mode("overwrite").parquet(tomb_path)
+            .write.mode("overwrite").parquet(new_path)
+        )
+        _shutil.rmtree(tomb_path, ignore_errors=True)
+        os.rename(new_path, tomb_path)
         spark.catalog.refreshByPath(tomb_path)
 
 
@@ -851,25 +916,168 @@ def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
 # compaction (M4 analog)
 # --------------------------------------------------------------------------
 
+def _collect_docids_arrow(df: DataFrame) -> np.ndarray:
+    """One int64 column → sorted numpy via Arrow — no Python Row objects,
+    8 bytes/docid on the driver (the broadcast-tier fetch; the distributed
+    tier never calls this)."""
+    tbl = df.select("docid").toArrow()
+    a = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    a.sort()
+    return a
+
+
+def _collect_sup_arrow(df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(docid, gen_seq) pairs → two docid-sorted numpy arrays via Arrow."""
+    tbl = df.select("docid", "gen_seq").toArrow()
+    d = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    g = tbl.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(d, kind="stable")
+    return d[o], g[o]
+
+
+_DOC_ROW_SCHEMA = (
+    "termid long, field int, salt long, docid long, tf long, dl long, "
+    "positions array<long>, ranks array<long>, gen_seq long"
+)
+
+
+def _decode_doc_rows():
+    """mapInPandas: segment block rows (+gen_seq) → one row per posting doc
+    — the decode half of the DISTRIBUTED annihilation tier (delete sets too
+    large to broadcast are anti-joined on docid as ordinary DataFrame rows,
+    the sort-merge join Spark already scales)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nd = pdf["n_docs"].values.astype(np.int64)
+            nposts = pdf["n_postings"].values.astype(np.int64)
+            bufs = [bytes(b) for b in pdf["postings"].values]
+            docids, tfs, dls, positions = decode_blocks_concat(bufs, nd, nposts)
+            ranks = decode_rank_streams(list(pdf["rankbuf"].values))
+            ends = np.cumsum(tfs)
+            starts = ends - tfs
+            yield pd.DataFrame({
+                "termid": np.repeat(pdf["termid"].values.astype(np.int64), nd),
+                "field": np.repeat(pdf["field"].values.astype(np.int32), nd),
+                "salt": np.repeat(pdf["salt"].values.astype(np.int64), nd),
+                "docid": docids,
+                "tf": tfs,
+                "dl": dls,
+                "positions": [positions[a:b] for a, b in zip(starts, ends)],
+                "ranks": [ranks[a:b] for a, b in zip(starts, ends)],
+                "gen_seq": np.repeat(pdf["gen_seq"].values.astype(np.int64), nd),
+            })
+
+    return gen
+
+
+def _encode_doc_rows(block_docs: int, max_run_blocks: int | None):
+    """mapInPandas: doc rows sorted by (termid, field, salt, docid) within
+    the partition → compacted segment blocks (the encode half of the
+    distributed tier). Groups are re-encoded salt-0 unless the (termid,
+    field) group exceeds the run cap (same over-cap rule as the broadcast
+    tier, measured in would-be merged blocks). A group spanning two Arrow
+    batches is carried, so every termlist still lands in one run."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+
+        def flush(pdf: pd.DataFrame) -> pd.DataFrame:
+            t = pdf["termid"].values.astype(np.int64)
+            f = pdf["field"].values.astype(np.int64)
+            s = pdf["salt"].values.astype(np.int64)
+            if max_run_blocks is None:
+                s = np.zeros(len(t), dtype=np.int64)
+            else:
+                tf_change = np.empty(len(t), dtype=bool)
+                tf_change[0] = True
+                tf_change[1:] = (t[1:] != t[:-1]) | (f[1:] != f[:-1])
+                run_start = np.nonzero(tf_change)[0]
+                run_len = np.diff(np.append(run_start, len(t)))
+                over = run_len > max_run_blocks * block_docs
+                s = np.where(np.repeat(over, run_len), s, 0)
+            # rows arrive (t, f, salt, docid)-sorted; collapsing salt to 0
+            # keeps docid order only per original salt run — re-sort the
+            # collapsed groups (cheap: lexsort on mostly-sorted input)
+            order = np.lexsort((pdf["docid"].values.astype(np.int64),
+                                s, f, t))
+            pdf = pdf.iloc[order]
+            t, f, s = t[order], f[order], s[order]
+            docids = pdf["docid"].values.astype(np.int64)
+            tfs = pdf["tf"].values.astype(np.int64)
+            dls = pdf["dl"].values.astype(np.int64)
+            positions = (np.concatenate(list(pdf["positions"].values))
+                         if len(pdf) else np.empty(0, dtype=np.int64)).astype(np.int64)
+            ranks = (np.concatenate(list(pdf["ranks"].values))
+                     if len(pdf) else np.empty(0, dtype=np.int64)).astype(np.int64)
+            res = encode_runs(
+                np.repeat(t, tfs), np.repeat(f, tfs), np.repeat(s, tfs),
+                np.repeat(docids, tfs), positions, np.repeat(dls, tfs),
+                block_docs)
+            return _runs_frame(res, encode_rank_streams(ranks, res[7]))
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            t = pdf["termid"].values
+            f = pdf["field"].values
+            same_last = (t == t[-1]) & (f == f[-1])
+            cut = int(len(pdf) - same_last[::-1].argmin()) if not same_last.all() else 0
+            if cut == 0:
+                carry = pdf
+                continue
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+            out = flush(pdf.iloc[:cut])
+            if len(out):
+                yield out
+        if carry is not None and len(carry):
+            out = flush(carry)
+            if len(out):
+                yield out
+
+    return gen
+
+
+# above this many pending delete/supersede rows the compaction switches from
+# the broadcast tier (sorted numpy array on every executor) to the fully
+# distributed decode → anti-join → re-encode tier. 32M docids ≈ 256 MB per
+# executor — comfortably broadcastable; a bulk GDPR-scale delete goes the
+# distributed route with NO driver materialization at any size.
+BROADCAST_DELETE_MAX = 32_000_000
+
+
 def compact_segments(spark: SparkSession, index_dir: str, *,
                      partitions: int | None = None,
                      block_docs: int = BLOCK_DOCS_DEFAULT,
-                     max_run_blocks: int = 1 << 20) -> dict:
+                     max_run_blocks: int = 1 << 20,
+                     broadcast_delete_max: int = BROADCAST_DELETE_MAX) -> dict:
     """Merge all generations + salt runs of each (termid, field) into one
     docid-sorted run (salt=0) under ``compacted/`` — the RdbMerge analog
-    (/root/reference/RdbBase.cpp:1318-1663). Records merge fan-in.
+    (/root/reference/RdbBase.cpp:1318-1663). Records merge fan-in and a
+    per-phase wall-clock breakdown (``phases``).
 
     Terms whose merged run would exceed ``max_run_blocks`` blocks keep their
     salted runs (the 90 MB termlist-cap spirit of /root/reference/Msg2.cpp:23);
     the query engine treats runs as independent sorted streams either way.
 
     Pending tombstones are annihilated during the merge (negative-key
-    deletion applied at compaction, /root/reference/Rdb.h:73-87) and the
-    tombstone table is cleared once the compacted segments are written. The
-    delete set is broadcast to the merge tasks as a sorted array; at very
-    large delete cardinalities switch to a full rebuild instead. Superseded
-    generations of re-ingested docids (the `superseded` side table, M7) are
-    annihilated the same way, and docmap is rewritten newest-row-only.
+    deletion applied at compaction, /root/reference/Rdb.h:73-87), and
+    superseded generations of re-ingested docids (the `superseded` side
+    table, M7) the same way; docmap is rewritten newest-row-only. The
+    annihilation set is NEVER materialized as driver rows — two tiers:
+
+    - ≤ ``broadcast_delete_max`` pending rows: Arrow-fetched into one sorted
+      int64 numpy array and ``sc.broadcast`` to executors (8 B/docid, one
+      copy per executor, np.searchsorted inside the merge);
+    - above it (bulk GDPR-scale deletes): postings are decoded to doc rows,
+      the delete/supersede sets are anti-joined DISTRIBUTED (Spark
+      sort-merge join on docid), and rows are re-encoded — no single
+      process ever holds the delete set.
 
     Input = previous compaction (if any) ∪ all segment generations; consumed
     generation dirs are removed afterwards and the new compacted set is
@@ -877,6 +1085,16 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
     AFTER a compaction keep serving alongside it (Rdb numbered files + the
     tight-merge file, /root/reference/RdbBase.cpp:67-76)."""
     import shutil as _shutil
+    import time as _time
+
+    t0 = _time.time()
+    phases: dict[str, float] = {}
+
+    def mark(name: str) -> None:
+        nonlocal t0
+        now = _time.time()
+        phases[name] = round(phases.get(name, 0.0) + (now - t0), 3)
+        t0 = now
 
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
@@ -903,30 +1121,30 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
             .select(*cols, F.lit(-1).cast("long").alias("gen_seq"))
         )
     seg = sources[0] if len(sources) == 1 else sources[0].unionByName(sources[1])
+    mark("plan")
 
     tomb = load_tombstones(spark, index_dir)
-    drop = None
-    n_dropped = 0
-    if tomb is not None:
-        drop_list = sorted(r["docid"] for r in tomb.collect())
-        if drop_list:
-            drop = np.array(drop_list, dtype=np.int64)
-            n_dropped = len(drop_list)
-
-    # newest-generation-wins annihilation set (small: only re-added docids).
-    # Postings in the previous compacted set carry gen_seq -1, so any
-    # superseded entry annihilates them too.
     sup = load_superseded(spark, index_dir)
-    sup_docids = sup_gens = None
-    if sup is not None:
-        rows = sorted(
-            ((int(r["docid"]), int(r["gen_seq"])) for r in sup.collect())
-        )
-        if rows:
-            sup_docids = np.array([d for d, _ in rows], dtype=np.int64)
-            sup_gens = np.array([g for _, g in rows], dtype=np.int64)
+    n_dropped = int(tomb.count()) if tomb is not None else 0
+    n_sup = int(sup.count()) if sup is not None else 0
+    if n_dropped == 0:
+        tomb = None
+    if n_sup == 0:
+        sup = None
+    distributed = (n_dropped + n_sup) > broadcast_delete_max
+    drop_bc = sup_bc = None
+    if not distributed:
+        # broadcast tier: compact Arrow fetch (no Python Row objects),
+        # one sorted array per executor via TorrentBroadcast
+        sc = spark.sparkContext
+        if tomb is not None:
+            drop_bc = sc.broadcast(_collect_docids_arrow(tomb))
+        if sup is not None:
+            sup_bc = sc.broadcast(_collect_sup_arrow(sup))
+    mark("annihilation_fetch")
 
-    # fan-in stats collected NOW — the source files are removed below
+    # fan-in stats collected NOW — the source files are removed below.
+    # Column-pruned to (termid, field, salt) block metadata; no payload read.
     stats = (
         seg.groupBy("termid", "field")
         .agg(F.count("*").alias("n_blocks"),
@@ -936,27 +1154,56 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
              F.count("*").alias("n_termlists"))
         .collect()[0]
     )
+    mark("fanin_stats")
 
-    # decode → merge → re-encode per (termid, field): the shared vectorized
-    # merge path (collapse_salt folds every salt run into salt 0). Shuffle
-    # keyed by bucket for the one-dir-per-task write layout.
     n_buckets = catalog.N_BUCKETS_DEFAULT
-    part = (
-        seg.withColumn("bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
-        .repartition(min(partitions, n_buckets), "bucket")
-        .sortWithinPartitions("termid", "field", "salt", "min_docid")
-        .select("termid", "field", "salt", "n_docs", "n_postings", "postings",
-                "rankbuf", "gen_seq")
-    )
-
-    compacted = part.mapInPandas(
-        _merge_gen(block_docs, collapse_salt=True, drop_docids=drop,
-                   sup_docids=sup_docids, sup_gens=sup_gens,
-                   max_run_blocks=max_run_blocks),
-        SEGMENT_SCHEMA,
-    ).withColumn("bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
+    if not distributed:
+        # decode → merge → re-encode per (termid, field): the shared
+        # vectorized merge path (collapse_salt folds every salt run into
+        # salt 0). Shuffle keyed by bucket for the one-dir-per-task layout.
+        part = (
+            seg.withColumn("bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
+            .repartition(min(partitions, n_buckets), "bucket")
+            .sortWithinPartitions("termid", "field", "salt", "min_docid")
+            .select(*cols, "gen_seq")
+        )
+        compacted = part.mapInPandas(
+            _merge_gen(block_docs, collapse_salt=True, drop_docids=drop_bc,
+                       sup_pairs=sup_bc, max_run_blocks=max_run_blocks),
+            SEGMENT_SCHEMA,
+        )
+    else:
+        # distributed tier: doc rows → anti-join deletes / semi-filter
+        # newest generation → re-encode. Every join is an ordinary Spark
+        # shuffle join on docid; nothing is collected or broadcast.
+        rows = seg.select(
+            "termid", "field", "salt", "n_docs", "n_postings", "postings",
+            "rankbuf", "gen_seq",
+        ).mapInPandas(_decode_doc_rows(), _DOC_ROW_SCHEMA)
+        if tomb is not None:
+            rows = rows.join(tomb, "docid", "left_anti")
+        if sup is not None:
+            rows = (
+                rows.join(sup.withColumnRenamed("gen_seq", "_newest"),
+                          "docid", "left")
+                .filter(F.col("_newest").isNull()
+                        | (F.col("gen_seq") == F.col("_newest")))
+                .drop("_newest")
+            )
+        compacted = (
+            rows.withColumn("bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
+            .repartition(min(partitions, n_buckets), "bucket")
+            .sortWithinPartitions("termid", "field", "salt", "docid")
+            .drop("bucket", "gen_seq")
+            .mapInPandas(_encode_doc_rows(block_docs, max_run_blocks),
+                         SEGMENT_SCHEMA)
+        )
+    compacted = compacted.withColumn(
+        "bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
     # write-new → swap (the input may include the previous compacted/)
     catalog.write_table(compacted, index_dir, "compacted_new", partition_by=["bucket"])
+    mark("merge_write")
+
     if had_compacted:
         _shutil.rmtree(catalog.table_path(index_dir, "compacted"), ignore_errors=True)
     os.rename(catalog.table_path(index_dir, "compacted_new"),
@@ -966,43 +1213,54 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
     # invalidate Spark's cached file listings for the rewritten paths
     spark.catalog.refreshByPath(seg_path)
     spark.catalog.refreshByPath(catalog.table_path(index_dir, "compacted"))
+    mark("swap")
 
     # docmap cleanup: newest row per docid, tombstoned docids dropped —
-    # matches what now physically remains in the compacted postings
+    # matches what now physically remains in the compacted postings.
+    # Plain joins: AQE broadcasts the side tables when they're small and
+    # falls back to shuffle joins when they're not.
     dm_path = catalog.table_path(index_dir, "docmap")
-    if (sup_docids is not None or drop is not None) and os.path.isdir(dm_path):
+    if (sup is not None or tomb is not None) and os.path.isdir(dm_path):
         dm = spark.read.parquet(dm_path)
-        if sup_docids is not None:
+        if sup is not None:
             sup_small = sup.withColumnRenamed("gen_seq", "_newest")
             dm = (
-                dm.join(F.broadcast(sup_small), "docid", "left")
+                dm.join(sup_small, "docid", "left")
                 .filter(F.col("_newest").isNull()
                         | (F.col("gen_seq") == F.col("_newest")))
                 .drop("_newest")
             )
-        if drop is not None and tomb is not None:
-            dm = dm.join(F.broadcast(tomb), "docid", "left_anti")
+        if tomb is not None:
+            dm = dm.join(tomb, "docid", "left_anti")
         dm_cols = ["docid", "repo", "path", "lang", "content_sha256", "gen_seq"]
         catalog.write_table(dm.select(*dm_cols), index_dir, "docmap_new/gen=0")
         _shutil.rmtree(dm_path, ignore_errors=True)
         os.rename(catalog.table_path(index_dir, "docmap_new"), dm_path)
         spark.catalog.refreshByPath(dm_path)
+    mark("docmap")
 
-    if drop is not None:
+    if tomb is not None:
         # deletions are now physical — clear the tombstone table
         spark.createDataFrame([], "docid long").write.mode("overwrite").parquet(
             catalog.table_path(index_dir, "tombstones")
         )
-    if sup_docids is not None:
+    if sup is not None:
         # supersession is now physical — clear the side table
         spark.createDataFrame([], "docid long, gen_seq long").write.mode(
             "overwrite").parquet(catalog.table_path(index_dir, "superseded"))
+    if drop_bc is not None:
+        drop_bc.unpersist()
+    if sup_bc is not None:
+        sup_bc.unpersist()
+    mark("side_tables")
 
     return {
         "max_fanin": int(stats["max_fanin"]),
         "avg_fanin": float(stats["avg_fanin"]),
         "n_termlists": int(stats["n_termlists"]),
         "docs_dropped": n_dropped,
+        "annihilation_tier": "distributed" if distributed else "broadcast",
+        "phases": phases,
     }
 
 

