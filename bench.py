@@ -111,6 +111,18 @@ def main() -> None:
         queries[name] = round(med, 3)
         lat_ms.append(med * 1000)
 
+    # SC4 proximity ranker (vectorized covering-window pass over decoded
+    # positions) — timed separately because of the ranker kwarg
+    topk(spark, idx, "hash table", 10, handle=handle,
+         ranker="bm25_proximity").collect()
+    times = []
+    for _ in range(repeat):
+        t0 = time.time()
+        topk(spark, idx, "hash table", 10, handle=handle,
+             ranker="bm25_proximity").collect()
+        times.append(time.time() - t0)
+    queries["q_bm25_proximity"] = round(statistics.median(times), 3)
+
     # ---- training-data pipeline ops ------------------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

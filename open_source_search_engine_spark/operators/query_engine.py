@@ -256,45 +256,56 @@ def _min_window_spans(decoded: DataFrame, member_tids: list[int]) -> DataFrame:
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Whole-batch numpy formulation of the minimal covering window: for
+        # every start index i of the merged per-group position stream, the
+        # smallest covering window starting at i ends at
+        # e(i) = max over tags of nextOccurrence_tag(i); the group answer is
+        # min_i pos[e(i)] − pos[i]. nextOccurrence per tag is one reversed
+        # np.minimum.accumulate, so the whole batch costs m O(N) passes —
+        # no per-position Python (the r2 advice: the same two-pointer
+        # result, computed by scan instead of by loop).
         tid_ix = {int(t): i for i, t in enumerate(member_tids)}
+        big = np.iinfo(np.int64).max
         for pdf in batches:
-            out_d, out_f, out_s = [], [], []
-            for docid, fld, lists in zip(pdf["docid"].values,
-                                         pdf["field"].values,
-                                         pdf["lists"].values):
-                pos_l, tag_l = [], []
+            if not len(pdf):
+                continue
+            g_l, p_l, t_l = [], [], []
+            for gi, lists in enumerate(pdf["lists"].values):
                 for row in lists:
-                    t, ps = row["termid"], np.asarray(row["positions"], dtype=np.int64)
-                    pos_l.append(ps)
-                    tag_l.append(np.full(len(ps), tid_ix[int(t)], dtype=np.int64))
-                pos = np.concatenate(pos_l)
-                tag = np.concatenate(tag_l)
-                o = np.argsort(pos, kind="stable")
-                pos, tag = pos[o], tag[o]
-                # classic minimal covering window over the merged stream
-                need = m
-                count = np.zeros(m, dtype=np.int64)
-                best = None
-                left = 0
-                for right in range(len(pos)):
-                    if count[tag[right]] == 0:
-                        need -= 1
-                    count[tag[right]] += 1
-                    while need == 0:
-                        span = int(pos[right] - pos[left])
-                        if best is None or span < best:
-                            best = span
-                        count[tag[left]] -= 1
-                        if count[tag[left]] == 0:
-                            need += 1
-                        left += 1
-                if best is not None:
-                    out_d.append(int(docid))
-                    out_f.append(int(fld))
-                    out_s.append(best)
-            if out_d:
-                yield pd.DataFrame({"docid": out_d, "field": out_f,
-                                    "span": out_s})
+                    ps = np.asarray(row["positions"], dtype=np.int64)
+                    g_l.append(np.full(len(ps), gi, dtype=np.int64))
+                    p_l.append(ps)
+                    t_l.append(np.full(len(ps), tid_ix[int(row["termid"])],
+                                       dtype=np.int64))
+            g = np.concatenate(g_l)
+            p = np.concatenate(p_l)
+            t = np.concatenate(t_l)
+            o = np.lexsort((p, g))
+            g, p, t = g[o], p[o], t[o]
+            n = len(g)
+            starts = np.nonzero(np.concatenate(
+                [[True], g[1:] != g[:-1]]))[0]
+            lens = np.diff(np.append(starts, n))
+            gid = np.repeat(np.arange(len(starts)), lens)
+            group_last = np.repeat(starts + lens - 1, lens)
+            emax = np.zeros(n, dtype=np.int64)
+            ar = np.arange(n, dtype=np.int64)
+            for tg in range(m):
+                idx = np.where(t == tg, ar, n)
+                nxt = np.minimum.accumulate(idx[::-1])[::-1]
+                np.maximum(emax, nxt, out=emax)
+            valid = emax <= group_last
+            span = np.where(valid, p[np.minimum(emax, n - 1)] - p, big)
+            best = np.full(len(starts), big, dtype=np.int64)
+            np.minimum.at(best, gid, span)
+            ok = best < big
+            if ok.any():
+                row_ix = g[starts[ok]]
+                yield pd.DataFrame({
+                    "docid": pdf["docid"].values[row_ix].astype(np.int64),
+                    "field": pdf["field"].values[row_ix].astype(np.int32),
+                    "span": best[ok],
+                })
 
     return mem.mapInPandas(gen, "docid long, field int, span long")
 
