@@ -1058,6 +1058,49 @@ def _q_engine_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_engine_lang_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC5 &qlang doc-language weighting (languageWeights built
+    /root/reference/SearchInput.cpp:265-267, defaults sameLangWeight 20 /
+    unknownLangWeight 10 /root/reference/Parms.cpp:4121,4134, applied
+    /root/reference/PosdbTable.cpp:3918): a lang-less query with
+    query_lang='en' multiplies same-language docs ×20/20, indexed-'und'
+    docs ×10/20, others ×1/20 — normalized ≤1 so pruning bounds stay
+    valid; rank order identical to the reference's 20/10/1."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.plans.plan import parse_query
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    plan = parse_query("hash table", query_lang="en")
+    res = topk(spark, idx, plan, 1_000_000)
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
+def _lang_weight_sql(w1: str = _RANKER_W1, w2: str = _RANKER_W2,
+                     qlang: str = "en") -> str:
+    """Oracle for engine_lang_weight: the bigram-attached BM25 score × the
+    normalized language multiplier decided by the document's lang column
+    (identical to the engine's LANG-termlist membership probe — every doc
+    indexes exactly one lang token)."""
+    c = _two_word_contribs()
+    return f"""{_two_word_bigram_ctes(w1, w2)}
+SELECT d.doc_id,
+       round(({' + '.join(c)})
+             * (CASE WHEN t2.lang = '{qlang}' THEN 1.0
+                     WHEN t2.lang = 'und' THEN 0.5
+                     ELSE 0.05 END), 4) AS score_r,
+       sha256(t2.text) AS content_sha256
+FROM dl d
+CROSS JOIN base b
+{_two_word_joins(w1, w2)}
+JOIN documents t2 ON t2.doc_id = d.doc_id
+"""
+
+
 def _q_engine_variations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6/Q7 morphological word variations (the word_variations/Synonyms.cpp
     gap, /root/reference/word_variations/english_verbs.cc generators,
@@ -1219,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_suggest": _q_engine_suggest,
         "engine_synonyms": _q_engine_synonyms,
         "engine_variations": _q_engine_variations,
+        "engine_lang_weight": _q_engine_lang_weight,
         "engine_soft_stops": _q_engine_soft_stops,
         "engine_pagination": _q_engine_pagination,
         # --- tokenize/stats primitives ---
@@ -1386,6 +1430,7 @@ ORDER BY df DESC, token LIMIT 5
                 fromlist=["SYNONYMS"]).SYNONYMS["sort"]
         ]),
         "engine_variations": _variations_sql(),
+        "engine_lang_weight": _lang_weight_sql(),
         # soft stop: 'the' scores as an optional term at full weight; only
         # 'hash' gates the candidate set; the adjacent bigram still attaches
         "engine_soft_stops": _bm25_sql(["hash"], optional_terms=[("the", 1.0)],

@@ -43,6 +43,11 @@ from ..plans.plan import FIELD_WEIGHTS, QueryPlan, parse_query
 from ..sources import catalog
 from .index_build import serving_segments
 
+# SC5 &qlang doc-language weights — the reference's defaults
+# (sameLangWeight /root/reference/Parms.cpp:4121, unknownLangWeight :4134)
+SAME_LANG_WEIGHT = 20.0
+UNKNOWN_LANG_WEIGHT = 10.0
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("termid", T.LongType(), False),
@@ -559,7 +564,26 @@ def topk(
         ).otherwise(F.lit(False))
 
     # evaluate the boolean membership expression per docid (Q5 truth table)
-    agg = agg.filter(_expr_column(plan.expr, phrase_flags)).select("docid", "score")
+    agg = agg.filter(_expr_column(plan.expr, phrase_flags))
+
+    if plan.query_lang is not None:
+        # SC5 &qlang doc-language weighting (languageWeights built at
+        # /root/reference/SearchInput.cpp:265-267, applied
+        # /root/reference/PosdbTable.cpp:3918: same-lang 20, unknown 10,
+        # other 1 — normalized by /20 here so every multiplier is ≤ 1 and
+        # rank order matches the reference exactly). Doc language comes
+        # from the two zero-weight LANG-field membership probes already in
+        # the aggregation — no docmap join, no extra shuffle.
+        mult = (
+            F.when(F.array_contains("matched", F.lit(int(plan.lang_spec_same))),
+                   F.lit(SAME_LANG_WEIGHT / SAME_LANG_WEIGHT))
+            .when(F.array_contains("matched", F.lit(int(plan.lang_spec_und))),
+                  F.lit(UNKNOWN_LANG_WEIGHT / SAME_LANG_WEIGHT))
+            .otherwise(F.lit(1.0 / SAME_LANG_WEIGHT))
+        )
+        agg = agg.withColumn("score", F.col("score") * mult)
+
+    agg = agg.select("docid", "score")
 
     if temperature is not None:
         # page-temperature prior: score *= temp (1.0 when absent)

@@ -109,6 +109,12 @@ def wand_eligible(plan: QueryPlan, k: int, cursor) -> bool:
         and not plan.ext_filters
         and not plan.sha_filters
         and plan.docid_filter is None
+        # &qlang multiplies scores per doc-language after aggregation — a
+        # ≤1 multiplier keeps the unweighted block bounds VALID (pruning
+        # stays lossless) but the cell scorer would insert unweighted
+        # scores into the heap; declarative path until the scorer carries
+        # the LANG probes
+        and plan.query_lang is None
         and plan.conjunctive_groups() is not None
     )
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 import hashlib
 from dataclasses import dataclass
 
-from . import FIELD_BODY, FIELD_TITLE, FIELD_URL
+from . import FIELD_BODY, FIELD_LANG, FIELD_TITLE, FIELD_URL
 from .functions.bm25 import bm25_idf, bm25_tfnorm
 from .functions.hashing import TokenHasher, docid_for_url
 from .functions.tokenizer import index_document
@@ -279,6 +279,23 @@ class OracleIndex:
                                 1.0, 1.0 + float(span - (len(members) - 1))))
                     rescored.append((s * best, d))
                 scored = rescored
+
+        if plan.query_lang is not None:
+            # SC5 &qlang weighting: multiplier decided by LANG-termlist
+            # membership (same probe the engine aggregates) — same-lang
+            # 20/20, indexed-'und' 10/20, other 1/20
+            same_tid = plan.terms[plan.lang_spec_same].termid
+            und_tid = plan.terms[plan.lang_spec_und].termid
+            rescored = []
+            for s, d in scored:
+                if d in self._matching_docs(same_tid, FIELD_LANG):
+                    w = 20.0 / 20.0
+                elif d in self._matching_docs(und_tid, FIELD_LANG):
+                    w = 10.0 / 20.0
+                else:
+                    w = 1.0 / 20.0
+                rescored.append((s * w, d))
+            scored = rescored
 
         # tie-break score desc, docid asc; pagination strictly after cursor
         scored.sort(key=lambda sd: (-sd[0], sd[1]))

@@ -139,6 +139,11 @@ class QueryPlan:
     ext_filters: list[str] = dc_field(default_factory=list)    # path suffixes
     docid_filter: int | None = None                            # gbdocid:
     sha_filters: list[str] = dc_field(default_factory=list)    # gbcontenthash:
+    # SC5 query-language doc weighting (&qlang): spec indices of the two
+    # zero-weight LANG-field membership probes (same-lang / 'und')
+    query_lang: str | None = None
+    lang_spec_same: int | None = None
+    lang_spec_und: int | None = None
 
     @property
     def required(self) -> list[TermSpec]:
@@ -547,7 +552,8 @@ class _PlanBuilder:
 
 def parse_query(q: str, *, expand_synonyms: bool = False,
                 expand_variations: bool = False,
-                soft_stops: bool = False, lang: str | None = None) -> QueryPlan:
+                soft_stops: bool = False, lang: str | None = None,
+                query_lang: str | None = None) -> QueryPlan:
     plan = QueryPlan(raw=q)
     b = _PlanBuilder(plan, expand_synonyms, expand_variations)
 
@@ -589,6 +595,20 @@ def parse_query(q: str, *, expand_synonyms: bool = False,
             both_stop = a in STOP_WORDS and bb in STOP_WORDS
             b.attach_optional(f"{a} {bb}", FIELD_BODY, BIGRAM_WEIGHT,
                               is_bigram=True, pair=(a, bb, both_stop))
+
+    if query_lang is not None:
+        # SC5 &qlang weighting (/root/reference/SearchInput.cpp:265-267
+        # builds languageWeights; applied /root/reference/PosdbTable.cpp:3918):
+        # two zero-weight LANG-field specs probe each candidate's language
+        # termlist membership — same-lang / indexed-'und' / other — so the
+        # multiplier needs no docmap join and stays fully distributed.
+        plan.query_lang = query_lang
+        plan.lang_spec_same = b.spec(
+            int(_hasher.termids([query_lang])[0]), query_lang, FIELD_LANG,
+            0.0, required=False, excluded=False)
+        plan.lang_spec_und = b.spec(
+            int(_hasher.termids(["und"])[0]), "und", FIELD_LANG,
+            0.0, required=False, excluded=False)
 
     if soft_stops:
         apply_soft_stops(plan, lang=lang)

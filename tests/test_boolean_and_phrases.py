@@ -247,3 +247,31 @@ def test_suburl_maps_to_inurl(spark, mini):
     idx, _ = mini
     got = _run(spark, idx, "suburl:lib sort")
     assert got and got == _run(spark, idx, "inurl:lib sort")
+
+
+def test_query_lang_weighting(spark, mini):
+    """SC5 &qlang: same-language docs ×1.0, others ×1/20, engine == oracle
+    (the mini corpus langs are py/cpp/go; no doc indexes 'und')."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    idx, oracle = mini
+    plan = parse_query("alpha", query_lang="py")
+    eng = [(r["docid"], r["score"], r["path"])
+           for r in topk(spark, idx, plan, 100).collect()]
+    ora = [(r["docid"], r["score"], r["path"]) for r in oracle.topk(plan, 100)]
+    assert [e[0] for e in eng] == [o[0] for o in ora]
+    for e, o in zip(eng, ora):
+        assert e[1] == pytest.approx(o[1], rel=1e-9)
+    # every py doc outranks every non-py doc (multiplier 1.0 vs 0.05 beats
+    # any BM25 spread on this corpus), and plain ranking differs
+    langs = {r["path"]: r["lang"] for r in
+             ({"path": p, "lang": l} for p, l in
+              [("src/one.py", "py"), ("src/two.cpp", "cpp"),
+               ("src/three.py", "py"), ("lib/four.txt", "py"),
+               ("lib/five.cpp", "cpp"), ("lib/six.txt", "go"),
+               ("lib/seven.py", "py")])}
+    seq = [langs[p] for _, _, p in eng]
+    assert "py" not in seq[seq.index("cpp"):] if "cpp" in seq else True
+    plain = [r["docid"] for r in topk(spark, idx, "alpha", 100).collect()]
+    assert plain != [e[0] for e in eng] or len(eng) <= 1
