@@ -1019,6 +1019,8 @@ def _q_engine_snippets_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_id_from_path, ensure_index,
     )
 
+    from open_source_search_engine_spark.operators.snippets import highlight
+
     idx = ensure_index(spark, sf_dir)
     res = doc_id_from_path(topk(spark, idx, " ".join(_SNIPPET_TERMS), 1_000_000))
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -1027,16 +1029,26 @@ def _q_engine_snippets_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         res.select("doc_id", F.round("score", 4).alias("score_r"))
         .join(docs, "doc_id", "inner")
         .select("doc_id", "score_r", snip, n_terms)
+        .withColumn("marked",
+                    highlight(F.col("snippet"), _SNIPPET_TERMS))
     )
 
 
 def _q_engine_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Speller analog: edit-distance-1 suggestions for a misspelled query
-    token from the corpus vocabulary, ranked by df."""
-    from open_source_search_engine_spark.operators.suggest import suggest, vocabulary
+    token, served from the MATERIALIZED partition-pruned suggest_index
+    (built once at index-build cadence — /root/reference/Speller.cpp loads
+    its dictionary the same way)."""
+    from open_source_search_engine_spark.operators.suggest import (
+        materialize_suggest, suggest_from_index,
+    )
+    from open_source_search_engine_spark.sources import catalog
+    from open_source_search_engine_spark.sources.testdata import ensure_index
 
-    vocab = vocabulary(_docs(spark, sf_dir))
-    return suggest(vocab, "vectr", 5)
+    idx = ensure_index(spark, sf_dir)
+    if not catalog.table_exists(idx, "suggest_index"):
+        materialize_suggest(spark, idx, _docs(spark, sf_dir))
+    return suggest_from_index(spark, idx, "vectr", 5)
 
 
 def _q_engine_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1407,10 +1419,19 @@ sc AS (
         + CASE WHEN strpos(lower(w1), '{_SNIPPET_TERMS[1]}') > 0 THEN 1 ELSE 0 END) AS s1
   FROM cand
 )
-SELECT doc_id, score_r,
-       CASE WHEN s1 > s0 THEN w1 ELSE w0 END AS snippet,
-       CASE WHEN s1 > s0 THEN s1 ELSE s0 END AS n_terms
-FROM sc
+SELECT doc_id, score_r, snippet, n_terms,
+       regexp_replace(
+         regexp_replace(snippet,
+           '(?i)\\b({_SNIPPET_TERMS[0]})\\b',
+           '<span class=''gbcnst00''>\\1</span>', 'g'),
+         '(?i)\\b({_SNIPPET_TERMS[1]})\\b',
+         '<span class=''gbcnst01''>\\1</span>', 'g') AS marked
+FROM (
+  SELECT doc_id, score_r,
+         CASE WHEN s1 > s0 THEN w1 ELSE w0 END AS snippet,
+         CASE WHEN s1 > s0 THEN s1 ELSE s0 END AS n_terms
+  FROM sc
+)
 """,
         "engine_suggest": """
 WITH toks AS (

@@ -20,7 +20,33 @@ Deterministic and integer-valued — the DuckDB oracle replicates it exactly.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, functions as F
+
+BACK_TAG = "</span>"
+
+
+def front_tag(i: int) -> str:
+    """Rotating per-term front tag — the reference highlights each query
+    term number with its own span class (s_frontTags,
+    /root/reference/Highlight.cpp:12-19)."""
+    return f"<span class='gbcnst{i % 10:02d}'>"
+
+
+def highlight(window: Column, terms: list[str]) -> Column:
+    """Wrap every whole-word occurrence of each query term inside the
+    selected window with its rotating front tag
+    (/root/reference/Highlight.cpp:43 set(): frontTag term backTag per
+    match). Pure column regexp over the already-bounded top-k page; one
+    deterministic replace pass per term (the inserted markup contains no
+    word that collides with a realistic query term)."""
+    out = window
+    for i, t in enumerate(terms):
+        out = F.regexp_replace(
+            out, f"(?i)\\b({re.escape(t.lower())})\\b",
+            front_tag(i) + "$1" + BACK_TAG)
+    return out
 
 
 def candidate_window(text: Column, term: str, width: int) -> Column:

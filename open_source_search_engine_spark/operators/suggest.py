@@ -47,6 +47,42 @@ def suggest_index(vocab: DataFrame) -> DataFrame:
     )
 
 
+def materialize_suggest(spark, index_dir: str, docs: DataFrame,
+                        text: str = "text") -> None:
+    """OFFLINE (build/DailyMerge cadence): write the delete-neighbourhood
+    index as a ``suggest_index`` table under the index dir, partitioned by
+    the delete_key's 2-char prefix — serving reads only the partitions the
+    query's own delete keys touch (partition pruning, no vocabulary scan
+    per call). The reference ships its Speller dictionary as a prebuilt
+    file the same way (/root/reference/Speller.cpp load-once)."""
+    from ..sources import catalog
+
+    idx = suggest_index(vocabulary(docs, text=text)).withColumn(
+        "pfx", F.substring("delete_key", 1, 2))
+    catalog.write_table(idx, index_dir, "suggest_index", partition_by=["pfx"])
+
+
+def suggest_from_index(spark, index_dir: str, word: str, k: int = 5) -> DataFrame:
+    """Serving-side suggest over the materialized table: partition-pruned
+    by prefix, equi-filtered on delete_key, levenshtein-verified — same
+    result as :func:`suggest` without re-deriving the neighbourhood."""
+    from ..sources import catalog
+
+    w = word.lower()
+    dels = [w] + [w[:i] + w[i + 1:] for i in range(len(w))]
+    pfxs = sorted({d[:2] for d in dels})
+    idx = spark.read.parquet(catalog.table_path(index_dir, "suggest_index"))
+    cands = (
+        idx.filter(F.col("pfx").isin(pfxs) & F.col("delete_key").isin(dels))
+        .select("token", "df").distinct()
+    )
+    return (
+        cands.filter(F.levenshtein(F.col("token"), F.lit(w)) <= 1)
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def suggest(vocab: DataFrame, word: str, k: int = 5) -> DataFrame:
     """Top-k suggestions for ``word``: vocabulary tokens within edit
     distance 1, ranked by df desc then token asc. Candidates via the

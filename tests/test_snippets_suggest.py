@@ -54,3 +54,45 @@ def test_suggest_exact_word_included(spark):
         [(0, "merge sort"), (1, "merge scan")], "doc_id long, text string")
     got = [r["token"] for r in suggest(vocabulary(docs), "merge", 3).collect()]
     assert got[0] == "merge"
+
+
+def test_highlight_wraps_terms_with_rotating_tags(spark):
+    from open_source_search_engine_spark.operators.snippets import (
+        BACK_TAG, front_tag, highlight,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("merge the Vector then merge again",)], "snippet string")
+    out = df.select(highlight(F.col("snippet"),
+                              ["vector", "merge"]).alias("m")).collect()[0]["m"]
+    # term 0 (vector) gets tag 00, term 1 (merge) gets tag 01; case of the
+    # original text is preserved; every whole-word occurrence is wrapped
+    assert out.count(front_tag(0)) == 1 and "Vector" in out
+    assert out.count(front_tag(1)) == 2
+    assert out.count(BACK_TAG) == 3
+    # word-boundary: 'merges' must NOT be wrapped
+    df2 = spark.createDataFrame([("merges are not merge",)], "snippet string")
+    out2 = df2.select(highlight(F.col("snippet"), ["merge"]).alias("m")
+                      ).collect()[0]["m"]
+    assert out2.startswith("merges") and out2.count(front_tag(0)) == 1
+
+
+def test_materialized_suggest_matches_adhoc(spark, tmp_path):
+    from open_source_search_engine_spark.operators.suggest import (
+        materialize_suggest, suggest, suggest_from_index, vocabulary,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "vector victor vecto sort"), (1, "vector merge vectors")],
+        "doc_id long, text string")
+    d = str(tmp_path / "sidx")
+    materialize_suggest(spark, d, docs)
+    a = [(r["token"], r["df"]) for r in
+         suggest(vocabulary(docs), "vectr", 5).collect()]
+    b = [(r["token"], r["df"]) for r in
+         suggest_from_index(spark, d, "vectr", 5).collect()]
+    assert a == b and a
+    # partition pruning surface: the table is prefix-partitioned
+    import os
+    assert any(p.startswith("pfx=") for p in os.listdir(f"{d}/suggest_index"))
