@@ -100,11 +100,44 @@ def load_delete_state(index_dir: str):
     return tomb_d, sup_d, sup_g
 
 
+def _phrases_wand_expressible(plan: QueryPlan) -> bool:
+    """Quoted phrases ride the WAND path when every phrase leaf is a
+    POSITIVE top-level conjunct: adjacency is then one extra per-candidate
+    gate verified from positions already decoded (PosdbTable.h:76 — the
+    reference also checks phrases from positions it holds). Negated or
+    OR-nested phrase leaves keep the declarative path (their truth table
+    isn't a plain conjunct)."""
+    if not plan.phrases:
+        return True
+    from ..plans.plan import Leaf, Node
+
+    children = (
+        list(plan.expr.children)
+        if isinstance(plan.expr, Node) and plan.expr.op == "and"
+        else [plan.expr]
+    )
+    seen: set[int] = set()
+    for c in children:
+        if isinstance(c, Leaf) and c.is_phrase:
+            if c.negated:
+                return False
+            seen.add(c.spec)
+        elif isinstance(c, Node):
+            stack = list(c.children)
+            while stack:
+                x = stack.pop()
+                if isinstance(x, Node):
+                    stack.extend(x.children)
+                elif isinstance(x, Leaf) and x.is_phrase:
+                    return False
+    return seen == set(range(len(plan.phrases)))
+
+
 def wand_eligible(plan: QueryPlan, k: int, cursor) -> bool:
     return (
         cursor is None
         and k <= WAND_MAX_K
-        and not plan.phrases
+        and _phrases_wand_expressible(plan)
         and not plan.site_filters
         and not plan.ext_filters
         and not plan.sha_filters
@@ -155,16 +188,29 @@ def _build_query_meta(plan: QueryPlan, dfs: dict[int, int], n_docs: int,
         "excluded": list(dict.fromkeys(excluded)),
         "avgdl": {int(f): max(float(avgdl.get(f, 1.0)), 1e-9)
                   for f in all_fields},
+        # positive top-level quoted phrases: per-candidate adjacency gates
+        # verified from the positions already decoded (PosdbTable.h:76)
+        "phrases": [
+            (tuple(int(t) for t in ph.termids),
+             tuple(int(o) for o in ph.member_offsets()),
+             int(ph.field))
+            for ph in plan.phrases
+        ],
     }
 
 
 class _Run:
-    """One sorted block run of a (termid, field) list inside a cell."""
+    """One sorted block run of a (termid, field) list inside a cell.
+    ``want_pos`` runs (quoted-phrase member lists) keep the word positions
+    the block already carries — the reference verifies phrases from the
+    positions it holds for the doc (/root/reference/PosdbTable.h:76), no
+    second read."""
 
     __slots__ = ("mind", "maxd", "max_tf", "min_dl", "bufs", "nd", "npst",
-                 "gen_seq", "decoded")
+                 "gen_seq", "decoded", "want_pos")
 
-    def __init__(self, pdf: pd.DataFrame):
+    def __init__(self, pdf: pd.DataFrame, want_pos: bool = False):
+        self.want_pos = want_pos
         order = np.argsort(pdf["min_docid"].values, kind="stable")
         self.mind = pdf["min_docid"].values[order]
         self.maxd = pdf["max_docid"].values[order]
@@ -183,14 +229,25 @@ class _Run:
         ok = (ix >= 0) & (docids <= self.maxd[np.maximum(ix, 0)])
         return np.where(ok, ix, -1)
 
-    def decode_block(self, bi: int, filt, on_miss=None):
+    def decode_block(self, bi: int, filt_mask, on_miss=None):
+        """→ (docids, tfs, dls, pos_flat|None, pos_starts|None); the last
+        two only for ``want_pos`` runs. ``filt_mask`` returns a keep mask
+        (None = keep all)."""
         got = self.decoded.get(bi)
         if got is None:
             from ..functions.varint import decode_block as _dec
 
-            d, tf, dl, _ = _dec(bytes(self.bufs[bi]))
-            d, tf, dl = filt(d, tf, dl, self.gen_seq)
-            got = (d, tf, dl)
+            d, tf, dl, pos = _dec(bytes(self.bufs[bi]))
+            keep = filt_mask(d, self.gen_seq)
+            if keep is not None:
+                if self.want_pos and len(pos):
+                    pos = pos[np.repeat(keep, tf)]
+                d, tf, dl = d[keep], tf[keep], dl[keep]
+            if self.want_pos:
+                ends = np.cumsum(tf)
+                got = (d, tf, dl, pos, ends - tf)
+            else:
+                got = (d, tf, dl, None, None)
             self.decoded[bi] = got
             if on_miss is not None:
                 on_miss()
@@ -209,17 +266,25 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
     sup_g = meta.get("sup_g")
     cell_w = (DOCID_MASK + n_cells) // n_cells
 
-    def filt(d, tf, dl, gen_seq):
-        """Apply tombstone + newest-generation filters to one decoded run."""
+    # quoted-phrase member lists keep word positions through decode
+    phrases = meta.get("phrases", [])
+    pos_keys = {(int(t), int(fld)) for tids, _offs, fld in phrases
+                for t in tids}
+
+    def filt(d, gen_seq):
+        """Tombstone + newest-generation keep MASK for one decoded run
+        (None = keep all)."""
+        if (tomb is None and sup_d is None) or not len(d):
+            return None
         keep = np.ones(len(d), dtype=bool)
-        if tomb is not None and len(d):
+        if tomb is not None:
             keep &= ~np.isin(d, tomb)
-        if sup_d is not None and len(d):
+        if sup_d is not None:
             ix = np.searchsorted(sup_d, d)
             ixc = np.minimum(ix, len(sup_d) - 1)
             is_sup = sup_d[ixc] == d
             keep &= ~(is_sup & (sup_g[ixc] != gen_seq))
-        return (d[keep], tf[keep], dl[keep]) if not keep.all() else (d, tf, dl)
+        return None if keep.all() else keep
 
     def tfnorm(tf, dl, field):
         return bm25_tfnorm(tf, dl, avgdl[field])
@@ -233,15 +298,17 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
         lists: dict = {}
         key_cols = ["termid", "field", "salt", "gen_seq"]
         for (t, f, _s, _g), sub in pdf.groupby(key_cols, sort=False):
-            lists.setdefault((int(t), int(f)), []).append(_Run(sub))
+            key = (int(t), int(f))
+            lists.setdefault(key, []).append(_Run(sub, want_pos=key in pos_keys))
 
         def list_ndocs(key) -> int:
             return sum(int(r.nd.sum()) for r in lists.get(key, []))
 
         def decode_list(key):
-            """Fully decode a list within the cell → (docids, tfs, dls)
-            sorted by docid."""
+            """Fully decode a list within the cell → (docids, tfs, dls,
+            per-doc position arrays | None) sorted by docid."""
             runs = lists.get(key, [])
+            want_pos = key in pos_keys
             parts = []
             for r in runs:
                 for bi in range(len(r.bufs)):
@@ -251,14 +318,23 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
                         bi, filt, on_miss=lambda t=key[0]: count_decoded(t)))
             if not parts:
                 z = np.empty(0, dtype=np.int64)
-                return z, z, z
+                return z, z, z, ([] if want_pos else None)
             d = np.concatenate([p[0] for p in parts])
             tf = np.concatenate([p[1] for p in parts])
             dl = np.concatenate([p[2] for p in parts])
+            pls = None
+            if want_pos:
+                pls = []
+                for pd_, ptf, _dl, ppos, pst in parts:
+                    pls.extend(ppos[a:a + t_] for a, t_ in zip(pst, ptf))
             m = (d >= lo) & (d < hi)
+            keep_ix = np.nonzero(m)[0]
             d, tf, dl = d[m], tf[m], dl[m]
             o = np.argsort(d, kind="stable")
-            return d[o], tf[o], dl[o]
+            if want_pos:
+                sel = keep_ix[o]
+                pls = [pls[j] for j in sel]
+            return d[o], tf[o], dl[o], pls
 
         # pivot = required group with the fewest in-cell docs
         gsizes = [sum(list_ndocs(tuple(key)) for key in g) for g in groups]
@@ -294,11 +370,13 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
         exact_contrib = np.zeros(nc, dtype=np.float64)
         present: dict = {}
         per_list_tfn: dict = {}
-        for key, (d, tf, dl) in decoded.items():
+        hit_ix: dict = {}
+        for key, (d, tf, dl, _pls) in decoded.items():
             ix = np.searchsorted(d, cand)
             ixc = np.minimum(ix, max(len(d) - 1, 0))
             hit = (len(d) > 0) & (d[ixc] == cand) if len(d) else np.zeros(nc, bool)
             present[key] = hit
+            hit_ix[key] = ixc
             if key in lists_meta and hit.any():
                 tfn = np.zeros(nc, dtype=np.float64)
                 tfn[hit] = tfnorm(tf[ixc[hit]], dl[ixc[hit]], key[1])
@@ -358,6 +436,7 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
             # resolve deferred lists for this doc
             ok = True
             resolved: dict = {}
+            resolved_pos: dict = {}
             for key in deferred:
                 cov_any, cov_ix = covers[key]
                 got_tf = 0
@@ -367,11 +446,13 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
                         bi = int(ci[i])
                         if bi < 0:
                             continue
-                        dd, tt, ll = r.decode_block(
+                        dd, tt, ll, pp, ss = r.decode_block(
                             bi, filt, on_miss=lambda t=key[0]: count_decoded(t))
                         j = np.searchsorted(dd, d)
                         if j < len(dd) and dd[j] == d:
                             got_tf, got_dl = int(tt[j]), int(ll[j])
+                            if pp is not None:
+                                resolved_pos[key] = pp[ss[j]:ss[j] + got_tf]
                             break
                 if got_tf:
                     if key in excluded_keys:
@@ -393,6 +474,35 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
                         m = True
                         break
                 if not m:
+                    ok = False
+                    break
+            if not ok:
+                continue
+
+            # quoted-phrase adjacency gates from the positions already in
+            # hand (PosdbTable.h:76): ∃ base position p in member 0 with
+            # member j at p + offset[j] for all j
+            def member_positions(tid: int, fld: int):
+                key = (tid, fld)
+                if key in decoded:
+                    if not present[key][i]:
+                        return None
+                    return decoded[key][3][int(hit_ix[key][i])]
+                return resolved_pos.get(key)
+
+            for tids, offs, fld in phrases:
+                p0 = member_positions(tids[0], fld)
+                if p0 is None or not len(p0):
+                    ok = False
+                    break
+                mvec = np.ones(len(p0), dtype=bool)
+                for jj in range(1, len(tids)):
+                    pj = member_positions(tids[jj], fld)
+                    if pj is None or not len(pj):
+                        ok = False
+                        break
+                    mvec &= np.isin(p0 + (offs[jj] - offs[0]), pj)
+                if not ok or not mvec.any():
                     ok = False
                     break
             if not ok:

@@ -98,3 +98,44 @@ def test_wand_multicell_equals_singlecell(spark, fine_index):
         got = [(r["docid"], r["score"]) for r in
                topk(spark, fine_index, "scan if", 10, wand_cells=cells).collect()]
         assert got == base, cells
+
+
+def test_phrase_queries_take_wand_path_and_stay_exact(spark, fine_index):
+    """r3: positive top-level quoted phrases are WAND-eligible — adjacency
+    verified per candidate from the positions already decoded. Results stay
+    bit-equal to the declarative path and rank-identical to the oracle."""
+    from open_source_search_engine_spark.corpus import make_corpus_rows
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.operators.wand import wand_eligible
+    from open_source_search_engine_spark.oracle import OracleIndex
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    oracle = OracleIndex.build(make_corpus_rows(480))
+    for q in ['"binary search"', '"binary search tree"', '"open file" scan',
+              '"binary search" -buffer']:
+        assert wand_eligible(parse_query(q), 10, None), q
+        a = [(r["docid"], r["score"]) for r in
+             topk(spark, fine_index, q, 10, prune=True).collect()]
+        b = [(r["docid"], r["score"]) for r in
+             topk(spark, fine_index, q, 10, prune=False).collect()]
+        assert a == b, f"prune on/off diverged for {q!r}"
+        ora = [(r["docid"], r["score"]) for r in oracle.topk(q, 10)]
+        assert [x[0] for x in a] == [x[0] for x in ora], q
+        for (_, sa), (_, so) in zip(a, ora):
+            assert sa == pytest.approx(so, rel=1e-6)
+    # negated / OR-nested phrases stay on the declarative path
+    assert not wand_eligible(parse_query('scan -"binary search"'), 10, None)
+    assert not wand_eligible(
+        parse_query('"binary search" OR scan'), 10, None)
+
+
+def test_hot_term_phrase_skips_hot_blocks(spark, fine_index):
+    """A quoted phrase containing the rank-1 stop term must still skip most
+    of the stop term's blocks (the r2 gap: phrase queries fell back to the
+    declarative full decode of non-rare terms)."""
+    rows, decoded = _run_counted(
+        spark, fine_index, '"scan if"', "if", k=10)
+    total = _block_count(spark, fine_index, _tid("if"))
+    assert total >= 100
+    frac = decoded / total
+    assert frac < 0.35, f"decoded {decoded}/{total} = {frac:.0%} of hot blocks"
