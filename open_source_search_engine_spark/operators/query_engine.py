@@ -422,13 +422,22 @@ def topk(
 
     if (prune and temperature is None and ranker == "bm25"
             and wand_eligible(plan, k, cursor)):
-        top = (
-            wand_topk(spark, seg, plan, dfs, h.n_docs, h.avgdl, h.index_dir,
-                      k, n_cells=wand_cells, decode_counters=wand_counters)
-            .orderBy(F.desc("score"), F.asc("docid")).limit(k)
-        )
-        sup = load_superseded(spark, h.index_dir)
-        return _join_docmap(spark, h, top, sup)
+        from .wand import SideTableTooLarge
+
+        try:
+            top = (
+                wand_topk(spark, seg, plan, dfs, h.n_docs, h.avgdl,
+                          h.index_dir, k, n_cells=wand_cells,
+                          decode_counters=wand_counters)
+                .orderBy(F.desc("score"), F.asc("docid")).limit(k)
+            )
+            sup = load_superseded(spark, h.index_dir)
+            return _join_docmap(spark, h, top, sup)
+        except SideTableTooLarge:
+            # pre-compaction bulk delete: the pending set is too large for
+            # the WAND driver array — the declarative path below handles
+            # tombstones/supersede as joins at any cardinality
+            pass
 
     if prune and len(plan.required) > 1:
         seg = _block_range_prune(spark, seg, plan, dfs)
@@ -460,7 +469,9 @@ def topk(
 
     tomb = load_tombstones(spark, h.index_dir)
     if tomb is not None:
-        decoded = decoded.join(F.broadcast(tomb), "docid", "left_anti")
+        # no broadcast hint: AQE broadcasts the (normally tiny) pending set
+        # and falls back to a shuffle join under a bulk delete
+        decoded = decoded.join(tomb, "docid", "left_anti")
 
     # newest-generation-wins (M7): a re-ingested docid serves ONLY its newest
     # generation's postings — the fork's global docid index consulted at
@@ -468,7 +479,7 @@ def topk(
     # (re-added docids only) and broadcast
     sup = load_superseded(spark, h.index_dir)
     if sup is not None:
-        sup_b = F.broadcast(sup.withColumnRenamed("gen_seq", "_newest"))
+        sup_b = sup.withColumnRenamed("gen_seq", "_newest")
         decoded = (
             decoded.join(sup_b, "docid", "left")
             .filter(F.col("_newest").isNull()

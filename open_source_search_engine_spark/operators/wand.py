@@ -60,14 +60,41 @@ DEFER_MIN_DOCS = 256     # lists smaller than this are decoded outright
 BOUND_MARGIN = 1e-9
 
 
+# WAND serves the delete state from a driver-side array; past this many
+# pending rows (bounded between compactions by design) the query falls back
+# to the declarative path, whose tombstone/supersede handling is a join —
+# a pre-compaction bulk delete must not stall the serving driver
+WAND_SIDE_TABLE_MAX = 8_000_000
+
+
+class SideTableTooLarge(Exception):
+    """Pending delete/supersede rows exceed the WAND driver-array budget."""
+
+
+def _side_table_rows(path: str) -> int:
+    """Total row count from parquet FOOTERS only — no column data read."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in sorted(os.listdir(path)):
+        if f.startswith((".", "_")) or not f.endswith(".parquet"):
+            continue
+        n += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+    return n
+
+
 def _side_table_arrays(index_dir: str, name: str, cols: list[str]):
     """Driver-side read of a small side table (tombstones / superseded) via
-    pyarrow — no Spark job. Returns None when absent or empty."""
+    pyarrow — no Spark job. Returns None when absent or empty; raises
+    :class:`SideTableTooLarge` past ``WAND_SIDE_TABLE_MAX`` rows (checked
+    from footers before any data is read)."""
     import pyarrow.parquet as pq
 
     path = catalog.table_path(index_dir, name)
     if not os.path.isdir(path):
         return None
+    if _side_table_rows(path) > WAND_SIDE_TABLE_MAX:
+        raise SideTableTooLarge(name)
     arrs = {c: [] for c in cols}
     for f in sorted(os.listdir(path)):
         if f.startswith((".", "_")) or not f.endswith(".parquet"):

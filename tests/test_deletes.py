@@ -164,3 +164,24 @@ def test_distributed_tier_respects_newest_generation(spark, tmp_path):
     assert topk(spark, idx, "delta", 10).count() == 1
     # exactly one posting set for the doc: alpha tf comes from gen 2 only
     assert topk(spark, idx, "alpha", 10).count() == 1
+
+
+def test_wand_falls_back_when_side_table_huge(spark, tmp_path, monkeypatch):
+    """A pre-compaction bulk delete larger than the WAND driver-array budget
+    must not stall the serving driver: the query transparently falls back to
+    the declarative path (joins) and stays correct."""
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators import index_build as ib, wand
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx = str(tmp_path / "wfidx")
+    shutil.rmtree(idx, ignore_errors=True)
+    ib.build_index(spark, corpus_df(spark, 120, partitions=4), idx, n_chunks=1)
+    q = "binary search"
+    before = [r["docid"] for r in topk(spark, idx, q, 1000).collect()]
+    victims = before[:2]
+    ib.delete_docs(spark, idx, victims)
+
+    monkeypatch.setattr(wand, "WAND_SIDE_TABLE_MAX", 0)
+    got = [r["docid"] for r in topk(spark, idx, q, 1000).collect()]
+    assert got == [d for d in before if d not in victims]
