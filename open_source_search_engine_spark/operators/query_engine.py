@@ -349,7 +349,8 @@ def topk(
     Two physical strategies behind one logical result:
 
     - **block-max WAND** (``prune=True`` and the query is a flat boolean
-      conjunction of term groups, no phrase/cursor/filters, k bounded):
+      conjunction of term groups — quoted phrases, cursors and ``&qlang``
+      included; no site/ext/sha/docid filters, k bounded):
       document-at-a-time scoring with a running top-k threshold per docid
       cell — hot termlists are only decoded where a candidate's optimistic
       bound can still beat the floor (operators/wand.py);
@@ -428,7 +429,7 @@ def topk(
             top = (
                 wand_topk(spark, seg, plan, dfs, h.n_docs, h.avgdl,
                           h.index_dir, k, n_cells=wand_cells,
-                          decode_counters=wand_counters)
+                          decode_counters=wand_counters, cursor=cursor)
                 .orderBy(F.desc("score"), F.asc("docid")).limit(k)
             )
             sup = load_superseded(spark, h.index_dir)

@@ -161,20 +161,20 @@ def _phrases_wand_expressible(plan: QueryPlan) -> bool:
 
 
 def wand_eligible(plan: QueryPlan, k: int, cursor) -> bool:
+    # cursor: served DAAT — the heap admits only results strictly after
+    # (score, docid) in page order, so the floor tracks the k-th best
+    # QUALIFYING score and upper-bound pruning stays lossless (before-cursor
+    # docs are decoded but rejected at insert).
+    # &qlang: the scorer probes the two zero-weight LANG membership lists
+    # per candidate and multiplies the exact score by the ≤1 language
+    # weight; unweighted block bounds remain valid upper bounds.
     return (
-        cursor is None
-        and k <= WAND_MAX_K
+        k <= WAND_MAX_K
         and _phrases_wand_expressible(plan)
         and not plan.site_filters
         and not plan.ext_filters
         and not plan.sha_filters
         and plan.docid_filter is None
-        # &qlang multiplies scores per doc-language after aggregation — a
-        # ≤1 multiplier keeps the unweighted block bounds VALID (pruning
-        # stays lossless) but the cell scorer would insert unweighted
-        # scores into the heap; declarative path until the scorer carries
-        # the LANG probes
-        and plan.query_lang is None
         and plan.conjunctive_groups() is not None
     )
 
@@ -209,10 +209,24 @@ def _build_query_meta(plan: QueryPlan, dfs: dict[int, int], n_docs: int,
     ]
     excluded = [k for ix, t in enumerate(plan.terms) if t.excluded
                 for k in spec_lists[ix]]
+    # SC5 &qlang: (same-lang key, 'und' key) of the zero-weight LANG
+    # membership probes; the scorer multiplies each exact score by the ≤1
+    # language weight, matching the declarative path's multiplier exactly
+    lang = None
+    if plan.query_lang is not None:
+        from .query_engine import SAME_LANG_WEIGHT, UNKNOWN_LANG_WEIGHT
+
+        lang = (
+            (int(plan.terms[plan.lang_spec_same].termid), int(FIELD_LANG)),
+            (int(plan.terms[plan.lang_spec_und].termid), int(FIELD_LANG)),
+            float(UNKNOWN_LANG_WEIGHT / SAME_LANG_WEIGHT),
+            float(1.0 / SAME_LANG_WEIGHT),
+        )
     return {
         "lists": lists,
         "groups": [list(dict.fromkeys(g)) for g in groups],
         "excluded": list(dict.fromkeys(excluded)),
+        "lang": lang,
         "avgdl": {int(f): max(float(avgdl.get(f, 1.0)), 1e-9)
                   for f in all_fields},
         # positive top-level quoted phrases: per-candidate adjacency gates
@@ -288,6 +302,13 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
     groups = meta["groups"]
     excluded_keys = set(map(tuple, meta["excluded"]))
     avgdl = meta["avgdl"]
+    lang_keys = meta.get("lang")
+    # cursor pagination: admit only results strictly after (s0, docid0) in
+    # (score desc, docid asc) page order — as heap items, (s, -d) < (s0, -d0)
+    cursor_item = None
+    if meta.get("cursor") is not None:
+        s0, d0 = meta["cursor"]
+        cursor_item = (float(s0), -int(d0))
     tomb = meta.get("tomb")
     sup_d = meta.get("sup_d")
     sup_g = meta.get("sup_g")
@@ -549,7 +570,25 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
             s = 0.0
             for _, _, v in contribs:
                 s += v
+            if lang_keys is not None:
+                # same float constants as the declarative multiplier
+                # (query_engine.py SC5 block) — products stay bit-identical
+                same_k, und_k, m_und, m_other = lang_keys
+
+                def _member(key):
+                    if key in decoded:
+                        return bool(present[key][i])
+                    return key in resolved
+
+                if _member(same_k):
+                    s = s * 1.0
+                elif _member(und_k):
+                    s = s * m_und
+                else:
+                    s = s * m_other
             item = (s, -d)
+            if cursor_item is not None and not (item < cursor_item):
+                continue
             if len(heap) < k:
                 heapq.heappush(heap, item)
             elif item > heap[0]:
@@ -583,10 +622,13 @@ def wand_topk(
     *,
     n_cells: int | None = None,
     decode_counters: dict | None = None,
+    cursor: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Block-max WAND plan: cell-assign → shuffle → per-cell DAAT top-k →
     (docid, score) rows for the global merge. ``decode_counters`` may be a
-    dict {termid: SparkAccumulator} for decoded-block instrumentation."""
+    dict {termid: SparkAccumulator} for decoded-block instrumentation.
+    ``cursor`` (score, docid) restricts the heap to results strictly after
+    that position in page order (K3 pagination served DAAT)."""
     if n_cells is None:
         # work-proportional cell count: one docid cell per ~16k candidate
         # postings (df upper-bounds per-term candidates), capped at cluster
@@ -600,6 +642,8 @@ def wand_topk(
     meta = _build_query_meta(plan, dfs, n_docs, avgdl)
     tomb, sup_d, sup_g = load_delete_state(index_dir)
     meta["tomb"], meta["sup_d"], meta["sup_g"] = tomb, sup_d, sup_g
+    meta["cursor"] = ((float(cursor[0]), int(cursor[1]))
+                      if cursor is not None else None)
 
     cell_w = (DOCID_MASK + n_cells) // n_cells
     cells = F.sequence(

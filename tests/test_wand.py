@@ -139,3 +139,72 @@ def test_hot_term_phrase_skips_hot_blocks(spark, fine_index):
     assert total >= 100
     frac = decoded / total
     assert frac < 0.35, f"decoded {decoded}/{total} = {frac:.0%} of hot blocks"
+
+
+def test_cursor_pages_take_wand_path_and_stay_exact(spark, fine_index):
+    """r3: cursor pagination is WAND-eligible — the heap admits only results
+    strictly after (score, docid) in page order, so deep pages of a hot-term
+    query keep threshold pruning. Pages must tile the unpaged ranking and be
+    bit-equal to the declarative cursor path."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.operators.wand import wand_eligible
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    q = "scan if"
+    assert wand_eligible(parse_query(q), 5, (1.0, 7)), "cursor must be eligible"
+    full = [(r["docid"], r["score"]) for r in
+            topk(spark, fine_index, q, 15, prune=False).collect()]
+    pages, cur = [], None
+    for _ in range(3):
+        rows = topk(spark, fine_index, q, 5, cursor=cur, prune=True).collect()
+        assert len(rows) == 5
+        pages.extend((r["docid"], r["score"]) for r in rows)
+        cur = (rows[-1]["score"], rows[-1]["docid"])
+        decl = [(r["docid"], r["score"]) for r in
+                topk(spark, fine_index, q, 5, cursor=cur, prune=False).collect()]
+        wand = [(r["docid"], r["score"]) for r in
+                topk(spark, fine_index, q, 5, cursor=cur, prune=True).collect()]
+        assert wand == decl, "cursor prune on/off diverged"
+    assert pages == full, "pages must tile the unpaged ranking"
+
+
+def test_cursor_page_still_skips_hot_blocks(spark, fine_index):
+    """Page 2 of a hot-term query must not regress to a full decode."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    first = topk(spark, fine_index, "scan if", 10).collect()
+    cur = (first[-1]["score"], first[-1]["docid"])
+    counters = {_tid("if"): spark.sparkContext.accumulator(0)}
+    rows = topk(spark, fine_index, "scan if", 10, cursor=cur,
+                wand_cells=1, wand_counters=counters).collect()
+    assert rows and rows[0]["docid"] != first[0]["docid"]
+    total = _block_count(spark, fine_index, _tid("if"))
+    frac = counters[_tid("if")].value / total
+    assert frac < 0.35, f"page-2 decoded {frac:.0%} of hot blocks"
+
+
+def test_qlang_queries_take_wand_path_and_stay_exact(spark, fine_index):
+    """r3: &qlang doc-language weighting is WAND-eligible — the scorer probes
+    the two zero-weight LANG membership lists per candidate and multiplies by
+    the ≤1 language weight (bounds stay valid upper bounds). Bit-equal to the
+    declarative multiplier."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.operators.wand import wand_eligible
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    for q in ["scan if", "binary search", "buffer | scan table"]:
+        plan = parse_query(q, query_lang="py")
+        assert wand_eligible(plan, 10, None), q
+        a = [(r["docid"], r["score"]) for r in
+             topk(spark, fine_index, plan, 10, prune=True).collect()]
+        b = [(r["docid"], r["score"]) for r in
+             topk(spark, fine_index, parse_query(q, query_lang="py"), 10,
+                  prune=False).collect()]
+        assert a == b, f"qlang prune on/off diverged for {q!r}"
+        # the multiplier really applied: each weighted score is the
+        # unweighted score × one of {1, 10/20, 1/20}
+        unw = {r["docid"]: r["score"] for r in
+               topk(spark, fine_index, q, 1000, prune=False).collect()}
+        for docid, s in a:
+            ratios = [s / unw[docid] / m for m in (1.0, 0.5, 0.05)]
+            assert any(abs(r - 1.0) < 1e-9 for r in ratios), (q, docid)
