@@ -731,6 +731,31 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
 
 
+def _q_embedding_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path under the hard gate: with nprobe = n_centroids every
+    partition is probed, so the result is exact and must hash-match the
+    brute-force SQL oracle regardless of where k-means placed the centroids.
+    Exercises train → assign (expression argmax tier) → probe end to end."""
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    C = similarity.train_centroids(emb, n_centroids=8, sample_limit=512)
+    assigned = similarity.ivf_assign(emb, C)
+    out = similarity.ivf_topk(assigned, C, q, 20, nprobe=len(C))
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+
+
+def _q_embedding_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH plumbing under the hard gate: planes=2 with
+    probe_hamming=2 probes all 4 buckets (exhaustive), so bucket routing +
+    cosine scoring must reproduce the brute-force SQL oracle exactly."""
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    dim = len(q)
+    idx = similarity.ann_index(emb, planes=2, dim=dim)
+    out = similarity.ann_lsh_topk(idx, q, 20, planes=2, probe_hamming=2)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+
+
 def _q_embedding_neardup_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine pair scan (left side restricted to vec_id < 25 to
     bound the pair count) — the exact-verification tier under the LSH
@@ -1287,6 +1312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "embedding_cosine_all": _q_embedding_cosine_all,
         "embedding_topk": _q_embedding_topk,
+        "embedding_ivf_exact": _q_embedding_ivf_exact,
+        "embedding_ann_exhaustive": _q_embedding_ann_exhaustive,
         "embedding_neardup_bf": _q_embedding_neardup_bf,
         # --- text analysis ---
         "text_langid": _q_text_langid,
@@ -1484,6 +1511,26 @@ SELECT vec_id, round({_COS.format(v='ve', w='qe')}, 6) AS cosine_r
 FROM e, q
 """,
         "embedding_topk": f"""
+WITH {_EMB_CTE},
+scored AS (
+  SELECT vec_id, {_COS.format(v='ve', w='qe')} AS cosine
+  FROM e, q
+)
+SELECT vec_id, round(cosine, 6) AS cosine_r
+FROM scored ORDER BY cosine DESC, vec_id LIMIT 20
+""",
+        # exact by construction (all partitions probed) -> same oracle as
+        # the brute-force top-k
+        "embedding_ivf_exact": f"""
+WITH {_EMB_CTE},
+scored AS (
+  SELECT vec_id, {_COS.format(v='ve', w='qe')} AS cosine
+  FROM e, q
+)
+SELECT vec_id, round(cosine, 6) AS cosine_r
+FROM scored ORDER BY cosine DESC, vec_id LIMIT 20
+""",
+        "embedding_ann_exhaustive": f"""
 WITH {_EMB_CTE},
 scored AS (
   SELECT vec_id, {_COS.format(v='ve', w='qe')} AS cosine

@@ -48,6 +48,10 @@ from .index_build import serving_segments
 SAME_LANG_WEIGHT = 20.0
 UNKNOWN_LANG_WEIGHT = 10.0
 
+# outstanding persisted decode streams of proximity-ranked queries (bounded
+# at one; see the SC4 block in topk)
+_prox_pins: list[DataFrame] = []
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("termid", T.LongType(), False),
@@ -613,8 +617,15 @@ def topk(
         # (title/url windows): boost by the BEST field's covering window;
         # factor 1.0 when no single field holds every term. The span pass is
         # a second consumer of the decoded stream — persist so the segment
-        # scan + block decode runs once, not once per consumer.
+        # scan + block decode runs once, not once per consumer. The pin
+        # lives until the NEXT proximity query evicts it (results stay lazy,
+        # so we can't unpersist before the caller's action; bounding the
+        # outstanding pins at one keeps repeated proximity queries from
+        # accreting executor storage).
+        while _prox_pins:
+            _prox_pins.pop().unpersist(blocking=False)
         decoded = decoded.persist()
+        _prox_pins.append(decoded)
         spans = _min_window_spans(decoded, prox_members)
         fac = (
             spans.select(
