@@ -61,6 +61,65 @@ SYNONYMS: dict[str, list[str]] = {
     "spec": ["specification"],
     "test": ["check"],
     "check": ["test"],
+    # abbreviation/expansion pairs (the reference's acronym expansions,
+    # e.g. test/system/test_search_terms.py asserting "html" expands; ours
+    # are single-token pairs since multi-word expansions need phrase terms)
+    "js": ["javascript"],
+    "javascript": ["js"],
+    "db": ["database"],
+    "database": ["db"],
+    "repo": ["repository"],
+    "repository": ["repo"],
+    "dir": ["directory"],
+    "str": ["string"],
+    "string": ["str"],
+    "num": ["number"],
+    "number": ["num"],
+    "img": ["image"],
+    "image": ["img"],
+    "lib": ["library"],
+    "library": ["lib"],
+    "env": ["environment"],
+    "environment": ["env"],
+    "var": ["variable"],
+    "variable": ["var"],
+    "func": ["function"],
+    "fn": ["function"],
+    "impl": ["implementation"],
+    "implementation": ["impl"],
+    "util": ["utility"],
+    "utility": ["util"],
+    "msg": ["message"],
+    "message": ["msg"],
+    "idx": ["index"],
+    "index": ["idx"],
+    "ptr": ["pointer"],
+    "pointer": ["ptr"],
+    "buf": ["buffer"],
+    "buffer": ["buf"],
+    "len": ["length"],
+    "length": ["len"],
+    "tmp": ["temp", "temporary"],
+    "temp": ["tmp", "temporary"],
+    "val": ["value"],
+    "value": ["val"],
+    "obj": ["object"],
+    "object": ["obj"],
+    "pkg": ["package"],
+    "package": ["pkg"],
+    "src": ["source"],
+    "source": ["src"],
+    "dst": ["destination", "dest"],
+    "dest": ["destination", "dst"],
+    "ctx": ["context"],
+    "context": ["ctx"],
+    "cmd": ["command"],
+    "command": ["cmd"],
+    "calc": ["calculate"],
+    "gen": ["generate"],
+    "iter": ["iterator", "iterate"],
+    "sync": ["synchronize"],
+    "async": ["asynchronous"],
 }
 
 
