@@ -1,0 +1,219 @@
+"""Batch query serving: N queries amortized over ONE segment scan + decode.
+
+The reference serves one query per Msg39 fan-out (/root/reference/Msg39.cpp,
+PosdbTable intersection per query). On Spark, per-query jobs re-pay the
+dominant cost — the posting-segment scan and varint block decode — once per
+query; for throughput-style serving (a query log, offline evaluation, bulk
+relevance jobs: the Spark-idiomatic serving mode at cluster scale) the right
+physical plan is one shared pass:
+
+    segments scan, filtered to the UNION of every query's termids
+      (bucket partition pruning + termid predicate pushdown — one scan
+       regardless of N)
+    → vectorized block decode (mapInPandas, positions only for the union
+       of phrase-member termids)                                [once]
+    → tombstone anti-join + newest-generation-wins filter        [once]
+    → broadcast spec join on (termid, field) — the spec table now carries a
+      ``qidx`` column, so one posting row fans out to every query that wants
+      the term (the only N-proportional cost, and it is row-proportional to
+      actual matches, not to the scan)
+    → groupBy(qidx, docid): membership array + canonical-order score sum —
+      the SAME aggregation expressions as the single-query path, so scores
+      are bit-identical to ``topk``
+    → per-qidx membership expression (one boolean column: OR over
+      ``qidx = i AND expr_i``)
+    → row_number over (partitionBy qidx, orderBy score desc, docid asc) ≤ k
+    → one docmap join for result metadata
+
+Total shuffles: 2 (the membership aggregation and the per-query top-k
+window) + the docmap join — independent of N. Supported per query: required/
+optional/excluded terms, boolean trees, quoted phrases, field ops, ``lang:``
+filters, &qlang doc-language weighting, gbdocid pins, and site/ext/sha
+docmap filters. Not supported here: cursors, alternate rankers, temperature
+priors (per-query knobs that change the physical plan — use ``topk``).
+
+WAND does not apply: block-max pruning is per-query (a block useless to
+query A may be needed by query B), and the scan is shared anyway — the
+amortization IS the optimization at this batch size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..plans.plan import QueryPlan, parse_query
+from ..sources import catalog
+from .index_build import load_superseded, load_tombstones, serving_segments
+from .query_engine import (
+    DECODED_SCHEMA,
+    _decode_udf,
+    _expr_column,
+    _phrase_flag_columns,
+    _spec_rows,
+    _tfnorm_expr,
+    cached_handle,
+)
+
+_RESULT_SCHEMA = ("qid string, rank int, docid long, score double, "
+                  "repo string, path string, content_sha256 string")
+
+
+def batch_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list,
+    k: int = 10,
+    *,
+    labels: list[str] | None = None,
+    handle=None,
+) -> DataFrame:
+    """Top-k for every query in ``queries`` (str or QueryPlan) in one shared
+    pass. Returns (qid, rank, docid, score, repo, path, content_sha256);
+    ``qid`` is ``labels[i]`` (default ``"q{i}"``). Scores are bit-identical
+    to ``topk`` on each query individually (the standing A/B test)."""
+    plans = [parse_query(q) if isinstance(q, str) else q for q in queries]
+    labels = list(labels) if labels is not None else [
+        f"q{i}" for i in range(len(plans))]
+    if len(labels) != len(plans):
+        raise ValueError("labels must match queries length")
+
+    # a plan with no positive membership produces no rows (same as topk)
+    live = [(i, p) for i, p in enumerate(plans)
+            if p.required and p.expr is not None]
+    if not live:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+
+    h = handle or cached_handle(spark, index_dir)
+    all_tids = sorted({t.termid for _, p in live for t in p.terms})
+    dfs = h.term_dfs(spark, all_tids)
+
+    # ---- one scan, one decode, for every query ----
+    seg = serving_segments(spark, h.index_dir).drop("rankbuf")
+    n_buckets = catalog.N_BUCKETS_DEFAULT
+    buckets = sorted({t % n_buckets for t in all_tids})
+    seg = seg.filter(F.col("bucket").isin(buckets)).filter(
+        F.col("termid").isin([int(t) for t in all_tids]))
+    pos_tids = sorted({int(t) for _, p in live
+                       for ph in p.phrases for t in ph.termids})
+    decoded = seg.mapInPandas(_decode_udf(all_tids, pos_tids), DECODED_SCHEMA)
+
+    tomb = load_tombstones(spark, h.index_dir)
+    if tomb is not None:
+        decoded = decoded.join(tomb, "docid", "left_anti")
+    sup = load_superseded(spark, h.index_dir)
+    if sup is not None:
+        sup_b = sup.withColumnRenamed("gen_seq", "_newest")
+        decoded = (
+            decoded.join(sup_b, "docid", "left")
+            .filter(F.col("_newest").isNull()
+                    | (F.col("gen_seq") == F.col("_newest")))
+            .drop("_newest")
+        )
+
+    # ---- per-query spec rows in ONE broadcast table ----
+    rows = [(qidx, *r) for qidx, p in live for r in _spec_rows(p, dfs, h.n_docs)]
+    spec_df = spark.createDataFrame(
+        rows, "qidx int, spec_id int, termid long, field int, wid double")
+    matched = decoded.join(F.broadcast(spec_df), ["termid", "field"], "inner")
+
+    # gbdocid: pins apply per query after the qidx attach
+    docid_pins = [(qidx, p.docid_filter) for qidx, p in live
+                  if p.docid_filter is not None]
+    if docid_pins:
+        keep = ~F.col("qidx").isin([q for q, _ in docid_pins])
+        for qidx, d in docid_pins:
+            keep = keep | ((F.col("qidx") == qidx) & (F.col("docid") == int(d)))
+        matched = matched.filter(keep)
+
+    matched = matched.withColumn(
+        "contrib", F.col("wid") * _tfnorm_expr(h.avgdl, F.col("tf").cast("double")))
+
+    # ---- ONE membership aggregation for all queries ----
+    any_phrases = any(p.phrases for _, p in live)
+    agg_cols = [
+        F.array_distinct(F.collect_list("spec_id")).alias("matched"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("termid", "field", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score"),
+    ]
+    if any_phrases:
+        agg_cols.append(
+            F.collect_list(
+                F.when(F.col("positions").isNotNull(),
+                       F.struct("termid", "field", "positions"))
+            ).alias("plists"))
+    agg = matched.groupBy("qidx", "docid").agg(*agg_cols)
+
+    # per-query membership + &qlang weighting, dispatched on qidx. spec_ids
+    # in `matched` are already per-plan (the spec join carried qidx), so each
+    # plan's expression sees exactly its own truth table.
+    member = F.lit(False)
+    mult = F.lit(1.0)
+    from .query_engine import SAME_LANG_WEIGHT, UNKNOWN_LANG_WEIGHT
+
+    for qidx, p in live:
+        flags = _phrase_flag_columns(p) if p.phrases else {}
+        member = member | ((F.col("qidx") == qidx) & _expr_column(p.expr, flags))
+        if p.query_lang is not None:
+            lm = (
+                F.when(F.array_contains("matched", F.lit(int(p.lang_spec_same))),
+                       F.lit(1.0))
+                .when(F.array_contains("matched", F.lit(int(p.lang_spec_und))),
+                      F.lit(UNKNOWN_LANG_WEIGHT / SAME_LANG_WEIGHT))
+                .otherwise(F.lit(1.0 / SAME_LANG_WEIGHT))
+            )
+            mult = F.when(F.col("qidx") == qidx, lm).otherwise(mult)
+    agg = (agg.filter(member)
+           .select("qidx", "docid", (F.col("score") * mult).alias("score")))
+
+    # per-query docmap filters (J6 analog): semi-join on (qidx, docid) built
+    # from the union of each filtered query's allowed set
+    filtered = [(qidx, p) for qidx, p in live
+                if p.site_filters or p.ext_filters or p.sha_filters]
+    if filtered:
+        dm = spark.read.parquet(catalog.table_path(h.index_dir, "docmap"))
+        allowed = None
+        for qidx, p in filtered:
+            cond = F.lit(True)
+            if p.site_filters:
+                cond = cond & F.col("repo").isin(list(p.site_filters))
+            if p.ext_filters:
+                ext_c = F.lit(False)
+                for e in p.ext_filters:
+                    ext_c = ext_c | F.col("path").endswith("." + e)
+                cond = cond & ext_c
+            if p.sha_filters:
+                cond = cond & F.col("content_sha256").isin(list(p.sha_filters))
+            a = dm.filter(cond).select(F.lit(qidx).alias("qidx"), "docid")
+            allowed = a if allowed is None else allowed.unionByName(a)
+        f_qidx = [qidx for qidx, _ in filtered]
+        agg = (
+            agg.filter(F.col("qidx").isin(f_qidx))
+            .join(allowed, ["qidx", "docid"], "leftsemi")
+            .unionByName(agg.filter(~F.col("qidx").isin(f_qidx)))
+        )
+
+    # ---- per-query top-k + one docmap join ----
+    w = Window.partitionBy("qidx").orderBy(F.desc("score"), F.asc("docid"))
+    top = (agg.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= int(k)))
+
+    docmap = spark.read.parquet(catalog.table_path(h.index_dir, "docmap"))
+    if sup is not None:
+        sup_b = F.broadcast(sup.withColumnRenamed("gen_seq", "_newest"))
+        docmap = (
+            docmap.join(sup_b, "docid", "left")
+            .filter(F.col("_newest").isNull()
+                    | (F.col("gen_seq") == F.col("_newest")))
+            .drop("_newest")
+        )
+    label_arr = F.array(*[F.lit(x) for x in labels])
+    return (
+        top.join(docmap, "docid", "inner")
+        .select(
+            F.element_at(label_arr, F.col("qidx") + 1).alias("qid"),
+            "rank", "docid", "score", "repo", "path", "content_sha256")
+    )

@@ -198,11 +198,10 @@ def _decode_udf(include_tids: list[int], pos_tids: list[int] | None = None,
     return gen
 
 
-def _spec_table(spark: SparkSession, plan: QueryPlan, dfs: dict[int, int], n_docs: int):
-    """Small broadcast table: one row per (spec, concrete field) with the
-    driver-precomputed weight*idf product — identical floats to the oracle.
-    ``spec_id`` = index into ``plan.terms``; the membership expression
-    references these ids."""
+def _spec_rows(plan: QueryPlan, dfs: dict[int, int], n_docs: int) -> list[tuple]:
+    """One row per (spec, concrete field) with the driver-precomputed
+    weight*idf product — identical floats to the oracle. ``spec_id`` = index
+    into ``plan.terms``; the membership expression references these ids."""
     from .. import FIELD_LANG
 
     rows = []
@@ -214,8 +213,14 @@ def _spec_table(spark: SparkSession, plan: QueryPlan, dfs: dict[int, int], n_doc
         for f in fields:
             w = w_term * FIELD_WEIGHTS.get(f, 0.0)
             rows.append((spec_id, int(t.termid), int(f), float(w * idf)))
-    df = spark.createDataFrame(rows, "spec_id int, termid long, field int, wid double")
-    return df
+    return rows
+
+
+def _spec_table(spark: SparkSession, plan: QueryPlan, dfs: dict[int, int], n_docs: int):
+    """Small broadcast table of :func:`_spec_rows` for one plan."""
+    return spark.createDataFrame(
+        _spec_rows(plan, dfs, n_docs),
+        "spec_id int, termid long, field int, wid double")
 
 
 def _expr_column(expr, phrase_flags: dict[int, F.Column]) -> F.Column:
@@ -328,6 +333,60 @@ def proximity_factor(span: F.Column, n_terms: int) -> F.Column:
         F.lit(1.0),
         F.lit(1.0) + (span - F.lit(float(n_terms - 1))).cast("double"),
     )
+
+
+def _tfnorm_expr(avgdl: dict, tf: F.Column) -> F.Column:
+    """BM25 tf-normalization as a pure JVM column expression over the
+    decoded (field, dl) columns: tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)).
+    Fields outside the scored set (e.g. LANG, weight 0) get a non-null
+    avgdl fallback so their 0.0 contribution stays 0.0 rather than
+    poisoning the sum."""
+    avgdl_map = F.create_map(
+        *[x for fld, a in avgdl.items()
+          for x in (F.lit(int(fld)), F.lit(max(float(a), 1e-9)))]
+    )
+    dl = F.col("dl").cast("double")
+    avg = F.coalesce(avgdl_map[F.col("field")], F.lit(1.0))
+    return tf * F.lit(BM25_K1 + 1.0) / (
+        tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl / avg)
+    )
+
+
+def _phrase_flag_columns(plan: QueryPlan) -> dict[int, F.Column]:
+    """Per-phrase boolean Columns over the aggregated ``plists`` column
+    (collect_list of (termid, field, positions) structs): true iff some base
+    position has every member at base + its cursor offset (the query-side
+    position deltas of /root/reference/Query.h:216-222)."""
+    phrase_flags: dict[int, F.Column] = {}
+    for pid, ph in enumerate(plan.phrases):
+
+        def member_pos(tid: int, fld: int) -> F.Column:
+            hit = F.filter(
+                F.col("plists"),
+                lambda x: (x["termid"] == int(tid)) & (x["field"] == int(fld)),
+            )
+            return F.element_at(hit, 1)["positions"]
+
+        pos = [member_pos(t, ph.field) for t in ph.termids]
+        have_all = pos[0].isNotNull()
+        for p_i in pos[1:]:
+            have_all = have_all & p_i.isNotNull()
+        offs = ph.member_offsets()
+        rest = [(int(offs[i]), pos[i]) for i in range(1, len(pos))]
+
+        # single-parameter on purpose: F.exists dispatches on the lambda's
+        # arity (a 2nd param would be interpreted as the element index);
+        # closure capture of `rest` is safe — consumed in this iteration
+        def adjacent(p0):
+            c = F.lit(True)
+            for i, p_i in rest:
+                c = c & F.array_contains(p_i, p0 + i)
+            return c
+
+        phrase_flags[pid] = F.when(
+            have_all, F.exists(pos[0], adjacent)
+        ).otherwise(F.lit(False))
+    return phrase_flags
 
 
 def topk(
@@ -501,25 +560,15 @@ def topk(
     # shuffles and no broadcast of decoded docids at any scale.
     matched = decoded.join(F.broadcast(spec_df), ["termid", "field"], "inner")
 
-    # per-(spec,field) BM25 contribution — pure JVM column math
-    avgdl_map = F.create_map(
-        *[x for fld, a in h.avgdl.items() for x in (F.lit(int(fld)), F.lit(max(float(a), 1e-9)))]
-    )
     # bm25_ranks replaces raw tf with the rank-weighted tf (SC2 occurrence
     # weighting, /root/reference/PosdbTable.cpp:257-258): each occurrence
     # contributes densityWeight·spamWeight instead of 1. Clean text weighs
     # exactly 1.0, so the two rankers agree on clean documents.
     tf = F.col("wtf") if ranker == "bm25_ranks" else F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
-    # fields outside the scored set (e.g. LANG, weight 0) need a non-null
-    # avgdl so their 0.0 contribution stays 0.0 rather than poisoning the sum
-    avg = F.coalesce(avgdl_map[F.col("field")], F.lit(1.0))
-    tfnorm = tf * F.lit(BM25_K1 + 1.0) / (
-        tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl / avg)
-    )
     # zero-weight (filter-only / excluded) fields still count for membership;
     # their 0.0 contribution is exact under float addition
-    matched = matched.withColumn("contrib", F.col("wid") * tfnorm)
+    matched = matched.withColumn(
+        "contrib", F.col("wid") * _tfnorm_expr(h.avgdl, tf))
 
     # membership flags + canonical-order score sum in ONE aggregation; when
     # the query has quoted phrases, the members' stored position arrays ride
@@ -549,35 +598,7 @@ def topk(
 
     # quoted-phrase flags: exists a base position where every member sits at
     # base + its offset (cursor delta 1 per member, Query.h:216-222 analog)
-    phrase_flags: dict[int, F.Column] = {}
-    for pid, ph in enumerate(plan.phrases):
-
-        def member_pos(tid: int, fld: int) -> F.Column:
-            hit = F.filter(
-                F.col("plists"),
-                lambda x: (x["termid"] == int(tid)) & (x["field"] == int(fld)),
-            )
-            return F.element_at(hit, 1)["positions"]
-
-        pos = [member_pos(t, ph.field) for t in ph.termids]
-        have_all = pos[0].isNotNull()
-        for p_i in pos[1:]:
-            have_all = have_all & p_i.isNotNull()
-        offs = ph.member_offsets()
-        rest = [(int(offs[i]), pos[i]) for i in range(1, len(pos))]
-
-        # single-parameter on purpose: F.exists dispatches on the lambda's
-        # arity (a 2nd param would be interpreted as the element index);
-        # closure capture of `rest` is safe — consumed in this iteration
-        def adjacent(p0):
-            c = F.lit(True)
-            for i, p_i in rest:
-                c = c & F.array_contains(p_i, p0 + i)
-            return c
-
-        phrase_flags[pid] = F.when(
-            have_all, F.exists(pos[0], adjacent)
-        ).otherwise(F.lit(False))
+    phrase_flags = _phrase_flag_columns(plan)
 
     # evaluate the boolean membership expression per docid (Q5 truth table)
     agg = agg.filter(_expr_column(plan.expr, phrase_flags))

@@ -1,0 +1,108 @@
+"""Batch query serving (operators/batch.py): N queries in one shared pass.
+
+The standing gate is bit-equality with the single-query path: for every
+query shape batch_topk supports, its (docid, score) page must equal
+``topk(prune=False)`` run on that query alone — same floats, same
+tie-breaks. (The reference serves one query per Msg39 fan-out; the batch
+plan is the Spark-idiomatic throughput mode and must not change semantics.)
+"""
+
+import pytest
+
+BATCH_QUERIES = [
+    ("and2", "binary search"),
+    ("or", "binary OR sort"),
+    ("not", "search -sort"),
+    ("phrase", '"binary search"'),
+    ("field", "title:mod5"),
+    ("site", "binary site:org3/repo3"),
+    ("nested", "(binary OR sort) AND search"),
+    ("ext", "search ext:py"),
+]
+
+
+def _page(df):
+    return [(r["qid"] if "qid" in df.columns else None, r["rank"],
+             r["docid"], round(r["score"], 12), r["repo"], r["path"])
+            for r in df.collect()]
+
+
+@pytest.fixture(scope="module")
+def batch_result(spark, index_dir):
+    from open_source_search_engine_spark.operators.batch import batch_topk
+
+    labels = [n for n, _ in BATCH_QUERIES]
+    df = batch_topk(spark, index_dir, [q for _, q in BATCH_QUERIES],
+                    k=10, labels=labels)
+    rows = df.collect()
+    return {lab: sorted(
+        [r for r in rows if r["qid"] == lab], key=lambda r: r["rank"])
+        for lab in labels}
+
+
+@pytest.mark.parametrize("label,query", BATCH_QUERIES)
+def test_batch_matches_single(spark, index_dir, batch_result, label, query):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    single = topk(spark, index_dir, query, k=10, prune=False).collect()
+    got = batch_result[label]
+    assert len(got) == len(single)
+    for b, s in zip(got, single):
+        assert b["rank"] == s["rank"]
+        assert b["docid"] == s["docid"]
+        assert b["score"] == s["score"]  # bit-identical, not approx
+        assert (b["repo"], b["path"], b["content_sha256"]) == (
+            s["repo"], s["path"], s["content_sha256"])
+
+
+def test_batch_qlang_weighting(spark, index_dir):
+    """&qlang doc-language weighting is applied per query inside the batch."""
+    from open_source_search_engine_spark.operators.batch import batch_topk
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    p = parse_query("binary search", query_lang="en")
+    single = topk(spark, index_dir, p, k=10, prune=False).collect()
+    got = batch_topk(spark, index_dir, [p], k=10, labels=["ql"]).collect()
+    got = sorted(got, key=lambda r: r["rank"])
+    assert [(r["docid"], r["score"]) for r in got] == [
+        (r["docid"], r["score"]) for r in single]
+
+
+def test_batch_gbdocid_pin(spark, index_dir):
+    from open_source_search_engine_spark.operators.batch import batch_topk
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    # pin one query to a docid that matches; the sibling query is unaffected
+    base = topk(spark, index_dir, "binary search", k=1, prune=False).collect()
+    d = base[0]["docid"]
+    got = batch_topk(
+        spark, index_dir,
+        [f"gbdocid:{d} binary search", "sort scan"],
+        k=10, labels=["pin", "free"]).collect()
+    pin = [r for r in got if r["qid"] == "pin"]
+    free = [r for r in got if r["qid"] == "free"]
+    assert [r["docid"] for r in pin] == [d]
+    single_free = topk(spark, index_dir, "sort scan", k=10,
+                       prune=False).collect()
+    assert sorted(r["docid"] for r in free) == sorted(
+        r["docid"] for r in single_free)
+
+
+def test_batch_empty_and_unmatched(spark, index_dir):
+    from open_source_search_engine_spark.operators.batch import batch_topk
+
+    assert batch_topk(spark, index_dir, [], k=5).count() == 0
+    # a no-hit query yields zero rows for its qid, others unaffected
+    got = batch_topk(spark, index_dir,
+                     ["zzzznosuchtermzzzz", "binary"], k=5,
+                     labels=["miss", "hit"]).collect()
+    assert not [r for r in got if r["qid"] == "miss"]
+    assert [r for r in got if r["qid"] == "hit"]
+
+
+def test_batch_labels_validation(spark, index_dir):
+    from open_source_search_engine_spark.operators.batch import batch_topk
+
+    with pytest.raises(ValueError):
+        batch_topk(spark, index_dir, ["a", "b"], labels=["only-one"])
