@@ -637,6 +637,32 @@ def _q_engine_shortcuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BATCH_GATE = [
+    ("b_and", "hash lang:en table"),
+    ("b_not", "hash -merge"),
+    ("b_or", "hash | merge lang:en"),
+]
+
+
+def _q_engine_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch query serving (operators/batch.py): three heterogeneous queries
+    amortized over ONE segment scan + decode — each qid's rows must equal
+    the corresponding single-query gate exactly (the oracle is the UNION ALL
+    of those gates' SQL)."""
+    from open_source_search_engine_spark.operators.batch import batch_topk
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    res = batch_topk(spark, idx, [q for _, q in _BATCH_GATE], k=1_000_000,
+                     labels=[l for l, _ in _BATCH_GATE])
+    return doc_id_from_path(res).select(
+        "qid", "doc_id", F.round("score", 4).alias("score_r"),
+        "content_sha256"
+    )
+
+
 def _q_engine_site_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 whitelist analog: site:/repo: restricts candidates to one source
     before top-k (/root/reference/PosdbTable.cpp:4297-4372)."""
@@ -1302,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_lang_weight": _q_engine_lang_weight,
         "engine_soft_stops": _q_engine_soft_stops,
         "engine_pagination": _q_engine_pagination,
+        "engine_batch": _q_engine_batch,
         # --- tokenize/stats primitives ---
         "doc_term_df": _q_doc_term_df,
         # --- dedup family ---
@@ -1342,6 +1369,14 @@ def oracle_sql() -> dict[str, str]:
         "engine_phrase": _bm25_sql(["hash", "table"], bigram=("hash", "table"),
                                    bigram_required=True),
         "engine_bm25_not": _bm25_sql(["hash"], exclude="merge"),
+        "engine_batch": f"""
+SELECT 'b_and' AS qid, s.* FROM ({_bm25_sql(["hash", "table"], lang="en")}) s
+UNION ALL
+SELECT 'b_not' AS qid, s.* FROM ({_bm25_sql(["hash"], exclude="merge")}) s
+UNION ALL
+SELECT 'b_or' AS qid, s.* FROM (
+  {_bm25_sql([], lang="en", or_group=["hash", "merge"])}) s
+""",
         # gbtermid:<tid(hash)> table == conjunctive (hash, table), no bigram
         "engine_gbtermid": _bm25_sql(["hash", "table"]),
         "engine_boolean_nested": _NESTED_OR_SQL,

@@ -365,7 +365,13 @@ def _phrase_flag_columns(plan: QueryPlan) -> dict[int, F.Column]:
                 F.col("plists"),
                 lambda x: (x["termid"] == int(tid)) & (x["field"] == int(fld)),
             )
-            return F.element_at(hit, 1)["positions"]
+            # try_element_at, not element_at: under ANSI (Spark 4 default)
+            # element_at throws on an empty hit list. Boolean short-circuit
+            # usually hides that (the member AND fails first), but Catalyst
+            # may reorder/share predicates — e.g. the batch path's
+            # OR-over-queries membership expression — so the lookup must be
+            # null-safe on its own; have_all handles the NULL.
+            return F.try_element_at(hit, F.lit(1))["positions"]
 
         pos = [member_pos(t, ph.field) for t in ph.termids]
         have_all = pos[0].isNotNull()

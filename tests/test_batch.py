@@ -101,6 +101,51 @@ def test_batch_empty_and_unmatched(spark, index_dir):
     assert [r for r in got if r["qid"] == "hit"]
 
 
+def test_phrase_flag_empty_plists(spark):
+    """Regression: under ANSI (Spark 4 default) element_at throws on an empty
+    plists hit list. Single-query plans are saved by AND short-circuit, but
+    the batch path's OR-over-queries membership lets Catalyst evaluate a
+    phrase flag on a row whose (qidx, docid) group matched no phrase member
+    (e.g. a LANG-spec-only match) — the flag must be False, not a crash."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.operators.query_engine import (
+        _phrase_flag_columns,
+    )
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    plan = parse_query('"binary search"')
+    flags = _phrase_flag_columns(plan)
+    df = spark.createDataFrame(
+        [([],)], "plists array<struct<termid:long,field:int,positions:array<int>>>"
+    )
+    rows = df.select(*[c.alias(f"f{i}") for i, c in flags.items()]).collect()
+    assert all(v is False for v in rows[0])
+
+
+def test_batch_mixed_phrase_nonphrase(spark, index_dir):
+    """The bench q_batch7 shape: phrase and non-phrase queries in ONE batch
+    (plists column present for every row) must still equal the singles —
+    this mix is what exposed the ANSI element_at crash."""
+    from open_source_search_engine_spark.operators.batch import batch_topk
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    mixed = [
+        ("a", "binary search"),
+        ("b", "lang:python sort"),
+        ("c", '"binary search"'),
+        ("d", "search -sort"),
+        ("e", "binary OR (sort AND search)"),
+    ]
+    got = batch_topk(spark, index_dir, [q for _, q in mixed], k=10,
+                     labels=[l for l, _ in mixed]).collect()
+    for lab, q in mixed:
+        single = topk(spark, index_dir, q, k=10, prune=False).collect()
+        b = sorted([r for r in got if r["qid"] == lab], key=lambda r: r["rank"])
+        assert [(r["docid"], r["score"]) for r in b] == [
+            (r["docid"], r["score"]) for r in single], lab
+
+
 def test_batch_labels_validation(spark, index_dir):
     from open_source_search_engine_spark.operators.batch import batch_topk
 
