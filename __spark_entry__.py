@@ -48,12 +48,16 @@ def _bm25_sql(words: list[str], *, lang: str | None = None,
               exclude: str | None = None, bigram: tuple[str, str] | None = None,
               bigram_required: bool = False,
               optional_terms: list[tuple[str, float]] | None = None,
-              or_group: list[str] | None = None) -> str:
+              or_group: list[str] | None = None,
+              extra_cte: str = "", extra_join: str = "",
+              mult_expr: str | None = None) -> str:
     """BM25 oracle over documents body text mirroring the engine's plan:
     conjunctive required terms, optional lang filter, optional exclusion,
     optional/required adjacent-bigram term at weight 5 (the query-bigram
     attach, SURVEY.md §2.5 Q6), and weighted optional terms (the synonym
-    attach, SURVEY.md §2.5 Q7)."""
+    attach, SURVEY.md §2.5 Q7). ``extra_cte``/``extra_join``/``mult_expr``
+    bolt on a per-doc score multiplier (the siterank prior gate): the score
+    becomes round((contribs) * mult_expr, 4)."""
     optional_terms = optional_terms or []
     or_group = or_group or []
     _excl = [exclude] if isinstance(exclude, str) else (exclude or [])
@@ -117,20 +121,24 @@ bigdf AS (SELECT count(*) AS df FROM big)"""
             f"NOT EXISTS (SELECT 1 FROM tf fx WHERE fx.doc_id = d.doc_id AND fx.tok = '{ex}')"
         )
     where = ("WHERE " + " AND ".join(filters)) if filters else ""
+    score = " + ".join(contribs)
+    if mult_expr is not None:
+        score = f"({score}) * ({mult_expr})"
     return f"""
 WITH{TOKS_CTE},
 base AS (SELECT count(*) AS n, (sum(len(t)) / count(*)) AS avgdl FROM toks),
 occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
 tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ WHERE tok IN ({wl}) GROUP BY 1, 2),
 dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-dl AS (SELECT doc_id, len(t) AS dl FROM toks){big_cte}
+dl AS (SELECT doc_id, len(t) AS dl FROM toks){big_cte}{extra_cte}
 SELECT d.doc_id,
-       round({' + '.join(contribs)}, 4) AS score_r,
+       round({score}, 4) AS score_r,
        sha256(t2.text) AS content_sha256
 FROM dl d
 CROSS JOIN base b
 {chr(10).join(joins)}
 JOIN documents t2 ON t2.doc_id = d.doc_id
+{extra_join}
 {where}
 """
 
@@ -660,6 +668,72 @@ def _q_engine_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_id_from_path(res).select(
         "qid", "doc_id", F.round("score", 4).alias("score_r"),
         "content_sha256"
+    )
+
+
+def _siterank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic import-graph edge set over the documents table (the
+    testdata text has no import statements, so the gate feeds the rank
+    computation + serving prior an explicit edge table — the extraction
+    regex is pytest-gated on the synthetic corpus, test_linkrank.py)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = F.concat(F.lit("src"), (F.col("doc_id") % 13).cast("string"))
+    return (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(src.alias("src_repo"), F.col("source").alias("dst_repo"))
+        .filter(F.col("src_repo") != F.col("dst_repo"))
+        .distinct()
+    )
+
+
+def _q_engine_siterank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC5 siterank prior (operators/linkrank.py): getSiteRank bucket of
+    distinct-importer counts, highest-inlink adjustment
+    (/root/reference/PosdbTable.cpp:3901-3908), normalized multiplier into
+    the BM25 score before top-k."""
+    from open_source_search_engine_spark.operators.linkrank import repo_rank
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    rr = repo_rank(_siterank_edges(spark, sf_dir))
+    res = topk(spark, idx, "hash lang:en table", k=1_000_000, repo_rank=rr)
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
+def _siterank_sql() -> str:
+    from open_source_search_engine_spark.operators.linkrank import (
+        SNI_BOUNDS, RANK_MULT_DENOM, SITE_RANK_MULTIPLIER,
+    )
+
+    bucket = "CASE " + " ".join(
+        f"WHEN n <= {b} THEN {r}" for r, b in enumerate(SNI_BOUNDS)
+    ) + " ELSE 15 END"
+    extra_cte = f""",
+links AS (
+  SELECT DISTINCT 'src' || CAST(doc_id % 13 AS VARCHAR) AS s, source AS t
+  FROM documents
+  WHERE doc_id % 3 = 0 AND 'src' || CAST(doc_id % 13 AS VARCHAR) <> source
+),
+sni AS (SELECT t AS repo, count(DISTINCT s) AS n FROM links GROUP BY t),
+rnk AS (SELECT repo, {bucket} AS r FROM sni),
+hm AS (SELECT l.t AS repo, max(coalesce(r2.r, 0)) AS h
+       FROM links l LEFT JOIN rnk r2 ON r2.repo = l.s GROUP BY l.t),
+rrm AS (SELECT rnk.repo,
+               ((CASE WHEN hm.h > rnk.r
+                      THEN CAST(rnk.r AS DOUBLE) + (hm.h - rnk.r) / 3.0
+                      ELSE CAST(rnk.r AS DOUBLE) END)
+                * {SITE_RANK_MULTIPLIER!r} + 1.0) / {RANK_MULT_DENOM!r} AS m
+        FROM rnk LEFT JOIN hm ON hm.repo = rnk.repo)"""
+    return _bm25_sql(
+        ["hash", "table"], lang="en",
+        extra_cte=extra_cte,
+        extra_join="LEFT JOIN rrm ON rrm.repo = t2.source",
+        mult_expr=f"coalesce(rrm.m, {1.0 / RANK_MULT_DENOM!r})",
     )
 
 
@@ -1329,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_soft_stops": _q_engine_soft_stops,
         "engine_pagination": _q_engine_pagination,
         "engine_batch": _q_engine_batch,
+        "engine_siterank": _q_engine_siterank,
         # --- tokenize/stats primitives ---
         "doc_term_df": _q_doc_term_df,
         # --- dedup family ---
@@ -1379,6 +1454,7 @@ SELECT 'b_or' AS qid, s.* FROM (
 """,
         # gbtermid:<tid(hash)> table == conjunctive (hash, table), no bigram
         "engine_gbtermid": _bm25_sql(["hash", "table"]),
+        "engine_siterank": _siterank_sql(),
         "engine_boolean_nested": _NESTED_OR_SQL,
         "engine_boolean_not_kw": _bm25_sql(["sort"], exclude=["hash", "merge"]),
         "engine_phrase3": _phrase3_sql(),

@@ -74,6 +74,16 @@ def _make_row(i: int, seed: int) -> dict:
         lines.append(f"{PLANTED_RARE[i % len(PLANTED_RARE)]} = 1;")
     if i % 11 == 0:
         lines.append(PLANTED_PHRASES[i % len(PLANTED_PHRASES)] + ";")
+    # cross-repo import references (link-graph / siterank analog,
+    # operators/linkrank.py): every 4th doc imports one target repo drawn
+    # with exponential skew, so a few repos collect many distinct importers
+    # and the getSiteRank buckets are non-trivial at test scale. Drawn after
+    # the body loop, so pre-existing content is unchanged by this addition.
+    if i % 4 == 0:
+        t = min(int(rng.exponential(2.0)), 160)
+        tgt = f"org{t % 7}/repo{t % 23}"
+        if tgt != repo:
+            lines.append(f"import {tgt};")
     content = "\n".join(lines)
     commit = hashlib.sha1(f"{repo}/{path}/{seed}".encode()).hexdigest()
     return {

@@ -1,0 +1,125 @@
+"""Repo-rank: the siterank/link-graph prior (SC5's missing half).
+
+The reference stores a 4-bit siteRank per doc in the posdb key
+(/root/reference/Posdb.h:65,148-152), derived from the site's good-inlink
+count via a fixed bucket table (getSiteRank, /root/reference/Msg25.cpp:5081-
+5099), adjusts it upward when a higher-ranked site links in
+(adjustedSiteRank = siteRank + (highestInlinkSiteRank - siteRank)/3,
+/root/reference/PosdbTable.cpp:3901-3908), and folds it into the final
+score as ``score = minScore * (adjustedSiteRank * multiplier + 1.0)`` with
+multiplier default 0.333333 (/root/reference/Parms.cpp:4139-4148).
+
+For a source-code corpus the link graph analog is the IMPORT graph: repo A
+links to repo B when a document of A contains ``import B`` (B a repo-shaped
+``org/name`` token). "Good inlinks" — the reference counts one vote per
+linking site (Msg25 numGoodInlinks dedups by site) — becomes the number of
+DISTINCT importing repos.
+
+Spark shape, scale notes:
+
+- extraction is one JVM-side ``regexp_extract_all`` + explode + distinct —
+  map work plus one shuffle proportional to the EDGE set (distinct
+  (src,dst) pairs ≲ #repos², in practice ≪ corpus size), never to postings;
+- rank computation is two aggregations and one self-join on the edge set —
+  all keyed by repo, so the whole graph pass is tiny next to the index;
+- at serving time the (repo → multiplier) table is broadcast (#repos rows);
+  attaching repo to each candidate docid reuses the docmap join the result
+  page needs anyway. Like the page-temperature prior, a per-doc score
+  multiplier invalidates WAND's per-block upper bounds, so ``topk(...,
+  repo_rank=...)`` forces the declarative path; the multiplier is
+  normalized ≤ 1 ((adj*m+1)/(15*m+1), same rank order as the reference's
+  (adj*m+1)) so a future WAND integration stays bound-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MAX_SITE_RANK = 15  # MAXSITERANK, /root/reference/Posdb.h:65
+SITE_RANK_MULTIPLIER = 1.0 / 3.0  # Parms.cpp:4144 default "0.333333"
+
+# getSiteRank's bucket upper bounds (inclusive), Msg25.cpp:5081-5099:
+# rank r for sni <= SNI_BOUNDS[r]; sni above the last bound → 15.
+SNI_BOUNDS = [0, 1, 2, 3, 4, 5, 9, 19, 39, 79, 199, 499, 1999, 4999, 9999]
+
+# scores are scaled so the best possible multiplier is exactly 1.0
+RANK_MULT_DENOM = float(MAX_SITE_RANK) * SITE_RANK_MULTIPLIER + 1.0
+
+IMPORT_RE = r"import\s+([A-Za-z0-9_.\-]+/[A-Za-z0-9_.\-]+)"
+
+
+def site_rank_of(sni: int) -> int:
+    """Python mirror of getSiteRank (Msg25.cpp:5081-5099)."""
+    for r, bound in enumerate(SNI_BOUNDS):
+        if sni <= bound:
+            return r
+    return MAX_SITE_RANK
+
+
+def site_rank_col(sni: Column) -> Column:
+    """getSiteRank as a column expression (whole-stage codegen CASE chain)."""
+    expr = F.lit(MAX_SITE_RANK)
+    for r in range(len(SNI_BOUNDS) - 1, -1, -1):
+        expr = F.when(sni <= F.lit(SNI_BOUNDS[r]), F.lit(r)).otherwise(expr)
+    return expr
+
+
+def rank_multiplier_col(adj_rank: Column) -> Column:
+    """Normalized score multiplier for an adjusted rank: rank 15 → 1.0,
+    rank 0 → 1/(15m+1). Same ordering as the reference's (adj*m + 1)."""
+    return (adj_rank * F.lit(SITE_RANK_MULTIPLIER) + F.lit(1.0)) / F.lit(
+        RANK_MULT_DENOM)
+
+
+def extract_repo_links(corpus: DataFrame) -> DataFrame:
+    """(src_repo, dst_repo) edges from ``import org/name`` references in
+    content. Distinct edges, self-imports dropped (a site's links to itself
+    are not inlinks)."""
+    return (
+        corpus.select(
+            F.col("repo").alias("src_repo"),
+            F.explode(
+                F.regexp_extract_all("content", F.lit(IMPORT_RE), F.lit(1))
+            ).alias("dst_repo"),
+        )
+        .filter(F.col("src_repo") != F.col("dst_repo"))
+        .distinct()
+    )
+
+
+def repo_rank(links: DataFrame) -> DataFrame:
+    """(repo, inlinks, rank, adj_rank) for every repo that has inlinks.
+
+    - ``inlinks``: distinct importing repos (numGoodInlinks analog);
+    - ``rank``: getSiteRank bucket of inlinks;
+    - ``adj_rank``: rank + (highest importing repo's rank - rank)/3 when a
+      higher-ranked repo links in (PosdbTable.cpp:3901-3908) — expressions
+      kept in the exact arithmetic form of the reference so the DuckDB
+      oracle reproduces identical doubles.
+    Repos absent from the result implicitly rank 0 (multiplier
+    1/RANK_MULT_DENOM), matching the reference's sni<=0 → 0 bucket.
+    """
+    links = links.select("src_repo", "dst_repo").distinct()
+    sni = links.groupBy(F.col("dst_repo").alias("repo")).agg(
+        F.countDistinct("src_repo").alias("inlinks"))
+    ranked = sni.withColumn("rank", site_rank_col(F.col("inlinks")))
+    src_rank = ranked.select(
+        F.col("repo").alias("src_repo"), F.col("rank").alias("_sr"))
+    hmax = (
+        links.join(F.broadcast(src_rank), "src_repo", "left")
+        .groupBy(F.col("dst_repo").alias("repo"))
+        .agg(F.max(F.coalesce(F.col("_sr"), F.lit(0))).alias("_hmax"))
+    )
+    return (
+        ranked.join(F.broadcast(hmax), "repo", "left")
+        .select(
+            "repo", "inlinks", "rank",
+            F.when(
+                F.col("_hmax") > F.col("rank"),
+                F.col("rank").cast("double")
+                + (F.col("_hmax") - F.col("rank")) / F.lit(3.0),
+            )
+            .otherwise(F.col("rank").cast("double"))
+            .alias("adj_rank"),
+        )
+    )

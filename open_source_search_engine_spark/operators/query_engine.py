@@ -409,6 +409,7 @@ def topk(
     site_max: int | None = None,
     dedup_content: bool = False,
     temperature: DataFrame | None = None,
+    repo_rank: DataFrame | None = None,
     ranker: str = "bm25",
     use_shortcuts: bool = False,
 ) -> DataFrame:
@@ -442,6 +443,11 @@ def topk(
       /root/reference/PageTemperatureRegistry.h:9-30,
       /root/reference/PosdbTable.cpp:3924-3941); forces the declarative
       path (a score multiplier would invalidate WAND's upper bounds);
+    - ``repo_rank``: optional (repo, adj_rank) siterank prior
+      (operators/linkrank.py): score *= (adj_rank*m + 1)/(15m + 1) — the
+      reference's score = minScore*(adjustedSiteRank*multiplier + 1),
+      /root/reference/PosdbTable.cpp:3901-3909, normalized ≤ 1; repos
+      absent rank 0. Forces the declarative path like ``temperature``;
     - ``ranker="bm25_proximity"``: multiplies BM25 by a proximity factor
       from the minimal window covering all required terms (SC4
       sliding-window analog; declarative path only);
@@ -458,7 +464,7 @@ def topk(
         return _topk_postprocessed(
             spark, index_dir, query, k, cursor=cursor, prune=prune,
             handle=handle, site_max=site_max, dedup_content=dedup_content,
-            temperature=temperature, ranker=ranker)
+            temperature=temperature, repo_rank=repo_rank, ranker=ranker)
     plan = parse_query(query) if isinstance(query, str) else query
     if not plan.required or plan.expr is None:
         return spark.createDataFrame(
@@ -490,8 +496,8 @@ def topk(
     from .index_build import load_superseded
     from .wand import wand_eligible, wand_topk
 
-    if (prune and temperature is None and ranker == "bm25"
-            and wand_eligible(plan, k, cursor)):
+    if (prune and temperature is None and repo_rank is None
+            and ranker == "bm25" and wand_eligible(plan, k, cursor)):
         from .wand import SideTableTooLarge
 
         try:
@@ -639,6 +645,27 @@ def topk(
                      ).alias("score"))
         )
 
+    if repo_rank is not None:
+        # siterank prior (SC5's link-graph half, operators/linkrank.py):
+        # repo per candidate comes from the docmap join the result page
+        # needs anyway (candidates ≪ corpus, AQE picks the join), the
+        # (repo → multiplier) table is broadcast (#repos rows). Repos with
+        # no inlinks multiply by rank 0's 1/(15m+1).
+        from .linkrank import RANK_MULT_DENOM, rank_multiplier_col
+
+        dm_repo = _serving_docmap(spark, h, sup).select("docid", "repo")
+        rr_b = F.broadcast(repo_rank.select(
+            "repo", rank_multiplier_col(F.col("adj_rank")).alias("_rmult")))
+        agg = (
+            agg.join(dm_repo, "docid", "inner")
+            .join(rr_b, "repo", "left")
+            .select(
+                "docid",
+                (F.col("score") * F.coalesce(
+                    F.col("_rmult"), F.lit(1.0 / RANK_MULT_DENOM))
+                 ).alias("score"))
+        )
+
     if len(prox_members) >= 2:
         # SC4 sliding-window proximity (body) + SC3 non-body pair matrix
         # (title/url windows): boost by the BEST field's covering window;
@@ -698,7 +725,7 @@ def topk(
 def _topk_postprocessed(
     spark: SparkSession, index_dir: str, query, k: int, *,
     cursor, prune, handle, site_max, dedup_content, temperature,
-    ranker: str = "bm25",
+    repo_rank=None, ranker: str = "bm25",
 ) -> DataFrame:
     """Site clustering / dup-content removal with the reference's recall
     loop: fetch 2× headroom, filter, and re-query deeper (doubling, ≤3
@@ -707,7 +734,7 @@ def _topk_postprocessed(
     for _ in range(3):
         base = topk(spark, index_dir, query, fetch_k, cursor=cursor,
                     prune=prune, handle=handle, temperature=temperature,
-                    ranker=ranker)
+                    repo_rank=repo_rank, ranker=ranker)
         rows = base.collect()
         kept = _apply_result_filters(rows, site_max, dedup_content)
         if len(kept) >= k or len(rows) < fetch_k:
@@ -742,14 +769,12 @@ def _apply_result_filters(rows, site_max, dedup_content):
     return out
 
 
-def _join_docmap(spark: SparkSession, h: IndexHandle, top: DataFrame,
-                 sup: DataFrame | None) -> DataFrame:
-    """(docid, score) top rows → final result via the doc-store lookup
-    (Msg20 title-rec analog)."""
+def _serving_docmap(spark: SparkSession, h: IndexHandle,
+                    sup: DataFrame | None) -> DataFrame:
+    """Docmap filtered to one row per docid: a reindexed doc keeps rows for
+    every generation until compaction rewrites docmap — keep the newest."""
     docmap = spark.read.parquet(catalog.table_path(h.index_dir, "docmap"))
     if sup is not None:
-        # one docmap row per docid: a reindexed doc keeps rows for every
-        # generation until compaction rewrites docmap — join the newest only
         sup_b = F.broadcast(sup.withColumnRenamed("gen_seq", "_newest"))
         docmap = (
             docmap.join(sup_b, "docid", "left")
@@ -757,6 +782,14 @@ def _join_docmap(spark: SparkSession, h: IndexHandle, top: DataFrame,
                     | (F.col("gen_seq") == F.col("_newest")))
             .drop("_newest")
         )
+    return docmap
+
+
+def _join_docmap(spark: SparkSession, h: IndexHandle, top: DataFrame,
+                 sup: DataFrame | None) -> DataFrame:
+    """(docid, score) top rows → final result via the doc-store lookup
+    (Msg20 title-rec analog)."""
+    docmap = _serving_docmap(spark, h, sup)
     out = (
         top.join(docmap, "docid", "inner")
         .select("docid", "score", "repo", "path", "content_sha256")

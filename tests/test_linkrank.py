@@ -1,0 +1,153 @@
+"""Repo-rank / siterank prior (operators/linkrank.py — SC5's link-graph
+half): import-graph extraction, the getSiteRank bucket table
+(/root/reference/Msg25.cpp:5081-5099), the highest-inlink adjustment
+(/root/reference/PosdbTable.cpp:3901-3908), and the serving-path multiplier
+(score = minScore*(adj*m+1), /root/reference/Parms.cpp:4139-4148 — here
+normalized ≤ 1)."""
+
+import re
+
+import pytest
+
+
+def _python_links(corpus_rows):
+    from open_source_search_engine_spark.operators.linkrank import IMPORT_RE
+
+    edges = set()
+    for r in corpus_rows:
+        for tgt in re.findall(IMPORT_RE, r["content"]):
+            if tgt != r["repo"]:
+                edges.add((r["repo"], tgt))
+    return edges
+
+
+def _python_repo_rank(edges):
+    from open_source_search_engine_spark.operators.linkrank import site_rank_of
+
+    srcs_of = {}
+    for s, t in edges:
+        srcs_of.setdefault(t, set()).add(s)
+    rank = {t: site_rank_of(len(ss)) for t, ss in srcs_of.items()}
+    out = {}
+    for t, ss in srcs_of.items():
+        r = rank[t]
+        hmax = max(rank.get(s, 0) for s in ss)
+        adj = r + (hmax - r) / 3.0 if hmax > r else float(r)
+        out[t] = (len(ss), r, adj)
+    return out
+
+
+def test_site_rank_bucket_table(spark):
+    """The bucket table must match Msg25.cpp:5081-5099 exactly, scalar and
+    column implementations identical."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.operators.linkrank import (
+        site_rank_col, site_rank_of,
+    )
+
+    expected = {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 9: 6, 10: 7,
+                19: 7, 20: 8, 39: 8, 40: 9, 79: 9, 80: 10, 199: 10, 200: 11,
+                499: 11, 500: 12, 1999: 12, 2000: 13, 4999: 13, 5000: 14,
+                9999: 14, 10000: 15, 10 ** 9: 15, -5: 0}
+    for sni, want in expected.items():
+        assert site_rank_of(sni) == want, sni
+    df = spark.createDataFrame([(s,) for s in expected], "sni long")
+    got = {r["sni"]: r["r"] for r in
+           df.select("sni", site_rank_col(F.col("sni")).alias("r")).collect()}
+    assert got == expected
+
+
+def test_extract_links_matches_python(spark, corpus_rows):
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.linkrank import (
+        extract_repo_links,
+    )
+
+    got = {(r["src_repo"], r["dst_repo"]) for r in
+           extract_repo_links(corpus_df(spark, len(corpus_rows))).collect()}
+    want = _python_links(corpus_rows)
+    assert got == want
+    assert len(want) >= 10  # the corpus plants a real graph
+
+
+def test_corpus_import_graph_is_skewed(corpus_rows):
+    """The planted graph must give some repo several distinct importers —
+    otherwise every rank is 0-2 and the prior tests nothing."""
+    edges = _python_links(corpus_rows)
+    srcs_of = {}
+    for s, t in edges:
+        srcs_of.setdefault(t, set()).add(s)
+    assert max(len(ss) for ss in srcs_of.values()) >= 4
+
+
+def test_repo_rank_exact(spark, corpus_rows):
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.linkrank import (
+        extract_repo_links, repo_rank,
+    )
+
+    rr = repo_rank(extract_repo_links(corpus_df(spark, len(corpus_rows))))
+    got = {r["repo"]: (r["inlinks"], r["rank"], r["adj_rank"])
+           for r in rr.collect()}
+    want = _python_repo_rank(_python_links(corpus_rows))
+    assert got == want  # adj_rank bit-equal: same (hmax-r)/3.0 arithmetic
+
+
+@pytest.fixture(scope="module")
+def rr_df(spark, corpus_rows):
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.linkrank import (
+        extract_repo_links, repo_rank,
+    )
+
+    return repo_rank(
+        extract_repo_links(corpus_df(spark, len(corpus_rows)))).cache()
+
+
+def test_topk_repo_rank_rescoring(spark, index_dir, rr_df):
+    """topk(repo_rank=...) == base results rescored by the normalized
+    multiplier and re-sorted — scores bit-equal (same double arithmetic)."""
+    from open_source_search_engine_spark.operators.linkrank import (
+        RANK_MULT_DENOM, SITE_RANK_MULTIPLIER,
+    )
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    adj = {r["repo"]: r["adj_rank"] for r in rr_df.collect()}
+
+    def mult(repo):
+        return (adj.get(repo, 0.0) * SITE_RANK_MULTIPLIER + 1.0) / RANK_MULT_DENOM
+
+    base = topk(spark, index_dir, "hash table", k=10_000, prune=False).collect()
+    assert len(base) > 20
+    want = sorted(
+        ((r["docid"], r["score"] * mult(r["repo"])) for r in base),
+        key=lambda x: (-x[1], x[0]))
+    got = topk(spark, index_dir, "hash table", k=10_000,
+               repo_rank=rr_df).collect()
+    assert [(r["docid"], r["score"]) for r in got] == want
+    # the prior must actually reorder something at this corpus scale
+    assert [d for d, _ in want] != [r["docid"] for r in base]
+
+
+def test_topk_repo_rank_prune_equality(spark, index_dir, rr_df):
+    """prune=True with a repo_rank prior must fall back losslessly (the
+    multiplier invalidates WAND bounds, so both runs are declarative)."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    a = topk(spark, index_dir, "hash table", k=25, repo_rank=rr_df,
+             prune=True).collect()
+    b = topk(spark, index_dir, "hash table", k=25, repo_rank=rr_df,
+             prune=False).collect()
+    assert [(r["docid"], r["score"]) for r in a] == [
+        (r["docid"], r["score"]) for r in b]
+
+
+def test_topk_repo_rank_composes_with_postprocess(spark, index_dir, rr_df):
+    """site_max clustering runs on the rescored order."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    rows = topk(spark, index_dir, "hash table", k=10, repo_rank=rr_df,
+                site_max=1).collect()
+    repos = [r["repo"] for r in rows]
+    assert len(repos) == len(set(repos))
