@@ -419,8 +419,9 @@ def topk(
     Two physical strategies behind one logical result:
 
     - **block-max WAND** (``prune=True`` and the query is a flat boolean
-      conjunction of term groups — quoted phrases, cursors and ``&qlang``
-      included; no site/ext/sha/docid filters, k bounded):
+      conjunction of term groups — quoted phrases, cursors, ``&qlang``,
+      site/ext/sha filters and gbdocid pins (as a budgeted whitelist mask
+      inside the decode) included; k bounded):
       document-at-a-time scoring with a running top-k threshold per docid
       cell — hot termlists are only decoded where a candidate's optimistic
       bound can still beat the floor (operators/wand.py);
@@ -697,18 +698,7 @@ def topk(
     # document filters (J6 whitelist analog): restrict by docmap BEFORE top-k
     if plan.site_filters or plan.ext_filters or plan.sha_filters:
         dm = spark.read.parquet(catalog.table_path(h.index_dir, "docmap"))
-        cond = F.lit(True)
-        if plan.site_filters:
-            cond = cond & F.col("repo").isin(list(plan.site_filters))
-        if plan.ext_filters:
-            ext_c = F.lit(False)
-            for e in plan.ext_filters:
-                ext_c = ext_c | F.col("path").endswith("." + e)
-            cond = cond & ext_c
-        if plan.sha_filters:
-            # gbcontenthash: — the content-hash dedup term analog
-            cond = cond & F.col("content_sha256").isin(list(plan.sha_filters))
-        allowed = dm.filter(cond).select("docid")
+        allowed = dm.filter(docmap_filter_cond(plan)).select("docid")
         agg = agg.join(allowed, "docid", "leftsemi")
 
     if cursor is not None:
@@ -767,6 +757,24 @@ def _apply_result_filters(rows, site_max, dedup_content):
         if site_max is not None:
             per_site[r["repo"]] = per_site.get(r["repo"], 0) + 1
     return out
+
+
+def docmap_filter_cond(plan: QueryPlan) -> F.Column:
+    """Docmap predicate for the J6 whitelist field ops (site:/repo:, ext:,
+    gbcontenthash:) — shared by the declarative semi-join and the WAND
+    whitelist fetch."""
+    cond = F.lit(True)
+    if plan.site_filters:
+        cond = cond & F.col("repo").isin(list(plan.site_filters))
+    if plan.ext_filters:
+        ext_c = F.lit(False)
+        for e in plan.ext_filters:
+            ext_c = ext_c | F.col("path").endswith("." + e)
+        cond = cond & ext_c
+    if plan.sha_filters:
+        # gbcontenthash: — the content-hash dedup term analog
+        cond = cond & F.col("content_sha256").isin(list(plan.sha_filters))
+    return cond
 
 
 def _serving_docmap(spark: SparkSession, h: IndexHandle,

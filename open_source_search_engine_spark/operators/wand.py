@@ -127,6 +127,43 @@ def load_delete_state(index_dir: str):
     return tomb_d, sup_d, sup_g
 
 
+def load_allowed_docids(spark, index_dir: str, plan: QueryPlan):
+    """Whitelist docid array for doc-filtered queries — the J6 site/ext/sha
+    filters and the gbdocid: pin applied INSIDE the intersection, as the
+    reference does (/root/reference/PosdbTable.cpp:4297-4372 consults the
+    whitelist per candidate rather than post-filtering), so a hot-term
+    ``site:`` query keeps block-max pruning instead of falling back to a
+    full declarative decode.
+
+    Budgeted like the delete state: a whitelist past
+    ``WAND_SIDE_TABLE_MAX`` docids raises :class:`SideTableTooLarge` and
+    serving falls back to the declarative semi-join path (which handles any
+    cardinality). Returns a SORTED unique int64 array; empty array = the
+    filter matches nothing."""
+    import numpy as np
+
+    from ..sources import catalog
+    from .query_engine import docmap_filter_cond
+
+    if plan.site_filters or plan.ext_filters or plan.sha_filters:
+        dm = (
+            spark.read.parquet(catalog.table_path(index_dir, "docmap"))
+            .filter(docmap_filter_cond(plan))
+            .select("docid")
+            .limit(WAND_SIDE_TABLE_MAX + 1)
+        )
+        pdf = dm.toPandas()
+        if len(pdf) > WAND_SIDE_TABLE_MAX:
+            raise SideTableTooLarge("docmap-whitelist")
+        allowed = np.unique(pdf["docid"].to_numpy(np.int64))
+    else:
+        allowed = None
+    if plan.docid_filter is not None:
+        pin = np.array([int(plan.docid_filter)], dtype=np.int64)
+        allowed = pin if allowed is None else np.intersect1d(allowed, pin)
+    return allowed
+
+
 def _phrases_wand_expressible(plan: QueryPlan) -> bool:
     """Quoted phrases ride the WAND path when every phrase leaf is a
     POSITIVE top-level conjunct: adjacency is then one extra per-candidate
@@ -168,13 +205,12 @@ def wand_eligible(plan: QueryPlan, k: int, cursor) -> bool:
     # &qlang: the scorer probes the two zero-weight LANG membership lists
     # per candidate and multiplies the exact score by the ≤1 language
     # weight; unweighted block bounds remain valid upper bounds.
+    # site/ext/sha filters and the gbdocid: pin are served as a budgeted
+    # whitelist mask inside the decode (load_allowed_docids) — block bounds
+    # over-estimate masked rows, so pruning stays lossless.
     return (
         k <= WAND_MAX_K
         and _phrases_wand_expressible(plan)
-        and not plan.site_filters
-        and not plan.ext_filters
-        and not plan.sha_filters
-        and plan.docid_filter is None
         and plan.conjunctive_groups() is not None
     )
 
@@ -312,6 +348,7 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
     tomb = meta.get("tomb")
     sup_d = meta.get("sup_d")
     sup_g = meta.get("sup_g")
+    allowed = meta.get("allowed")  # sorted whitelist docids (None = all)
     cell_w = (DOCID_MASK + n_cells) // n_cells
 
     # quoted-phrase member lists keep word positions through decode
@@ -320,11 +357,17 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
                 for t in tids}
 
     def filt(d, gen_seq):
-        """Tombstone + newest-generation keep MASK for one decoded run
-        (None = keep all)."""
-        if (tomb is None and sup_d is None) or not len(d):
+        """Whitelist + tombstone + newest-generation keep MASK for one
+        decoded run (None = keep all)."""
+        if (tomb is None and sup_d is None and allowed is None) or not len(d):
             return None
         keep = np.ones(len(d), dtype=bool)
+        if allowed is not None:
+            if len(allowed):
+                ix = np.minimum(np.searchsorted(allowed, d), len(allowed) - 1)
+                keep &= allowed[ix] == d
+            else:
+                keep[:] = False
         if tomb is not None:
             keep &= ~np.isin(d, tomb)
         if sup_d is not None:
@@ -642,6 +685,7 @@ def wand_topk(
     meta = _build_query_meta(plan, dfs, n_docs, avgdl)
     tomb, sup_d, sup_g = load_delete_state(index_dir)
     meta["tomb"], meta["sup_d"], meta["sup_g"] = tomb, sup_d, sup_g
+    meta["allowed"] = load_allowed_docids(spark, index_dir, plan)
     meta["cursor"] = ((float(cursor[0]), int(cursor[1]))
                       if cursor is not None else None)
 

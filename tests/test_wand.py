@@ -208,3 +208,70 @@ def test_qlang_queries_take_wand_path_and_stay_exact(spark, fine_index):
         for docid, s in a:
             ratios = [s / unw[docid] / m for m in (1.0, 0.5, 0.05)]
             assert any(abs(r - 1.0) < 1e-9 for r in ratios), (q, docid)
+
+
+def test_filtered_queries_take_wand_path_and_stay_exact(spark, fine_index):
+    """r3: site:/ext:/gbdocid: queries are WAND-eligible — the whitelist is
+    a budgeted docid mask inside the decode (load_allowed_docids), so block
+    bounds stay valid upper bounds. Bit-equal to the declarative semi-join."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.operators.wand import wand_eligible
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    # pick filter values that definitely match something: the repo and
+    # extension of a mid-ranked unfiltered result
+    probe = topk(spark, fine_index, "scan if", 10, prune=False).collect()[4]
+    site, ext = probe["repo"], probe["path"].rsplit(".", 1)[1]
+    queries = [f"scan if site:{site}", f"if table ext:{ext}",
+               f"scan if site:{site} ext:{ext}"]
+    for q in queries:
+        assert wand_eligible(parse_query(q), 10, None), q
+        a = [(r["docid"], r["score"], r["repo"], r["path"]) for r in
+             topk(spark, fine_index, q, 10, prune=True).collect()]
+        b = [(r["docid"], r["score"], r["repo"], r["path"]) for r in
+             topk(spark, fine_index, q, 10, prune=False).collect()]
+        assert a == b, f"filtered prune on/off diverged for {q!r}"
+        assert a, q
+    # every result honors the filter
+    for r in topk(spark, fine_index, queries[0], 10).collect():
+        assert r["repo"] == site
+    # docid pin rides WAND too
+    d = topk(spark, fine_index, "scan if", 3, prune=False).collect()[1]["docid"]
+    pin = topk(spark, fine_index, f"gbdocid:{d} scan if", 10).collect()
+    assert [r["docid"] for r in pin] == [d]
+    # a filter matching nothing returns zero rows on both paths
+    assert topk(spark, fine_index, "scan if site:nosuch/repo", 10).count() == 0
+    assert topk(spark, fine_index, "scan if site:nosuch/repo", 10,
+                prune=False).count() == 0
+
+
+def test_site_filtered_hot_query_skips_hot_blocks(spark, fine_index):
+    """The point of the whitelist mask: a hot-term site: query keeps
+    threshold pruning instead of decoding the stop term's full termlist
+    (the r2 behavior for any filtered query)."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    probe = topk(spark, fine_index, "scan if", 10, prune=False).collect()[0]
+    rows, decoded = _run_counted(
+        spark, fine_index, f"scan if site:{probe['repo']}", "if", k=10)
+    assert rows
+    total = _block_count(spark, fine_index, _tid("if"))
+    assert total >= 100
+    frac = decoded / total
+    assert frac < 0.35, f"decoded {decoded}/{total} = {frac:.0%} of hot blocks"
+
+
+def test_whitelist_budget_falls_back_to_declarative(spark, fine_index,
+                                                    monkeypatch):
+    """A whitelist past WAND_SIDE_TABLE_MAX docids raises SideTableTooLarge
+    and serving falls back to the declarative path with identical results."""
+    from open_source_search_engine_spark.operators import wand
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    q = "scan if ext:py"
+    want = [(r["docid"], r["score"]) for r in
+            topk(spark, fine_index, q, 10, prune=False).collect()]
+    monkeypatch.setattr(wand, "WAND_SIDE_TABLE_MAX", 0)
+    got = [(r["docid"], r["score"]) for r in
+           topk(spark, fine_index, q, 10, prune=True).collect()]
+    assert got == want
