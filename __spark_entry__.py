@@ -327,6 +327,42 @@ def _engine_query(query: str, k: int = 1_000_000):
     return fn
 
 
+def _q_engine_gbmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gbmin:/gbmax: numeric docmap filters (reference's double-colon value
+    form, /root/reference/Query.cpp:1713-1720): full conjunctive match set
+    of 'hash table' restricted to the size band [250, 450] chars — the
+    docmap `size` column vs the oracle's length(text). The filter ops sit
+    between the words so no adjacency bigram attaches (oracle has none)."""
+    return _engine_query("hash gbmin:size:250 gbmax:size:450 table")(spark, sf_dir)
+
+
+def _q_engine_gbsortby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gbsortby:size — value-ordered serving (the numeric value plays the
+    score's role, /root/reference/PosdbTable.cpp:3058). Sizes tie in this
+    corpus and the engine tie-breaks on the internal docid (not expressible
+    in the oracle SQL), so this gate hash-verifies the top-k SET cut at a
+    tie-free size boundary plus each row's size; exact order is pytest-gated
+    (tests/test_numeric_ops.py)."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    # k=20 cuts at a tie-free size boundary for the sf0.01 'hash table'
+    # match set (rank-20 size 520 is unique; rank-21 is 519) — the top-20
+    # SET is well-defined even though sizes tie inside it
+    res = topk(spark, idx, "hash gbsortby:size table", 20)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("size"))
+    return (
+        doc_id_from_path(res)
+        .join(docs, "doc_id")
+        .select("doc_id", "size", F.round("score", 4).alias("score_r"),
+                "content_sha256")
+    )
+
+
 _NESTED_OR_SQL = f"""
 WITH{TOKS_CTE},
 base AS (SELECT count(*) AS n, (sum(len(t)) / count(*)) AS avgdl FROM toks),
@@ -1391,6 +1427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_shortcuts": _q_engine_shortcuts,
         "engine_field_title": _engine_query("title:123"),
         "engine_gbtermid": _q_engine_gbtermid,
+        "engine_gbmin": _q_engine_gbmin,
+        "engine_gbsortby": _q_engine_gbsortby,
         "engine_term_df": _q_engine_term_df,
         "engine_total_hits": _q_engine_total_hits,
         "engine_site_clustering": _q_engine_site_clustering,
@@ -1454,6 +1492,19 @@ SELECT 'b_or' AS qid, s.* FROM (
 """,
         # gbtermid:<tid(hash)> table == conjunctive (hash, table), no bigram
         "engine_gbtermid": _bm25_sql(["hash", "table"]),
+        # gbmin/gbmax band: same conjunctive scoring, docs filtered by
+        # length(text) — the docmap `size` column's oracle
+        "engine_gbmin": _bm25_sql(
+            ["hash", "table"],
+            extra_join="AND length(t2.text) >= 250 AND length(t2.text) <= 450"),
+        # gbsortby:size top-20 SET (boundary tie-free at sf0.01) + per-row size
+        "engine_gbsortby": f"""
+SELECT s.doc_id, length(d.text) AS size, s.score_r, s.content_sha256
+FROM ({_bm25_sql(['hash', 'table'])}) s
+JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY length(d.text) DESC
+LIMIT 20
+""",
         "engine_siterank": _siterank_sql(),
         "engine_boolean_nested": _NESTED_OR_SQL,
         "engine_boolean_not_kw": _bm25_sql(["sort"], exclude=["hash", "merge"]),

@@ -28,9 +28,10 @@ physical plan is one shared pass:
 Total shuffles: 2 (the membership aggregation and the per-query top-k
 window) + the docmap join — independent of N. Supported per query: required/
 optional/excluded terms, boolean trees, quoted phrases, field ops, ``lang:``
-filters, &qlang doc-language weighting, gbdocid pins, and site/ext/sha
-docmap filters. Not supported here: cursors, alternate rankers, temperature
-priors (per-query knobs that change the physical plan — use ``topk``).
+filters, &qlang doc-language weighting, gbdocid pins, and the docmap
+filters (site/ext/sha and gbmin/gbmax numeric). Not supported here:
+cursors, alternate rankers, temperature priors, gbsortby orders (per-query
+knobs that change the physical plan — use ``topk``).
 
 WAND does not apply: block-max pruning is per-query (a block useless to
 query A may be needed by query B), and the scan is shared anyway — the
@@ -77,6 +78,10 @@ def batch_topk(
         f"q{i}" for i in range(len(plans))]
     if len(labels) != len(plans):
         raise ValueError("labels must match queries length")
+
+    if any(p.sort_by is not None for p in plans):
+        raise ValueError("gbsortby:/gbrevsortby: changes the per-query "
+                         "serving order (a physical-plan knob) — use topk")
 
     # a plan with no positive membership produces no rows (same as topk)
     live = [(i, p) for i, p in enumerate(plans)
@@ -171,23 +176,15 @@ def batch_topk(
 
     # per-query docmap filters (J6 analog): semi-join on (qidx, docid) built
     # from the union of each filtered query's allowed set
-    filtered = [(qidx, p) for qidx, p in live
-                if p.site_filters or p.ext_filters or p.sha_filters]
+    from .query_engine import docmap_filter_cond, docmap_filtered
+
+    filtered = [(qidx, p) for qidx, p in live if docmap_filtered(p)]
     if filtered:
         dm = spark.read.parquet(catalog.table_path(h.index_dir, "docmap"))
         allowed = None
         for qidx, p in filtered:
-            cond = F.lit(True)
-            if p.site_filters:
-                cond = cond & F.col("repo").isin(list(p.site_filters))
-            if p.ext_filters:
-                ext_c = F.lit(False)
-                for e in p.ext_filters:
-                    ext_c = ext_c | F.col("path").endswith("." + e)
-                cond = cond & ext_c
-            if p.sha_filters:
-                cond = cond & F.col("content_sha256").isin(list(p.sha_filters))
-            a = dm.filter(cond).select(F.lit(qidx).alias("qidx"), "docid")
+            a = (dm.filter(docmap_filter_cond(p))
+                 .select(F.lit(qidx).alias("qidx"), "docid"))
             allowed = a if allowed is None else allowed.unionByName(a)
         f_qidx = [qidx for qidx, _ in filtered]
         agg = (

@@ -761,7 +761,8 @@ def build_index(
             spark, index_dir, part.select("docid"), gen_seq_of(str(chunk))
         )
         catalog.write_table(
-            part.select("docid", "repo", "path", "lang", "content_sha256")
+            part.select("docid", "repo", "path", "lang", "content_sha256",
+                        F.length("content").alias("size"))
             .withColumn("gen_seq", F.lit(gen_seq_of(str(chunk))))
             .observe(obs_docs, F.count(F.lit(1)).alias("n")),
             index_dir, f"docmap/gen={chunk}",
@@ -1232,7 +1233,8 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
             )
         if tomb is not None:
             dm = dm.join(tomb, "docid", "left_anti")
-        dm_cols = ["docid", "repo", "path", "lang", "content_sha256", "gen_seq"]
+        dm_cols = ["docid", "repo", "path", "lang", "content_sha256", "size",
+                   "gen_seq"]
         catalog.write_table(dm.select(*dm_cols), index_dir, "docmap_new/gen=0")
         _shutil.rmtree(dm_path, ignore_errors=True)
         os.rename(catalog.table_path(index_dir, "docmap_new"), dm_path)

@@ -695,8 +695,9 @@ def topk(
                      ).alias("score"))
         )
 
-    # document filters (J6 whitelist analog): restrict by docmap BEFORE top-k
-    if plan.site_filters or plan.ext_filters or plan.sha_filters:
+    # document filters (J6 whitelist analog + gbmin/gbmax numeric filters):
+    # restrict by docmap BEFORE top-k
+    if docmap_filtered(plan):
         dm = spark.read.parquet(catalog.table_path(h.index_dir, "docmap"))
         allowed = dm.filter(docmap_filter_cond(plan)).select("docid")
         agg = agg.join(allowed, "docid", "leftsemi")
@@ -707,6 +708,23 @@ def topk(
             (F.col("score") < F.lit(float(s0)))
             | ((F.col("score") == F.lit(float(s0))) & (F.col("docid") > F.lit(int(d0))))
         )
+
+    if plan.sort_by is not None:
+        # gbsortby:/gbrevsortby: — the docmap value plays the score's
+        # ordering role (/root/reference/PosdbTable.cpp:3058 keeps numeric
+        # term values scorable); BM25 score still reported per row. Cursor
+        # pagination is (score, docid)-keyed and does not compose.
+        if cursor is not None:
+            raise ValueError("cursor pagination is score-ordered and does "
+                             "not compose with gbsortby:/gbrevsortby:")
+        col, desc = plan.sort_by
+        dmv = _serving_docmap(spark, h, sup).select(
+            "docid", F.col(col).alias("_sortval"))
+        agg = agg.join(dmv, "docid", "inner")
+        top = agg.orderBy(
+            F.desc("_sortval") if desc else F.asc("_sortval"),
+            F.asc("docid")).limit(k).drop("_sortval")
+        return _join_docmap(spark, h, top, sup, order_key=plan.sort_by)
 
     top = agg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
     return _join_docmap(spark, h, top, sup)
@@ -761,8 +779,8 @@ def _apply_result_filters(rows, site_max, dedup_content):
 
 def docmap_filter_cond(plan: QueryPlan) -> F.Column:
     """Docmap predicate for the J6 whitelist field ops (site:/repo:, ext:,
-    gbcontenthash:) — shared by the declarative semi-join and the WAND
-    whitelist fetch."""
+    gbcontenthash:) and the gbmin:/gbmax: numeric filters — shared by the
+    declarative semi-join, the batch path and the WAND whitelist fetch."""
     cond = F.lit(True)
     if plan.site_filters:
         cond = cond & F.col("repo").isin(list(plan.site_filters))
@@ -774,7 +792,18 @@ def docmap_filter_cond(plan: QueryPlan) -> F.Column:
     if plan.sha_filters:
         # gbcontenthash: — the content-hash dedup term analog
         cond = cond & F.col("content_sha256").isin(list(plan.sha_filters))
+    for col, op, v in plan.num_filters:
+        # gbmin:/gbmax: (/root/reference/Query.cpp:1713-1720 value form);
+        # parquet min/max stats push these down to the docmap scan
+        cond = cond & (F.col(col) >= F.lit(v) if op == ">="
+                       else F.col(col) <= F.lit(v))
     return cond
+
+
+def docmap_filtered(plan: QueryPlan) -> bool:
+    """True when the plan carries any docmap-level document filter."""
+    return bool(plan.site_filters or plan.ext_filters or plan.sha_filters
+                or plan.num_filters)
 
 
 def _serving_docmap(spark: SparkSession, h: IndexHandle,
@@ -794,17 +823,21 @@ def _serving_docmap(spark: SparkSession, h: IndexHandle,
 
 
 def _join_docmap(spark: SparkSession, h: IndexHandle, top: DataFrame,
-                 sup: DataFrame | None) -> DataFrame:
+                 sup: DataFrame | None,
+                 order_key: tuple | None = None) -> DataFrame:
     """(docid, score) top rows → final result via the doc-store lookup
-    (Msg20 title-rec analog)."""
+    (Msg20 title-rec analog). ``order_key=(docmap col, desc)`` ranks by that
+    column instead of the score (the gbsortby: serving order)."""
     docmap = _serving_docmap(spark, h, sup)
+    joined = top.join(docmap, "docid", "inner")
+    if order_key is not None:
+        col, desc = order_key
+        order = [F.desc(col) if desc else F.asc(col), F.asc("docid")]
+    else:
+        order = [F.desc("score"), F.asc("docid")]
     out = (
-        top.join(docmap, "docid", "inner")
-        .select("docid", "score", "repo", "path", "content_sha256")
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("docid"))),
-        )
+        joined
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
         .select("rank", "docid", "score", "repo", "path", "content_sha256")
     )
     return out

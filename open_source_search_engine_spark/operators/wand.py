@@ -129,7 +129,8 @@ def load_delete_state(index_dir: str):
 
 def load_allowed_docids(spark, index_dir: str, plan: QueryPlan):
     """Whitelist docid array for doc-filtered queries — the J6 site/ext/sha
-    filters and the gbdocid: pin applied INSIDE the intersection, as the
+    filters, the gbmin:/gbmax: numeric docmap filters and the gbdocid: pin
+    applied INSIDE the intersection, as the
     reference does (/root/reference/PosdbTable.cpp:4297-4372 consults the
     whitelist per candidate rather than post-filtering), so a hot-term
     ``site:`` query keeps block-max pruning instead of falling back to a
@@ -145,7 +146,8 @@ def load_allowed_docids(spark, index_dir: str, plan: QueryPlan):
     from ..sources import catalog
     from .query_engine import docmap_filter_cond
 
-    if plan.site_filters or plan.ext_filters or plan.sha_filters:
+    if plan.site_filters or plan.ext_filters or plan.sha_filters \
+            or plan.num_filters:
         dm = (
             spark.read.parquet(catalog.table_path(index_dir, "docmap"))
             .filter(docmap_filter_cond(plan))
@@ -208,8 +210,12 @@ def wand_eligible(plan: QueryPlan, k: int, cursor) -> bool:
     # site/ext/sha filters and the gbdocid: pin are served as a budgeted
     # whitelist mask inside the decode (load_allowed_docids) — block bounds
     # over-estimate masked rows, so pruning stays lossless.
+    # gbsortby: orders by a docmap value, not the score — score-bound
+    # pruning no longer bounds the serving order, so it keeps the
+    # declarative path.
     return (
         k <= WAND_MAX_K
+        and plan.sort_by is None
         and _phrases_wand_expressible(plan)
         and plan.conjunctive_groups() is not None
     )

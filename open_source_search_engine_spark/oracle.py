@@ -37,6 +37,7 @@ class OracleDoc:
     lang: str
     content_sha256: str
     dl: dict  # field -> token count
+    size: int = 0  # chars of content (the gbmin/gbmax/gbsortby doc field)
 
 
 class OracleIndex:
@@ -67,6 +68,7 @@ class OracleIndex:
                 docid, row["repo"], row["path"], row["lang"], sha,
                 {FIELD_BODY: arrs["dl_body"], FIELD_TITLE: arrs["dl_title"],
                  FIELD_URL: arrs["dl_url"]},
+                size=len(row["content"]),
             )
             from .functions.ranks import occurrence_weight
 
@@ -220,6 +222,12 @@ class OracleIndex:
         if plan.sha_filters:
             universe = {d for d in universe
                         if self.docs[d].content_sha256 in plan.sha_filters}
+        for col, op, v in plan.num_filters:
+            universe = {
+                d for d in universe
+                if (getattr(self.docs[d], col) >= v if op == ">="
+                    else getattr(self.docs[d], col) <= v)
+            }
 
         cands: list[int] = []
         for d in universe:
@@ -298,7 +306,15 @@ class OracleIndex:
             scored = rescored
 
         # tie-break score desc, docid asc; pagination strictly after cursor
-        scored.sort(key=lambda sd: (-sd[0], sd[1]))
+        if plan.sort_by is not None:
+            # gbsortby:/gbrevsortby: the docmap value orders instead of the
+            # score (ties → docid asc); the BM25 score is still reported
+            col, desc = plan.sort_by
+            scored.sort(key=lambda sd: (
+                -getattr(self.docs[sd[1]], col) if desc
+                else getattr(self.docs[sd[1]], col), sd[1]))
+        else:
+            scored.sort(key=lambda sd: (-sd[0], sd[1]))
         if cursor is not None:
             s0, d0 = cursor
             scored = [sd for sd in scored if sd[0] < s0 or (sd[0] == s0 and sd[1] > d0)]

@@ -72,6 +72,13 @@ _FIELD_OPS = {"title": FIELD_TITLE, "inurl": FIELD_URL, "lang": FIELD_LANG,
 # document-filtering field operators (J6 whitelist family)
 _SITE_OPS = {"site", "repo"}
 _EXT_OPS = {"ext", "filetype", "type"}
+# numeric doc-metadata operators (gbmin:<field>:<v>, gbmax:<field>:<v>,
+# gbsortby:<field>, gbrevsortby:<field> — the reference parses the
+# double-colon value form at /root/reference/Query.cpp:1713-1720 and scores
+# gbsortby termlists by their numeric value, /root/reference/Query.h:213,
+# /root/reference/PosdbTable.cpp:3058). This corpus's numeric doc fields
+# live in docmap; `size` = chars of content.
+_NUM_FIELDS = {"size"}
 
 _TLDS = {"com", "org", "net", "io", "edu", "gov", "dev", "co"}
 
@@ -139,6 +146,13 @@ class QueryPlan:
     ext_filters: list[str] = dc_field(default_factory=list)    # path suffixes
     docid_filter: int | None = None                            # gbdocid:
     sha_filters: list[str] = dc_field(default_factory=list)    # gbcontenthash:
+    # gbmin:/gbmax: numeric docmap filters — (column, '>=' | '<=', value);
+    # served like the J6 whitelist family (WAND mask or declarative semi-join)
+    num_filters: list[tuple] = dc_field(default_factory=list)
+    # gbsortby:/gbrevsortby: — (docmap column, descending); replaces the
+    # score ordering at top-k (declarative path only: a non-score order
+    # invalidates WAND's score-bound pruning)
+    sort_by: tuple | None = None
     # SC5 query-language doc weighting (&qlang): spec indices of the two
     # zero-weight LANG-field membership probes (same-lang / 'und')
     query_lang: str | None = None
@@ -308,6 +322,11 @@ class _Parser:
         return self.atom()
 
     def atom(self):
+        if self.peek() is None:
+            # dangling operator ("a OR", "NOT" at end) — lenient no-op,
+            # matching the stray-AND handling below (Query::set is likewise
+            # total over malformed user strings)
+            return None
         t = self.next()
         if t == "(":
             node = self.or_expr()
@@ -365,6 +384,33 @@ class _Parser:
                 # (/root/reference/XmlDoc_Indexing.cpp:152-220, Query.h:87);
                 # per input_hint the invariant is sha256 → docmap filter
                 return _Atom("sha", val, None, negated)
+            elif opl in ("gbmin", "gbmax") and val:
+                # gbmin:size:200 — the reference's double-colon numeric
+                # filter form (/root/reference/Query.cpp:1713-1720 records
+                # the colons of gbmin:price:1.99)
+                nf, _, nv = val.partition(":")
+                nfl = nf.lower()
+                if nfl not in _NUM_FIELDS:
+                    raise QueryParseError(
+                        f"{opl}: unknown numeric field {nf!r} "
+                        f"(known: {sorted(_NUM_FIELDS)})")
+                try:
+                    num = float(nv)
+                except ValueError:
+                    raise QueryParseError(
+                        f"{opl}:{nf}: expects a number, got {nv!r}")
+                cmp_op = ">=" if opl == "gbmin" else "<="
+                return _Atom("num", (nfl, cmp_op, num), None, negated)
+            elif opl in ("gbsortby", "gbrevsortby") and val:
+                vl = val.lower()
+                if vl not in _NUM_FIELDS:
+                    raise QueryParseError(
+                        f"{opl}: unknown numeric field {val!r} "
+                        f"(known: {sorted(_NUM_FIELDS)})")
+                # gbsortby = largest first (the value plays the score's
+                # role, /root/reference/PosdbTable.cpp:3058); gbrevsortby
+                # reverses
+                return _Atom("sortby", (vl, opl == "gbsortby"), None, negated)
         return _Atom("word", word, field, negated)
 
 
@@ -527,6 +573,13 @@ class _PlanBuilder:
                 return None
             if tree.kind == "sha":
                 self.plan.sha_filters.append(tree.value.lower())
+                return None
+            if tree.kind == "num":
+                # filter operators carry no membership leaf (like site:/ext:)
+                self.plan.num_filters.append(tree.value)
+                return None
+            if tree.kind == "sortby":
+                self.plan.sort_by = tree.value
                 return None
             return None
         if tree.op == "not":

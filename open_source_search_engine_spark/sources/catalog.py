@@ -15,7 +15,8 @@ Layout under ``<index_dir>/``:
                                        generation (the Rdb file-Fn analog);
                                        per-doc BM25 length inlined in blocks
     compacted/bucket=<b>/              post-compaction serving segments
-    docmap/gen=<chunk>/                (docid, repo, path, lang, content_sha256)
+    docmap/gen=<chunk>/                (docid, repo, path, lang,
+                                       content_sha256, size)
     term_stats_partial/gen=<chunk>/    additive per-chunk exact df
     field_stats/gen=<chunk>/           additive per-field (n_docs, sum_dl)
     term_stats/                        (termid, df) finalized exact df

@@ -24,7 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # bump when index layout / tokenizer / scoring changes invalidate old caches
-ENGINE_CACHE_VERSION = "9"  # 9: rankbuf posting-rank sidecar in segments
+ENGINE_CACHE_VERSION = "10"  # 10: docmap size column (gbmin/gbmax/gbsortby)
 
 
 def documents_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

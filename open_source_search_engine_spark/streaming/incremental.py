@@ -165,7 +165,8 @@ def incremental_index_build(
         # superseded row pointing here; pending tombstones on them clear
         register_generation(spark, index_dir, part.select("docid"), gen_seq_of(gen))
         catalog.write_table(
-            part.select("docid", "repo", "path", "lang", "content_sha256")
+            part.select("docid", "repo", "path", "lang", "content_sha256",
+                        F.length("content").alias("size"))
             .withColumn("gen_seq", F.lit(int(gen_seq_of(gen)))),
             index_dir, f"docmap/gen={gen}",
         )

@@ -1,0 +1,148 @@
+"""gbmin:/gbmax: numeric docmap filters and gbsortby:/gbrevsortby: value
+ordering (the reference's double-colon numeric operator family,
+/root/reference/Query.cpp:1713-1720; numeric term values stay scorable,
+/root/reference/PosdbTable.cpp:3058) — engine vs pure-Python oracle, plus
+WAND A/B equality for the filter path (the whitelist mask keeps block-max
+pruning lossless)."""
+
+import pytest
+
+from open_source_search_engine_spark.plans.plan import (
+    QueryParseError, parse_query,
+)
+
+
+# --------------------------------------------------------------------------
+# parsing
+# --------------------------------------------------------------------------
+
+def test_parse_gbmin_gbmax():
+    p = parse_query("gbmin:size:200 binary gbmax:size:900")
+    assert ("size", ">=", 200.0) in p.num_filters
+    assert ("size", "<=", 900.0) in p.num_filters
+    assert len(p.required) == 1 and p.required[0].token == "binary"
+
+
+def test_parse_sortby():
+    p = parse_query("gbsortby:size binary")
+    assert p.sort_by == ("size", True)
+    p = parse_query("gbrevsortby:size binary")
+    assert p.sort_by == ("size", False)
+
+
+def test_parse_errors():
+    with pytest.raises(QueryParseError):
+        parse_query("gbmin:bogusfield:1 binary")
+    with pytest.raises(QueryParseError):
+        parse_query("gbmin:size:notanumber binary")
+    with pytest.raises(QueryParseError):
+        parse_query("gbsortby:bogusfield binary")
+
+
+# --------------------------------------------------------------------------
+# serving semantics vs the Python oracle
+# --------------------------------------------------------------------------
+
+def _collect(spark, index_dir, q, k=500, **kw):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    return topk(spark, index_dir, q, k, **kw).collect()
+
+
+def _median_size(corpus_rows):
+    sizes = sorted(len(r["content"]) for r in corpus_rows)
+    return sizes[len(sizes) // 2]
+
+
+def test_gbmin_filters_and_keeps_scores(spark, index_dir, corpus_rows,
+                                        oracle_index):
+    cut = _median_size(corpus_rows)
+    q = f"gbmin:size:{cut} binary"
+    rows = _collect(spark, index_dir, q)
+    assert rows, "planted term must match above the median-size cut"
+    ora = {r["docid"]: r["score"] for r in oracle_index.topk(q, k=500)}
+    assert {r["docid"] for r in rows} == set(ora)
+    for r in rows:
+        assert oracle_index.docs[r["docid"]].size >= cut
+        assert r["score"] == pytest.approx(ora[r["docid"]], rel=1e-9)
+    # the filter must not perturb scoring: unfiltered run agrees per docid
+    unfiltered = {r["docid"]: r["score"]
+                  for r in _collect(spark, index_dir, "binary")}
+    for r in rows:
+        assert r["score"] == unfiltered[r["docid"]]
+
+
+def test_gbmax_band(spark, index_dir, corpus_rows, oracle_index):
+    cut = _median_size(corpus_rows)
+    q = f"gbmin:size:{cut - 200} gbmax:size:{cut + 200} binary"
+    rows = _collect(spark, index_dir, q)
+    ora = oracle_index.topk(q, k=500)
+    assert [r["docid"] for r in rows] == [r["docid"] for r in ora]
+    for r in rows:
+        assert cut - 200 <= oracle_index.docs[r["docid"]].size <= cut + 200
+
+
+def test_gbmin_wand_ab_equality(spark, index_dir, corpus_rows):
+    """The numeric whitelist rides the WAND mask: prune on/off bit-equal."""
+    from open_source_search_engine_spark.operators.wand import wand_eligible
+
+    cut = _median_size(corpus_rows)
+    q = f"gbmin:size:{cut} search if"
+    assert wand_eligible(parse_query(q), 20, None)
+    on = [(r["docid"], r["score"])
+          for r in _collect(spark, index_dir, q, k=20, prune=True)]
+    off = [(r["docid"], r["score"])
+           for r in _collect(spark, index_dir, q, k=20, prune=False)]
+    assert on == off and on
+
+
+def test_gbsortby_orders_by_size(spark, index_dir, oracle_index):
+    q = "gbsortby:size binary"
+    rows = _collect(spark, index_dir, q, k=25)
+    ora = oracle_index.topk(q, k=25)
+    assert [r["docid"] for r in rows] == [r["docid"] for r in ora]
+    sizes = [oracle_index.docs[r["docid"]].size for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    # ranks follow the sort order, scores stay BM25
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r, o in zip(rows, ora):
+        assert r["score"] == pytest.approx(o["score"], rel=1e-9)
+
+
+def test_gbrevsortby_ascending(spark, index_dir, oracle_index):
+    rows = _collect(spark, index_dir, "gbrevsortby:size binary", k=25)
+    sizes = [oracle_index.docs[r["docid"]].size for r in rows]
+    assert sizes == sorted(sizes)
+
+
+def test_sortby_not_wand_eligible():
+    from open_source_search_engine_spark.operators.wand import wand_eligible
+
+    assert not wand_eligible(parse_query("gbsortby:size binary"), 10, None)
+
+
+def test_sortby_rejects_cursor(spark, index_dir):
+    with pytest.raises(ValueError):
+        _collect(spark, index_dir, "gbsortby:size binary",
+                 cursor=(1.0, 0))
+
+
+def test_batch_rejects_sortby(spark, index_dir):
+    from open_source_search_engine_spark.operators.batch import batch_topk
+
+    with pytest.raises(ValueError):
+        batch_topk(spark, index_dir, ["gbsortby:size binary"], 5)
+
+
+def test_batch_gbmin_matches_single(spark, index_dir, corpus_rows):
+    """Numeric filters ride the shared batch pass bit-identically."""
+    from open_source_search_engine_spark.operators.batch import batch_topk
+
+    cut = _median_size(corpus_rows)
+    q = f"gbmin:size:{cut} binary"
+    single = [(r["docid"], r["score"])
+              for r in _collect(spark, index_dir, q, k=20)]
+    b = batch_topk(spark, index_dir, [q, "binary"], 20).collect()
+    got = sorted(((r["rank"], r["docid"], r["score"])
+                  for r in b if r["qid"] == "q0"))
+    assert [(d, s) for _, d, s in got] == single

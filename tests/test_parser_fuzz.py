@@ -1,0 +1,57 @@
+"""Parser robustness: parse_query must TOTAL over arbitrary input — either
+a QueryPlan or a QueryParseError, never an unhandled exception (the
+reference's Query::set is likewise total over user strings; a serving
+frontend cannot 500 on adversarial queries). Pure Python — no Spark."""
+
+from hypothesis import example, given, settings
+from hypothesis import strategies as st
+
+from open_source_search_engine_spark.plans.plan import (
+    QueryParseError, QueryPlan, parse_query,
+)
+
+_operator_soup = st.text(
+    alphabet='ab ("|)-+:\'"AND OR NOT site:ext:lang:gbdocid:gbtermid:',
+    max_size=60,
+)
+
+
+def _check(q, **kw):
+    try:
+        plan = parse_query(q, **kw)
+    except QueryParseError:
+        return
+    assert isinstance(plan, QueryPlan)
+    # a parsed plan must be servable: required/expr consistent
+    if plan.expr is None:
+        assert not plan.required
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+@example('"unclosed phrase')
+@example("((()))")
+@example("-")
+@example('""')
+@example("site:")
+@example("gbdocid:")
+@example("AND OR NOT")
+@example("a | | b")
+@example('-"a b" OR (c')
+@example("\x00\x01\x02")
+@example(":" * 20)
+def test_parse_query_total(q):
+    _check(q)
+
+
+@given(_operator_soup)
+@settings(max_examples=500, deadline=None)
+def test_parse_query_total_operator_soup(q):
+    _check(q)
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_parse_query_total_with_knobs(q):
+    _check(q, query_lang="en")
+    _check(q, expand_variations=True)
