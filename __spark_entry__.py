@@ -1296,6 +1296,26 @@ def _q_engine_variations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_engine_variations_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular lexicon groups (the STO/Wiktionary-row analog,
+    functions/variations.py _IRREGULAR_GROUPS): 'datum' expands to its
+    irregular plural 'data' (a form no string rule reaches) at 0.9 —
+    documents containing only 'data' match. Same gate shape as
+    engine_variations; the oracle SQL is generated from the same table."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.plans.plan import parse_query
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    plan = parse_query("datum", expand_variations=True)
+    res = topk(spark, idx, plan, 1_000_000)
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
 def _variations_sql(token: str = "sorting") -> str:
     """Oracle for engine_variations, generated from the SAME rule set the
     engine expands with (functions/variations.py): the token plus each
@@ -1437,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_suggest": _q_engine_suggest,
         "engine_synonyms": _q_engine_synonyms,
         "engine_variations": _q_engine_variations,
+        "engine_variations_irregular": _q_engine_variations_irregular,
         "engine_lang_weight": _q_engine_lang_weight,
         "engine_soft_stops": _q_engine_soft_stops,
         "engine_pagination": _q_engine_pagination,
@@ -1640,6 +1661,7 @@ ORDER BY df DESC, token LIMIT 5
                 fromlist=["SYNONYMS"]).SYNONYMS["sort"]
         ]),
         "engine_variations": _variations_sql(),
+        "engine_variations_irregular": _variations_sql("datum"),
         "engine_lang_weight": _lang_weight_sql(),
         # soft stop: 'the' scores as an optional term at full weight; only
         # 'hash' gates the candidate set; the adjacent bigram still attaches

@@ -14,7 +14,15 @@ produce:
 - noun plural / verb 3rd person: ``+s``, sibilant ``+es``, ``y → ies``;
 - gerund: ``+ing`` with final-e drop and CVC final-consonant doubling;
 - past: ``+ed`` with final-e → ``+d``, ``y → ied``, CVC doubling;
-- comparative/superlative: ``+er`` / ``+est`` (same e/y/CVC adjustments).
+- comparative/superlative: ``+er`` / ``+est`` (same e/y/CVC adjustments);
+- irregular forms the rules cannot reach, from a committed table of
+  standard English irregular verbs/nouns (the lexicon entries the
+  reference's STO/Wiktionary data would supply): ablaut pasts/participles
+  (write → wrote/written, run → ran, find → found …) and irregular or
+  Latin/Greek plurals common in code corpora (index → indices,
+  vertex → vertices, matrix → matrices, child → children, datum → data …).
+  Every member of a group reaches every other member (one hop, like the
+  reference's lexicon rows).
 
 Rules run in BOTH directions: :func:`inflections_of` generates forms from a
 base, and :func:`base_candidates` recovers candidate bases from an inflected
@@ -34,6 +42,114 @@ from __future__ import annotations
 VARIATION_WEIGHT = 0.9  # synonym/variation weight, /root/reference/Parms.cpp:3883-3893
 
 MAX_VARIANTS = 8  # bound the per-token fan-out (lexicon entries are few)
+
+# Irregular inflection groups (public standard-English lexicon facts; the
+# analog of the reference's STO/Wiktionary lexicon rows, Synonyms.cpp:64-524).
+# Verbs are (base, past, participle[, 3rd-sg when irregular]); nouns are
+# (singular, plural). Members of a group are mutual one-hop variants.
+# Ordered roughly by code-corpus relevance.
+_IRREGULAR_GROUPS: tuple[tuple[str, ...], ...] = (
+    # --- verbs a code/doc corpus actually uses ---
+    ("run", "ran"),
+    ("build", "built"),
+    ("write", "wrote", "written"),
+    ("read",),                     # same-form; group exists for 'reads' etc.
+    ("send", "sent"),
+    ("get", "got", "gotten"),
+    ("set",),
+    ("put",),
+    ("make", "made"),
+    ("find", "found"),
+    ("bind", "bound"),
+    ("wind", "wound"),
+    ("hold", "held"),
+    ("keep", "kept"),
+    ("split",),
+    ("shut",),
+    ("cut",),
+    ("hit",),
+    ("let",),
+    ("reset",),
+    ("begin", "began", "begun"),
+    ("break", "broke", "broken"),
+    ("catch", "caught"),
+    ("choose", "chose", "chosen"),
+    ("deal", "dealt"),
+    ("do", "did", "done", "does"),
+    ("draw", "drew", "drawn"),
+    ("feed", "fed"),
+    ("feel", "felt"),
+    ("fall", "fell", "fallen"),
+    ("freeze", "froze", "frozen"),
+    ("give", "gave", "given"),
+    ("go", "went", "gone", "goes"),
+    ("grow", "grew", "grown"),
+    ("hang", "hung"),
+    ("have", "had", "has"),
+    ("hear", "heard"),
+    ("hide", "hid", "hidden"),
+    ("know", "knew", "known"),
+    ("lead", "led"),
+    ("leave", "left"),
+    ("lose", "lost"),
+    ("mean", "meant"),
+    ("meet", "met"),
+    ("pay", "paid"),
+    ("say", "said"),
+    ("see", "saw", "seen"),
+    ("sell", "sold"),
+    ("show", "showed", "shown"),
+    ("sleep", "slept"),
+    ("spend", "spent"),
+    ("stand", "stood"),
+    ("swing", "swung"),
+    ("take", "took", "taken"),
+    ("teach", "taught"),
+    ("tear", "tore", "torn"),
+    ("tell", "told"),
+    ("think", "thought"),
+    ("throw", "threw", "thrown"),
+    ("understand", "understood"),
+    ("wake", "woke", "woken"),
+    ("win", "won"),
+    ("come", "came"),
+    # --- irregular / Latin / Greek plurals common in code corpora ---
+    ("index", "indices"),
+    ("vertex", "vertices"),
+    ("matrix", "matrices"),
+    ("appendix", "appendices"),
+    ("datum", "data"),
+    ("medium", "media"),
+    ("criterion", "criteria"),
+    ("analysis", "analyses"),
+    ("basis", "bases"),
+    ("thesis", "theses"),
+    ("axis", "axes"),
+    ("child", "children"),
+    ("foot", "feet"),
+    ("leaf", "leaves"),
+    ("half", "halves"),
+    ("life", "lives"),
+    ("man", "men"),
+    ("woman", "women"),
+)
+
+_IRREGULAR: dict[str, tuple[str, ...]] = {}
+for _grp in _IRREGULAR_GROUPS:
+    for _form in _grp:
+        # a form may appear in two groups (e.g. 'found' find-past vs the
+        # regular verb 'found'); first group wins, over-attach is harmless —
+        # variants only widen an OR membership slot at reduced weight
+        _IRREGULAR.setdefault(_form, _grp)
+
+
+def irregular_variants(token: str) -> list[str]:
+    """Other members of ``token``'s irregular group (empty when none)."""
+    grp = _IRREGULAR.get(token)
+    if grp is None:
+        return []
+    return [f for f in grp if f != token]
+
 
 _VOWELS = frozenset("aeiou")
 _SIBILANT = ("s", "x", "z", "ch", "sh")
@@ -132,12 +248,15 @@ def base_candidates(token: str) -> list[str]:
 
 def variants_for(token: str) -> list[str]:
     """All variation terms attached when ``token`` is queried: its
-    inflections plus its candidate base forms (and THEIR sibling
-    inflections would over-expand — the reference attaches one hop only,
-    Synonyms.cpp getSynonyms does not recurse). Bounded by
-    :data:`MAX_VARIANTS`, deterministic order."""
+    irregular group members (lexicon hop) plus its rule inflections plus
+    its candidate base forms (and THEIR sibling inflections would
+    over-expand — the reference attaches one hop only, Synonyms.cpp
+    getSynonyms does not recurse). Bounded by :data:`MAX_VARIANTS`,
+    deterministic order; irregulars first (lexicon entries are exact,
+    rules over-generate)."""
     out, seen = [], {token}
-    for v in inflections_of(token) + base_candidates(token):
+    for v in (irregular_variants(token) + inflections_of(token)
+              + base_candidates(token)):
         if v not in seen:
             seen.add(v)
             out.append(v)

@@ -179,3 +179,93 @@ def test_variation_prune_on_off_equality(spark, vidx):
     a = _run_plan(spark, idx, plan, prune=True)
     b = _run_plan(spark, idx, plan, prune=False)
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# irregular lexicon groups (write/wrote/written, index/indices, ...)
+# ---------------------------------------------------------------------------
+
+
+def test_irregular_golden():
+    from open_source_search_engine_spark.functions.variations import (
+        irregular_variants,
+    )
+
+    assert set(irregular_variants("write")) == {"wrote", "written"}
+    assert "write" in irregular_variants("wrote")
+    assert "write" in irregular_variants("written")
+    assert irregular_variants("index") == ["indices"]
+    assert irregular_variants("indices") == ["index"]
+    assert "went" in variants_for("go")       # lexicon reaches 2-letter bases
+    assert "go" in variants_for("went")
+    assert "children" in variants_for("child")
+    assert "ran" in variants_for("run")
+    assert irregular_variants("sort") == []   # regulars stay rule-driven
+
+
+def test_irregular_first_and_still_bounded():
+    vs = variants_for("write")
+    assert vs[:2] == ["wrote", "written"]     # lexicon before rules
+    assert "writes" in vs and "writing" in vs  # rules still attached
+    assert len(vs) <= MAX_VARIANTS
+
+
+IRREGULAR_ROWS = [
+    {"repo": "r_i", "path": "src/base.py", "lang": "py",
+     "content": "write merge data"},
+    {"repo": "r_i", "path": "src/past.py", "lang": "py",
+     "content": "wrote merge data"},
+    {"repo": "r_i", "path": "src/participle.py", "lang": "py",
+     "content": "written merge data"},
+    {"repo": "r_i", "path": "src/none.py", "lang": "py",
+     "content": "merge only here"},
+]
+
+
+@pytest.fixture(scope="module")
+def iidx(spark, tmp_path_factory):
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+    from open_source_search_engine_spark.operators.index_build import build_index
+    from open_source_search_engine_spark.oracle import OracleIndex
+
+    rows = [dict(r, commit="0") for r in IRREGULAR_ROWS]
+    d = str(tmp_path_factory.mktemp("iidx") / "idx")
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
+        CORPUS_SCHEMA_DDL,
+    )
+    build_index(spark, df, d, n_chunks=1)
+    return d, OracleIndex.build(rows)
+
+
+def test_irregular_engine_membership_and_ranking(spark, iidx):
+    """Query 'write' reaches docs containing only 'wrote'/'written' (the
+    reference's lexicon behavior, test/system/test_search_terms.py shape),
+    ranked below the exact match; engine == Python oracle."""
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    idx, oracle = iidx
+    plan = parse_query("write", expand_variations=True)
+    eng = _run_plan(spark, idx, plan)
+    ora = [(r["docid"], r["score"], r["path"]) for r in oracle.topk(plan, 100)]
+    assert [e[0] for e in eng] == [o[0] for o in ora]
+    paths = [e[2] for e in eng]
+    assert set(paths) == {"src/base.py", "src/past.py", "src/participle.py"}
+    assert paths[0] == "src/base.py"
+    scores = {p: s for _, s, p in eng}
+    for p in ("src/past.py", "src/participle.py"):
+        assert scores[p] == pytest.approx(
+            scores["src/base.py"] * VARIATION_WEIGHT, rel=1e-9)
+
+
+def test_irregular_reverse_direction(spark, iidx):
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    idx, oracle = iidx
+    plan = parse_query("wrote", expand_variations=True)
+    eng = _run_plan(spark, idx, plan)
+    paths = [e[2] for e in eng]
+    assert "src/base.py" in paths and "src/participle.py" in paths
+    assert paths[0] == "src/past.py"
+    ora = [(r["docid"], r["score"], r["path"]) for r in oracle.topk(plan, 100)]
+    assert [e[0] for e in eng] == [o[0] for o in ora]

@@ -18,8 +18,11 @@ Methodology (restated in BASELINE.md):
   cpu_sec growth — a real multi-node cluster adds memory systems and disks
   with each node, which this proxy cannot.
 
-Usage: python tools/scaling_bench.py [n_docs] [N] [trials]
-Defaults: 131072 docs, N=8, trials=2. Each leg runs in its own subprocess.
+Usage: python tools/scaling_bench.py [n_docs] [N] [trials] [mult]
+Defaults: 131072 docs, N=8, trials=2, mult=1. Each leg runs in its own
+subprocess. ``mult`` multiplies the shuffle/build partition count relative
+to cores (mult=2 → 2 reduce partitions per core: halves straggler impact of
+uneven bucket hashing at the cost of smaller tasks).
 """
 
 from __future__ import annotations
@@ -33,7 +36,8 @@ _CHILD = r"""
 import json, os, sys, tempfile, time, shutil
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 sys.path.insert(0, %(repo)r)
-n_docs, cores, trials = %(n_docs)d, %(cores)d, %(trials)d
+n_docs, cores, trials, mult = %(n_docs)d, %(cores)d, %(trials)d, %(mult)d
+parts = cores * mult
 
 def jif():
     # (busy_jiffies, steal_jiffies): busy excludes idle/iowait AND steal --
@@ -49,7 +53,7 @@ def jif():
 
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master(f"local[{cores}]")
-         .config("spark.sql.shuffle.partitions", str(cores))
+         .config("spark.sql.shuffle.partitions", str(parts))
          .config("spark.driver.memory", "24g")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.ui.enabled", "false")
@@ -62,7 +66,7 @@ corpus.count()  # materialize input before the clock starts
 # steady-state warmup (see module docstring)
 warm = tempfile.mkdtemp(prefix=f"osse_warm_{cores}_")
 shutil.rmtree(warm, ignore_errors=True)
-build_index(spark, corpus_df(spark, 640, partitions=cores), warm, n_chunks=1, partitions=cores)
+build_index(spark, corpus_df(spark, 640, partitions=cores), warm, n_chunks=1, partitions=parts)
 shutil.rmtree(warm, ignore_errors=True)
 best = None
 runs = []
@@ -70,7 +74,7 @@ for trial in range(trials):
     idx = tempfile.mkdtemp(prefix=f"osse_scale_{cores}_")
     shutil.rmtree(idx, ignore_errors=True)
     (j0, st0), t0 = jif(), time.time()
-    m = build_index(spark, corpus, idx, n_chunks=1, partitions=cores)
+    m = build_index(spark, corpus, idx, n_chunks=1, partitions=parts)
     elapsed = time.time() - t0
     j1, st1 = jif()
     cpu = (j1 - j0) / 100.0
@@ -90,9 +94,10 @@ spark.stop()
 """
 
 
-def run(n_docs: int, cores: int, trials: int) -> dict:
+def run(n_docs: int, cores: int, trials: int, mult: int = 1) -> dict:
     code = _CHILD % {"repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     "n_docs": n_docs, "cores": cores, "trials": trials}
+                     "n_docs": n_docs, "cores": cores, "trials": trials,
+                     "mult": mult}
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600)
     for line in out.stdout.splitlines():
@@ -105,12 +110,14 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    r_n = run(n_docs, n, trials)
-    r_4n = run(n_docs, 4 * n, trials)
+    mult = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    r_n = run(n_docs, n, trials, mult)
+    r_4n = run(n_docs, 4 * n, trials, mult)
     b_n, b_4n = r_n["best"], r_4n["best"]
     eff = (b_4n["docs_per_sec"] / b_n["docs_per_sec"]) / 4.0
     print(json.dumps({
         "input_docs": n_docs,
+        "partition_mult": mult,
         f"local[{n}]": b_n,
         f"local[{4 * n}]": b_4n,
         f"local[{n}]_trials": r_n["all_trials"],
