@@ -180,7 +180,10 @@ def batch_topk(
 
     filtered = [(qidx, p) for qidx, p in live if docmap_filtered(p)]
     if filtered:
-        dm = spark.read.parquet(catalog.table_path(h.index_dir, "docmap"))
+        from .query_engine import _serving_docmap
+
+        # newest-generation rows only (M7), same as the single-query path
+        dm = _serving_docmap(spark, h, sup)
         allowed = None
         for qidx, p in filtered:
             a = (dm.filter(docmap_filter_cond(p))

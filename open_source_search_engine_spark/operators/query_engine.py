@@ -696,9 +696,11 @@ def topk(
         )
 
     # document filters (J6 whitelist analog + gbmin/gbmax numeric filters):
-    # restrict by docmap BEFORE top-k
+    # restrict by docmap BEFORE top-k. Newest-generation rows only (M7): a
+    # reindexed doc's stale docmap row must not qualify its docid — the
+    # served document IS the newest version.
     if docmap_filtered(plan):
-        dm = spark.read.parquet(catalog.table_path(h.index_dir, "docmap"))
+        dm = _serving_docmap(spark, h, sup)
         allowed = dm.filter(docmap_filter_cond(plan)).select("docid")
         agg = agg.join(allowed, "docid", "leftsemi")
 
@@ -806,11 +808,14 @@ def docmap_filtered(plan: QueryPlan) -> bool:
                 or plan.num_filters)
 
 
-def _serving_docmap(spark: SparkSession, h: IndexHandle,
+def _serving_docmap(spark: SparkSession, h: "IndexHandle | str",
                     sup: DataFrame | None) -> DataFrame:
     """Docmap filtered to one row per docid: a reindexed doc keeps rows for
-    every generation until compaction rewrites docmap — keep the newest."""
-    docmap = spark.read.parquet(catalog.table_path(h.index_dir, "docmap"))
+    every generation until compaction rewrites docmap — keep the newest.
+    Accepts an IndexHandle or a bare index_dir (the WAND whitelist fetch
+    has no handle)."""
+    index_dir = h if isinstance(h, str) else h.index_dir
+    docmap = spark.read.parquet(catalog.table_path(index_dir, "docmap"))
     if sup is not None:
         sup_b = F.broadcast(sup.withColumnRenamed("gen_seq", "_newest"))
         docmap = (

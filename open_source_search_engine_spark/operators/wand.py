@@ -143,13 +143,16 @@ def load_allowed_docids(spark, index_dir: str, plan: QueryPlan):
     filter matches nothing."""
     import numpy as np
 
-    from ..sources import catalog
-    from .query_engine import docmap_filter_cond
+    from .index_build import load_superseded
+    from .query_engine import _serving_docmap, docmap_filter_cond
 
     if plan.site_filters or plan.ext_filters or plan.sha_filters \
             or plan.num_filters:
+        # newest-generation rows only (M7): a reindexed doc's stale docmap
+        # row must not whitelist its docid pre-compaction
+        sup = load_superseded(spark, index_dir)
         dm = (
-            spark.read.parquet(catalog.table_path(index_dir, "docmap"))
+            _serving_docmap(spark, index_dir, sup)
             .filter(docmap_filter_cond(plan))
             .select("docid")
             .limit(WAND_SIDE_TABLE_MAX + 1)

@@ -157,3 +157,25 @@ def test_delete_then_reindex_before_compaction(spark, tmp_path):
     compact_segments(spark, idx)
     assert [r["docid"] for r in _topk(spark, idx, MARKER_V2)] == [docid]
     assert _topk(spark, idx, MARKER_V1) == []
+
+
+def test_docmap_filters_see_only_newest_generation(spark, reindexed):
+    """Document filters (J6 site/ext/sha + numeric) must evaluate against
+    the NEWEST docmap generation: before compaction rewrites docmap, the
+    reindexed doc still has its v1 row, and a gbcontenthash: of the v1
+    content must NOT whitelist it (the served doc IS v2) — on either
+    physical path (WAND whitelist mask and declarative semi-join)."""
+    import hashlib
+
+    idx, rows, v2 = reindexed
+    sha_v1 = hashlib.sha256(rows[7]["content"].encode()).hexdigest()
+    sha_v2 = hashlib.sha256(v2[7]["content"].encode()).hexdigest()
+    for prune in (True, False):
+        from open_source_search_engine_spark.operators.query_engine import topk
+
+        r_old = topk(spark, idx, f"gbcontenthash:{sha_v1} {MARKER_V2}",
+                     1000, prune=prune).collect()
+        assert r_old == [], f"stale v1 docmap row qualified (prune={prune})"
+        r_new = topk(spark, idx, f"gbcontenthash:{sha_v2} {MARKER_V2}",
+                     1000, prune=prune).collect()
+        assert [r["content_sha256"] for r in r_new] == [sha_v2]
