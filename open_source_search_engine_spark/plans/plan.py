@@ -66,8 +66,9 @@ DOMAIN_URL_WEIGHT = 10.0  # looksLikeADomain INURL boost, Query.cpp:2473+
 # spelling, Query.h:35-104)
 _FIELD_OPS = {"title": FIELD_TITLE, "inurl": FIELD_URL, "lang": FIELD_LANG,
               "gblang": FIELD_LANG,
-              # the reference maps suburl: onto inurl:
-              # (/root/reference/Query.cpp:1671-1672)
+              # the reference maps intitle: onto title: and suburl: onto
+              # inurl: (/root/reference/Query.cpp:1668-1673)
+              "intitle": FIELD_TITLE,
               "suburl": FIELD_URL}
 # document-filtering field operators (J6 whitelist family)
 _SITE_OPS = {"site", "repo"}

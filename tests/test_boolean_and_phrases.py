@@ -249,6 +249,16 @@ def test_suburl_maps_to_inurl(spark, mini):
     assert got and got == _run(spark, idx, "inurl:lib sort")
 
 
+def test_intitle_maps_to_title(spark, mini):
+    """intitle: is an alias of title: (the reference rewrites it,
+    Query.cpp:1668-1669) — bare terms and quoted phrases."""
+    idx, _ = mini
+    got = _run(spark, idx, "intitle:one alpha")
+    assert got and got == _run(spark, idx, "title:one alpha")
+    gotp = _run(spark, idx, 'intitle:"one.py"')
+    assert gotp and gotp == _run(spark, idx, 'title:"one.py"')
+
+
 def test_query_lang_weighting(spark, mini):
     """SC5 &qlang: same-language docs ×1.0, others ×1/20, engine == oracle
     (the mini corpus langs are py/cpp/go; no doc indexes 'und')."""
