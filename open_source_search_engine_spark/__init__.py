@@ -38,17 +38,21 @@ DOCID_MASK = (1 << DOCID_BITS) - 1  # docId space, cf. /root/reference/Titledb.h
 # Field ("hashGroup") codes for the source-code corpus — the analog of the
 # reference's HASHGROUP_* (/root/reference/Posdb.h:75-88) remapped for code:
 # BODY -> file content, TITLE -> path basename, INURL -> repo/path tokens,
-# META_LANG -> language tag.
+# META_LANG -> language tag, LINK -> imported org/repo strings (the linkdb
+# termlist analog: one whole-string term per import reference, so link: is
+# a plain termlist query — /root/reference/Query.cpp:2624-2641).
 FIELD_BODY = 0
 FIELD_TITLE = 1
 FIELD_URL = 9
 FIELD_LANG = 4
+FIELD_LINK = 5
 
 FIELD_NAMES = {
     FIELD_BODY: "body",
     FIELD_TITLE: "title",
     FIELD_URL: "url",
     FIELD_LANG: "lang",
+    FIELD_LINK: "link",
 }
 
 # BM25 parameters (the rebuild's ranking function per BASELINE.json north_rule;

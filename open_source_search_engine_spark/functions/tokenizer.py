@@ -33,7 +33,7 @@ from dataclasses import dataclass, field as dc_field
 
 import numpy as np
 
-from .. import FIELD_BODY, FIELD_LANG, FIELD_TITLE, FIELD_URL
+from .. import FIELD_BODY, FIELD_LANG, FIELD_LINK, FIELD_TITLE, FIELD_URL
 from .hashing import TokenHasher
 
 # Position-cursor constants (XmlDoc.cpp:20055-20142 analog).
@@ -164,6 +164,22 @@ def code_tokens(text: str) -> list[str]:
 
 _PATH_SPLIT_RE = re.compile(r"[a-z0-9_+#]+")
 
+# canonical import-reference pattern — the link-graph edge extractor
+# (operators/linkrank.py passes this same string to the JVM regexp) AND the
+# LINK-field term source: ``import org/name`` in content links the document
+# to repo ``org/name``.
+IMPORT_RE = r"import\s+([A-Za-z0-9_.\-]+/[A-Za-z0-9_.\-]+)"
+_IMPORT_RE_C = re.compile(IMPORT_RE)
+
+
+def link_targets(content: str) -> list[str]:
+    """Sorted distinct lowercased ``org/repo`` import references in content —
+    the document's LINK-field terms. Each whole string is hashed as ONE term
+    (the reference hashes the full normalized URL for link: termlists,
+    /root/reference/Linkdb.h), so ``link:org/repo`` is a plain termlist
+    query with no tokenization ambiguity."""
+    return sorted({m.lower() for m in _IMPORT_RE_C.findall(content)})
+
 
 def _basename(path: str) -> str:
     return path.rsplit("/", 1)[-1]
@@ -261,6 +277,24 @@ def index_document(
                 dens_rows[uni_rows[big_start]],
                 np.full(n_big, CLEAN_DIV, dtype=np.int64),
                 spam_u[big_start]))
+
+    # LINK field: one whole-string term per distinct imported org/repo
+    # (linkdb termlist analog). Positions are field-local 0..n-1 — LINK
+    # terms never phrase-match and adjacency is per-field; ranks are clean
+    # and the field weight is 0 (filter-only, like LANG).
+    links = link_targets(content)
+    if links:
+        n_l = len(links)
+        termids.append(hasher.termids(links))
+        positions.append(np.arange(n_l, dtype=np.int32))
+        fcodes.append(np.full(n_l, FIELD_LINK, dtype=np.int8))
+        densities.append(np.full(n_l, MAX_DENSITY, dtype=np.int8))
+        kinds.append(np.full(n_l, KIND_UNIGRAM, dtype=np.int8))
+        dls.append(np.full(n_l, n_l, dtype=np.int32))
+        rank_arrs.append(pack_rank(
+            np.full(n_l, MAX_DENSITY, dtype=np.int64),
+            np.full(n_l, CLEAN_DIV, dtype=np.int64),
+            np.full(n_l, CLEAN_SPAM, dtype=np.int64)))
 
     if termids:
         res = {

@@ -33,12 +33,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from .. import FIELD_BODY, FIELD_LANG, FIELD_TITLE, FIELD_URL
+from .. import FIELD_BODY, FIELD_LANG, FIELD_LINK, FIELD_TITLE, FIELD_URL
 from .hashing import HASHTAB, STOPWORD_BIGRAM_SALT, _START_HASH, termid_for_token
 from ..import TERMID_MASK
 from .tokenizer import (
     FIELD_GAP, KIND_BIGRAM, KIND_SYNONYM, KIND_UNIGRAM, LINE_UNITS,
     MAX_WORDPOS, PUNCT_UNITS, STOP_WORDS, _basename, index_document,
+    link_targets,
 )
 
 _U64 = np.uint64
@@ -221,6 +222,7 @@ def index_batch(repos, paths, langs, contents, docids) -> dict:
     seg_texts: list[bytes] = []
     seg_field: list[int] = []
     seg_doc: list[int] = []
+    link_docs: list[tuple[int, list[str]]] = []  # fast-row LINK terms
     slow_rows = []  # non-ascii docs → scalar reference path
     for i in range(len(repos)):
         body = contents[i].lower()
@@ -236,8 +238,39 @@ def index_batch(repos, paths, langs, contents, docids) -> dict:
             seg_texts.append(txt.encode("ascii"))
             seg_field.append(fcode)
             seg_doc.append(int(docids[i]))
+        # LINK-field postings for fast rows (slow rows get theirs from
+        # index_document); whole-string terms, field-local positions —
+        # must stay byte-identical to the scalar path
+        links = link_targets(contents[i])
+        if links:
+            link_docs.append((int(docids[i]), links))
 
     outs = []
+    if link_docs:
+        from .hashing import TokenHasher
+        from .ranks import CLEAN_DIV, CLEAN_SPAM, pack_rank
+        from .tokenizer import MAX_DENSITY
+
+        lh = TokenHasher()
+        link_rank = int(pack_rank(np.int64(MAX_DENSITY), np.int64(CLEAN_DIV),
+                                  np.int64(CLEAN_SPAM)))
+        tl_, doc_, pos_, dl_ = [], [], [], []
+        for did, links in link_docs:
+            n_l = len(links)
+            tl_.append(lh.termids(links))
+            doc_.append(np.full(n_l, did, dtype=np.int64))
+            pos_.append(np.arange(n_l, dtype=np.int64))
+            dl_.append(np.full(n_l, n_l, dtype=np.int64))
+        n_all = sum(len(a) for a in tl_)
+        outs.append({
+            "termid": np.concatenate(tl_),
+            "docid": np.concatenate(doc_),
+            "wordpos": np.concatenate(pos_),
+            "field": np.full(n_all, FIELD_LINK, dtype=np.int64),
+            "kind": np.zeros(n_all, dtype=np.int64),  # KIND_UNIGRAM
+            "dl": np.concatenate(dl_),
+            "rank": np.full(n_all, link_rank, dtype=np.int64),
+        })
     stats = []
     if seg_texts:
         outs.append(_index_segments(seg_texts, np.asarray(seg_field),

@@ -45,7 +45,9 @@ SNI_BOUNDS = [0, 1, 2, 3, 4, 5, 9, 19, 39, 79, 199, 499, 1999, 4999, 9999]
 # scores are scaled so the best possible multiplier is exactly 1.0
 RANK_MULT_DENOM = float(MAX_SITE_RANK) * SITE_RANK_MULTIPLIER + 1.0
 
-IMPORT_RE = r"import\s+([A-Za-z0-9_.\-]+/[A-Za-z0-9_.\-]+)"
+# canonical pattern lives with the tokenizer (it also feeds the LINK-field
+# termlists so link: queries and this rank graph see the same edges)
+from ..functions.tokenizer import IMPORT_RE  # noqa: E402
 
 
 def site_rank_of(sni: int) -> int:

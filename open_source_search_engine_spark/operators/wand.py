@@ -273,7 +273,7 @@ def _build_query_meta(plan: QueryPlan, dfs: dict[int, int], n_docs: int,
         "excluded": list(dict.fromkeys(excluded)),
         "lang": lang,
         "avgdl": {int(f): max(float(avgdl.get(f, 1.0)), 1e-9)
-                  for f in all_fields},
+                  for f in {*all_fields, *(k[1] for k in lists)}},
         # positive top-level quoted phrases: per-candidate adjacency gates
         # verified from the positions already decoded (PosdbTable.h:76)
         "phrases": [

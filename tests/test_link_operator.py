@@ -1,0 +1,101 @@
+"""link:/sitelink: field operator — LINK-field termlists (the linkdb
+termlist analog, /root/reference/Query.cpp:2624-2641: link: searches docs
+linking to a target; sitelink: folds onto link: because site==repo in this
+corpus). Index side: one whole-string term per distinct imported org/repo
+reference; query side: a zero-field-weight membership leaf that composes
+with booleans, exclusion and both physical paths."""
+
+import pytest
+
+
+def _link_oracle(corpus_rows, target):
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+    from open_source_search_engine_spark.functions.tokenizer import link_targets
+
+    return sorted(
+        docid_for_url(r["repo"] + "/" + r["path"]) for r in corpus_rows
+        if target in link_targets(r["content"])
+    )
+
+
+def _docs(spark, idx, q, prune=True):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    return sorted(
+        r["docid"] for r in topk(spark, idx, q, 100_000, prune=prune).collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def hot_target(corpus_rows):
+    """The most-imported repo in the shared corpus (a guaranteed-nonempty
+    link termlist)."""
+    from collections import Counter
+
+    from open_source_search_engine_spark.functions.tokenizer import link_targets
+
+    c = Counter(t for r in corpus_rows for t in link_targets(r["content"]))
+    assert c, "shared corpus must plant import lines"
+    return c.most_common(1)[0][0]
+
+
+def test_link_matches_regex_oracle_both_paths(spark, index_dir, corpus_rows,
+                                              hot_target):
+    oracle = _link_oracle(corpus_rows, hot_target)
+    assert oracle
+    for q in (f"link:{hot_target}", f"sitelink:{hot_target}"):
+        for prune in (True, False):
+            assert _docs(spark, index_dir, q, prune) == oracle, (q, prune)
+
+
+def test_link_composes_with_and_and_not(spark, index_dir, corpus_rows,
+                                        hot_target):
+    linkers = set(_link_oracle(corpus_rows, hot_target))
+    word = set(_docs(spark, index_dir, "hash"))
+    assert _docs(spark, index_dir, f"link:{hot_target} hash") == \
+        sorted(linkers & word)
+    assert _docs(spark, index_dir, f"hash -link:{hot_target}") == \
+        sorted(word - linkers)
+
+
+def test_link_case_insensitive_and_unknown_empty(spark, index_dir,
+                                                 hot_target):
+    upper = _docs(spark, index_dir, f"link:{hot_target.upper()}")
+    assert upper == _docs(spark, index_dir, f"link:{hot_target}")
+    assert _docs(spark, index_dir, "link:nosuchorg/nosuchrepo") == []
+
+
+def test_link_term_is_whole_string_not_tokens(spark, index_dir, corpus_rows,
+                                              hot_target):
+    """'link:org0' (no slash part) must NOT match importers of org0/repoN —
+    the LINK term is the whole org/repo string, never its sub-tokens."""
+    org = hot_target.split("/")[0]
+    assert _docs(spark, index_dir, f"link:{org} hash") == []
+
+
+def test_link_wand_path_small_k(spark, index_dir, corpus_rows, hot_target):
+    """Small k engages the block-max WAND path (large k falls back) — the
+    LINK field's avgdl default must not crash the cell scorer, and prune
+    on/off must stay bit-equal."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    q = f"link:{hot_target} hash"
+    a = [(r["docid"], round(r["score"], 9))
+         for r in topk(spark, index_dir, q, 5, prune=True).collect()]
+    b = [(r["docid"], round(r["score"], 9))
+         for r in topk(spark, index_dir, q, 5, prune=False).collect()]
+    assert a == b and a
+
+
+def test_link_scores_are_pure_body_bm25(spark, index_dir, corpus_rows,
+                                        hot_target):
+    """LINK field weight is 0: 'link:X hash' scores equal the plain 'hash'
+    scores on the intersection docs (the link leaf filters, never scores)."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    base = {r["docid"]: r["score"]
+            for r in topk(spark, index_dir, "hash", 100_000).collect()}
+    both = topk(spark, index_dir, f"link:{hot_target} hash", 100_000).collect()
+    assert both
+    for r in both:
+        assert r["score"] == pytest.approx(base[r["docid"]], rel=1e-9)
