@@ -50,6 +50,7 @@ def _bm25_sql(words: list[str], *, lang: str | None = None,
               optional_terms: list[tuple[str, float]] | None = None,
               or_group: list[str] | None = None,
               extra_cte: str = "", extra_join: str = "",
+              extra_where: list[str] | None = None,
               mult_expr: str | None = None) -> str:
     """BM25 oracle over documents body text mirroring the engine's plan:
     conjunctive required terms, optional lang filter, optional exclusion,
@@ -120,6 +121,7 @@ bigdf AS (SELECT count(*) AS df FROM big)"""
         filters.append(
             f"NOT EXISTS (SELECT 1 FROM tf fx WHERE fx.doc_id = d.doc_id AND fx.tok = '{ex}')"
         )
+    filters.extend(extra_where or [])
     where = ("WHERE " + " AND ".join(filters)) if filters else ""
     score = " + ".join(contribs)
     if mult_expr is not None:
@@ -1436,6 +1438,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_boolean_or": _engine_query("hash | merge lang:en"),
         "engine_phrase": _engine_query('"hash table"'),
         "engine_bm25_not": _engine_query("hash -merge"),
+        # link: termlist leg (Q2 link:/sitelink:, LINK-field terms from
+        # `import org/repo` references). The testdata text plants no import
+        # lines, so the exclusion leaves the bm25 set intact — the oracle
+        # still expresses the regex subtraction, so the gate goes live the
+        # moment the data does; the nonempty-corpus behavior is pytest-gated
+        # (tests/test_link_operator.py on the synthetic corpus).
+        "engine_link": _engine_query("hash -link:org1/lib"),
+        # `indexed` numeric field (gbindexdate: analog = generation the doc
+        # last entered the index). The gate corpus is a single-generation
+        # build, so every doc's index epoch is 0 and gbmax:indexed:0 is the
+        # identity filter; multi-generation semantics (streamed reindex →
+        # epoch >= STREAM_GEN_SEQ_BASE) are pytest-gated
+        # (tests/test_reindex_newest_wins.py::test_indexed_numeric_field).
+        "engine_indexed": _engine_query("gbmax:indexed:0 hash"),
         "engine_boolean_nested": _engine_query("hash OR (merge AND vector)"),
         "engine_boolean_not_kw": _engine_query("sort NOT (hash OR merge)"),
         "engine_phrase3": _engine_query('"hash value table"'),
@@ -1503,6 +1519,12 @@ def oracle_sql() -> dict[str, str]:
         "engine_phrase": _bm25_sql(["hash", "table"], bigram=("hash", "table"),
                                    bigram_required=True),
         "engine_bm25_not": _bm25_sql(["hash"], exclude="merge"),
+        "engine_indexed": _bm25_sql(["hash"]),
+        "engine_link": _bm25_sql(["hash"], extra_where=[
+            r"NOT EXISTS (SELECT 1 FROM documents dx WHERE dx.doc_id = d.doc_id"
+            r" AND regexp_matches(dx.text,"
+            r" 'import\s+org1/lib($|[^A-Za-z0-9_.\-])'))"
+        ]),
         "engine_batch": f"""
 SELECT 'b_and' AS qid, s.* FROM ({_bm25_sql(["hash", "table"], lang="en")}) s
 UNION ALL

@@ -721,7 +721,7 @@ def topk(
                              "not compose with gbsortby:/gbrevsortby:")
         col, desc = plan.sort_by
         dmv = _serving_docmap(spark, h, sup).select(
-            "docid", F.col(col).alias("_sortval"))
+            "docid", _docmap_num_col(col).alias("_sortval"))
         agg = agg.join(dmv, "docid", "inner")
         top = agg.orderBy(
             F.desc("_sortval") if desc else F.asc("_sortval"),
@@ -779,6 +779,20 @@ def _apply_result_filters(rows, site_max, dedup_content):
     return out
 
 
+def _docmap_num_col(name: str) -> F.Column:
+    """Numeric docmap value column for the gbmin:/gbmax:/gbsortby: family.
+    ``indexed`` is virtual: the generation sequence of the row's ``gen``
+    partition — the gbindexdate:/gbspiderdate: analog
+    (/root/reference/Query.cpp:2801-2845; this corpus has no spider clock,
+    so the index epoch IS the generation a doc last entered)."""
+    if name == "indexed":
+        # docmap rows carry their generation sequence as a literal column;
+        # compaction rewrites docmap keeping each doc's newest row, so the
+        # value survives as the doc's last index epoch
+        return F.col("gen_seq")
+    return F.col(name)
+
+
 def docmap_filter_cond(plan: QueryPlan) -> F.Column:
     """Docmap predicate for the J6 whitelist field ops (site:/repo:, ext:,
     gbcontenthash:) and the gbmin:/gbmax: numeric filters — shared by the
@@ -797,8 +811,8 @@ def docmap_filter_cond(plan: QueryPlan) -> F.Column:
     for col, op, v in plan.num_filters:
         # gbmin:/gbmax: (/root/reference/Query.cpp:1713-1720 value form);
         # parquet min/max stats push these down to the docmap scan
-        cond = cond & (F.col(col) >= F.lit(v) if op == ">="
-                       else F.col(col) <= F.lit(v))
+        c = _docmap_num_col(col)
+        cond = cond & (c >= F.lit(v) if op == ">=" else c <= F.lit(v))
     return cond
 
 
@@ -837,7 +851,8 @@ def _join_docmap(spark: SparkSession, h: IndexHandle, top: DataFrame,
     joined = top.join(docmap, "docid", "inner")
     if order_key is not None:
         col, desc = order_key
-        order = [F.desc(col) if desc else F.asc(col), F.asc("docid")]
+        c = _docmap_num_col(col)
+        order = [c.desc() if desc else c.asc(), F.asc("docid")]
     else:
         order = [F.desc("score"), F.asc("docid")]
     out = (

@@ -46,7 +46,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field as dc_field
 
-from .. import FIELD_BODY, FIELD_LANG, FIELD_TITLE, FIELD_URL
+from .. import FIELD_BODY, FIELD_LANG, FIELD_LINK, FIELD_TITLE, FIELD_URL
 from ..functions.hashing import TokenHasher
 from ..functions.synonyms import SYNONYM_WEIGHT, synonyms_for
 from ..functions.variations import VARIATION_WEIGHT, variants_for
@@ -58,7 +58,8 @@ from ..functions.tokenizer import (
 # (/root/reference/Parms.cpp:3734-3905: body=1, title=8, inurl=1; lang terms
 # are filter-only). Scoring is per-(term, field) BM25 summed with these
 # weights; see operators/query_engine.py.
-FIELD_WEIGHTS = {FIELD_BODY: 1.0, FIELD_TITLE: 8.0, FIELD_URL: 1.0, FIELD_LANG: 0.0}
+FIELD_WEIGHTS = {FIELD_BODY: 1.0, FIELD_TITLE: 8.0, FIELD_URL: 1.0,
+                 FIELD_LANG: 0.0, FIELD_LINK: 0.0}
 BIGRAM_WEIGHT = 5.0
 DOMAIN_URL_WEIGHT = 10.0  # looksLikeADomain INURL boost, Query.cpp:2473+
 
@@ -78,8 +79,11 @@ _EXT_OPS = {"ext", "filetype", "type"}
 # double-colon value form at /root/reference/Query.cpp:1713-1720 and scores
 # gbsortby termlists by their numeric value, /root/reference/Query.h:213,
 # /root/reference/PosdbTable.cpp:3058). This corpus's numeric doc fields
-# live in docmap; `size` = chars of content.
-_NUM_FIELDS = {"size"}
+# live in docmap; `size` = chars of content, `indexed` = the generation
+# sequence the doc last entered the index (the gbindexdate:/gbspiderdate:
+# analog, /root/reference/Query.cpp:2801-2845 — no spider clock here, the
+# index epoch is the generation number).
+_NUM_FIELDS = {"size", "indexed"}
 
 _TLDS = {"com", "org", "net", "io", "edu", "gov", "dev", "co"}
 
@@ -366,6 +370,12 @@ class _Parser:
                 word = val
             elif opl in _SITE_OPS and val:
                 return _Atom("site", val, None, negated)
+            elif opl in ("link", "sitelink") and val:
+                # link:org/repo → docs whose content references that repo
+                # (the linkdb termlist analog, /root/reference/Query.cpp:
+                # 2624-2641; sitelink: folds onto link: because site==repo
+                # in this corpus). The WHOLE value is one LINK-field term.
+                return _Atom("linkterm", val.lower(), None, negated)
             elif opl in _EXT_OPS and val:
                 return _Atom("ext", val, None, negated)
             elif opl == "gbdocid" and val:
@@ -553,6 +563,14 @@ class _PlanBuilder:
                         f"gbtermid: expects an integer termid, got "
                         f"{tree.value!r}")
                 ix = self.spec(tid, f"gbtermid:{tid}", None, 1.0,
+                               required=not neg, excluded=neg)
+                return Leaf(ix, negated=neg)
+            if tree.kind == "linkterm":
+                # one whole-string LINK-field term: membership-only (field
+                # weight 0, like LANG), so it composes with booleans,
+                # exclusion and WAND exactly as any other field term
+                tid = int(_hasher.termids([tree.value])[0])
+                ix = self.spec(tid, f"link:{tree.value}", FIELD_LINK, 1.0,
                                required=not neg, excluded=neg)
                 return Leaf(ix, negated=neg)
             if tree.kind == "site":

@@ -159,6 +159,34 @@ def test_delete_then_reindex_before_compaction(spark, tmp_path):
     assert _topk(spark, idx, MARKER_V1) == []
 
 
+def test_indexed_numeric_field(spark, reindexed):
+    """`indexed` numeric docmap field (gbindexdate:/gbspiderdate: analog):
+    the re-streamed doc's generation sequence is >= the streaming base, so
+    gbmin:indexed selects exactly the re-streamed docs, gbmax:indexed
+    excludes them, and gbsortby:indexed ranks them first — on both physical
+    paths."""
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+    from open_source_search_engine_spark.operators.index_build import (
+        STREAM_GEN_SEQ_BASE,
+    )
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, rows, v2 = reindexed
+    docid = docid_for_url(v2[7]["repo"] + "/" + v2[7]["path"])
+    base = STREAM_GEN_SEQ_BASE
+    for prune in (True, False):
+        fresh = topk(spark, idx, f"gbmin:indexed:{base} {MARKER_V2}",
+                     1000, prune=prune).collect()
+        assert [r["docid"] for r in fresh] == [docid], f"gbmin prune={prune}"
+        old = topk(spark, idx, f"gbmax:indexed:{base - 1} {MARKER_V2}",
+                   1000, prune=prune).collect()
+        assert old == [], f"gbmax prune={prune}"
+    # gbsortby:indexed — the re-streamed doc leads; it also matches the v2
+    # marker so use a term every doc shares
+    allq = topk(spark, idx, "gbsortby:indexed the", 1000).collect()
+    assert allq and allq[0]["docid"] == docid
+
+
 def test_docmap_filters_see_only_newest_generation(spark, reindexed):
     """Document filters (J6 site/ext/sha + numeric) must evaluate against
     the NEWEST docmap generation: before compaction rewrites docmap, the
