@@ -775,6 +775,39 @@ rrm AS (SELECT rnk.repo,
     )
 
 
+def _q_engine_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts (operators/facets.py, the gbfacetstr:/gbfacetint:
+    analog): top repo ("source") and lang values among docs matching the
+    conjunctive query, count desc then value asc."""
+    from open_source_search_engine_spark.operators.facets import facet_counts
+    from open_source_search_engine_spark.sources.testdata import ensure_index
+
+    idx = ensure_index(spark, sf_dir)
+    return facet_counts(spark, idx, "hash table", ("repo", "lang"), topn=10)
+
+
+_FACETS_SQL = f"""
+WITH{TOKS_CTE},
+occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ
+       WHERE tok IN ('hash', 'table') GROUP BY 1, 2),
+m AS (SELECT t1.doc_id FROM tf t1
+      JOIN tf t2 ON t2.doc_id = t1.doc_id AND t2.tok = 'table'
+      WHERE t1.tok = 'hash'),
+j AS (SELECT d.source, d.lang FROM documents d JOIN m ON m.doc_id = d.doc_id),
+u AS (
+  SELECT 'repo' AS facet, source AS value, count(*) AS n FROM j GROUP BY source
+  UNION ALL
+  SELECT 'lang' AS facet, lang AS value, count(*) AS n FROM j GROUP BY lang
+),
+r AS (SELECT facet, value, n,
+             row_number() OVER (PARTITION BY facet ORDER BY n DESC, value ASC)
+               AS rn
+      FROM u)
+SELECT facet, value, n FROM r WHERE rn <= 10
+"""
+
+
 def _q_engine_site_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 whitelist analog: site:/repo: restricts candidates to one source
     before top-k (/root/reference/PosdbTable.cpp:4297-4372)."""
@@ -1452,6 +1485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # epoch >= STREAM_GEN_SEQ_BASE) are pytest-gated
         # (tests/test_reindex_newest_wins.py::test_indexed_numeric_field).
         "engine_indexed": _engine_query("gbmax:indexed:0 hash"),
+        # facet counts over the match set (gbfacetstr:/gbfacetint: analog):
+        # top repo/lang values among docs matching the conjunctive query —
+        # aggregation runs on the UNORDERED match set (no top-k truncation)
+        "engine_facets": _q_engine_facets,
         "engine_boolean_nested": _engine_query("hash OR (merge AND vector)"),
         "engine_boolean_not_kw": _engine_query("sort NOT (hash OR merge)"),
         "engine_phrase3": _engine_query('"hash value table"'),
@@ -1520,6 +1557,7 @@ def oracle_sql() -> dict[str, str]:
                                    bigram_required=True),
         "engine_bm25_not": _bm25_sql(["hash"], exclude="merge"),
         "engine_indexed": _bm25_sql(["hash"]),
+        "engine_facets": _FACETS_SQL,
         "engine_link": _bm25_sql(["hash"], extra_where=[
             r"NOT EXISTS (SELECT 1 FROM documents dx WHERE dx.doc_id = d.doc_id"
             r" AND regexp_matches(dx.text,"

@@ -1,0 +1,63 @@
+"""Facet counts over a query's match set — the gbfacetstr:/gbfacetint:
+analog of the reference's lineage (facet hashing stubs remain at
+/root/reference/XmlDoc_Indexing.cpp:616 "hash numerically so we can do
+gbfacetint:type on it" and /root/reference/Query.cpp:1746-1749): top value
+counts of document metadata columns among the documents matching a query.
+
+Spark shape (designed for the 100 TB case):
+
+- the match set comes from the query engine's one membership aggregation
+  (``topk(..., _match_set=True)``) — no global sort, no limit, no WAND
+  truncation;
+- each facet column is a plain ``groupBy(col).count()`` — map-side partial
+  aggregation, one small shuffle per facet whose reduce input is already
+  collapsed to distinct values;
+- top-N per facet runs AFTER aggregation, over #facets × #distinct-values
+  rows (a window over tiny data, never over documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..plans.plan import QueryPlan, parse_query
+
+FACET_SCHEMA = "facet string, value string, n long"
+
+
+def facet_counts(
+    spark: SparkSession,
+    index_dir: str,
+    query: "str | QueryPlan",
+    facet_cols: tuple[str, ...] = ("repo", "lang"),
+    topn: int = 10,
+    *,
+    handle=None,
+) -> DataFrame:
+    """(facet, value, n): for each facet column, the ``topn`` most frequent
+    values among documents matching ``query``, count desc then value asc
+    (deterministic under ties). Facet columns are docmap metadata columns
+    (repo, lang, and numeric ones like size render as strings)."""
+    from .query_engine import topk
+
+    plan = parse_query(query) if isinstance(query, str) else query
+    if not plan.required or plan.expr is None:
+        return spark.createDataFrame([], FACET_SCHEMA)
+
+    m = topk(spark, index_dir, plan, 1, handle=handle, _match_set=True)
+    parts = []
+    for c in facet_cols:
+        parts.append(
+            m.groupBy(F.col(c).cast("string").alias("value"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(c).alias("facet"), "value", "n")
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy("facet").orderBy(F.desc("n"), F.asc("value"))
+    return (
+        u.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= topn)
+        .select("facet", "value", "n")
+    )

@@ -412,9 +412,15 @@ def topk(
     repo_rank: DataFrame | None = None,
     ranker: str = "bm25",
     use_shortcuts: bool = False,
+    _match_set: bool = False,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame
     (rank, docid, score, repo, path, content_sha256).
+
+    ``_match_set=True`` (internal, used by operators/facets.py) returns the
+    FULL unordered match set joined to the serving docmap instead of the
+    ranked page — no global sort, no limit, never the WAND path (which
+    truncates to k).
 
     Two physical strategies behind one logical result:
 
@@ -497,7 +503,8 @@ def topk(
     from .index_build import load_superseded
     from .wand import wand_eligible, wand_topk
 
-    if (prune and temperature is None and repo_rank is None
+    if (prune and not _match_set and temperature is None
+            and repo_rank is None
             and ranker == "bm25" and wand_eligible(plan, k, cursor)):
         from .wand import SideTableTooLarge
 
@@ -703,6 +710,11 @@ def topk(
         dm = _serving_docmap(spark, h, sup)
         allowed = dm.filter(docmap_filter_cond(plan)).select("docid")
         agg = agg.join(allowed, "docid", "leftsemi")
+
+    if _match_set:
+        # full unordered match set (facets/analytics): no global sort, no
+        # limit — the downstream aggregation keeps its map-side combine
+        return agg.join(_serving_docmap(spark, h, sup), "docid", "inner")
 
     if cursor is not None:
         s0, d0 = cursor

@@ -1,0 +1,56 @@
+"""Facet counts (operators/facets.py — the gbfacetstr:/gbfacetint: analog):
+top metadata-value counts over a query's full match set, checked against a
+Python oracle built from the same corpus rows."""
+
+from collections import Counter
+
+import pytest
+
+
+def _py_facets(oracle_index, corpus_rows, q, cols, topn):
+    """Counter-based oracle: count facet values over the oracle's match set."""
+    match = {r["docid"] for r in oracle_index.topk(q, 10**9)}
+    by_doc = {}
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+
+    for r in corpus_rows:
+        by_doc[docid_for_url(r["repo"] + "/" + r["path"])] = r
+    out = []
+    for c in cols:
+        cnt = Counter(str(by_doc[d][c]) for d in match)
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:topn]
+        out += [(c, v, n) for v, n in best]
+    return sorted(out)
+
+
+@pytest.mark.parametrize("q", ["hash", "hash table", "sort | merge"])
+def test_facets_match_python_oracle(spark, index_dir, corpus_rows,
+                                    oracle_index, q):
+    from open_source_search_engine_spark.operators.facets import facet_counts
+
+    got = sorted(
+        (r["facet"], r["value"], r["n"])
+        for r in facet_counts(spark, index_dir, q,
+                              ("repo", "lang"), topn=5).collect()
+    )
+    assert got == _py_facets(oracle_index, corpus_rows, q, ("repo", "lang"), 5)
+
+
+def test_facets_numeric_column_and_empty_query(spark, index_dir):
+    from open_source_search_engine_spark.operators.facets import facet_counts
+
+    rows = facet_counts(spark, index_dir, "hash", ("size",), topn=3).collect()
+    assert 0 < len(rows) <= 3 and all(r["facet"] == "size" for r in rows)
+    assert facet_counts(spark, index_dir, "", ("repo",)).collect() == []
+    assert facet_counts(spark, index_dir, "zzzznotaterm", ("repo",)).collect() == []
+
+
+def test_facets_respect_document_filters(spark, index_dir, corpus_rows,
+                                         oracle_index):
+    """site:-filtered query facets only over the filtered match set."""
+    from open_source_search_engine_spark.operators.facets import facet_counts
+
+    repo = corpus_rows[0]["repo"]
+    rows = facet_counts(spark, index_dir, f"site:{repo} hash",
+                        ("repo",), topn=10).collect()
+    assert rows and all(r["value"] == repo for r in rows)
