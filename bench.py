@@ -139,6 +139,19 @@ def main() -> None:
     batch_amort = round(
         sum(queries[n] for n in bm25_queries) / max(queries["q_batch7"], 1e-9), 2)
 
+    # facet counts over the full match set (operators/facets.py) — the
+    # analytics mode: unordered membership aggregation + per-facet groupBy
+    from open_source_search_engine_spark.operators.facets import facet_counts
+
+    facet_counts(spark, idx, "hash", ("repo", "lang"), handle=handle).collect()
+    times = []
+    for _ in range(repeat):
+        t0 = time.time()
+        facet_counts(spark, idx, "hash", ("repo", "lang"),
+                     handle=handle).collect()
+        times.append(time.time() - t0)
+    queries["q_facets"] = round(statistics.median(times), 3)
+
     # ---- training-data pipeline ops ------------------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
