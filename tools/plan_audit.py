@@ -76,6 +76,20 @@ def main() -> None:
     if "TakeOrderedAndProject" not in p:
         failures.append("WAND top-k is not TakeOrderedAndProject")
 
+    # 6: facets — partial (map-side) aggregation before the facet shuffle,
+    # and NO document-scale global sort/limit anywhere in the plan (the
+    # match set feeds groupBy unordered; only facet×value aggregates are
+    # window-ranked)
+    from open_source_search_engine_spark.operators.facets import facet_counts
+
+    fq = facet_counts(spark, idx, "hash table", ("repo", "lang"), topn=10)
+    p = show("facet counts over the match set", fq)
+    if "partial_count" not in p and "Partial" not in p:
+        failures.append("facet groupBy has no map-side partial aggregation")
+    if "TakeOrderedAndProject" in p:
+        failures.append("facets plan contains a document top-k (must be "
+                        "match-set, not truncated)")
+
     print("\n" + "=" * 72)
     if failures:
         print("PLAN AUDIT FAILURES:")
