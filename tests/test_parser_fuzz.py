@@ -11,7 +11,8 @@ from open_source_search_engine_spark.plans.plan import (
 )
 
 _operator_soup = st.text(
-    alphabet='ab ("|)-+:\'"AND OR NOT site:ext:lang:gbdocid:gbtermid:',
+    alphabet='ab/. ("|)-+:\'"AND OR NOT site:ext:lang:gbdocid:gbtermid:'
+             'link:intitle:gbmin:gbmax:gbsortby:indexed:size:0123',
     max_size=60,
 )
 
