@@ -77,3 +77,23 @@ def stop_set(lang: str | None) -> frozenset:
 
 def is_query_stopword(token: str, lang: str | None = None) -> bool:
     return token.lower() in stop_set(lang)
+
+
+def detect_language(tokens) -> str | None:
+    """Infer the query language from its words — the reference computes
+    ``queryLanguageAbbr`` from the query when no ``fx_qlang`` hint is set
+    (an explicit hint always wins; behavior pinned by the reference's
+    ``test/system/test_search_language.py``). Each token votes for every
+    language whose function-word set contains it; most votes wins, ties
+    prefer ``en`` then the alphabetically first code; no votes → ``None``
+    (undetected — the caller applies no language weighting)."""
+    counts: dict[str, int] = {}
+    for t in tokens:
+        tl = t.lower()
+        for lang, s in LANG_STOP_WORDS.items():
+            if tl in s:
+                counts[lang] = counts.get(lang, 0) + 1
+    if not counts:
+        return None
+    return sorted(counts.items(),
+                  key=lambda kv: (-kv[1], kv[0] != "en", kv[0]))[0][0]

@@ -668,6 +668,21 @@ def parse_query(q: str, *, expand_synonyms: bool = False,
             b.attach_optional(f"{a} {bb}", FIELD_BODY, BIGRAM_WEIGHT,
                               is_bigram=True, pair=(a, bb, both_stop))
 
+    if query_lang == "auto":
+        # no explicit &qlang hint: infer the language from the query's own
+        # words (the reference computes queryLanguageAbbr this way when
+        # fx_qlang is empty — behavior pinned by
+        # /root/reference/test/system/test_search_language.py). Field-op
+        # lexemes don't vote; undetected → no weighting.
+        from ..functions.stopwords import detect_language
+
+        bare = [t for lx in _lex(q)
+                if ":" not in lx and lx not in ("(", ")", "|", "OR", "AND",
+                                                "NOT")
+                and not lx.startswith(("-", '"', '+"'))
+                for t in code_tokens(lx.lstrip("+"))]
+        query_lang = detect_language(bare)
+
     if query_lang is not None:
         # SC5 &qlang weighting (/root/reference/SearchInput.cpp:265-267
         # builds languageWeights; applied /root/reference/PosdbTable.cpp:3918):

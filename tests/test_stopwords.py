@@ -81,3 +81,37 @@ def test_structures_never_demoted():
 def test_single_stop_term_not_demoted_to_empty():
     p = parse_query("the", soft_stops=True)
     assert req_tokens(p) == ["the"]
+
+
+def test_detect_language_votes_and_tiebreaks():
+    """Query-language auto-detection (the reference computes
+    queryLanguageAbbr from the query words when no fx_qlang hint is set —
+    test/system/test_search_language.py; an explicit hint always wins)."""
+    from open_source_search_engine_spark.functions.stopwords import (
+        detect_language,
+    )
+
+    assert detect_language(["der", "die", "nicht", "wagen"]) == "de"
+    assert detect_language(["le", "chat", "dans", "la", "maison"]) == "fr"
+    assert detect_language(["el", "perro", "y", "los", "gatos"]) == "es"
+    assert detect_language(["the", "hash", "table"]) == "en"
+    assert detect_language(["xyzzy", "frobnicate"]) is None
+    assert detect_language([]) is None
+    # en preferred under a tie; deterministic alphabetical otherwise
+    assert detect_language(["the", "der"]) == "en"
+
+
+def test_query_lang_auto_resolves_before_weighting():
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    p = parse_query("der die nicht hash", query_lang="auto")
+    assert p.query_lang == "de" and p.lang_spec_same is not None
+    # identical plan to the explicit hint (hint wins = same mechanism)
+    pe = parse_query("der die nicht hash", query_lang="de")
+    assert [t for t in p.terms] == [t for t in pe.terms]
+    # undetected -> no weighting specs at all
+    pu = parse_query("zzqx yyqk", query_lang="auto")
+    assert pu.query_lang is None and pu.lang_spec_same is None
+    # field-op lexemes don't vote
+    pf = parse_query("lang:fr der hash", query_lang="auto")
+    assert pf.query_lang == "de"
