@@ -9,9 +9,10 @@ Spark shape (designed for the 100 TB case):
 - the match set comes from the query engine's one membership aggregation
   (``topk(..., _match_set=True)``) — no global sort, no limit, no WAND
   truncation;
-- each facet column is a plain ``groupBy(col).count()`` — map-side partial
-  aggregation, one small shuffle per facet whose reduce input is already
-  collapsed to distinct values;
+- all facet columns aggregate in ONE pass: each match-set row explodes to
+  (facet, value) pairs feeding a single ``groupBy(facet, value).count()``
+  — map-side partial aggregation, one small shuffle total whose reduce
+  input is already collapsed to distinct values;
 - top-N per facet runs AFTER aggregation, over #facets × #distinct-values
   rows (a window over tiny data, never over documents).
 """
@@ -45,16 +46,20 @@ def facet_counts(
         return spark.createDataFrame([], FACET_SCHEMA)
 
     m = topk(spark, index_dir, plan, 1, handle=handle, _match_set=True)
-    parts = []
-    for c in facet_cols:
-        parts.append(
-            m.groupBy(F.col(c).cast("string").alias("value"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.lit(c).alias("facet"), "value", "n")
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
+    # ONE pass over the match set: explode each row into (facet, value)
+    # pairs and aggregate once — a per-facet groupBy would re-evaluate the
+    # whole scan+decode+membership subtree once per column
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("facet"),
+                 F.col(c).cast("string").alias("value"))
+        for c in facet_cols
+    ]))
+    u = (
+        m.select(pairs.alias("p"))
+        .groupBy(F.col("p.facet").alias("facet"),
+                 F.col("p.value").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     w = Window.partitionBy("facet").orderBy(F.desc("n"), F.asc("value"))
     return (
         u.withColumn("_r", F.row_number().over(w))

@@ -1235,7 +1235,14 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
             dm = dm.join(tomb, "docid", "left_anti")
         dm_cols = ["docid", "repo", "path", "lang", "content_sha256", "size",
                    "gen_seq"]
-        catalog.write_table(dm.select(*dm_cols), index_dir, "docmap_new/gen=0")
+        # forward-compat: an index persisted before a docmap column existed
+        # (e.g. `size`) must still compact — null-fill missing columns (the
+        # numeric filters treat NULL as non-matching, which is the honest
+        # answer for a value the old build never recorded)
+        have = set(dm.columns)
+        sel = [F.col(c) if c in have else F.lit(None).cast("long").alias(c)
+               for c in dm_cols]
+        catalog.write_table(dm.select(*sel), index_dir, "docmap_new/gen=0")
         _shutil.rmtree(dm_path, ignore_errors=True)
         os.rename(catalog.table_path(index_dir, "docmap_new"), dm_path)
         spark.catalog.refreshByPath(dm_path)

@@ -685,7 +685,12 @@ def topk(
         # outstanding pins at one keeps repeated proximity queries from
         # accreting executor storage).
         while _prox_pins:
-            _prox_pins.pop().unpersist(blocking=False)
+            try:
+                _prox_pins.pop().unpersist(blocking=False)
+            except Exception:
+                # pin from a stopped SparkSession (module-global list
+                # outlives sessions) — its storage died with the context
+                pass
         decoded = decoded.persist()
         _prox_pins.append(decoded)
         spans = _min_window_spans(decoded, prox_members)

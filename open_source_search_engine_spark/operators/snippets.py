@@ -38,14 +38,29 @@ def highlight(window: Column, terms: list[str]) -> Column:
     """Wrap every whole-word occurrence of each query term inside the
     selected window with its rotating front tag
     (/root/reference/Highlight.cpp:43 set(): frontTag term backTag per
-    match). Pure column regexp over the already-bounded top-k page; one
-    deterministic replace pass per term (the inserted markup contains no
-    word that collides with a realistic query term)."""
-    out = window
+    match). Pure column regexp over the already-bounded top-k page.
+
+    Two-phase so a later term can never match inside an earlier term's
+    markup (query terms like ``span``/``class`` would otherwise match the
+    inserted tags): per-term passes wrap matches in control-char sentinels
+    ``\\x01<class-char>\\x02 … \\x03`` — no word or digit characters, so
+    ``\\b<term>\\b`` cannot fire inside them for ANY term including numeric
+    ones — then per-class passes expand the sentinels to the HTML tags.
+    Pre-existing sentinel bytes in the window are stripped first so
+    adversarial content cannot forge markup."""
+    out = F.regexp_replace(window, "[\x01-\x03\x10-\x19]", "")
+    terms = list(dict.fromkeys(t.lower() for t in terms))  # dups re-match
+    classes = []
     for i, t in enumerate(terms):
+        ci = i % 10
+        classes.append(ci)
         out = F.regexp_replace(
             out, f"(?i)\\b({re.escape(t.lower())})\\b",
-            front_tag(i) + "$1" + BACK_TAG)
+            f"\x01{chr(0x10 + ci)}\x02$1\x03")
+    for ci in sorted(set(classes)):
+        out = F.regexp_replace(
+            out, f"\x01{chr(0x10 + ci)}\x02([^\x03]*)\x03",
+            front_tag(ci) + "$1" + BACK_TAG)
     return out
 
 

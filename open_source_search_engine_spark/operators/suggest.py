@@ -57,8 +57,14 @@ def materialize_suggest(spark, index_dir: str, docs: DataFrame,
     file the same way (/root/reference/Speller.cpp load-once)."""
     from ..sources import catalog
 
+    # the empty delete key (delete-1 of a single-char token) must NOT map
+    # to an empty partition value — Spark writes "" as the Hive default
+    # partition and reads it back NULL, silently dropping those candidates;
+    # "~" is the reserved empty-key partition (the delete_key equi-filter
+    # still discriminates, so a real "~"-prefixed token colliding is fine)
     idx = suggest_index(vocabulary(docs, text=text)).withColumn(
-        "pfx", F.substring("delete_key", 1, 2))
+        "pfx", F.when(F.length("delete_key") == 0, F.lit("~"))
+                .otherwise(F.substring("delete_key", 1, 2)))
     catalog.write_table(idx, index_dir, "suggest_index", partition_by=["pfx"])
 
 
@@ -70,7 +76,7 @@ def suggest_from_index(spark, index_dir: str, word: str, k: int = 5) -> DataFram
 
     w = word.lower()
     dels = [w] + [w[:i] + w[i + 1:] for i in range(len(w))]
-    pfxs = sorted({d[:2] for d in dels})
+    pfxs = sorted({d[:2] if d else "~" for d in dels})
     idx = spark.read.parquet(catalog.table_path(index_dir, "suggest_index"))
     cands = (
         idx.filter(F.col("pfx").isin(pfxs) & F.col("delete_key").isin(dels))

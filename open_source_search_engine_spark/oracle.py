@@ -117,6 +117,16 @@ class OracleIndex:
 
     # -- query ---------------------------------------------------------------
 
+    def _num_value(self, docid: int, col: str) -> float:
+        """Numeric docmap-field value for gbmin:/gbmax:/gbsortby:. The
+        oracle models a single-generation batch build, so the virtual
+        ``indexed`` field (generation sequence, engine: docmap gen_seq) is
+        0 for every doc; multi-generation semantics are covered by the
+        engine-level reindex tests."""
+        if col == "indexed":
+            return 0
+        return getattr(self.docs[docid], col)
+
     def _matching_docs(self, termid: int, field: int | None) -> set[int]:
         by_field = self.postings.get(termid, {})
         if field is None:
@@ -225,8 +235,8 @@ class OracleIndex:
         for col, op, v in plan.num_filters:
             universe = {
                 d for d in universe
-                if (getattr(self.docs[d], col) >= v if op == ">="
-                    else getattr(self.docs[d], col) <= v)
+                if (self._num_value(d, col) >= v if op == ">="
+                    else self._num_value(d, col) <= v)
             }
 
         cands: list[int] = []
@@ -267,6 +277,27 @@ class OracleIndex:
                 s += v
             scored.append((s, d))
 
+        if plan.query_lang is not None:
+            # SC5 &qlang weighting: multiplier decided by LANG-termlist
+            # membership (same probe the engine aggregates) — same-lang
+            # 20/20, indexed-'und' 10/20, other 1/20. Applied BEFORE the
+            # proximity factor, in the engine's multiplication order
+            # (query_engine.py applies lang in the membership aggregation,
+            # proximity after) — float products are order-sensitive and the
+            # A/B gates demand bit-identity.
+            same_tid = plan.terms[plan.lang_spec_same].termid
+            und_tid = plan.terms[plan.lang_spec_und].termid
+            rescored = []
+            for s, d in scored:
+                if d in self._matching_docs(same_tid, FIELD_LANG):
+                    w = 20.0 / 20.0
+                elif d in self._matching_docs(und_tid, FIELD_LANG):
+                    w = 10.0 / 20.0
+                else:
+                    w = 1.0 / 20.0
+                rescored.append((s * w, d))
+            scored = rescored
+
         if ranker == "bm25_proximity":
             # SC4 sliding-window (body) + SC3 non-body pair windows
             # (title/url) — best field's factor, mirroring the engine's
@@ -288,31 +319,14 @@ class OracleIndex:
                     rescored.append((s * best, d))
                 scored = rescored
 
-        if plan.query_lang is not None:
-            # SC5 &qlang weighting: multiplier decided by LANG-termlist
-            # membership (same probe the engine aggregates) — same-lang
-            # 20/20, indexed-'und' 10/20, other 1/20
-            same_tid = plan.terms[plan.lang_spec_same].termid
-            und_tid = plan.terms[plan.lang_spec_und].termid
-            rescored = []
-            for s, d in scored:
-                if d in self._matching_docs(same_tid, FIELD_LANG):
-                    w = 20.0 / 20.0
-                elif d in self._matching_docs(und_tid, FIELD_LANG):
-                    w = 10.0 / 20.0
-                else:
-                    w = 1.0 / 20.0
-                rescored.append((s * w, d))
-            scored = rescored
-
         # tie-break score desc, docid asc; pagination strictly after cursor
         if plan.sort_by is not None:
             # gbsortby:/gbrevsortby: the docmap value orders instead of the
             # score (ties → docid asc); the BM25 score is still reported
             col, desc = plan.sort_by
             scored.sort(key=lambda sd: (
-                -getattr(self.docs[sd[1]], col) if desc
-                else getattr(self.docs[sd[1]], col), sd[1]))
+                -self._num_value(sd[1], col) if desc
+                else self._num_value(sd[1], col), sd[1]))
         else:
             scored.sort(key=lambda sd: (-sd[0], sd[1]))
         if cursor is not None:

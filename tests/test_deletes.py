@@ -185,3 +185,45 @@ def test_wand_falls_back_when_side_table_huge(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(wand, "WAND_SIDE_TABLE_MAX", 0)
     got = [r["docid"] for r in topk(spark, idx, q, 1000).collect()]
     assert got == [d for d in before if d not in victims]
+
+
+def test_compaction_backfills_missing_docmap_columns(spark, tmp_path):
+    """An index persisted before a docmap column existed (e.g. `size`) must
+    still compact: the docmap rewrite null-fills absent columns instead of
+    throwing UNRESOLVED_COLUMN; queries keep serving and numeric filters on
+    the null column simply match nothing."""
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index, compact_segments, delete_docs,
+    )
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources import catalog
+
+    d = str(tmp_path / "old_idx")
+    shutil.rmtree(d, ignore_errors=True)
+    build_index(spark, corpus_df(spark, 60, partitions=4), d, n_chunks=1)
+
+    # simulate the pre-`size` on-disk layout: rewrite docmap without it
+    dm_path = catalog.table_path(d, "docmap")
+    dm = spark.read.parquet(dm_path).drop("size").cache()
+    dm.count()
+    tmp = str(tmp_path / "dm_nosize")
+    dm.withColumn("gen", F.lit("0")).write.partitionBy("gen").parquet(tmp)
+    shutil.rmtree(dm_path)
+    import os
+    os.rename(tmp, dm_path)
+    spark.catalog.refreshByPath(dm_path)
+
+    victims = [r["docid"] for r in
+               topk(spark, d, "hash", 3).collect()]
+    assert victims
+    delete_docs(spark, d, victims[:1])
+    compact_segments(spark, d)  # must not raise
+    left = [r["docid"] for r in topk(spark, d, "hash", 1000).collect()]
+    assert victims[0] not in left
+    # the rewritten docmap carries a null-filled size column
+    dm2 = spark.read.parquet(dm_path)
+    assert "size" in dm2.columns
+    assert dm2.filter(F.col("size").isNull()).count() == dm2.count()
+    # numeric filter over the null column: matches nothing, never throws
+    assert topk(spark, d, "gbmin:size:1 hash", 10).collect() == []

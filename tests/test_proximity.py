@@ -92,3 +92,23 @@ def test_proximity_noop_for_single_term(spark, prox):
     b = [(r["docid"], r["score"]) for r in
          topk(spark, idx, "alpha", 10, ranker="bm25_proximity").collect()]
     assert a == b
+
+
+def test_proximity_composes_with_query_lang_bit_exact(spark, prox):
+    """&qlang × proximity multiplication ORDER: the engine applies the
+    language multiplier inside the membership aggregation and the proximity
+    factor after; the oracle must multiply in the same order or the floats
+    drift in the last ulp. Exact (not approx) equality asserted."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    idx, oracle = prox
+    # 'py' docs are same-lang; ask for a different lang so the inexact 0.05
+    # multiplier actually participates
+    for qlang in ("py", "go"):
+        plan = parse_query("alpha beta", query_lang=qlang)
+        eng = [(r["docid"], r["score"]) for r in
+               topk(spark, idx, plan, 10, ranker="bm25_proximity").collect()]
+        ora = [(r["docid"], r["score"]) for r in
+               oracle.topk(plan, 10, ranker="bm25_proximity")]
+        assert eng == ora, qlang  # bit-exact, both order and values

@@ -96,3 +96,46 @@ def test_materialized_suggest_matches_adhoc(spark, tmp_path):
     # partition pruning surface: the table is prefix-partitioned
     import os
     assert any(p.startswith("pfx=") for p in os.listdir(f"{d}/suggest_index"))
+
+
+def test_materialized_suggest_single_char_tokens(spark, tmp_path):
+    """Single-char vocabulary tokens produce the EMPTY delete key, which
+    must not vanish into the Hive default partition: suggest_from_index of
+    a 1-char word must still surface its substitution neighbours (other
+    1-char tokens share the '' key) and match the ad-hoc path."""
+    from open_source_search_engine_spark.operators.suggest import (
+        materialize_suggest, suggest, suggest_from_index, vocabulary,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "x y z x x sort"), (1, "y z w sort")],
+        "doc_id long, text string")
+    d = str(tmp_path / "sidx1")
+    materialize_suggest(spark, d, docs)
+    a = [(r["token"], r["df"]) for r in
+         suggest(vocabulary(docs), "x", 5).collect()]
+    b = [(r["token"], r["df"]) for r in
+         suggest_from_index(spark, d, "x", 5).collect()]
+    assert a == b and a
+    # the 1-char neighbours w/y/z (distance-1 substitutions via '') are in
+    assert {"x", "w", "y", "z"} <= {t for t, _ in b}
+
+
+def test_highlight_markup_collision_terms(spark):
+    """Terms that collide with the inserted markup ('span', 'class', digits)
+    and duplicate terms must not corrupt the output — the sentinel two-phase
+    wrap makes markup invisible to later term passes."""
+    from open_source_search_engine_spark.operators.snippets import (
+        front_tag, highlight,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("foo span class 00 foo",)], "snippet string")
+    out = df.select(
+        highlight(F.col("snippet"), ["foo", "span", "class", "00", "foo"])
+        .alias("m")).collect()[0]["m"]
+    assert out == (
+        f"{front_tag(0)}foo</span> {front_tag(1)}span</span> "
+        f"{front_tag(2)}class</span> {front_tag(3)}00</span> "
+        f"{front_tag(0)}foo</span>"
+    )
