@@ -51,8 +51,8 @@ def _result_dicts(rows: Iterable[Any]) -> list[dict]:
 def render_results(rows, query: str, *, fmt: str = "json",
                    total_hits: int | None = None) -> str:
     """Serialize one result page. ``rows`` is a ``topk`` DataFrame or its
-    collected rows; ``fmt`` is ``json`` | ``xml`` | ``html`` (the reference's
-    three output formats)."""
+    collected rows; ``fmt`` is ``json`` | ``xml`` | ``html`` | ``csv`` (the
+    reference's four output formats, /root/reference/GbFormat.h:5-8)."""
     if hasattr(rows, "collect"):
         rows = rows.collect()
     results = _result_dicts(rows)
@@ -83,4 +83,22 @@ def render_results(rows, query: str, *, fmt: str = "json",
         return (
             f"<html><body><h1>{escape(query)}</h1><ol>\n{lis}\n</ol></body></html>"
         )
-    raise ValueError(f"unknown format: {fmt!r} (expected json|xml|html)")
+    if fmt == "csv":
+        # the reference's fourth output format (FORMAT_CSV,
+        # /root/reference/GbFormat.h:8; "Output CSV" menu item
+        # /root/reference/PageResults.cpp:4638-4639). Header from the union
+        # of present fields, core columns first; RFC-4180 quoting.
+        import csv
+        import io
+
+        cols = list(("rank", "docId", "score", "url", "title"))
+        extra = sorted({k2 for it in results for k2 in it} - set(cols))
+        cols += extra
+        buf = io.StringIO()
+        w = csv.DictWriter(buf, fieldnames=cols, restval="",
+                           lineterminator="\n")
+        w.writeheader()
+        for it in results:
+            w.writerow(it)
+        return buf.getvalue()
+    raise ValueError(f"unknown format: {fmt!r} (expected json|xml|html|csv)")

@@ -59,6 +59,25 @@ def test_render_html_escapes_attribute_quotes():
     assert "&quot;" in html
 
 
+def test_render_csv_page_quoting_and_header():
+    """FORMAT_CSV (/root/reference/GbFormat.h:8): header = core columns then
+    present extras; RFC-4180 quoting survives commas/quotes round-trip."""
+    import csv
+    import io
+
+    rows = ROWS + [
+        {"rank": 3, "docid": 9, "score": 0.5, "repo": 'org,x"y',
+         "path": "c.txt", "content_sha256": "ef" * 32},
+    ]
+    out = render_results(rows, "q", fmt="csv")
+    rd = list(csv.DictReader(io.StringIO(out)))
+    assert [r["rank"] for r in rd] == ["1", "2", "3"]
+    assert rd[2]["url"] == 'org,x"y/c.txt'
+    assert rd[0]["snippet"] == "def <a>" and rd[1]["snippet"] == ""
+    hdr = out.splitlines()[0].split(",")
+    assert hdr[:5] == ["rank", "docId", "score", "url", "title"]
+
+
 def test_render_unknown_format_raises():
     import pytest
 
