@@ -1463,10 +1463,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return topk(spark, idx, "hash table", 10)
 
 
+def _q_engine_reindex_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-based delete (Msg1c::reindexQuery forceDel=true analog,
+    /root/reference/PageReindex.cpp:249-341,418): a copy of the index with
+    the FULL ``hash vector`` match set force-deleted, then the engine_bm25_and
+    query over it — the surviving match set is (hash∧table∧lang:en) minus
+    (hash∧vector). BM25 stats stay as-built after a delete (the reference's
+    df-estimate staleness, /root/reference/Posdb.cpp:257-302), so the
+    oracle keeps full-corpus df/avgdl/N and only filters the deleted docs."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_deleted_index,
+    )
+
+    idx = ensure_deleted_index(spark, sf_dir)
+    res = topk(spark, idx, "hash lang:en table", 1_000_000)
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- full-text engine (real index build + BM25+WAND serving) ---
         "engine_bm25_and": _engine_query("hash lang:en table"),
+        "engine_reindex_delete": _q_engine_reindex_delete,
         "engine_bm25_bigram": _engine_query("hash table"),
         "engine_boolean_or": _engine_query("hash | merge lang:en"),
         "engine_phrase": _engine_query('"hash table"'),
@@ -1551,6 +1572,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "engine_bm25_and": _bm25_sql(["hash", "table"], lang="en"),
+        # deleted set = docs holding BOTH 'hash' and 'vector' (the
+        # force-deleted match set); scores keep full-corpus stats
+        "engine_reindex_delete": _bm25_sql(["hash", "table"], lang="en",
+            extra_where=[
+                "(NOT EXISTS (SELECT 1 FROM occ oa WHERE oa.doc_id = d.doc_id"
+                " AND oa.tok = 'hash')"
+                " OR NOT EXISTS (SELECT 1 FROM occ ob WHERE ob.doc_id ="
+                " d.doc_id AND ob.tok = 'vector'))",
+            ]),
         "engine_bm25_bigram": _bm25_sql(["hash", "table"], bigram=("hash", "table")),
         "engine_boolean_or": _bm25_sql([], lang="en", or_group=["hash", "merge"]),
         "engine_phrase": _bm25_sql(["hash", "table"], bigram=("hash", "table"),

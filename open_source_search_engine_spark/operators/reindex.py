@@ -1,0 +1,116 @@
+"""Query-based reindex / delete — the PageReindex "[query reindex]" admin
+operation.
+
+The reference's ``Msg1c::reindexQuery`` (/root/reference/PageReindex.cpp:249-310)
+parses the query, runs it with site clustering and dup-content removal
+DISABLED (``m_doSiteClustering=false, m_doDupContentRemoval=false``,
+PageReindex.cpp:286-288), takes the ranked docid range
+``[startNum, endNum)`` of the results (gotList, PageReindex.cpp:326-341),
+and queues one docid-based request per result: with ``forceDel`` the doc is
+deleted (``sr.m_forceDelete``, PageReindex.cpp:418), otherwise it is
+re-indexed from its stored content (DocReindex pipeline).
+
+Spark shape: the ranked docid slice is one ``topk`` call (the coordinator
+holds the docid list in the reference too — ``m_sb`` in Msg1c, bounded by
+``endNum`` ≤ MAXDOCIDSTOCOMPUTE, /root/reference/Msg40.h:20); the delete
+path appends tombstones (negative-key analog) and the re-add path selects
+the docids from the CURRENT doc store by a distributed semi-join and appends
+them as one new index generation — newest-generation-wins (M7) then serves
+the re-indexed version and the next compaction annihilates the old postings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import catalog
+
+# the reference caps endNum - startNum at MAXDOCIDSTOCOMPUTE
+# (/root/reference/PageReindex.cpp:273-274, /root/reference/Msg40.h:20);
+# this engine's cap also bounds what the driver materializes, so it is far
+# smaller — past it, run the delete as a bulk tombstone job instead.
+MAX_DOCIDS_TO_COMPUTE = 8_000_000
+
+# re-add generations use batch ids far above the streaming checkpoint's
+# counter so a later streamed micro-batch can never collide with a
+# reindex-written gen=s<id> directory
+REINDEX_BATCH_BASE = 1_000_000
+
+
+def _next_reindex_batch_id(index_dir: str) -> int:
+    """Next free s<id> at or above REINDEX_BATCH_BASE (scans docmap gens)."""
+    root = catalog.table_path(index_dir, "docmap")
+    top = REINDEX_BATCH_BASE - 1
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if name.startswith("gen=s"):
+                try:
+                    top = max(top, int(name[len("gen=s"):]))
+                except ValueError:
+                    continue
+    return top + 1
+
+
+def reindex_query(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    *,
+    corpus: DataFrame | None = None,
+    start: int = 0,
+    end: int = 1000,
+    force_del: bool = False,
+) -> dict:
+    """Run ``query``, take the ranked docid slice ``[start, end)``, and
+    either delete those docs (``force_del=True``) or re-index them from
+    ``corpus`` (the current doc store — required when ``force_del=False``).
+
+    Returns ``{"num_docids": ranked results fetched, "num_selected": slice
+    size, "num_added": docs deleted or re-added}`` mirroring Msg1c's
+    ``m_numDocIds`` / ``m_numDocIdsAdded`` reporting
+    (/root/reference/PageReindex.cpp:441)."""
+    from .index_build import delete_docs, finalize_stats
+    from .query_engine import topk
+
+    if end < start:
+        raise ValueError(f"end {end} < start {start}")
+    end = min(end, start + MAX_DOCIDS_TO_COMPUTE)
+    if not force_del and corpus is None:
+        raise ValueError("re-index (force_del=False) needs the corpus "
+                         "DataFrame to re-read doc content from")
+
+    # ranked candidates, clustering/dedup off (PageReindex.cpp:286-288)
+    res = topk(spark, index_dir, query, int(end))
+    got = sorted(res.select("rank", "docid").collect(), key=lambda r: r["rank"])
+    docids = [int(r["docid"]) for r in got]
+    out = {"num_docids": len(docids), "num_selected": 0, "num_added": 0}
+    docids = docids[start:end]
+    out["num_selected"] = len(docids)
+    if not docids:
+        return out
+
+    if force_del:
+        delete_docs(spark, index_dir, docids)
+        out["num_added"] = len(docids)
+        return out
+
+    # re-add: semi-join the doc store on the slice's docids (distributed —
+    # only the slice itself ever sits on the driver, as in the reference)
+    from ..streaming.incremental import append_generation
+    from .index_build import with_doc_identity
+
+    ids = spark.createDataFrame([(d,) for d in docids], "docid long")
+    selected = (
+        with_doc_identity(corpus)
+        .join(ids, "docid", "leftsemi")
+        .drop("url", "docid", "content_sha256")
+    )
+    stats = append_generation(
+        spark, selected, index_dir, _next_reindex_batch_id(index_dir),
+        lineage=f"reindex query={query!r} slice=[{start},{end})",
+    )
+    finalize_stats(spark, index_dir)
+    out["num_added"] = stats["docs"]
+    return out

@@ -57,6 +57,33 @@ def index_cache_dir(sf_dir: str) -> str:
     return os.path.join("/tmp", "osse_idx_cache", key)
 
 
+DELETE_GATE_QUERY = "hash vector"
+
+
+def ensure_deleted_index(spark: SparkSession, sf_dir: str) -> str:
+    """A copy of the cached index with the full ``hash vector`` match set
+    force-deleted through :func:`..operators.reindex.reindex_query` — the
+    query-based delete gate's fixture (Msg1c analog,
+    /root/reference/PageReindex.cpp). Built once per corpus cache key; a
+    marker file makes re-entry a no-op (duplicate tombstones would be
+    harmless anyway — the query path reads them distinct)."""
+    import shutil
+
+    from ..operators.reindex import reindex_query
+
+    base = ensure_index(spark, sf_dir)
+    idx = base + "_qdel"
+    marker = os.path.join(idx, "_qdel_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.copytree(base, idx)
+        reindex_query(spark, idx, DELETE_GATE_QUERY, end=8_000_000,
+                      force_del=True)
+        with open(marker, "w") as f:
+            f.write(DELETE_GATE_QUERY)
+    return idx
+
+
 def ensure_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the inverted index for sf_dir's documents once; resume-safe
     (build_index skips completed chunks, so a concurrent/partial build

@@ -124,6 +124,100 @@ def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str) ->
     return spark.table(query_name)
 
 
+def append_generation(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_dir: str,
+    batch_id: int,
+    *,
+    partitions: int | None = None,
+    lineage: str | None = None,
+) -> dict:
+    """Append one corpus DataFrame as index generation ``gen=s<batch_id>``
+    — segments + docmap + doc/field/term stats partials + a manifest row,
+    identical layout to the batch builder, so :func:`finalize_stats`,
+    compaction and the query engine run unchanged afterwards.
+
+    This is the shared body of the streaming ``foreachBatch`` handler and
+    the query-reindex re-add path (``operators/reindex.py``); the reference
+    analog is one Msg4 metalist flush + RdbDump numbered file
+    (/root/reference/Msg4Out.cpp:214-219, /root/reference/RdbDump.cpp).
+    Returns ``{"docs": n, "postings": n}``."""
+    import time
+
+    from ..functions.varint import unpack_counts
+    from ..operators.index_build import (
+        SLAB_BLOCKS, SLAB_FIELD_DL, SLAB_FIELD_DOCS, SLAB_TERM_DF,
+        gen_seq_of, map_encode, merge_partial_segments,
+        register_generation, sum_count_slabs, with_doc_identity,
+    )
+    from ..sources import catalog
+
+    nparts = partitions or spark.sparkContext.defaultParallelism
+    n_buckets = catalog.N_BUCKETS_DEFAULT
+    gen = f"s{batch_id}"
+    part = with_doc_identity(batch_df).persist()
+    n_docs = part.count()
+    if n_docs == 0:
+        part.unpersist()
+        return {"docs": 0, "postings": 0}
+    t0 = time.time()
+    # newest-generation-wins bookkeeping (M7): re-added docids get a
+    # superseded row pointing here; pending tombstones on them clear
+    register_generation(spark, index_dir, part.select("docid"), gen_seq_of(gen))
+    catalog.write_table(
+        part.select("docid", "repo", "path", "lang", "content_sha256",
+                    F.length("content").alias("size"))
+        .withColumn("gen_seq", F.lit(int(gen_seq_of(gen)))),
+        index_dir, f"docmap/gen={gen}",
+    )
+    mapped = map_encode(part, n_buckets=n_buckets).persist()
+    mapped.count()
+    catalog.write_table(
+        sum_count_slabs(mapped.filter(F.col("kind") == SLAB_TERM_DF),
+                        partitions=min(nparts, n_buckets),
+                        out_cols=("termid", "df")),
+        index_dir, f"term_stats_partial/gen={gen}",
+    )
+    fd, fdl = {}, {}
+    for r in mapped.filter(F.col("kind").isin(SLAB_FIELD_DOCS, SLAB_FIELD_DL)).collect():
+        keys, counts = unpack_counts(bytes(r["payload"]))
+        tgt = fd if r["kind"] == SLAB_FIELD_DOCS else fdl
+        for k, c in zip(keys, counts):
+            tgt[int(k)] = tgt.get(int(k), 0) + int(c)
+    catalog.write_table(
+        spark.createDataFrame(
+            [(int(k), int(fd.get(k, 0)), int(fdl.get(k, 0)))
+             for k in sorted(set(fd) | set(fdl))],
+            "field int, n_docs long, sum_dl long",
+        ),
+        index_dir, f"field_stats/gen={gen}",
+    )
+    seg = merge_partial_segments(
+        mapped.filter(F.col("kind") == SLAB_BLOCKS), partitions=nparts
+    ).withColumn("bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    catalog.write_table(
+        seg.observe(obs, F.sum("n_postings").alias("np")),
+        index_dir, f"segments/gen={gen}", partition_by=["bucket"],
+    )
+    n_post = int(obs.get["np"] or 0)
+    elapsed = time.time() - t0
+    row = spark.createDataFrame(
+        [(int(batch_id), lineage or f"stream batch {batch_id}", int(n_docs),
+          int(n_post), 0, float(n_post / elapsed if elapsed else 0.0),
+          "done", 1, float(time.time()))],
+        "chunk int, lineage string, rows_in long, postings_out long, "
+        "bytes_out long, terms_per_sec double, status string, attempt int, ts double",
+    )
+    row.write.mode("append").parquet(catalog.table_path(index_dir, "manifest"))
+    mapped.unpersist()
+    part.unpersist()
+    return {"docs": int(n_docs), "postings": n_post}
+
+
 def incremental_index_build(
     spark: SparkSession,
     corpus_dir: str,
@@ -139,83 +233,18 @@ def incremental_index_build(
     + doc_stats + partial term stats + a manifest row — identical layout to
     the batch builder, so :func:`finalize_stats`, compaction and the query
     engine run unchanged afterwards. Returns ingest metrics."""
-    import time
+    from ..operators.index_build import finalize_stats
 
-    from ..functions.varint import unpack_counts
-    from ..operators.index_build import (
-        SLAB_BLOCKS, SLAB_FIELD_DL, SLAB_FIELD_DOCS, SLAB_TERM_DF,
-        finalize_stats, gen_seq_of, map_encode, merge_partial_segments,
-        register_generation, sum_count_slabs, with_doc_identity,
-    )
-    from ..sources import catalog
-
-    nparts = partitions or spark.sparkContext.defaultParallelism
     metrics = {"batches": 0, "docs": 0, "postings": 0}
-    n_buckets = catalog.N_BUCKETS_DEFAULT
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        gen = f"s{batch_id}"
-        part = with_doc_identity(batch_df).persist()
-        n_docs = part.count()
-        if n_docs == 0:
-            part.unpersist()
+        out = append_generation(spark, batch_df, index_dir, batch_id,
+                                partitions=partitions)
+        if out["docs"] == 0:
             return
-        t0 = time.time()
-        # newest-generation-wins bookkeeping (M7): re-added docids get a
-        # superseded row pointing here; pending tombstones on them clear
-        register_generation(spark, index_dir, part.select("docid"), gen_seq_of(gen))
-        catalog.write_table(
-            part.select("docid", "repo", "path", "lang", "content_sha256",
-                        F.length("content").alias("size"))
-            .withColumn("gen_seq", F.lit(int(gen_seq_of(gen)))),
-            index_dir, f"docmap/gen={gen}",
-        )
-        mapped = map_encode(part, n_buckets=n_buckets).persist()
-        mapped.count()
-        catalog.write_table(
-            sum_count_slabs(mapped.filter(F.col("kind") == SLAB_TERM_DF),
-                            partitions=min(nparts, n_buckets),
-                            out_cols=("termid", "df")),
-            index_dir, f"term_stats_partial/gen={gen}",
-        )
-        fd, fdl = {}, {}
-        for r in mapped.filter(F.col("kind").isin(SLAB_FIELD_DOCS, SLAB_FIELD_DL)).collect():
-            keys, counts = unpack_counts(bytes(r["payload"]))
-            tgt = fd if r["kind"] == SLAB_FIELD_DOCS else fdl
-            for k, c in zip(keys, counts):
-                tgt[int(k)] = tgt.get(int(k), 0) + int(c)
-        catalog.write_table(
-            spark.createDataFrame(
-                [(int(k), int(fd.get(k, 0)), int(fdl.get(k, 0)))
-                 for k in sorted(set(fd) | set(fdl))],
-                "field int, n_docs long, sum_dl long",
-            ),
-            index_dir, f"field_stats/gen={gen}",
-        )
-        seg = merge_partial_segments(
-            mapped.filter(F.col("kind") == SLAB_BLOCKS), partitions=nparts
-        ).withColumn("bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        catalog.write_table(
-            seg.observe(obs, F.sum("n_postings").alias("np")),
-            index_dir, f"segments/gen={gen}", partition_by=["bucket"],
-        )
-        n_post = int(obs.get["np"] or 0)
-        elapsed = time.time() - t0
-        row = spark.createDataFrame(
-            [(int(batch_id), f"stream batch {batch_id}", int(n_docs), int(n_post),
-              0, float(n_post / elapsed if elapsed else 0.0), "done", 1, float(time.time()))],
-            "chunk int, lineage string, rows_in long, postings_out long, "
-            "bytes_out long, terms_per_sec double, status string, attempt int, ts double",
-        )
-        row.write.mode("append").parquet(catalog.table_path(index_dir, "manifest"))
-        mapped.unpersist()
-        part.unpersist()
         metrics["batches"] += 1
-        metrics["docs"] += n_docs
-        metrics["postings"] += n_post
+        metrics["docs"] += out["docs"]
+        metrics["postings"] += out["postings"]
 
     stream = (
         spark.readStream.schema(schema)

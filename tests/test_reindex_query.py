@@ -1,0 +1,141 @@
+"""Query-based reindex/delete (Msg1c::reindexQuery analog,
+/root/reference/PageReindex.cpp:249-341): ranked docid slice of a query's
+results is either force-deleted (tombstones) or re-indexed from the current
+doc store as one new generation."""
+
+import pytest
+
+N = 60
+MARKER = "m1c_slice_marker"
+
+
+def _mk_rows(n):
+    from open_source_search_engine_spark.corpus import make_corpus_rows
+
+    rows = make_corpus_rows(n)
+    # plant the marker term in 8 docs with sharply different tf so the
+    # ranking (and therefore the slice) is deterministic and tie-free
+    for rank, i in enumerate([3, 11, 19, 27, 35, 43, 51, 59]):
+        reps = [16, 12, 8, 6, 4, 3, 2, 1][rank]
+        rows[i] = dict(rows[i], content=rows[i]["content"] + "\n" +
+                       " ".join([MARKER] * reps))
+    return rows
+
+
+def _df(spark, rows):
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+
+    return spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
+        CORPUS_SCHEMA_DDL,
+    )
+
+
+def _topk(spark, idx, q, k=1000):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    return topk(spark, idx, q, k).collect()
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    from open_source_search_engine_spark.operators.index_build import build_index
+
+    idx = str(tmp_path / "idx")
+    rows = _mk_rows(N)
+    build_index(spark, _df(spark, rows), idx, n_chunks=1)
+    return idx, rows
+
+
+def test_force_del_removes_full_match_set(spark, built):
+    from open_source_search_engine_spark.operators.reindex import reindex_query
+
+    idx, rows = built
+    before = _topk(spark, idx, MARKER)
+    assert len(before) == 8
+    out = reindex_query(spark, idx, MARKER, end=100, force_del=True)
+    assert out == {"num_docids": 8, "num_selected": 8, "num_added": 8}
+    assert _topk(spark, idx, MARKER) == []
+    # unrelated queries unaffected beyond the deleted docs
+    assert len(_topk(spark, idx, "hash")) > 0
+
+
+def test_force_del_ranked_slice_semantics(spark, built):
+    """[start, end) slices the RANKED results (PageReindex.cpp:326-337):
+    deleting ranks [1, 4) keeps the top result and the tail."""
+    from open_source_search_engine_spark.operators.reindex import reindex_query
+
+    idx, rows = built
+    before = [r["docid"] for r in _topk(spark, idx, MARKER)]
+    out = reindex_query(spark, idx, MARKER, start=1, end=4, force_del=True)
+    assert out["num_selected"] == 3 and out["num_added"] == 3
+    after = [r["docid"] for r in _topk(spark, idx, MARKER)]
+    assert after == [before[0]] + before[4:]
+
+
+def test_reindex_unchanged_content_is_identity(spark, built):
+    """Re-indexing docs whose content did not change serves the same ranked
+    docids immediately (newest generation wins, same postings); BM25 corpus
+    stats double-count the re-added docs until compaction rebuilds them
+    (the same df staleness the reference accepts between merges,
+    /root/reference/Posdb.cpp:257-302), so exact score identity is asserted
+    post-compaction."""
+    from open_source_search_engine_spark.operators.index_build import (
+        compact_segments, rebuild_stats,
+    )
+    from open_source_search_engine_spark.operators.reindex import reindex_query
+
+    idx, rows = built
+    before = [(r["docid"], round(r["score"], 6)) for r in _topk(spark, idx, MARKER)]
+    out = reindex_query(spark, idx, MARKER, corpus=_df(spark, rows), end=100)
+    assert out["num_added"] == 8
+    assert [d for d, _ in before] == [r["docid"] for r in _topk(spark, idx, MARKER)]
+    compact_segments(spark, idx)
+    rebuild_stats(spark, idx)
+    after = [(r["docid"], round(r["score"], 6)) for r in _topk(spark, idx, MARKER)]
+    assert after == before
+
+
+def test_reindex_picks_up_changed_content(spark, built):
+    """The re-add path reads the CURRENT doc store: changed content serves
+    the new version (and the old marker disappears), like the reference's
+    DocReindex re-fetching through XmlDoc."""
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+    from open_source_search_engine_spark.operators.index_build import compact_segments
+    from open_source_search_engine_spark.operators.reindex import reindex_query
+
+    idx, rows = built
+    v2 = [dict(r) for r in rows]
+    v2[3] = dict(v2[3], content=v2[3]["content"].replace(MARKER, "m1c_v2_marker"))
+    docid3 = docid_for_url(v2[3]["repo"] + "/" + v2[3]["path"])
+
+    out = reindex_query(spark, idx, MARKER, corpus=_df(spark, v2), end=100)
+    assert out["num_added"] == 8
+    # doc 3's old marker postings are superseded; new marker serves
+    assert docid3 not in [r["docid"] for r in _topk(spark, idx, MARKER)]
+    assert [r["docid"] for r in _topk(spark, idx, "m1c_v2_marker")] == [docid3]
+    # and the state survives compaction (physical annihilation)
+    compact_segments(spark, idx)
+    assert docid3 not in [r["docid"] for r in _topk(spark, idx, MARKER)]
+    assert [r["docid"] for r in _topk(spark, idx, "m1c_v2_marker")] == [docid3]
+
+
+def test_reindex_requires_corpus(spark, built):
+    from open_source_search_engine_spark.operators.reindex import reindex_query
+
+    idx, _ = built
+    with pytest.raises(ValueError, match="corpus"):
+        reindex_query(spark, idx, MARKER, end=10)
+
+
+def test_delete_then_query_gate_shape(spark, built):
+    """The driver-gate shape: delete the full match set of one conjunctive
+    query, then a broader query's match set equals (broad minus deleted)."""
+    from open_source_search_engine_spark.operators.reindex import reindex_query
+
+    idx, rows = built
+    broad = {r["docid"] for r in _topk(spark, idx, "hash")}
+    narrow = {r["docid"] for r in _topk(spark, idx, "hash merge")}
+    assert narrow and narrow < broad
+    reindex_query(spark, idx, "hash merge", end=100_000, force_del=True)
+    assert {r["docid"] for r in _topk(spark, idx, "hash")} == broad - narrow
