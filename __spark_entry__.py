@@ -1230,6 +1230,118 @@ def _q_engine_snippets_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_engine_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-similar-summary dedup (/root/reference/Msg40.cpp:1330-1360,
+    default pct 90 /root/reference/Parms.cpp:6915): the full 'vector merge'
+    match set post-processed by the greedy Dice pass over title+summary word
+    vectors. The oracle replays the same greedy chain with a recursive CTE
+    over rows ranked by the exact BM25(+bigram) score; kept-set equality is
+    well-defined because no two EQUAL-score rows are >=90 similar at sf0.01
+    (verified: the kept set is invariant to order within score ties when no
+    tied pair is similar)."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, documents_corpus, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    res = topk(spark, idx, " ".join(_SNIPPET_TERMS), 1_000_000,
+               dedup_summary_pct=90, doc_text=documents_corpus(spark, sf_dir))
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
+def _dedup_summary_sql(w0: str = _SNIPPET_TERMS[0],
+                       w1: str = _SNIPPET_TERMS[1], pct: int = 90) -> str:
+    """Greedy summary-dedup oracle: exact BM25(+required-pair bigram-attach
+    weights? no — optional bigram, mirroring the engine) scores at full
+    precision for the rank order, the K7 window selection, Dice >= pct
+    dup-lists per row, then a recursive CTE replaying the reference's
+    kept-only greedy loop (Msg40.cpp:1330-1360)."""
+    idf0 = _IDF.format(n="b.n", df="x0.df")
+    idf1 = _IDF.format(n="b.n", df="x1.df")
+    idfb = _IDF.format(n="b.n", df="bd.df")
+    tfn0 = _TFNORM.format(tf="f0.tf", dl="d.dl", avgdl="b.avgdl")
+    tfn1 = _TFNORM.format(tf="f1.tf", dl="d.dl", avgdl="b.avgdl")
+    tfnb = _TFNORM.format(tf="bg.tf", dl="d.dl", avgdl="b.avgdl")
+    return f"""
+WITH RECURSIVE{TOKS_CTE},
+base AS (SELECT count(*) AS n, (sum(len(t)) / count(*)) AS avgdl FROM toks),
+occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ
+       WHERE tok IN ('{w0}', '{w1}') GROUP BY 1, 2),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+big AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(t)), i -> t[i] = '{w0}' AND t[i+1] = '{w1}')) AS tf
+  FROM toks
+  WHERE len(list_filter(range(1, len(t)), i -> t[i] = '{w0}' AND t[i+1] = '{w1}')) > 0),
+bigdf AS (SELECT count(*) AS df FROM big),
+scored AS (
+ SELECT d.doc_id,
+   (({idf0} * {tfn0}) + ({idf1} * {tfn1})
+  + (CASE WHEN bg.tf IS NOT NULL THEN (5.0 * {idfb}) * {tfnb} ELSE 0.0 END)) AS score
+ FROM dl d CROSS JOIN base b
+ JOIN tf f0 ON f0.doc_id = d.doc_id AND f0.tok = '{w0}'
+ JOIN tf f1 ON f1.doc_id = d.doc_id AND f1.tok = '{w1}'
+ CROSS JOIN (SELECT df FROM dfs WHERE tok = '{w0}') x0
+ CROSS JOIN (SELECT df FROM dfs WHERE tok = '{w1}') x1
+ LEFT JOIN big bg ON bg.doc_id = d.doc_id
+ CROSS JOIN bigdf bd),
+win AS (
+  SELECT s.doc_id, s.score, d.text,
+         strpos(lower(d.text), '{w0}') AS p0,
+         strpos(lower(d.text), '{w1}') AS p1
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+cand AS (
+  SELECT doc_id, score, text,
+         CASE WHEN p0 > 0 THEN substr(text, greatest(1, p0 - 30), 60) ELSE '' END AS w0,
+         CASE WHEN p1 > 0 THEN substr(text, greatest(1, p1 - 30), 60) ELSE '' END AS w1
+  FROM win),
+sc AS (
+  SELECT doc_id, score, text, w0, w1,
+         (CASE WHEN strpos(lower(w0), '{w0}') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN strpos(lower(w0), '{w1}') > 0 THEN 1 ELSE 0 END) AS s0,
+         (CASE WHEN strpos(lower(w1), '{w0}') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN strpos(lower(w1), '{w1}') > 0 THEN 1 ELSE 0 END) AS s1
+  FROM cand),
+summ AS (
+  SELECT doc_id, score, text,
+         list_distinct(list_filter(
+           regexp_split_to_array(
+             lower(doc_id::VARCHAR || '.txt ' ||
+                   CASE WHEN s1 > s0 THEN w1 ELSE w0 END),
+             '[^a-z0-9_]+'), x -> x <> '')) AS vec
+  FROM sc),
+ranked AS (
+  SELECT doc_id, score, text, vec,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM summ),
+sims AS (
+  SELECT b.rnk AS rnk, list(a.rnk) AS dups
+  FROM ranked a JOIN ranked b ON a.rnk < b.rnk
+  WHERE len(a.vec) > 0 AND len(b.vec) > 0
+    AND floor(200.0 * len(list_intersect(a.vec, b.vec))
+              / (len(a.vec) + len(b.vec)))::INT >= {pct}
+  GROUP BY b.rnk),
+ranked2 AS (
+  SELECT r.rnk, coalesce(s.dups, []) AS dups
+  FROM ranked r LEFT JOIN sims s ON s.rnk = r.rnk),
+keep AS (
+  SELECT 1 AS rnk, [1] AS kept
+  UNION ALL
+  SELECT r.rnk,
+    CASE WHEN len(list_intersect(k.kept, r.dups)) > 0
+    THEN k.kept ELSE list_append(k.kept, r.rnk) END AS kept
+  FROM keep k JOIN ranked2 r ON r.rnk = k.rnk + 1)
+SELECT r.doc_id, round(r.score, 4) AS score_r, sha256(r.text) AS content_sha256
+FROM ranked r
+WHERE r.rnk IN (SELECT unnest(kept) FROM (SELECT kept FROM keep ORDER BY rnk DESC LIMIT 1))
+"""
+
+
 def _q_engine_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Speller analog: edit-distance-1 suggestions for a misspelled query
     token, served from the MATERIALIZED partition-pruned suggest_index
@@ -1488,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- full-text engine (real index build + BM25+WAND serving) ---
         "engine_bm25_and": _engine_query("hash lang:en table"),
         "engine_reindex_delete": _q_engine_reindex_delete,
+        "engine_dedup_summary": _q_engine_dedup_summary,
         "engine_bm25_bigram": _engine_query("hash table"),
         "engine_boolean_or": _engine_query("hash | merge lang:en"),
         "engine_phrase": _engine_query('"hash table"'),
@@ -1581,6 +1694,7 @@ def oracle_sql() -> dict[str, str]:
                 " OR NOT EXISTS (SELECT 1 FROM occ ob WHERE ob.doc_id ="
                 " d.doc_id AND ob.tok = 'vector'))",
             ]),
+        "engine_dedup_summary": _dedup_summary_sql(),
         "engine_bm25_bigram": _bm25_sql(["hash", "table"], bigram=("hash", "table")),
         "engine_boolean_or": _bm25_sql([], lang="en", or_group=["hash", "merge"]),
         "engine_phrase": _bm25_sql(["hash", "table"], bigram=("hash", "table"),

@@ -408,6 +408,10 @@ def topk(
     wand_counters: dict | None = None,
     site_max: int | None = None,
     dedup_content: bool = False,
+    dedup_summary_pct: int | None = None,
+    dedup_url: bool = False,
+    doc_text: DataFrame | None = None,
+    summary_width: int = 60,
     temperature: DataFrame | None = None,
     repo_rank: DataFrame | None = None,
     ranker: str = "bm25",
@@ -441,6 +445,13 @@ def topk(
       /root/reference/Msg3a.cpp:802-845);
     - ``dedup_content``: drop lower-ranked results with identical
       content_sha256 (dup-content removal, /root/reference/Msg40.cpp:1113+);
+    - ``dedup_summary_pct`` (+ ``doc_text``, ``summary_width``): drop
+      lower-ranked results whose title+summary word vector is >= pct percent
+      similar (Dice) to a kept higher result — the percentSimilarSummary
+      greedy pass (/root/reference/Msg40.cpp:1330-1360, default parm 90,
+      /root/reference/Parms.cpp:6915);
+    - ``dedup_url``: case-insensitive URL dedup, skipped for site:/inurl:
+      queries (/root/reference/Msg40.cpp:1370-1420);
     - both fetch 2× headroom and re-query deeper (doubling) when filtering
       starves the page — the reference's recall loop
       (/root/reference/Msg40.cpp m_docsToGet *= 2; TopTree's ≥2× headroom,
@@ -467,10 +478,13 @@ def topk(
       Msg2.cpp:264 swap). Opt-in: hot-term recall becomes top-cap
       approximate; idf stays exact. Composes with both physical paths.
     """
-    if site_max is not None or dedup_content:
+    if (site_max is not None or dedup_content or dedup_summary_pct
+            or dedup_url):
         return _topk_postprocessed(
             spark, index_dir, query, k, cursor=cursor, prune=prune,
             handle=handle, site_max=site_max, dedup_content=dedup_content,
+            dedup_summary_pct=dedup_summary_pct, dedup_url=dedup_url,
+            doc_text=doc_text, summary_width=summary_width,
             temperature=temperature, repo_rank=repo_rank, ranker=ranker)
     plan = parse_query(query) if isinstance(query, str) else query
     if not plan.required or plan.expr is None:
@@ -752,18 +766,32 @@ def topk(
 def _topk_postprocessed(
     spark: SparkSession, index_dir: str, query, k: int, *,
     cursor, prune, handle, site_max, dedup_content, temperature,
-    repo_rank=None, ranker: str = "bm25",
+    repo_rank=None, ranker: str = "bm25", dedup_summary_pct=None,
+    dedup_url: bool = False, doc_text: DataFrame | None = None,
+    summary_width: int = 60,
 ) -> DataFrame:
-    """Site clustering / dup-content removal with the reference's recall
-    loop: fetch 2× headroom, filter, and re-query deeper (doubling, ≤3
-    rounds) if fewer than k survive while deeper results may exist."""
+    """Site clustering / dup-content removal / percent-similar-summary and
+    URL dedup with the reference's recall loop: fetch 2× headroom, filter,
+    and re-query deeper (doubling, ≤3 rounds) if fewer than k survive while
+    deeper results may exist."""
+    plan = parse_query(query) if isinstance(query, str) else query
+    if dedup_summary_pct and doc_text is None:
+        raise ValueError("dedup_summary_pct needs doc_text (the doc store "
+                         "DataFrame with repo, path, content) to build "
+                         "summaries from")
     fetch_k = max(2 * k, k + 10)
     for _ in range(3):
-        base = topk(spark, index_dir, query, fetch_k, cursor=cursor,
+        base = topk(spark, index_dir, plan, fetch_k, cursor=cursor,
                     prune=prune, handle=handle, temperature=temperature,
                     repo_rank=repo_rank, ranker=ranker)
-        rows = base.collect()
+        rows = sorted(base.collect(), key=lambda r: r["rank"])
         kept = _apply_result_filters(rows, site_max, dedup_content)
+        if dedup_summary_pct:
+            kept = _dedup_summaries(spark, kept, plan, doc_text,
+                                    int(dedup_summary_pct),
+                                    width=summary_width)
+        if dedup_url:
+            kept = _dedup_urls(kept, plan)
         if len(kept) >= k or len(rows) < fetch_k:
             break
         fetch_k *= 2
@@ -793,6 +821,107 @@ def _apply_result_filters(rows, site_max, dedup_content):
             seen_sha.add(r["content_sha256"])
         if site_max is not None:
             per_site[r["repo"]] = per_site.get(r["repo"], 0) + 1
+    return out
+
+
+def _summary_terms(plan: QueryPlan) -> list[str]:
+    """Surface forms of the positive unigram terms — the snippet-window
+    terms (rarity order is the caller's; parse order here)."""
+    seen = []
+    for t in plan.required + plan.optional:
+        if t.is_bigram or t.excluded or not t.token:
+            continue
+        if t.token not in seen:
+            seen.append(t.token)
+    return seen
+
+
+def _dedup_summaries(spark: SparkSession, kept, plan: QueryPlan,
+                     doc_text: DataFrame, pct: int, *, width: int = 60):
+    """Percent-similar-summary dedup (/root/reference/Msg40.cpp:1330-1360):
+    for each still-visible result i in rank order, any lower-ranked result
+    whose (title + summary) vector is >= pct percent similar is dropped —
+    the greedy pass over the page the reference runs after the Msg20
+    summaries arrive.
+
+    Similarity is the reference's computeSimilarity
+    (/root/reference/XmlDoc.cpp:4932-5077) over the deduped word vectors the
+    summary vector builder produces (getSummaryVector, XmlDoc.cpp:4622-4673:
+    words of title + ' ' + summary, deduped): with unit scores each match
+    counts BOTH sides, so the percentage is the Sorensen-Dice coefficient
+    100*2*|A∩B| / (|A|+|B|), compared as floor(s) >= pct exactly like the
+    reference's ``(int32_t)s < dedupPercent`` skip. The reference hashes
+    words to 32-bit ids before comparing (a memory layout choice that only
+    loses information on hash collisions); this implementation compares the
+    token sets directly.
+
+    The summary itself is the K7 selection (operators/snippets.py) over the
+    doc store — one bounded Spark job per recall round (the Msg20 fan-out
+    analog), tokenized driver-side over the <= fetch_k page rows."""
+    from ..functions.tokenizer import code_tokens
+    from .snippets import multi_term_snippet
+
+    if len(kept) < 2:
+        return kept
+    terms = _summary_terms(plan)
+    if not terms:
+        return kept
+    page = spark.createDataFrame(
+        [(r["docid"], r["repo"], r["path"]) for r in kept],
+        "docid long, repo string, path string",
+    )
+    snip, _ = multi_term_snippet(F.col("content"), terms, width)
+    title = F.element_at(F.split("path", "/"), -1)
+    joined = (
+        page.join(doc_text.select("repo", "path", "content"),
+                  ["repo", "path"], "left")
+        .select("docid",
+                F.concat_ws(" ", title, snip).alias("summary"))
+        .collect()
+    )
+    vec = {}
+    for r in joined:
+        vec[r["docid"]] = frozenset(code_tokens(r["summary"] or ""))
+    dropped: set = set()
+    for i in range(len(kept)):
+        di = kept[i]["docid"]
+        if di in dropped:
+            continue
+        vi = vec.get(di, frozenset())
+        if not vi:
+            continue  # computeSimilarity returns 0 when a vector is empty
+        for m in range(i + 1, len(kept)):
+            dm = kept[m]["docid"]
+            if dm in dropped:
+                continue
+            vm = vec.get(dm, frozenset())
+            if not vm:
+                continue
+            sim = 200.0 * len(vi & vm) / (len(vi) + len(vm))
+            if int(sim) >= pct:
+                dropped.add(dm)
+    return [r for r in kept if r["docid"] not in dropped]
+
+
+def _dedup_urls(kept, plan: QueryPlan):
+    """Case-insensitive URL dedup (/root/reference/Msg40.cpp:1370-1420):
+    drop lower-ranked results whose normalized (lowercased) URL equals a
+    higher one's. Skipped when the query carries a positive site:/inurl:
+    restriction, exactly like the reference's ``m_hasPositiveSiteField /
+    m_hasSubUrlField`` guard — such queries intentionally enumerate one
+    site's URLs."""
+    if plan.site_filters or any(
+            t.field == FIELD_URL and t.required and not t.excluded
+            for t in plan.terms):
+        return kept
+    seen: set = set()
+    out = []
+    for r in kept:
+        u = (r["repo"] + "/" + r["path"]).lower()
+        if u in seen:
+            continue
+        seen.add(u)
+        out.append(r)
     return out
 
 

@@ -1,0 +1,151 @@
+"""Percent-similar-summary dedup + URL dedup (Msg40 post-processing,
+/root/reference/Msg40.cpp:1330-1420): greedy Dice-similarity pass over the
+ranked page's title+summary word vectors, and case-insensitive URL dedup
+with the site:-query guard."""
+
+import pytest
+
+
+def _pool(n, prefix="p"):
+    # distinct 3-char tokens pXX
+    return [f"{prefix}{i:02d}" for i in range(n)]
+
+
+P = _pool(34)
+
+
+def _rows():
+    """Three docs engineered so (with title tokens {<letter>, txt} and the
+    whole content inside a 200-char summary window):
+
+      dice(A,B) = 200*36/80 = 90.0  -> B dropped via A
+      dice(B,C) = 200*36/80 = 90.0  -> would drop C under naive
+                                        any-higher-ranked comparison
+      dice(A,C) = 200*33/80 = 82.5  -> C KEPT under the reference's greedy
+                                        (B is already invisible)
+
+    tf(qq) = 3/2/1 makes the ranking A > B > C deterministic."""
+    body_a = ["qq"] * 3 + P + ["xa1", "xa2", "xa3"]
+    body_b = ["qq"] * 2 + P + ["yb1", "yb2", "yb3"]
+    body_c = ["qq"] * 1 + P[3:] + ["yb1", "yb2", "yb3", "zc1", "zc2", "zc3"]
+    mk = lambda path, toks: {
+        "repo": "r1", "path": path, "commit": "0", "lang": "en",
+        "content": " ".join(toks),
+    }
+    return [mk("a.txt", body_a), mk("b.txt", body_b), mk("c.txt", body_c)]
+
+
+def _df(spark, rows):
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+
+    return spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
+        CORPUS_SCHEMA_DDL,
+    )
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    from open_source_search_engine_spark.operators.index_build import build_index
+
+    idx = str(tmp_path / "idx")
+    rows = _rows()
+    build_index(spark, _df(spark, rows), idx, n_chunks=1)
+    return idx, _df(spark, rows)
+
+
+def _paths(res):
+    return [r["path"] for r in sorted(res.collect(), key=lambda x: x["rank"])]
+
+
+def test_greedy_chain_keeps_shadowed_doc(spark, built):
+    """A~B and B~C but A!~C: greedy keeps A and C (B is invisible when C is
+    checked) — the exact loop structure of Msg40.cpp:1330-1360 where only
+    still-CR_OK results above can mark a dup."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, docs = built
+    plain = _paths(topk(spark, idx, "qq", 10))
+    assert plain == ["a.txt", "b.txt", "c.txt"]  # tf 3/2/1 ranking
+
+    res = topk(spark, idx, "qq", 10, dedup_summary_pct=90, doc_text=docs,
+               summary_width=200)
+    assert _paths(res) == ["a.txt", "c.txt"]
+
+
+def test_threshold_is_floor_compare(spark, built):
+    """dice(A,B) = 90.0 exactly: pct=90 drops B ((int)s >= pct), pct=91
+    keeps it."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, docs = built
+    res91 = topk(spark, idx, "qq", 10, dedup_summary_pct=91, doc_text=docs,
+                 summary_width=200)
+    assert _paths(res91) == ["a.txt", "b.txt", "c.txt"]
+
+
+def test_dedup_summary_requires_doc_text(spark, built):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, _ = built
+    with pytest.raises(ValueError, match="doc_text"):
+        topk(spark, idx, "qq", 10, dedup_summary_pct=90)
+
+
+def test_python_oracle_greedy(spark, built):
+    """Engine kept-set equals an independent driver-side greedy oracle over
+    the same summaries (title + best window, Dice, floor compare)."""
+    from open_source_search_engine_spark.functions.tokenizer import code_tokens
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, docs = built
+    rows = _rows()
+    # oracle: rank order a,b,c (checked by the plain query above)
+    summaries = {}
+    for r in rows:
+        title = r["path"].rsplit("/", 1)[-1]
+        # whole content fits the 200-char window centred on first 'qq'
+        summaries[r["path"]] = frozenset(code_tokens(title + " " + r["content"]))
+    order = ["a.txt", "b.txt", "c.txt"]
+    dropped = set()
+    for i, pi in enumerate(order):
+        if pi in dropped:
+            continue
+        vi = summaries[pi]
+        for pm in order[i + 1:]:
+            if pm in dropped:
+                continue
+            vm = summaries[pm]
+            sim = 200.0 * len(vi & vm) / (len(vi) + len(vm))
+            if int(sim) >= 90:
+                dropped.add(pm)
+    expect = [p for p in order if p not in dropped]
+    res = topk(spark, idx, "qq", 10, dedup_summary_pct=90, doc_text=docs,
+               summary_width=200)
+    assert _paths(res) == expect
+
+
+def test_url_dedup_case_insensitive_and_site_guard(spark, tmp_path):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    rows = [
+        {"repo": "r1", "path": "Dir/File.txt", "commit": "0", "lang": "en",
+         "content": "uu vv ww xx yy"},
+        {"repo": "r1", "path": "dir/file.txt", "commit": "0", "lang": "en",
+         "content": "uu vv ww"},
+        {"repo": "r2", "path": "other.txt", "commit": "0", "lang": "en",
+         "content": "uu zz"},
+    ]
+    from open_source_search_engine_spark.operators.index_build import build_index
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, _df(spark, rows), idx, n_chunks=1)
+
+    plain = topk(spark, idx, "uu", 10)
+    assert plain.count() == 3
+    deduped = topk(spark, idx, "uu", 10, dedup_url=True)
+    paths = {r["path"].lower() for r in deduped.collect()}
+    assert deduped.count() == 2 and paths == {"dir/file.txt", "other.txt"}
+    # site: query disables URL dedup (m_hasPositiveSiteField guard)
+    sited = topk(spark, idx, "uu site:r1", 10, dedup_url=True)
+    assert sited.count() == 2  # both case-variants of the r1 url survive
