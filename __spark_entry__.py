@@ -365,6 +365,35 @@ def _q_engine_gbsortby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_engine_fieldmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 gbfieldmatch: exact CASE-SENSITIVE whole-value match of a stored
+    doc field (/root/reference/Query.cpp:1737-1780 — the only case-sensitive
+    operator; it hashes field name + verbatim value into one composite
+    termid, here a docmap equality filter). Three sub-queries prove the
+    semantics under one hash: (a) `gbfieldmatch:lang:en` = the exact-value
+    match set, (b) `gbfieldmatch:lang:EN` MUST be empty (case sensitivity —
+    any case-folding bug adds rows and breaks the hash), (c)
+    `gbfieldmatch:url:"src3/23.txt"` pins one doc through the repo/path
+    composite the docid derives from (Titledb.h:67-80)."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+
+    def run(tag: str, q: str) -> DataFrame:
+        res = topk(spark, idx, q, 1_000_000)
+        return doc_id_from_path(res).select(
+            F.lit(tag).alias("part"), "doc_id",
+            F.round("score", 4).alias("score_r"), "content_sha256")
+
+    a = run("a", "gbfieldmatch:lang:en hash merge")
+    b = run("b", "gbfieldmatch:lang:EN hash merge")
+    c = run("c", 'gbfieldmatch:url:"src3/23.txt" hash')
+    return a.unionByName(b).unionByName(c)
+
+
 _NESTED_OR_SQL = f"""
 WITH{TOKS_CTE},
 base AS (SELECT count(*) AS n, (sum(len(t)) / count(*)) AS avgdl FROM toks),
@@ -1635,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_field_title": _engine_query("title:123"),
         "engine_gbtermid": _q_engine_gbtermid,
         "engine_gbmin": _q_engine_gbmin,
+        "engine_fieldmatch": _q_engine_fieldmatch,
         "engine_gbsortby": _q_engine_gbsortby,
         "engine_term_df": _q_engine_term_df,
         "engine_total_hits": _q_engine_total_hits,
@@ -1722,6 +1752,19 @@ SELECT 'b_or' AS qid, s.* FROM (
         "engine_gbmin": _bm25_sql(
             ["hash", "table"],
             extra_join="AND length(t2.text) >= 250 AND length(t2.text) <= 450"),
+        # gbfieldmatch: exact case-sensitive field-value filters — (a) the
+        # lang='en' match set of 'hash merge' (+adjacency bigram), (b) the
+        # upper-cased value matches NOTHING (case sensitivity), (c) the
+        # repo/path composite pins doc 23
+        "engine_fieldmatch": f"""
+SELECT 'a' AS part, s.doc_id, s.score_r, s.content_sha256
+FROM ({_bm25_sql(['hash', 'merge'], bigram=('hash', 'merge'),
+                 extra_join="AND t2.lang = 'en'")}) s
+UNION ALL
+SELECT 'c' AS part, s.doc_id, s.score_r, s.content_sha256
+FROM ({_bm25_sql(['hash'],
+                 extra_join="AND t2.source = 'src3' AND t2.doc_id = 23")}) s
+""",
         # gbsortby:size top-20 SET (boundary tie-free at sf0.01) + per-row size
         "engine_gbsortby": f"""
 SELECT s.doc_id, length(d.text) AS size, s.score_r, s.content_sha256

@@ -959,13 +959,20 @@ def docmap_filter_cond(plan: QueryPlan) -> F.Column:
         # parquet min/max stats push these down to the docmap scan
         c = _docmap_num_col(col)
         cond = cond & (c >= F.lit(v) if op == ">=" else c <= F.lit(v))
+    for col, v in plan.fieldmatch_filters:
+        # gbfieldmatch: exact CASE-SENSITIVE whole-value equality
+        # (/root/reference/Query.cpp:1737-1780); `url` is the repo/path
+        # composite the docid derives from (Titledb.h:67-80)
+        c = (F.concat_ws("/", "repo", "path") if col == "url"
+             else F.col(col))
+        cond = cond & (c == F.lit(v))
     return cond
 
 
 def docmap_filtered(plan: QueryPlan) -> bool:
     """True when the plan carries any docmap-level document filter."""
     return bool(plan.site_filters or plan.ext_filters or plan.sha_filters
-                or plan.num_filters)
+                or plan.num_filters or plan.fieldmatch_filters)
 
 
 def _serving_docmap(spark: SparkSession, h: "IndexHandle | str",

@@ -144,10 +144,11 @@ def load_allowed_docids(spark, index_dir: str, plan: QueryPlan):
     import numpy as np
 
     from .index_build import load_superseded
-    from .query_engine import _serving_docmap, docmap_filter_cond
+    from .query_engine import (
+        _serving_docmap, docmap_filter_cond, docmap_filtered,
+    )
 
-    if plan.site_filters or plan.ext_filters or plan.sha_filters \
-            or plan.num_filters:
+    if docmap_filtered(plan):
         # newest-generation rows only (M7): a reindexed doc's stale docmap
         # row must not whitelist its docid pre-compaction
         sup = load_superseded(spark, index_dir)

@@ -85,6 +85,13 @@ _EXT_OPS = {"ext", "filetype", "type"}
 # index epoch is the generation number).
 _NUM_FIELDS = {"size", "indexed"}
 
+# gbfieldmatch:<field>:<value> — exact whole-value match of a stored doc
+# metadata field, CASE-SENSITIVE unlike every other operator (the reference
+# hashes the value verbatim and comments "CASE SENSITIVE!!!!",
+# /root/reference/Query.cpp:1737-1780). The matchable fields are the docmap
+# string columns; `url` is the repo/path composite the docid derives from.
+_FM_FIELDS = {"repo", "path", "lang", "url"}
+
 _TLDS = {"com", "org", "net", "io", "edu", "gov", "dev", "co"}
 
 _hasher = TokenHasher()
@@ -154,6 +161,9 @@ class QueryPlan:
     # gbmin:/gbmax: numeric docmap filters — (column, '>=' | '<=', value);
     # served like the J6 whitelist family (WAND mask or declarative semi-join)
     num_filters: list[tuple] = dc_field(default_factory=list)
+    # gbfieldmatch: exact (case-sensitive) field-value filters —
+    # (docmap column, value); served like the J6 whitelist family
+    fieldmatch_filters: list[tuple] = dc_field(default_factory=list)
     # gbsortby:/gbrevsortby: — (docmap column, descending); replaces the
     # score ordering at top-k (declarative path only: a non-score order
     # invalidates WAND's score-bound pruning)
@@ -214,7 +224,10 @@ class QueryPlan:
 # a quoted phrase may carry a +/- sign and/or a field prefix
 # (`-"a b"`, `title:"a b"`) — without the explicit alternatives `\S+`
 # would eat `title:"a` and split the phrase at the space
-_LEX_RE = re.compile(r'[-+]?(?:[A-Za-z0-9_]+:)?"[^"]*"|\(|\)|\||\S+')
+# the quoted-token alternative allows a CHAIN of name: prefixes so the
+# reference's double-colon quoted form lexes as one token —
+# gbfieldmatch:tag.uri:"http://xyz.com/poo" (Query.cpp:1746)
+_LEX_RE = re.compile(r'[-+]?(?:[A-Za-z0-9_.]+:)*"[^"]*"|\(|\)|\||\S+')
 
 
 def _lex(q: str) -> list[str]:
@@ -395,6 +408,25 @@ class _Parser:
                 # (/root/reference/XmlDoc_Indexing.cpp:152-220, Query.h:87);
                 # per input_hint the invariant is sha256 → docmap filter
                 return _Atom("sha", val, None, negated)
+            elif opl == "gbfieldmatch" and val:
+                # gbfieldmatch:<field>:<value> / :<field>:"quoted value" —
+                # exact CASE-SENSITIVE whole-value match of a stored doc
+                # field (/root/reference/Query.cpp:1737-1780 hashes field
+                # name and verbatim value into one composite termid; here
+                # it lowers to a docmap equality filter)
+                fname, _, fval = val.partition(":")
+                fnl = fname.lower()
+                if fnl not in _FM_FIELDS:
+                    raise QueryParseError(
+                        f"gbfieldmatch: unknown field {fname!r} "
+                        f"(known: {sorted(_FM_FIELDS)})")
+                if (fval.startswith('"') and fval.endswith('"')
+                        and len(fval) >= 2):
+                    fval = fval[1:-1]
+                if not fval:
+                    raise QueryParseError(
+                        "gbfieldmatch: expects gbfieldmatch:<field>:<value>")
+                return _Atom("fieldmatch", (fnl, fval), None, negated)
             elif opl in ("gbmin", "gbmax") and val:
                 # gbmin:size:200 — the reference's double-colon numeric
                 # filter form (/root/reference/Query.cpp:1713-1720 records
@@ -596,6 +628,9 @@ class _PlanBuilder:
             if tree.kind == "num":
                 # filter operators carry no membership leaf (like site:/ext:)
                 self.plan.num_filters.append(tree.value)
+                return None
+            if tree.kind == "fieldmatch":
+                self.plan.fieldmatch_filters.append(tree.value)
                 return None
             if tree.kind == "sortby":
                 self.plan.sort_by = tree.value

@@ -1,0 +1,91 @@
+"""gbfieldmatch: exact CASE-SENSITIVE whole-value match of a stored doc
+field — the reference's only case-sensitive operator
+(/root/reference/Query.cpp:1737-1780 hashes the field name and the verbatim
+value into one composite termid and comments "CASE SENSITIVE!!!!"). Here it
+lowers to a docmap equality filter in the J6 whitelist family, so it is
+served by the declarative semi-join, the WAND whitelist mask and the batch
+path alike."""
+
+import pytest
+
+from open_source_search_engine_spark.plans.plan import (
+    QueryParseError, parse_query,
+)
+
+
+# --------------------------------------------------------------------------
+# parsing
+# --------------------------------------------------------------------------
+
+def test_parse_fieldmatch_bare_and_quoted():
+    p = parse_query("binary gbfieldmatch:path:src/pkg0/mod0.py")
+    assert p.fieldmatch_filters == [("path", "src/pkg0/mod0.py")]
+    p = parse_query('gbfieldmatch:url:"org1/repo1/src/pkg1/mod1.cpp" binary')
+    assert p.fieldmatch_filters == [("url", "org1/repo1/src/pkg1/mod1.cpp")]
+    assert len(p.required) == 1 and p.required[0].token == "binary"
+
+
+def test_parse_fieldmatch_value_keeps_case():
+    # the FIELD name is case-insensitive, the VALUE is verbatim
+    p = parse_query("gbfieldmatch:LANG:Py binary")
+    assert p.fieldmatch_filters == [("lang", "Py")]
+
+
+def test_parse_fieldmatch_errors():
+    with pytest.raises(QueryParseError):
+        parse_query("gbfieldmatch:bogus:x binary")
+    with pytest.raises(QueryParseError):
+        parse_query("gbfieldmatch:path: binary")
+    with pytest.raises(QueryParseError):
+        parse_query('gbfieldmatch:path:"" binary')
+
+
+# --------------------------------------------------------------------------
+# serving semantics
+# --------------------------------------------------------------------------
+
+def _rows(spark, index_dir, q, k=500, **kw):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    return topk(spark, index_dir, q, k, **kw).collect()
+
+
+def test_fieldmatch_equals_python_filter(spark, index_dir):
+    base = _rows(spark, index_dir, "binary")
+    assert base, "fixture corpus must match 'binary'"
+    want_path = base[0]["path"]
+    got = _rows(spark, index_dir, f"binary gbfieldmatch:path:{want_path}")
+    exp = [r for r in base if r["path"] == want_path]
+    assert {(r["docid"], round(r["score"], 9)) for r in got} == {
+        (r["docid"], round(r["score"], 9)) for r in exp
+    }
+    # scores are NOT rescaled by the filter (the filter restricts candidates
+    # only; df/avgdl stay corpus-global, like the reference's whitelist)
+    assert got and all(
+        any(abs(g["score"] - e["score"]) < 1e-12 for e in exp) for g in got
+    )
+
+
+def test_fieldmatch_url_composite(spark, index_dir):
+    base = _rows(spark, index_dir, "binary")
+    r0 = base[0]
+    url = f"{r0['repo']}/{r0['path']}"
+    got = _rows(spark, index_dir, f'binary gbfieldmatch:url:"{url}"')
+    assert [r["docid"] for r in got] == [r0["docid"]]
+
+
+def test_fieldmatch_is_case_sensitive(spark, index_dir):
+    assert _rows(spark, index_dir, "binary gbfieldmatch:lang:py")
+    assert not _rows(spark, index_dir, "binary gbfieldmatch:lang:PY")
+    assert not _rows(spark, index_dir, "binary gbfieldmatch:lang:Py")
+
+
+def test_fieldmatch_wand_declarative_equality(spark, index_dir):
+    # the whitelist mask keeps block-max pruning lossless: A/B bit-equality
+    q = "if gbfieldmatch:lang:py"  # 'if' is a hot term → WAND-worthy
+    a = _rows(spark, index_dir, q, k=10, prune=True)
+    b = _rows(spark, index_dir, q, k=10, prune=False)
+    assert [(r["docid"], r["score"]) for r in a] == [
+        (r["docid"], r["score"]) for r in b
+    ]
+    assert a and all(r["path"].endswith(".py") for r in a)
