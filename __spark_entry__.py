@@ -394,6 +394,25 @@ def _q_engine_fieldmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).unionByName(c)
 
 
+def _q_engine_getdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-document fetch (PageGet analog, /root/reference/PageGet.cpp:
+    96-101 — load one titlerec by docId or url). The index's parquet
+    ``docstore`` table is the Titledb analog (S3); the gate fetches doc 23
+    through the url composite and hash-verifies the STORED content and
+    metadata against the source table — the per-row content-sha256
+    invariant end-to-end through the doc store."""
+    from open_source_search_engine_spark.operators.docget import get_doc
+    from open_source_search_engine_spark.sources.testdata import ensure_index
+
+    idx = ensure_index(spark, sf_dir)
+    d = get_doc(spark, idx, url="src3/23.txt")
+    return spark.createDataFrame(
+        [(23, d["lang"], int(d["size"]), d["content"], d["content_sha256"])],
+        "doc_id long, lang string, size long, content string, "
+        "content_sha256 string",
+    )
+
+
 _NESTED_OR_SQL = f"""
 WITH{TOKS_CTE},
 base AS (SELECT count(*) AS n, (sum(len(t)) / count(*)) AS avgdl FROM toks),
@@ -1665,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_gbtermid": _q_engine_gbtermid,
         "engine_gbmin": _q_engine_gbmin,
         "engine_fieldmatch": _q_engine_fieldmatch,
+        "engine_getdoc": _q_engine_getdoc,
         "engine_gbsortby": _q_engine_gbsortby,
         "engine_term_df": _q_engine_term_df,
         "engine_total_hits": _q_engine_total_hits,
@@ -1764,6 +1784,13 @@ UNION ALL
 SELECT 'c' AS part, s.doc_id, s.score_r, s.content_sha256
 FROM ({_bm25_sql(['hash'],
                  extra_join="AND t2.source = 'src3' AND t2.doc_id = 23")}) s
+""",
+        # /get by url: the STORED document (docstore table) must be
+        # byte-identical to the source row, metadata included
+        "engine_getdoc": """
+SELECT doc_id, lang, length(text)::BIGINT AS size, text AS content,
+       sha256(text) AS content_sha256
+FROM documents WHERE doc_id = 23
 """,
         # gbsortby:size top-20 SET (boundary tie-free at sf0.01) + per-row size
         "engine_gbsortby": f"""

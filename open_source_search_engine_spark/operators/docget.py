@@ -1,0 +1,158 @@
+"""Stored-document fetch — the cached-page endpoint (PageGet analog).
+
+The reference's /get page loads one titlerec by docId (``d=``) or by url,
+optionally strips markup and highlights the query's terms in the content
+(/root/reference/PageGet.cpp:96-101 parameter handling, content highlight at
+:685-718). Here the doc store is the parquet ``docstore`` table written at
+build (operators/index_build.py write_docstore, the Titledb analog): the
+lookup is a docid-pushdown point scan (parquet row-group min/max stats on
+the sorted docid column play RdbMap's page-index role), newest generation
+wins (M7) and tombstoned docs are not served — exactly the states the query
+path honors.
+"""
+
+from __future__ import annotations
+
+import json
+from xml.sax.saxutils import escape
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources import catalog
+from .render import _ATTR
+
+
+class DocStoreMissing(RuntimeError):
+    """The index was built with ``store_content=False`` — there is no
+    stored-document table to serve /get from."""
+
+
+def get_doc(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    docid: int | None = None,
+    url: str | None = None,
+    query: str | None = None,
+) -> dict | None:
+    """Fetch one stored document by docid or url. Returns
+    ``{docId, url, title, lang, content_sha256, size, content[,
+    highlighted]}`` or ``None`` when the doc does not exist, was deleted
+    (tombstoned), or only older generations hold it under a different docid.
+
+    ``query`` adds a ``highlighted`` field: the content with every
+    whole-word query-term occurrence wrapped in the reference's rotating
+    span tags (/root/reference/PageGet.cpp:478-497 builds the highlight
+    query the same way — from the q= terms, not the stored doc)."""
+    if docid is None:
+        if url is None:
+            raise ValueError("get_doc needs docid= or url=")
+        from ..functions.hashing import docid_for_url
+
+        docid = int(docid_for_url(url))
+    if not catalog.table_exists(index_dir, "docstore"):
+        raise DocStoreMissing(
+            f"{index_dir} has no docstore table (built with "
+            "store_content=False)")
+
+    from .index_build import load_superseded, load_tombstones
+    from .query_engine import _serving_docmap
+
+    tomb = load_tombstones(spark, index_dir)
+    if tomb is not None and tomb.filter(F.col("docid") == docid).head(1):
+        return None  # deleted, pending physical annihilation
+
+    sup = load_superseded(spark, index_dir)
+    meta = (
+        _serving_docmap(spark, index_dir, sup)
+        .filter(F.col("docid") == docid)
+        .head(1)
+    )
+    if not meta:
+        return None
+    m = meta[0].asDict()
+
+    ds = (
+        catalog.read_table(spark, index_dir, "docstore")
+        .filter(F.col("docid") == docid)
+    )
+    gen = m.get("gen_seq")
+    if gen is not None:
+        ds = ds.filter(F.col("gen_seq") == int(gen))
+    if query:
+        from ..functions.tokenizer import code_tokens
+        from .snippets import highlight
+
+        terms = code_tokens(query)
+        if terms:
+            ds = ds.withColumn("highlighted",
+                               highlight(F.col("content"), terms))
+    row = ds.head(1)
+    if not row:
+        return None
+    r = row[0].asDict()
+    out = {
+        "docId": int(docid),
+        "url": f"{m['repo']}/{m['path']}",
+        "title": str(m["path"]).rsplit("/", 1)[-1],
+        "lang": m.get("lang"),
+        "content_sha256": m.get("content_sha256"),
+        "size": m.get("size"),
+        "content": r["content"],
+    }
+    if "highlighted" in r:
+        out["highlighted"] = r["highlighted"]
+    return out
+
+
+def docstore_df(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The serving doc-text table (docid, content), newest generation per
+    docid — the default ``doc_text`` source for snippets/summary-dedup when
+    the index stores content."""
+    from .index_build import load_superseded
+    from .query_engine import _serving_docmap
+
+    ds = catalog.read_table(spark, index_dir, "docstore")
+    dm = (_serving_docmap(spark, index_dir,
+                          load_superseded(spark, index_dir))
+          .select("docid", "gen_seq"))
+    return (ds.join(dm, ["docid", "gen_seq"], "left_semi")
+            .select("docid", "content"))
+
+
+def render_doc(doc: dict | None, *, fmt: str = "json") -> str:
+    """Serialize one /get response (json | xml | html — the reference's
+    PageGet format switch). ``None`` renders the not-found shape rather
+    than throwing, matching the reference's error page."""
+    if fmt == "json":
+        return json.dumps(doc if doc is not None else {"error": "not found"},
+                          sort_keys=True)
+    if doc is None:
+        if fmt == "xml":
+            return "<response><error>not found</error></response>"
+        return "<html><body><p>not found</p></body></html>"
+    if fmt == "xml":
+        parts = ["<response>"]
+        for k in sorted(doc):
+            parts.append(f"  <{k}>{escape(str(doc[k]))}</{k}>")
+        parts.append("</response>")
+        return "\n".join(parts)
+    if fmt == "html":
+        if "highlighted" in doc:
+            from .snippets import BACK_TAG, front_tag
+
+            # escape everything, then restore ONLY the engine's own span
+            # markup — doc content can never smuggle live HTML through the
+            # cached-page view (same attribute-injection rule as render.py)
+            body = escape(doc["highlighted"])
+            for ci in range(10):
+                body = body.replace(escape(front_tag(ci)), front_tag(ci))
+            body = body.replace(escape(BACK_TAG), BACK_TAG)
+        else:
+            body = escape(doc["content"])
+        return (
+            f'<html><body><h1><a href="{escape(doc["url"], _ATTR)}">'
+            f'{escape(doc["title"])}</a></h1>'
+            f"<pre>{body}</pre></body></html>"
+        )
+    raise ValueError(f"unknown format {fmt!r}")

@@ -634,6 +634,22 @@ def gen_seq_of(gen: str) -> int:
     return STREAM_GEN_SEQ_BASE + int(gen[1:]) if gen.startswith("s") else int(gen)
 
 
+def write_docstore(part: DataFrame, index_dir: str, gen: str) -> None:
+    """Persist the stored-document table for one generation — the Titledb
+    analog (S3: the reference zlib-compresses each parsed doc and keys it by
+    docId, /root/reference/XmlDoc.cpp:3081-3110, /root/reference/Titledb.h:
+    18-25; here the parquet codec is the compression and the row group
+    min/max stats on the sorted docid column are the Titledb key lookup).
+    Rows carry gen_seq so serving can pick each docid's newest version
+    before compaction rewrites the table (M7)."""
+    catalog.write_table(
+        part.select("docid", "content")
+        .withColumn("gen_seq", F.lit(int(gen_seq_of(gen))))
+        .sortWithinPartitions("docid"),
+        index_dir, f"docstore/gen={gen}",
+    )
+
+
 def load_superseded(spark: SparkSession, index_dir: str) -> DataFrame | None:
     if not catalog.table_exists(index_dir, "superseded"):
         return None
@@ -703,6 +719,7 @@ def build_index(
     hot_threshold: int = 20_000,
     target_group_rows: int = 50_000,  # retained for API compat (v1 encode path)
     stop_after_chunks: int | None = None,
+    store_content: bool = True,
 ) -> dict:
     """Full build: chunked, resumable, metric-recording.
 
@@ -768,6 +785,8 @@ def build_index(
             index_dir, f"docmap/gen={chunk}",
         )
         n_docs = int(obs_docs.get["n"])
+        if store_content:
+            write_docstore(part, index_dir, str(chunk))
         mark("docmap", tp)
 
         # fused tokenize + partial encode (map-side combine); the mapped
@@ -1246,6 +1265,27 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
         _shutil.rmtree(dm_path, ignore_errors=True)
         os.rename(catalog.table_path(index_dir, "docmap_new"), dm_path)
         spark.catalog.refreshByPath(dm_path)
+    # docstore cleanup (Titledb analog): same newest-row-per-docid /
+    # tombstone-drop rewrite so stale generations' stored content is
+    # physically reclaimed with the postings
+    ds_path = catalog.table_path(index_dir, "docstore")
+    if (sup is not None or tomb is not None) and os.path.isdir(ds_path):
+        ds = spark.read.parquet(ds_path)
+        if sup is not None:
+            sup_small = sup.withColumnRenamed("gen_seq", "_newest")
+            ds = (
+                ds.join(sup_small, "docid", "left")
+                .filter(F.col("_newest").isNull()
+                        | (F.col("gen_seq") == F.col("_newest")))
+                .drop("_newest")
+            )
+        if tomb is not None:
+            ds = ds.join(tomb, "docid", "left_anti")
+        catalog.write_table(ds.sortWithinPartitions("docid"),
+                            index_dir, "docstore_new/gen=0")
+        _shutil.rmtree(ds_path, ignore_errors=True)
+        os.rename(catalog.table_path(index_dir, "docstore_new"), ds_path)
+        spark.catalog.refreshByPath(ds_path)
     mark("docmap")
 
     if tomb is not None:

@@ -24,7 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # bump when index layout / tokenizer / scoring changes invalidate old caches
-ENGINE_CACHE_VERSION = "10"  # 10: docmap size column (gbmin/gbmax/gbsortby)
+ENGINE_CACHE_VERSION = "11"  # 11: docstore table (PageGet/Titledb analog)
 
 
 def documents_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

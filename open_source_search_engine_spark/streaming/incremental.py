@@ -150,6 +150,7 @@ def append_generation(
         SLAB_BLOCKS, SLAB_FIELD_DL, SLAB_FIELD_DOCS, SLAB_TERM_DF,
         gen_seq_of, map_encode, merge_partial_segments,
         register_generation, sum_count_slabs, with_doc_identity,
+        write_docstore,
     )
     from ..sources import catalog
 
@@ -171,6 +172,10 @@ def append_generation(
         .withColumn("gen_seq", F.lit(int(gen_seq_of(gen)))),
         index_dir, f"docmap/gen={gen}",
     )
+    # stored-doc table (Titledb analog) — only if the base build wrote one,
+    # so a content-less index stays content-less across streaming appends
+    if catalog.table_exists(index_dir, "docstore"):
+        write_docstore(part, index_dir, gen)
     mapped = map_encode(part, n_buckets=n_buckets).persist()
     mapped.count()
     catalog.write_table(

@@ -1,0 +1,141 @@
+"""Stored-document fetch (PageGet analog, /root/reference/PageGet.cpp):
+docstore table written at build (Titledb analog), point lookup by docid or
+url, newest-generation-wins + tombstone semantics shared with the query
+path, query-term highlighting, and the /get render formats."""
+
+import shutil
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dg_index(spark, tmp_path_factory):
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.index_build import build_index
+
+    d = str(tmp_path_factory.mktemp("dgtest") / "idx")
+    shutil.rmtree(d, ignore_errors=True)
+    build_index(spark, corpus_df(spark, 80, partitions=4), d, n_chunks=1)
+    return d
+
+
+def test_get_by_docid_and_url(spark, dg_index, corpus_rows):
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+    from open_source_search_engine_spark.operators.docget import get_doc
+
+    r = corpus_rows[3]
+    url = f"{r['repo']}/{r['path']}"
+    did = int(docid_for_url(url))
+
+    by_id = get_doc(spark, dg_index, docid=did)
+    assert by_id is not None
+    assert by_id["content"] == r["content"]
+    assert by_id["url"] == url
+    assert by_id["title"] == r["path"].rsplit("/", 1)[-1]
+
+    by_url = get_doc(spark, dg_index, url=url)
+    assert by_url == by_id
+
+
+def test_get_missing_returns_none(spark, dg_index):
+    from open_source_search_engine_spark.operators.docget import get_doc
+
+    assert get_doc(spark, dg_index, docid=999_999_999_999) is None
+
+
+def test_get_deleted_returns_none(spark, dg_index, corpus_rows):
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+    from open_source_search_engine_spark.operators.docget import get_doc
+    from open_source_search_engine_spark.operators.index_build import (
+        delete_docs,
+    )
+
+    r = corpus_rows[7]
+    did = int(docid_for_url(f"{r['repo']}/{r['path']}"))
+    assert get_doc(spark, dg_index, docid=did) is not None
+    delete_docs(spark, dg_index, [did])
+    assert get_doc(spark, dg_index, docid=did) is None
+
+
+def test_get_serves_newest_generation(spark, dg_index, corpus_rows):
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+    from open_source_search_engine_spark.operators.docget import get_doc
+    from open_source_search_engine_spark.streaming.incremental import (
+        append_generation,
+    )
+
+    r = dict(corpus_rows[11])
+    did = int(docid_for_url(f"{r['repo']}/{r['path']}"))
+    assert get_doc(spark, dg_index, docid=did)["content"] == r["content"]
+
+    r["content"] = "entirely new content after reindex"
+    batch = spark.createDataFrame(
+        [tuple(r[c] for c in ("repo", "path", "commit", "lang", "content"))],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    append_generation(spark, batch, dg_index, 901)
+    got = get_doc(spark, dg_index, docid=did)
+    assert got["content"] == "entirely new content after reindex"
+
+
+def test_highlight_and_render(spark, dg_index, corpus_rows):
+    from open_source_search_engine_spark.functions.tokenizer import code_tokens
+    from open_source_search_engine_spark.operators.docget import (
+        get_doc, render_doc,
+    )
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+
+    r = corpus_rows[3]
+    did = int(docid_for_url(f"{r['repo']}/{r['path']}"))
+    term = code_tokens(r["content"])[0]
+    doc = get_doc(spark, dg_index, docid=did, query=term)
+    assert "highlighted" in doc
+    assert f"'>{term}</span>" in doc["highlighted"].lower()
+
+    import json
+
+    j = json.loads(render_doc(doc))
+    assert j["docId"] == did and j["content"] == r["content"]
+    html = render_doc(doc, fmt="html")
+    assert "<span class='gbcnst00'>" in html
+    # raw content never reaches the page unescaped
+    assert "<script" not in html.replace("&lt;script", "")
+    assert render_doc(None) == '{"error": "not found"}'
+    xml = render_doc(doc, fmt="xml")
+    assert f"<docId>{did}</docId>" in xml
+
+
+def test_docstore_missing_raises(spark, tmp_path, corpus_rows):
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.docget import (
+        DocStoreMissing, get_doc,
+    )
+    from open_source_search_engine_spark.operators.index_build import build_index
+
+    d = str(tmp_path / "nostore")
+    build_index(spark, corpus_df(spark, 20, partitions=2), d, n_chunks=1,
+                store_content=False)
+    with pytest.raises(DocStoreMissing):
+        get_doc(spark, d, docid=1)
+
+
+def test_docstore_compaction_reclaims(spark, tmp_path, corpus_rows):
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+    from open_source_search_engine_spark.operators.docget import (
+        docstore_df, get_doc,
+    )
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index, compact_segments, delete_docs,
+    )
+
+    d = str(tmp_path / "dgcomp")
+    build_index(spark, corpus_df(spark, 40, partitions=2), d, n_chunks=1)
+    r = corpus_rows[5]
+    did = int(docid_for_url(f"{r['repo']}/{r['path']}"))
+    delete_docs(spark, d, [did])
+    compact_segments(spark, d)
+    # physically gone from the stored-doc table, not just filtered
+    assert get_doc(spark, d, docid=did) is None
+    assert docstore_df(spark, d).filter(f"docid = {did}").count() == 0
+    assert docstore_df(spark, d).count() == 39
