@@ -413,6 +413,27 @@ def _q_engine_getdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_engine_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full rebuild from the doc store (DocRebuild analog,
+    /root/reference/DocRebuild.cpp:45-75 — re-run the indexing pipeline over
+    every stored titlerec, swap in the rebuilt rdbs): a copy of the index is
+    rebuilt in place from its own docstore + docmap, then served the
+    engine_bm25_and-shaped query. The base index carries no deletes, so the
+    rebuilt stats are recomputed over the identical corpus — the oracle is
+    the ordinary full-corpus BM25 SQL and the hash match proves the
+    store→rebuild→serve loop is lossless."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_rebuilt_index,
+    )
+
+    idx = ensure_rebuilt_index(spark, sf_dir)
+    res = topk(spark, idx, "merge lang:en vector", 1_000_000)
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
 _NESTED_OR_SQL = f"""
 WITH{TOKS_CTE},
 base AS (SELECT count(*) AS n, (sum(len(t)) / count(*)) AS avgdl FROM toks),
@@ -1685,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_gbmin": _q_engine_gbmin,
         "engine_fieldmatch": _q_engine_fieldmatch,
         "engine_getdoc": _q_engine_getdoc,
+        "engine_rebuild": _q_engine_rebuild,
         "engine_gbsortby": _q_engine_gbsortby,
         "engine_term_df": _q_engine_term_df,
         "engine_total_hits": _q_engine_total_hits,
@@ -1792,6 +1814,9 @@ SELECT doc_id, lang, length(text)::BIGINT AS size, text AS content,
        sha256(text) AS content_sha256
 FROM documents WHERE doc_id = 23
 """,
+        # rebuild-from-docstore then serve: identical corpus -> identical
+        # stats -> the ordinary BM25 oracle must hash-match
+        "engine_rebuild": _bm25_sql(["merge", "vector"], lang="en"),
         # gbsortby:size top-20 SET (boundary tie-free at sf0.01) + per-row size
         "engine_gbsortby": f"""
 SELECT s.doc_id, length(d.text) AS size, s.score_r, s.content_sha256

@@ -1,0 +1,102 @@
+"""Full index rebuild from the stored documents — the DocRebuild analog.
+
+The reference's "gb rebuild" re-runs the entire indexing pipeline over every
+titlerec already on disk WITHOUT refetching from the web
+(/root/reference/DocRebuild.cpp:45-75 — ``updateXmldoc`` marks the doc
+``m_isInIndex`` and reuses the stored content; DocProcess.cpp drives one
+XmlDoc per titledb key), producing a fresh, fully-merged set of rdbs that
+replaces the live ones. It is the disaster-recovery / layout-migration path:
+posting-format changes, scoring-input changes, or corrupted posdb files are
+repaired from Titledb alone.
+
+Spark shape: reconstruct the serving corpus view from the index's own
+tables — docmap metadata (newest generation per docid, tombstones dropped)
+joined with the ``docstore`` content table (the Titledb analog,
+operators/index_build.py ``write_docstore``) — then run the ordinary
+:func:`~.index_build.build_index` into a fresh directory and atomically
+swap it over the live one. Because the input is the already-deduplicated
+serving view, the rebuilt index is compacted by construction: one
+generation, no superseded rows, no tombstones. Stats are finalized exactly
+as a cold build's are, so scores over unchanged content are bit-identical
+(tests/test_rebuild.py asserts exact score equality through a
+delete + reindex + rebuild sequence).
+
+At scale this is one docid-key join (docmap × docstore, both
+docid-sorted parquet) feeding the same one-wide-shuffle build the cold path
+uses — no driver materialization anywhere; ``n_chunks`` re-slices the docid
+space for resumability exactly as a cold build would.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import catalog
+
+
+def rebuild_corpus(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The serving corpus view reconstructed from the index's own tables:
+    (repo, path, lang, content) — newest generation per docid, tombstoned
+    docs dropped. This is exactly the document set a query can currently
+    surface, so rebuilding from it preserves serving semantics."""
+    from .docget import DocStoreMissing, docstore_df
+    from .index_build import load_superseded, load_tombstones
+    from .query_engine import _serving_docmap
+
+    if not catalog.table_exists(index_dir, "docstore"):
+        raise DocStoreMissing(
+            f"{index_dir} has no docstore table (built with "
+            "store_content=False) — rebuild needs the stored documents")
+
+    dm = _serving_docmap(
+        spark, index_dir, load_superseded(spark, index_dir)
+    ).select("docid", "repo", "path", "lang")
+    tomb = load_tombstones(spark, index_dir)
+    if tomb is not None:
+        dm = dm.join(tomb, "docid", "left_anti")
+    return (
+        dm.join(docstore_df(spark, index_dir), "docid", "inner")
+        .select("repo", "path", "lang", "content")
+    )
+
+
+def rebuild_index(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    out_dir: str | None = None,
+    **build_kwargs,
+) -> dict:
+    """Rebuild the posting index from its own doc store (DocRebuild analog).
+
+    With ``out_dir=None`` (the default) the rebuilt index atomically
+    replaces the live one — the reference's swap of the rebuilt rdbs.
+    Pass ``out_dir`` to build alongside instead (inspect/verify before
+    cutover). ``build_kwargs`` forward to :func:`~.index_build.build_index`,
+    so a rebuild can also migrate layout parameters (``n_buckets``,
+    ``block_docs``, ``hot_threshold``) or drop the content copy
+    (``store_content=False``). Returns the build metrics dict."""
+    from .index_build import build_index
+
+    corpus = rebuild_corpus(spark, index_dir)
+    swap = out_dir is None
+    if swap:
+        out_dir = index_dir.rstrip("/") + ".rebuild"
+        shutil.rmtree(out_dir, ignore_errors=True)
+    metrics = build_index(spark, corpus, out_dir, **build_kwargs)
+    if swap:
+        # build_index's writes are all actions, so the source index is no
+        # longer being read; two renames make the cutover atomic per path
+        old = index_dir.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(index_dir, old)
+        os.rename(out_dir, index_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        for name in os.listdir(index_dir):
+            p = os.path.join(index_dir, name)
+            if os.path.isdir(p):
+                spark.catalog.refreshByPath(p)
+    return metrics

@@ -84,6 +84,28 @@ def ensure_deleted_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def ensure_rebuilt_index(spark: SparkSession, sf_dir: str) -> str:
+    """A copy of the cached index rebuilt in place from its own doc store
+    (DocRebuild analog, /root/reference/DocRebuild.cpp:45-75) — the rebuild
+    gate's fixture. The base index has no deletes, so the rebuilt stats are
+    recomputed over the identical corpus and scores stay bit-identical to a
+    cold build's; the oracle is therefore the ordinary BM25 SQL."""
+    import shutil
+
+    from ..operators.rebuild import rebuild_index
+
+    base = ensure_index(spark, sf_dir)
+    idx = base + "_rebuilt"
+    marker = os.path.join(idx, "_rebuilt_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.copytree(base, idx)
+        rebuild_index(spark, idx)
+        with open(marker, "w") as f:
+            f.write("rebuilt from docstore\n")
+    return idx
+
+
 def ensure_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the inverted index for sf_dir's documents once; resume-safe
     (build_index skips completed chunks, so a concurrent/partial build

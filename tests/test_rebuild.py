@@ -1,0 +1,117 @@
+"""Full index rebuild from the doc store (DocRebuild analog,
+/root/reference/DocRebuild.cpp:45-75): the serving corpus view is
+reconstructed from docmap + docstore, re-built into a fresh directory, and
+swapped over the live index; scores over unchanged content are bit-identical
+and delete/reindex state is compacted away by construction."""
+
+import os
+import shutil
+
+import pytest
+
+
+@pytest.fixture()
+def rb_index(spark, tmp_path):
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.index_build import build_index
+
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus_df(spark, 80, partitions=4), d, n_chunks=2)
+    return d
+
+
+def _scores(spark, idx, query, k=50):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    return [(r["docid"], r["score"])
+            for r in topk(spark, idx, query, k).collect()]
+
+
+def test_rebuild_swap_bit_identical(spark, rb_index):
+    from open_source_search_engine_spark.operators.rebuild import rebuild_index
+    from open_source_search_engine_spark.sources import catalog
+
+    before = _scores(spark, rb_index, "binary search")
+    assert before
+    metrics = rebuild_index(spark, rb_index)
+    assert metrics["docs"] == 80
+    assert _scores(spark, rb_index, "binary search") == before
+    # compacted by construction: single generation, no rebuild leftovers
+    gens = os.listdir(catalog.table_path(rb_index, "docmap"))
+    assert gens == ["gen=0"]
+    assert not os.path.isdir(rb_index.rstrip("/") + ".rebuild")
+    assert not os.path.isdir(rb_index.rstrip("/") + ".old")
+
+
+def test_rebuild_folds_in_deletes_and_reindex(spark, rb_index, corpus_rows):
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+    from open_source_search_engine_spark.operators.docget import get_doc
+    from open_source_search_engine_spark.operators.index_build import (
+        delete_docs, load_superseded, load_tombstones,
+    )
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.operators.rebuild import rebuild_index
+    from open_source_search_engine_spark.streaming.incremental import (
+        append_generation,
+    )
+
+    gone = corpus_rows[2]
+    gone_id = int(docid_for_url(f"{gone['repo']}/{gone['path']}"))
+    delete_docs(spark, rb_index, [gone_id])
+
+    changed = dict(corpus_rows[5])
+    changed_id = int(
+        docid_for_url(f"{changed['repo']}/{changed['path']}"))
+    changed["content"] = "zzqqx rebuilt body binary search"
+    batch = spark.createDataFrame(
+        [tuple(changed[c]
+               for c in ("repo", "path", "commit", "lang", "content"))],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    append_generation(spark, batch, rb_index, 950)
+
+    before_ids = {r["docid"]
+                  for r in topk(spark, rb_index, "binary", 10_000).collect()}
+    rebuild_index(spark, rb_index)
+
+    # serving view preserved: same match set, deleted doc still absent,
+    # reindexed doc serves its NEW content from the rebuilt doc store
+    after_ids = {r["docid"]
+                 for r in topk(spark, rb_index, "binary", 10_000).collect()}
+    assert after_ids == before_ids
+    assert gone_id not in after_ids
+    assert get_doc(spark, rb_index, docid=gone_id) is None
+    assert (get_doc(spark, rb_index, docid=changed_id)["content"]
+            == changed["content"])
+    # delete/reindex bookkeeping compacted away by construction
+    assert load_tombstones(spark, rb_index) is None
+    assert load_superseded(spark, rb_index) is None
+    # exactly one zzqqx doc and it is the reindexed one
+    hit = topk(spark, rb_index, "zzqqx", 10).collect()
+    assert [r["docid"] for r in hit] == [changed_id]
+
+
+def test_rebuild_to_out_dir_leaves_original(spark, rb_index, tmp_path):
+    from open_source_search_engine_spark.operators.rebuild import rebuild_index
+
+    out = str(tmp_path / "copy")
+    before = _scores(spark, rb_index, "hash table")
+    mtimes = {n: os.path.getmtime(os.path.join(rb_index, n))
+              for n in os.listdir(rb_index)}
+    rebuild_index(spark, rb_index, out_dir=out)
+    assert _scores(spark, out, "hash table") == before
+    assert {n: os.path.getmtime(os.path.join(rb_index, n))
+            for n in os.listdir(rb_index)} == mtimes
+
+
+def test_rebuild_needs_docstore(spark, tmp_path):
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.docget import DocStoreMissing
+    from open_source_search_engine_spark.operators.index_build import build_index
+    from open_source_search_engine_spark.operators.rebuild import rebuild_index
+
+    d = str(tmp_path / "nostore")
+    build_index(spark, corpus_df(spark, 20, partitions=2), d, n_chunks=1,
+                store_content=False)
+    with pytest.raises(DocStoreMissing):
+        rebuild_index(spark, d)
