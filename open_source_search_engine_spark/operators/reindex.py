@@ -67,6 +67,11 @@ def reindex_query(
     either delete those docs (``force_del=True``) or re-index them from
     ``corpus`` (the current doc store — required when ``force_del=False``).
 
+    ``corpus=None`` re-reads content from the index's own ``docstore``
+    table (exactly the reference: DocReindex loads each doc's titlerec, it
+    never refetches) — pass a corpus DataFrame only to re-index from newer
+    external content or when the index was built ``store_content=False``.
+
     Returns ``{"num_docids": ranked results fetched, "num_selected": slice
     size, "num_added": docs deleted or re-added}`` mirroring Msg1c's
     ``m_numDocIds`` / ``m_numDocIdsAdded`` reporting
@@ -78,8 +83,14 @@ def reindex_query(
         raise ValueError(f"end {end} < start {start}")
     end = min(end, start + MAX_DOCIDS_TO_COMPUTE)
     if not force_del and corpus is None:
-        raise ValueError("re-index (force_del=False) needs the corpus "
-                         "DataFrame to re-read doc content from")
+        if not catalog.table_exists(index_dir, "docstore"):
+            raise ValueError(
+                "re-index (force_del=False) needs the corpus DataFrame to "
+                "re-read doc content from — this index has no docstore "
+                "table (built store_content=False)")
+        from .rebuild import rebuild_corpus
+
+        corpus = rebuild_corpus(spark, index_dir)
 
     # ranked candidates, clustering/dedup off (PageReindex.cpp:286-288)
     res = topk(spark, index_dir, query, int(end))

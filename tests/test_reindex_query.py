@@ -120,10 +120,36 @@ def test_reindex_picks_up_changed_content(spark, built):
     assert [r["docid"] for r in _topk(spark, idx, "m1c_v2_marker")] == [docid3]
 
 
-def test_reindex_requires_corpus(spark, built):
+def test_reindex_defaults_to_docstore(spark, built):
+    """corpus=None re-reads from the index's own doc store (the reference's
+    DocReindex loads titlerecs, it never refetches) — identity semantics:
+    same ranked docids, exact scores post-compaction+rebuild."""
+    from open_source_search_engine_spark.operators.index_build import (
+        compact_segments, rebuild_stats,
+    )
     from open_source_search_engine_spark.operators.reindex import reindex_query
 
     idx, _ = built
+    before = [(r["docid"], round(r["score"], 6)) for r in _topk(spark, idx, MARKER)]
+    out = reindex_query(spark, idx, MARKER, end=100)
+    assert out["num_added"] == 8
+    compact_segments(spark, idx)
+    rebuild_stats(spark, idx)
+    after = [(r["docid"], round(r["score"], 6)) for r in _topk(spark, idx, MARKER)]
+    assert after == before
+
+
+def test_reindex_requires_corpus_when_contentless(spark, tmp_path):
+    """Without a docstore (store_content=False) the re-add path still needs
+    an explicit corpus."""
+    from open_source_search_engine_spark.operators.index_build import build_index
+    from open_source_search_engine_spark.operators.reindex import reindex_query
+
+    from open_source_search_engine_spark.corpus import make_corpus_rows
+
+    idx = str(tmp_path / "nostore")
+    build_index(spark, _df(spark, make_corpus_rows(20)), idx, n_chunks=1,
+                store_content=False)
     with pytest.raises(ValueError, match="corpus"):
         reindex_query(spark, idx, MARKER, end=10)
 
