@@ -883,6 +883,27 @@ def _q_engine_site_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_query("site:src3 hash table")(spark, sf_dir)
 
 
+def _q_engine_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """&sites= multi-site whitelist through the /search API surface
+    (SearchInput::m_sites → Msg39 ptr_whiteList,
+    /root/reference/Msg40.cpp:344-345; composed query + whitelist mapping in
+    /root/reference/SearchInput.cpp:206-208,355-560): the full ``hash
+    table`` match set restricted to TWO sources — the list form the single
+    site: operator can't express (site:a site:b would AND to empty in the
+    reference; the whitelist ORs)."""
+    from open_source_search_engine_spark.operators.searchapi import search
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    res = search(spark, idx, "hash table", sites="src1 src3",
+                 do_dup_content_removal=False, docs_wanted=1_000_000)
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
 def _q_engine_gbtermid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 gbtermid: raw-termlist operator (/root/reference/Query.cpp:292-293
     — the literal number IS the termId). `gbtermid:<tid('hash')> table` must
@@ -1697,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_phrase3": _engine_query('"hash value table"'),
         "engine_phrase_title": _engine_query('title:"7.txt"'),
         "engine_site_filter": _q_engine_site_filter,
+        "engine_sites": _q_engine_sites,
         "engine_contenthash": _q_engine_contenthash,
         "engine_proximity": _q_engine_proximity,
         "engine_ranks": _q_engine_ranks,
@@ -1860,6 +1882,14 @@ SELECT s.doc_id, s.score_r, s.content_sha256
 FROM ({_bm25_sql(['hash', 'table'], bigram=('hash', 'table'))}) s
 JOIN documents dd ON dd.doc_id = s.doc_id
 WHERE dd.source = 'src3'
+""",
+        # &sites= whitelist: same scoring as engine_site_filter's query,
+        # match set ORed over the two listed sources
+        "engine_sites": f"""
+SELECT s.doc_id, s.score_r, s.content_sha256
+FROM ({_bm25_sql(['hash', 'table'], bigram=('hash', 'table'))}) s
+JOIN documents dd ON dd.doc_id = s.doc_id
+WHERE dd.source IN ('src1', 'src3')
 """,
         "engine_contenthash": f"""
 SELECT s.doc_id, s.score_r, s.content_sha256

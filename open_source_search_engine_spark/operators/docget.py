@@ -120,6 +120,21 @@ def docstore_df(spark: SparkSession, index_dir: str) -> DataFrame:
             .select("docid", "content"))
 
 
+def doc_text_df(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(repo, path, content) — the ``doc_text`` shape the summary-dedup and
+    snippet consumers take (operators/query_engine.py _dedup_summaries),
+    served from the index's own doc store."""
+    from .index_build import load_superseded
+    from .query_engine import _serving_docmap
+
+    dm = (_serving_docmap(spark, index_dir,
+                          load_superseded(spark, index_dir))
+          .select("docid", "gen_seq", "repo", "path"))
+    return (catalog.read_table(spark, index_dir, "docstore")
+            .join(dm, ["docid", "gen_seq"], "inner")
+            .select("repo", "path", "content"))
+
+
 def render_doc(doc: dict | None, *, fmt: str = "json") -> str:
     """Serialize one /get response (json | xml | html — the reference's
     PageGet format switch). ``None`` renders the not-found shape rather

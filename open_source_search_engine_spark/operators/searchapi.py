@@ -1,0 +1,189 @@
+"""The /search request surface — the SearchInput analog.
+
+The reference collects every advanced-search form field into one
+``SearchInput`` (/root/reference/SearchInput.h:85-202), composes the
+auxiliary fields into the final query string
+(``setQueryBuffers``, /root/reference/SearchInput.cpp:355-560: prepend,
+``any``-terms OR group, filetype:, +gblang:, +link:, the natural query,
+quoted phrases, +plus terms, -minus terms), and forwards the rest as
+serving parameters (docsWanted, firstResultNum, site clustering, dup
+removal, percentSimilarSummary, qlang, sites whitelist, format).
+
+:func:`compose_query` is the ``setQueryBuffers`` analog;
+:func:`search` maps the parameter surface onto the engine — a user of the
+reference's /search API finds each parameter under its SearchInput name.
+Everything stays one ``topk`` call (both physical paths available); only
+the page render touches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.plan import parse_query
+
+
+def _split_terms(v) -> list[str]:
+    """Whitespace-split a field value, keeping quoted phrases whole —
+    the reference's scan in setQueryBuffers
+    (/root/reference/SearchInput.cpp:375-397)."""
+    if v is None:
+        return []
+    if not isinstance(v, str):
+        return [str(t) for t in v if str(t)]
+    out, s, n = [], v.strip(), 0
+    while n < len(s):
+        while n < len(s) and s[n].isspace():
+            n += 1
+        if n >= len(s):
+            break
+        if s[n] == '"':
+            end = s.find('"', n + 1)
+            end = len(s) - 1 if end < 0 else end
+            out.append(s[n:end + 1])
+            n = end + 1
+        else:
+            end = n
+            while end < len(s) and not s[end].isspace():
+                end += 1
+            out.append(s[n:end])
+            n = end
+    return out
+
+
+def compose_query(
+    query: str = "",
+    *,
+    prepend: str | None = None,
+    any_terms=None,
+    plus=None,
+    minus=None,
+    quote1: str | None = None,
+    quote2: str | None = None,
+    filetype: str | None = None,
+    gblang: str | None = None,
+    link: str | None = None,
+) -> str:
+    """Compose the advanced-search fields into one query string — the
+    ``setQueryBuffers`` analog (/root/reference/SearchInput.cpp:355-560),
+    same composition order: prepend, filetype:, +lang:, +link:, the natural
+    query, quoted phrases (+"..."), +plus terms, -minus terms; the ``any``
+    OR-group is prefixed as ``( a OR b ) AND rest``. The reference's
+    non-boolean pipe form (``+gblang:N |``) is expressed as required field
+    terms instead — this engine's lang:/link: filters don't contribute
+    score, so the demotion the pipe bought is already the semantics."""
+    rest: list[str] = []
+    if prepend and prepend.strip():
+        rest.append(prepend.strip())
+    if filetype and filetype.strip() and filetype.lower() != "any":
+        rest.append(f"filetype:{filetype.strip()}")
+    if gblang and gblang.strip():
+        rest.append(f"+lang:{gblang.strip()}")
+    if link and link.strip():
+        rest.append(f"+link:{link.strip()}")
+    if query and query.strip():
+        rest.append(query.strip())
+    for qt in (quote1, quote2):
+        if qt and qt.strip():
+            rest.append(f'+"{qt.strip()}"')
+    for t in _split_terms(plus):
+        rest.append(t if t.startswith(("+", "-")) else "+" + t)
+    for t in _split_terms(minus):
+        rest.append("-" + t.lstrip("+-"))
+    body = " ".join(rest)
+    anys = _split_terms(any_terms)
+    if anys:
+        group = "(" + " OR ".join(anys) + ")"
+        body = f"{group} AND {body}" if body else group
+    return body
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str = "",
+    *,
+    # --- query-buffer fields (composed by compose_query) ---
+    prepend: str | None = None,
+    any_terms=None,
+    plus=None,
+    minus=None,
+    quote1: str | None = None,
+    quote2: str | None = None,
+    filetype: str | None = None,
+    gblang: str | None = None,
+    link: str | None = None,
+    # --- restriction / language ---
+    sites=None,                       # &sites= whitelist (m_sites)
+    qlang: str | None = None,         # &qlang (m_fx_qlang; "auto" detects)
+    # --- paging (m_docsWanted / m_firstResultNum) ---
+    docs_wanted: int = 10,
+    first_result_num: int = 0,
+    # --- result post-processing (Msg40 knobs) ---
+    do_site_clustering: bool = True,      # m_doSiteClustering
+    do_dup_content_removal: bool = True,  # m_doDupContentRemoval
+    percent_similar_summary: int = 0,     # m_percentSimilarSummary (0 = off)
+    dedup_url: bool = False,
+    # --- output ---
+    fmt: str | None = None,               # None -> DataFrame; else rendered
+    **topk_kwargs,
+) -> "DataFrame | str":
+    """One /search request. Returns the result-page DataFrame, or the
+    rendered page string when ``fmt`` is ``json``/``xml``/``html``/``csv``.
+
+    Parameter-to-reference mapping (SearchInput members):
+    ``sites``→m_sites (a whitelist of sites disables site clustering,
+    /root/reference/SearchInput.cpp:206-208); ``docs_wanted``→m_docsWanted;
+    ``first_result_num``→m_firstResultNum (served by over-fetching
+    first+wanted and slicing the rank window — the reference's TopTree holds
+    firstResultNum+docsWanted nodes too, /root/reference/Msg40.cpp);
+    ``do_site_clustering``→≤2/site (/root/reference/Msg3a.cpp:802-845);
+    ``do_dup_content_removal``→m_doDupContentRemoval;
+    ``percent_similar_summary``→m_percentSimilarSummary (needs the index's
+    docstore for summaries — built automatically when the index stores
+    content); ``qlang``→m_fx_qlang."""
+    from .query_engine import topk
+
+    q = compose_query(
+        query, prepend=prepend, any_terms=any_terms, plus=plus, minus=minus,
+        quote1=quote1, quote2=quote2, filetype=filetype, gblang=gblang,
+        link=link)
+    if sites:
+        do_site_clustering = False  # SearchInput.cpp:206-208
+    plan = parse_query(q, query_lang=qlang, sites=sites)
+
+    if first_result_num < 0:
+        raise ValueError(f"first_result_num {first_result_num} < 0")
+    k = first_result_num + docs_wanted
+
+    doc_text = topk_kwargs.pop("doc_text", None)
+    if percent_similar_summary and doc_text is None:
+        from ..sources import catalog
+        from .docget import doc_text_df
+
+        if not catalog.table_exists(index_dir, "docstore"):
+            raise ValueError(
+                "percent_similar_summary needs document text: the index "
+                "has no docstore (store_content=False) — pass doc_text=")
+        doc_text = doc_text_df(spark, index_dir)
+
+    res = topk(
+        spark, index_dir, plan, k,
+        site_max=2 if do_site_clustering else None,
+        dedup_content=do_dup_content_removal,
+        dedup_summary_pct=percent_similar_summary or None,
+        dedup_url=dedup_url,
+        doc_text=doc_text,
+        **topk_kwargs,
+    )
+    if first_result_num:
+        from pyspark.sql import functions as F
+
+        res = (res.filter(F.col("rank") > first_result_num)
+               .withColumn("rank",
+                           (F.col("rank") - first_result_num).cast("int")))
+    if fmt is None:
+        return res
+    from .render import render_results
+
+    return render_results(res, q, fmt=fmt)

@@ -660,7 +660,15 @@ class _PlanBuilder:
 def parse_query(q: str, *, expand_synonyms: bool = False,
                 expand_variations: bool = False,
                 soft_stops: bool = False, lang: str | None = None,
-                query_lang: str | None = None) -> QueryPlan:
+                query_lang: str | None = None,
+                sites: "list[str] | str | None" = None) -> QueryPlan:
+    """``sites`` is the &sites= whitelist (SearchInput::m_sites →
+    Msg39Request ptr_whiteList, /root/reference/Msg40.cpp:344-345; consulted
+    per candidate inside the intersection, PosdbTable.cpp:5067): a list (or
+    whitespace-separated string) of sites the results must come from. It
+    joins the plan's site_filters, so it rides the same J6 whitelist
+    machinery as ``site:`` — declarative semi-join, batch path, or the WAND
+    whitelist mask — at any site-list size."""
     plan = QueryPlan(raw=q)
     b = _PlanBuilder(plan, expand_synonyms, expand_variations)
 
@@ -731,6 +739,12 @@ def parse_query(q: str, *, expand_synonyms: bool = False,
         plan.lang_spec_und = b.spec(
             int(_hasher.termids(["und"])[0]), "und", FIELD_LANG,
             0.0, required=False, excluded=False)
+
+    if sites:
+        lst = sites.split() if isinstance(sites, str) else list(sites)
+        for s_ in lst:
+            if s_ and s_ not in plan.site_filters:
+                plan.site_filters.append(s_)
 
     if soft_stops:
         apply_soft_stops(plan, lang=lang)

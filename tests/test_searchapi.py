@@ -1,0 +1,122 @@
+"""/search request surface (SearchInput analog): query-buffer composition
+(setQueryBuffers, /root/reference/SearchInput.cpp:355-560), the &sites=
+whitelist (m_sites -> ptr_whiteList), firstResultNum paging, and the
+parameter-to-Msg40-knob mapping."""
+
+import json
+
+import pytest
+
+
+def test_compose_query_order_and_signs():
+    from open_source_search_engine_spark.operators.searchapi import compose_query
+
+    q = compose_query(
+        "binary search",
+        prepend="gbsortby:size",
+        any_terms="merge vector",
+        plus="hash",
+        minus="flush",
+        quote1="open addressing",
+        filetype="py",
+        gblang="en",
+        link="org1/lib",
+    )
+    assert q == ("(merge OR vector) AND gbsortby:size filetype:py +lang:en "
+                 '+link:org1/lib binary search +"open addressing" '
+                 "+hash -flush")
+    assert compose_query("x") == "x"
+    assert compose_query("", any_terms=["a", "b"]) == "(a OR b)"
+    assert compose_query("", quote2="two words") == '+"two words"'
+    # filetype 'any' is the reference's sentinel for no restriction
+    assert compose_query("x", filetype="any") == "x"
+
+
+def test_compose_query_quoted_any_terms():
+    from open_source_search_engine_spark.operators.searchapi import compose_query
+
+    q = compose_query("base", any_terms='"hash table" merge')
+    assert q == '("hash table" OR merge) AND base'
+
+
+def test_search_matches_composed_topk(spark, index_dir):
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    res = search(spark, index_dir, "binary search", plus="hash",
+                 minus="flush", do_site_clustering=False,
+                 do_dup_content_removal=False, docs_wanted=10)
+    direct = topk(spark, index_dir, "binary search +hash -flush", 10)
+    assert [(r["docid"], r["score"]) for r in res.collect()] == \
+           [(r["docid"], r["score"]) for r in direct.collect()]
+
+
+def test_sites_whitelist(spark, index_dir):
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.operators.searchapi import search
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    allowed = {"org0/repo0", "org1/repo1"}
+    res = search(spark, index_dir, "binary", sites="org0/repo0 org1/repo1",
+                 do_dup_content_removal=False, docs_wanted=50).collect()
+    assert res
+    assert {r["repo"] for r in res} <= allowed
+
+    # same whitelist through parse_query(sites=) on both physical paths
+    plan_p = parse_query("binary", sites=sorted(allowed))
+    plan_d = parse_query("binary", sites=sorted(allowed))
+    pruned = topk(spark, index_dir, plan_p, 50, prune=True).collect()
+    full = topk(spark, index_dir, plan_d, 50, prune=False).collect()
+    assert [(r["docid"], r["score"]) for r in pruned] == \
+           [(r["docid"], r["score"]) for r in full]
+    assert [(r["docid"], r["score"]) for r in pruned] == \
+           [(r["docid"], r["score"]) for r in res]
+
+    # a sites whitelist disables site clustering (SearchInput.cpp:206-208):
+    # asking for clustering with sites= must serve the unclustered page
+    clustered = search(spark, index_dir, "binary",
+                       sites="org0/repo0 org1/repo1",
+                       do_site_clustering=True,
+                       do_dup_content_removal=False, docs_wanted=50).collect()
+    assert [(r["docid"], r["score"]) for r in clustered] == \
+           [(r["docid"], r["score"]) for r in res]
+
+
+def test_first_result_num_paging(spark, index_dir):
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    full = search(spark, index_dir, "binary", do_site_clustering=False,
+                  do_dup_content_removal=False, docs_wanted=20).collect()
+    page2 = search(spark, index_dir, "binary", do_site_clustering=False,
+                   do_dup_content_removal=False, docs_wanted=10,
+                   first_result_num=10).collect()
+    assert [r["rank"] for r in page2] == list(range(1, 11))
+    assert [(r["docid"], r["score"]) for r in page2] == \
+           [(r["docid"], r["score"]) for r in full[10:20]]
+
+
+def test_search_rendered_formats(spark, index_dir):
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    page = search(spark, index_dir, "binary search", docs_wanted=3,
+                  fmt="json")
+    j = json.loads(page)
+    assert j["query"] == "binary search"
+    assert len(j["results"]) <= 3
+    html = search(spark, index_dir, "binary", docs_wanted=2, fmt="html")
+    assert html.startswith("<html>")
+
+
+def test_search_summary_dedup_uses_docstore(spark, index_dir):
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    res = search(spark, index_dir, "binary", docs_wanted=10,
+                 do_site_clustering=False, percent_similar_summary=90)
+    assert res.count() > 0
+
+
+def test_search_negative_first_result_num_raises(spark, index_dir):
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    with pytest.raises(ValueError, match="first_result_num"):
+        search(spark, index_dir, "binary", first_result_num=-1)
