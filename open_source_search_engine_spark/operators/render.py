@@ -25,7 +25,7 @@ from xml.sax.saxutils import escape
 _ATTR = {'"': "&quot;", "'": "&#x27;"}
 
 _CORE = ("rank", "docid", "score", "repo", "path")
-_OPT = ("content_sha256", "snippet")
+_OPT = ("content_sha256", "snippet", "content")
 
 
 def _result_dicts(rows: Iterable[Any]) -> list[dict]:

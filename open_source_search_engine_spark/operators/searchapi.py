@@ -124,6 +124,7 @@ def search(
     do_dup_content_removal: bool = True,  # m_doDupContentRemoval
     percent_similar_summary: int = 0,     # m_percentSimilarSummary (0 = off)
     dedup_url: bool = False,
+    include_cached_copy: bool = False,    # m_includeCachedCopy
     # --- output ---
     fmt: str | None = None,               # None -> DataFrame; else rendered
     **topk_kwargs,
@@ -141,7 +142,11 @@ def search(
     ``do_dup_content_removal``→m_doDupContentRemoval;
     ``percent_similar_summary``→m_percentSimilarSummary (needs the index's
     docstore for summaries — built automatically when the index stores
-    content); ``qlang``→m_fx_qlang."""
+    content); ``qlang``→m_fx_qlang; ``include_cached_copy``→
+    m_includeCachedCopy (each result carries the full stored content,
+    /root/reference/XmlDoc.cpp:15668-15671, joined onto the bounded page
+    only; it disables summary dedup exactly like the reference,
+    /root/reference/Msg40.cpp:1325)."""
     from .query_engine import topk
 
     q = compose_query(
@@ -150,6 +155,8 @@ def search(
         link=link)
     if sites:
         do_site_clustering = False  # SearchInput.cpp:206-208
+    if include_cached_copy:
+        percent_similar_summary = 0  # icc=1 turns dedup off, Msg40.cpp:1325
     plan = parse_query(q, query_lang=qlang, sites=sites)
 
     if first_result_num < 0:
@@ -182,6 +189,22 @@ def search(
         res = (res.filter(F.col("rank") > first_result_num)
                .withColumn("rank",
                            (F.col("rank") - first_result_num).cast("int")))
+    if include_cached_copy:
+        from pyspark.sql import functions as F
+
+        from ..sources import catalog
+        from .docget import docstore_df
+
+        if not catalog.table_exists(index_dir, "docstore"):
+            raise ValueError(
+                "include_cached_copy needs the index's docstore "
+                "(built store_content=False)")
+        # the page (≤ docs_wanted rows) broadcasts into one docstore scan —
+        # the Msg20 fan-out shape, never a document-scale shuffle
+        cols = [F.col(c) for c in res.columns] + [F.col("content")]
+        res = (docstore_df(spark, index_dir)
+               .join(F.broadcast(res), "docid", "inner")
+               .select(*cols).orderBy("rank"))
     if fmt is None:
         return res
     from .render import render_results

@@ -115,6 +115,33 @@ def test_search_summary_dedup_uses_docstore(spark, index_dir):
     assert res.count() > 0
 
 
+def test_include_cached_copy(spark, index_dir, corpus_rows):
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    res = search(spark, index_dir, "binary search", docs_wanted=3,
+                 include_cached_copy=True,
+                 do_site_clustering=False,
+                 do_dup_content_removal=False).collect()
+    assert res and [r["rank"] for r in res] == list(range(1, len(res) + 1))
+    by_url = {f"{r['repo']}/{r['path']}": r["content"] for r in corpus_rows}
+    for r in res:
+        assert r["content"] == by_url[f"{r['repo']}/{r['path']}"]
+    # content survives the render pass-through
+    page = json.loads(search(spark, index_dir, "binary search",
+                             docs_wanted=3, include_cached_copy=True,
+                             do_site_clustering=False,
+                             do_dup_content_removal=False, fmt="json"))
+    assert page["results"][0]["content"] == res[0]["content"]
+    # icc disables summary dedup (Msg40.cpp:1325): identical page with or
+    # without percent_similar_summary
+    with_ps = search(spark, index_dir, "binary search", docs_wanted=3,
+                     include_cached_copy=True, percent_similar_summary=90,
+                     do_site_clustering=False,
+                     do_dup_content_removal=False).collect()
+    assert [(r["docid"], r["score"]) for r in with_ps] == \
+           [(r["docid"], r["score"]) for r in res]
+
+
 def test_search_negative_first_result_num_raises(spark, index_dir):
     from open_source_search_engine_spark.operators.searchapi import search
 
