@@ -971,6 +971,20 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (n-gram containment vs a held-out eval
+    set): src3 plays the benchmark, the rest of the corpus is flagged by
+    distinct shared-shingle count. n=3 so the synthetic corpus produces a
+    non-trivial contaminated set at sf0.01 (the production default is 8)."""
+    docs = _docs(spark, sf_dir)
+    out = dedup.decontaminate(
+        docs.filter(F.col("source") != "src3"),
+        docs.filter(F.col("source") == "src3"),
+        n=3, min_hits=1,
+    )
+    return out.select("doc_id", "contaminated_ngrams", "contaminated")
+
+
 def _query_vec(spark: SparkSession, sf_dir: str):
     return (
         _emb(spark, sf_dir).filter(F.col("vec_id") == 0)
@@ -1751,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_decontaminate": _q_dedup_decontaminate,
         # --- similarity search ---
         "embedding_cosine_all": _q_embedding_cosine_all,
         "embedding_topk": _q_embedding_topk,
@@ -2018,6 +2033,35 @@ FROM documents
         "dedup_minhash_lsh": _minhash_sql(16, 4, 6),
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # decontamination: distinct 3-gram containment vs the src3
+        # benchmark set; zero-hit docs still appear (flag mode keeps the
+        # whole corpus with contaminated=false)
+        "dedup_decontaminate": r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+  FROM toks WHERE len(t) >= 3
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src3'),
+hits AS (
+  SELECT d.doc_id, count(*) AS n
+  FROM sh d JOIN bench b ON d.s = b.s
+  WHERE d.source <> 'src3'
+  GROUP BY 1
+)
+SELECT dd.doc_id,
+       coalesce(h.n, 0)::BIGINT AS contaminated_ngrams,
+       coalesce(h.n, 0) >= 1 AS contaminated
+FROM documents dd LEFT JOIN hits h ON h.doc_id = dd.doc_id
+WHERE dd.source <> 'src3'
+""",
         "embedding_cosine_all": f"""
 WITH {_EMB_CTE}
 SELECT vec_id, round({_COS.format(v='ve', w='qe')}, 6) AS cosine_r

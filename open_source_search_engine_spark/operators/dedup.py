@@ -583,3 +583,70 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     return pairs
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    bench_text: str = "text",
+    *,
+    n: int = 8,
+    min_hits: int = 1,
+    mode: str = "flag",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag (or drop) training documents that
+    share >= ``min_hits`` distinct ``n``-gram shingles with a held-out
+    benchmark/eval set — the test-set-overlap removal step of an LLM
+    training-data pipeline (the n-gram containment rule popularized by the
+    GPT-3/Pile/LLaMA data cards; n=8..13 word-grams is the common setting,
+    n defaults to 8).
+
+    Spark shape: the benchmark's DISTINCT shingles are hashed to int64
+    (xxhash64 — collisions only ever over-flag) and, when
+    ``broadcast_bench`` (the normal case: eval sets are tiny next to the
+    corpus), broadcast into one map-side semi-join against the corpus's
+    shingle stream — no shuffle of the corpus at any size. With
+    ``broadcast_bench=False`` the same plan runs as a shuffle join for a
+    benchmark too large to broadcast. Either way the corpus is traversed
+    once and nothing collects to the driver.
+
+    Output: ``mode="flag"`` -> df's columns + ``contaminated_ngrams`` (count
+    of distinct offending shingles) + ``contaminated`` bool;
+    ``mode="drop"`` -> the clean subset of df (original columns).
+    """
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(shingles_col(tokens_col(bench_text), n))
+            ).alias("_sh")
+        )
+        .select(F.xxhash64("_sh").alias("_shh"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(shingles_col(tokens_col(text), n))
+        ).alias("_sh"),
+    ).select("_id", F.xxhash64("_sh").alias("_shh"))
+    hits = (
+        doc_sh.join(bench_sh, "_shh")
+        .groupBy("_id")
+        .agg(F.count("*").alias("contaminated_ngrams"))
+        .filter(F.col("contaminated_ngrams") >= min_hits)
+    )
+    if mode == "drop":
+        return df.join(
+            hits.withColumnRenamed("_id", id_col), id_col, "left_anti")
+    out = df.join(hits.withColumnRenamed("_id", id_col), id_col, "left")
+    return out.withColumn(
+        "contaminated_ngrams",
+        F.coalesce(F.col("contaminated_ngrams"), F.lit(0)),
+    ).withColumn("contaminated", F.col("contaminated_ngrams") >= min_hits)

@@ -191,3 +191,56 @@ def test_dropped_buckets_route_to_exact_tier(spark):
         df, num_hashes=8, bands=2, shingle_w=2, threshold=0.5, max_bucket=2,
         route_dropped=False,
     ).count() == 0
+
+
+BENCH = [
+    (100, "the quick brown fox jumps over the lazy dog"),   # overlaps 0/1/2
+    (101, "completely disjoint benchmark sentence here ok"),
+]
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    return spark.createDataFrame(BENCH, "doc_id long, text string")
+
+
+def test_decontaminate_flags_overlapping_docs(docs, bench):
+    out = {r["doc_id"]: r for r in
+           dedup.decontaminate(docs, bench, n=3).collect()}
+    assert len(out) == len(DOCS)  # flag mode keeps every corpus doc
+    # docs 0/1 share 8-gram-sized runs with bench 100 at n=3; 2 shares the
+    # prefix up to the changed word; 3/4/5 share nothing
+    assert out[0]["contaminated"] and out[1]["contaminated"]
+    assert out[2]["contaminated"]
+    assert not out[3]["contaminated"]
+    assert not out[4]["contaminated"]
+    assert not out[5]["contaminated"]
+    # hit counts: python oracle on the same shingle definition
+    def sh3(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    bsh = set().union(*(sh3(t) for _, t in BENCH))
+    for did, text in DOCS:
+        assert out[did]["contaminated_ngrams"] == len(sh3(text) & bsh)
+
+
+def test_decontaminate_drop_and_min_hits(docs, bench):
+    clean = dedup.decontaminate(docs, bench, n=3, mode="drop")
+    assert sorted(r["doc_id"] for r in clean.collect()) == [3, 4, 5]
+    assert clean.columns == ["doc_id", "text"]  # original shape
+    # raising min_hits to an unreachable level keeps everything
+    all_clean = dedup.decontaminate(docs, bench, n=3, min_hits=1000,
+                                    mode="drop")
+    assert all_clean.count() == len(DOCS)
+
+
+def test_decontaminate_shuffle_tier_matches_broadcast(docs, bench):
+    a = dedup.decontaminate(docs, bench, n=3, broadcast_bench=True)
+    b = dedup.decontaminate(docs, bench, n=3, broadcast_bench=False)
+    key = lambda r: (r["doc_id"], r["contaminated_ngrams"], r["contaminated"])
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_decontaminate_bad_mode(docs, bench):
+    with pytest.raises(ValueError, match="mode"):
+        dedup.decontaminate(docs, bench, mode="purge")
