@@ -73,10 +73,22 @@ def render_results(rows, query: str, *, fmt: str = "json",
         parts.append("</response>")
         return "\n".join(parts)
     if fmt == "html":
+        def _snippet_html(s: str) -> str:
+            # escape everything, then restore ONLY the engine's own
+            # highlight markup (operators/snippets.py highlight) — snippet
+            # text can never smuggle live HTML into the SERP, same rule as
+            # docget.render_doc
+            from .snippets import BACK_TAG, front_tag
+
+            body = escape(s)
+            for ci in range(10):
+                body = body.replace(escape(front_tag(ci)), front_tag(ci))
+            return body.replace(escape(BACK_TAG), BACK_TAG)
+
         lis = "\n".join(
             f'<li><a href="{escape(it["url"], _ATTR)}">{escape(it["title"])}</a>'
             f' <span class="score">{it["score"]:.4f}</span>'
-            + (f'<p>{escape(str(it.get("snippet", "")))}</p>' if it.get("snippet") else "")
+            + (f'<p>{_snippet_html(str(it.get("snippet", "")))}</p>' if it.get("snippet") else "")
             + "</li>"
             for it in results
         )

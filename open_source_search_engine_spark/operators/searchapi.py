@@ -125,6 +125,10 @@ def search(
     percent_similar_summary: int = 0,     # m_percentSimilarSummary (0 = off)
     dedup_url: bool = False,
     include_cached_copy: bool = False,    # m_includeCachedCopy
+    # --- summaries (Summary.cpp window selection + Highlight.cpp markup) ---
+    show_snippets: bool = False,
+    do_query_highlighting: bool = False,  # m_doQueryHighlighting
+    summary_max_width: int = 60,          # m_summaryMaxWidth
     # --- output ---
     fmt: str | None = None,               # None -> DataFrame; else rendered
     **topk_kwargs,
@@ -146,7 +150,12 @@ def search(
     m_includeCachedCopy (each result carries the full stored content,
     /root/reference/XmlDoc.cpp:15668-15671, joined onto the bounded page
     only; it disables summary dedup exactly like the reference,
-    /root/reference/Msg40.cpp:1325)."""
+    /root/reference/Msg40.cpp:1325); ``show_snippets``/
+    ``do_query_highlighting``/``summary_max_width``→the summary pipeline
+    (best-window selection /root/reference/Summary.cpp:181 with the plan's
+    bare terms rarity-first as the reference weights them, markup
+    /root/reference/Highlight.cpp:43, m_summaryMaxWidth) — computed on the
+    bounded page only."""
     from .query_engine import topk
 
     q = compose_query(
@@ -205,6 +214,43 @@ def search(
         res = (docstore_df(spark, index_dir)
                .join(F.broadcast(res), "docid", "inner")
                .select(*cols).orderBy("rank"))
+    if show_snippets or do_query_highlighting:
+        from pyspark.sql import functions as F
+
+        from ..sources import catalog
+        from .docget import doc_text_df
+        from .query_engine import cached_handle
+        from .snippets import highlight, multi_term_snippet
+
+        if not catalog.table_exists(index_dir, "docstore"):
+            raise ValueError(
+                "summaries need document text: the index has no docstore "
+                "(built store_content=False)")
+        # rarity-first term order — the reference weights rare terms
+        # higher when scoring summary windows (Summary.cpp:181)
+        toks: list[tuple[int, str]] = []
+        seen: set[str] = set()
+        for t in plan.required:
+            if t.field is None and not t.is_bigram and t.token not in seen:
+                seen.add(t.token)
+                toks.append((int(t.termid), t.token))
+        if toks:
+            dfs = cached_handle(spark, index_dir).term_dfs(
+                spark, [tid for tid, _ in toks])
+            terms = [tok for tid, tok in
+                     sorted(toks, key=lambda x: dfs.get(x[0], 0))]
+            snip, _n = multi_term_snippet(
+                F.col("content"), terms, width=summary_max_width)
+            if do_query_highlighting:
+                snip = highlight(snip, terms)
+            had_content = "content" in res.columns
+            page = res if had_content else (
+                doc_text_df(spark, index_dir)
+                .join(F.broadcast(res), ["repo", "path"], "inner"))
+            cols = [F.col(c) for c in res.columns if c != "content"]
+            if had_content:
+                cols.append(F.col("content"))
+            res = page.select(*cols, snip.alias("snippet")).orderBy("rank")
     if fmt is None:
         return res
     from .render import render_results

@@ -142,6 +142,41 @@ def test_include_cached_copy(spark, index_dir, corpus_rows):
            [(r["docid"], r["score"]) for r in res]
 
 
+def test_search_snippets_and_highlighting(spark, index_dir):
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    res = search(spark, index_dir, "binary search", docs_wanted=5,
+                 show_snippets=True, do_site_clustering=False,
+                 do_dup_content_removal=False).collect()
+    assert res and [r["rank"] for r in res] == list(range(1, len(res) + 1))
+    for r in res:
+        low = r["snippet"].lower()
+        assert "binary" in low or "search" in low
+        assert len(r["snippet"]) <= 60
+
+    hi = search(spark, index_dir, "binary search", docs_wanted=5,
+                do_query_highlighting=True, do_site_clustering=False,
+                do_dup_content_removal=False).collect()
+    assert [(r["docid"], r["score"]) for r in hi] == \
+           [(r["docid"], r["score"]) for r in res]
+    assert any("<span class='gbcnst" in r["snippet"] for r in hi)
+
+    # snippet markup survives the HTML render but raw content cannot
+    html = search(spark, index_dir, "binary search", docs_wanted=5,
+                  do_query_highlighting=True, do_site_clustering=False,
+                  do_dup_content_removal=False, fmt="html")
+    assert "<span class='gbcnst" in html
+    assert "<script" not in html.replace("&lt;script", "")
+
+    # composes with include_cached_copy: both columns present
+    both = search(spark, index_dir, "binary", docs_wanted=3,
+                  show_snippets=True, include_cached_copy=True,
+                  do_site_clustering=False,
+                  do_dup_content_removal=False).collect()
+    assert both and all(r["content"] and r["snippet"] is not None
+                        for r in both)
+
+
 def test_search_negative_first_result_num_raises(spark, index_dir):
     from open_source_search_engine_spark.operators.searchapi import search
 
