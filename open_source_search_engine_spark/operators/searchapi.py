@@ -121,6 +121,7 @@ def search(
     first_result_num: int = 0,
     # --- result post-processing (Msg40 knobs) ---
     do_site_clustering: bool = True,      # m_doSiteClustering
+    hide_all_clustered: bool = False,     # m_hideAllClustered (1/site)
     do_dup_content_removal: bool = True,  # m_doDupContentRemoval
     percent_similar_summary: int = 0,     # m_percentSimilarSummary (0 = off)
     dedup_url: bool = False,
@@ -167,6 +168,17 @@ def search(
     if include_cached_copy:
         percent_similar_summary = 0  # icc=1 turns dedup off, Msg40.cpp:1325
     plan = parse_query(q, query_lang=qlang, sites=sites)
+    # clustering rule chain (/root/reference/SearchInput.cpp:304-313):
+    # hideAllClustered implies clustering at 1/site; a positive site
+    # restriction (site:/sites=) turns clustering off entirely
+    if hide_all_clustered:
+        do_site_clustering = True
+    if plan.site_filters:
+        do_site_clustering = False
+    if not do_site_clustering:
+        hide_all_clustered = False
+    site_max = (1 if hide_all_clustered else 2) if do_site_clustering \
+        else None
 
     if first_result_num < 0:
         raise ValueError(f"first_result_num {first_result_num} < 0")
@@ -185,7 +197,7 @@ def search(
 
     res = topk(
         spark, index_dir, plan, k,
-        site_max=2 if do_site_clustering else None,
+        site_max=site_max,
         dedup_content=do_dup_content_removal,
         dedup_summary_pct=percent_similar_summary or None,
         dedup_url=dedup_url,

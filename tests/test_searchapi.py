@@ -177,6 +177,24 @@ def test_search_snippets_and_highlighting(spark, index_dir):
                         for r in both)
 
 
+def test_hide_all_clustered(spark, index_dir):
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    one = search(spark, index_dir, "binary", docs_wanted=30,
+                 hide_all_clustered=True,
+                 do_dup_content_removal=False).collect()
+    per_repo = {}
+    for r in one:
+        per_repo[r["repo"]] = per_repo.get(r["repo"], 0) + 1
+    assert one and max(per_repo.values()) == 1
+    # a positive site restriction turns clustering (and hiding) back off
+    # (SearchInput.cpp:308-313): duplicates per repo may reappear
+    sited = search(spark, index_dir, "binary site:" + one[0]["repo"],
+                   docs_wanted=30, hide_all_clustered=True,
+                   do_dup_content_removal=False).collect()
+    assert {r["repo"] for r in sited} == {one[0]["repo"]}
+
+
 def test_search_negative_first_result_num_raises(spark, index_dir):
     from open_source_search_engine_spark.operators.searchapi import search
 
