@@ -152,6 +152,23 @@ def main() -> None:
         times.append(time.time() - t0)
     queries["q_facets"] = round(statistics.median(times), 3)
 
+    # end-to-end SERP (operators/searchapi.py): site clustering + dup
+    # removal + best-window snippets + highlight markup + JSON render —
+    # the full /search path a reference user hits per request
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    def _serp():
+        search(spark, idx, "hash table", docs_wanted=10, show_snippets=True,
+               do_query_highlighting=True, fmt="json")
+
+    _serp()  # warm-up
+    times = []
+    for _ in range(repeat):
+        t0 = time.time()
+        _serp()
+        times.append(time.time() - t0)
+    queries["q_serp"] = round(statistics.median(times), 3)
+
     # ---- training-data pipeline ops ------------------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -186,6 +203,14 @@ def main() -> None:
     queries["q_text_stats"] = best_of(
         2, lambda: textstats.quality_score(textstats.language_id(docs))
         .agg(F.avg("quality"), F.count("*")).collect())
+
+    # benchmark decontamination: corpus vs the src3 slice as the eval set
+    # (distinct-shingle broadcast join, production 8-gram setting)
+    _bench_set = docs.filter(F.col("source") == "src3")
+    _corpus_set = docs.filter(F.col("source") != "src3")
+    queries["q_decontaminate"] = best_of(
+        2, lambda: dedup.decontaminate(_corpus_set, _bench_set, n=8)
+        .filter("contaminated").count())
 
     from open_source_search_engine_spark.operators.suggest import (
         materialize_suggest, suggest_from_index,

@@ -1,0 +1,117 @@
+"""Named collections — the Collectiondb / &c= analog.
+
+The reference serves every request against a named collection
+(/root/reference/Collectiondb.h:17-108: ``getRec(coll)`` resolves the
+``&c=`` parameter to a CollectionRec holding that collection's rdbs;
+PageAddColl.cpp adds/deletes them). Here a collection is one index
+directory; the registry is a JSON file under a root directory mapping
+name → index_dir plus per-collection serving defaults (the CollectionRec
+parm analog — the reference's collection record carries the same serving
+knobs SearchInput falls back to, /root/reference/Parms.cpp OBJ_COLL rows).
+
+Driver-side by design: the registry is O(#collections) — tiny, mutated by
+admin actions, read once per request — exactly the reference's in-memory
+g_collectiondb. Document data never touches it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+
+REGISTRY_FILE = "collections.json"
+
+# serving defaults a collection may override (CollectionRec parm analogs —
+# the same names search() takes; unknown keys are rejected so typos fail
+# loudly instead of silently not applying)
+ALLOWED_DEFAULTS = {
+    "do_site_clustering", "hide_all_clustered", "do_dup_content_removal",
+    "percent_similar_summary", "dedup_url", "docs_wanted", "qlang",
+    "show_snippets", "do_query_highlighting", "summary_max_width",
+}
+
+
+class CollectionNotFound(KeyError):
+    pass
+
+
+def _registry_path(root: str) -> str:
+    return os.path.join(root, REGISTRY_FILE)
+
+
+def _load(root: str) -> dict:
+    try:
+        with open(_registry_path(root)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _store(root: str, reg: dict) -> None:
+    os.makedirs(root, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=root, prefix=".collections.")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(reg, f, indent=2, sort_keys=True)
+        os.replace(tmp, _registry_path(root))  # atomic swap
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def add_coll(root: str, name: str, index_dir: str,
+             defaults: dict | None = None) -> None:
+    """Register a collection (PageAddColl add analog). ``defaults`` are
+    per-collection serving defaults search() applies when the caller does
+    not override them."""
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"bad collection name {name!r}")
+    bad = set(defaults or {}) - ALLOWED_DEFAULTS
+    if bad:
+        raise ValueError(f"unknown collection defaults: {sorted(bad)}")
+    reg = _load(root)
+    reg[name] = {"index_dir": os.path.abspath(index_dir),
+                 "defaults": dict(defaults or {})}
+    _store(root, reg)
+
+
+def del_coll(root: str, name: str) -> None:
+    """Unregister (PageAddColl delete analog) — the index directory itself
+    is NOT removed; deleting data is a separate, explicit act."""
+    reg = _load(root)
+    if name not in reg:
+        raise CollectionNotFound(name)
+    del reg[name]
+    _store(root, reg)
+
+
+def list_colls(root: str) -> list[str]:
+    return sorted(_load(root))
+
+
+def get_coll(root: str, name: str) -> dict:
+    """Resolve &c= → {"index_dir": ..., "defaults": {...}}
+    (Collectiondb::getRec analog)."""
+    reg = _load(root)
+    if name not in reg:
+        raise CollectionNotFound(name)
+    return reg[name]
+
+
+def search_coll(spark, root: str, name: str, query: str = "", **params):
+    """One /search request against a named collection: the collection's
+    serving defaults apply wherever the caller didn't pass the parameter —
+    the reference's SearchInput-falls-back-to-CollectionRec behavior
+    (/root/reference/Parms.cpp ``m_defOff = offsetof(CollectionRec, ...)``
+    rows, e.g. :3459)."""
+    from ..operators.searchapi import search
+
+    rec = get_coll(root, name)
+    merged = dict(rec.get("defaults", {}))
+    merged.update(params)
+    return search(spark, rec["index_dir"], query, **merged)

@@ -1,0 +1,50 @@
+"""Named collections (Collectiondb / &c= analog): registry CRUD, resolution,
+and per-collection serving defaults applied by search_coll."""
+
+import pytest
+
+from open_source_search_engine_spark.sources import collections as colls
+
+
+def test_registry_crud(tmp_path):
+    root = str(tmp_path / "colls")
+    assert colls.list_colls(root) == []
+    colls.add_coll(root, "main", str(tmp_path / "idx1"))
+    colls.add_coll(root, "staging", str(tmp_path / "idx2"),
+                   defaults={"docs_wanted": 5})
+    assert colls.list_colls(root) == ["main", "staging"]
+    rec = colls.get_coll(root, "staging")
+    assert rec["index_dir"].endswith("idx2")
+    assert rec["defaults"] == {"docs_wanted": 5}
+    colls.del_coll(root, "main")
+    assert colls.list_colls(root) == ["staging"]
+    with pytest.raises(colls.CollectionNotFound):
+        colls.get_coll(root, "main")
+    with pytest.raises(colls.CollectionNotFound):
+        colls.del_coll(root, "main")
+
+
+def test_registry_validation(tmp_path):
+    root = str(tmp_path / "colls")
+    with pytest.raises(ValueError, match="name"):
+        colls.add_coll(root, "a/b", "x")
+    with pytest.raises(ValueError, match="defaults"):
+        colls.add_coll(root, "ok", "x", defaults={"not_a_knob": 1})
+
+
+def test_search_coll_applies_defaults(spark, index_dir, tmp_path):
+    root = str(tmp_path / "colls")
+    colls.add_coll(root, "main", index_dir,
+                   defaults={"docs_wanted": 3, "do_site_clustering": False,
+                             "do_dup_content_removal": False})
+    res = colls.search_coll(spark, root, "main", "binary").collect()
+    assert len(res) == 3
+    # caller override beats the collection default
+    res10 = colls.search_coll(spark, root, "main", "binary",
+                              docs_wanted=10).collect()
+    assert len(res10) == 10
+    # same index under a second name with different defaults
+    colls.add_coll(root, "wide", index_dir,
+                   defaults={"docs_wanted": 10, "do_site_clustering": False,
+                             "do_dup_content_removal": False})
+    assert len(colls.search_coll(spark, root, "wide", "binary").collect()) == 10
