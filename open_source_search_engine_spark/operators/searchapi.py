@@ -18,9 +18,36 @@ the page render touches the driver.
 
 from __future__ import annotations
 
+import os
+import threading
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.plan import parse_query
+from ..sources import catalog
+
+# result-page cache (&rcache → Msg40's cached serialized pages): keyed by
+# (index version, composed query, every serving parameter), bounded LRU.
+# The index version is the globals table's mtime — the same signal
+# query_engine.cached_handle treats as "the index changed" (every build /
+# finalize / rebuild rewrites globals), so a cached page can never outlive
+# the index state it was computed from.
+_RCACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_RCACHE_LOCK = threading.Lock()
+_RCACHE_MAX = 256
+
+
+def _index_version(index_dir: str) -> float:
+    try:
+        return os.path.getmtime(catalog.table_path(index_dir, "globals"))
+    except OSError:
+        return -1.0
+
+
+def clear_rcache() -> None:
+    with _RCACHE_LOCK:
+        _RCACHE.clear()
 
 
 def _split_terms(v) -> list[str]:
@@ -132,6 +159,7 @@ def search(
     summary_max_width: int = 60,          # m_summaryMaxWidth
     # --- output ---
     fmt: str | None = None,               # None -> DataFrame; else rendered
+    rcache: bool = False,                 # m_rcache (result-page cache)
     **topk_kwargs,
 ) -> "DataFrame | str":
     """One /search request. Returns the result-page DataFrame, or the
@@ -156,13 +184,35 @@ def search(
     (best-window selection /root/reference/Summary.cpp:181 with the plan's
     bare terms rarity-first as the reference weights them, markup
     /root/reference/Highlight.cpp:43, m_summaryMaxWidth) — computed on the
-    bounded page only."""
+    bounded page only; ``rcache``→m_rcache (the Msg40 result-page cache:
+    a repeated request serves the stored page without touching the index;
+    keyed by index version so any build/finalize/rebuild invalidates)."""
     from .query_engine import topk
 
     q = compose_query(
         query, prepend=prepend, any_terms=any_terms, plus=plus, minus=minus,
         quote1=quote1, quote2=quote2, filetype=filetype, gblang=gblang,
         link=link)
+    ckey = None
+    if rcache:
+        # DataFrame-valued kwargs (doc_text, temperature, ...) key by
+        # object identity via repr — a conservative miss, never a stale hit
+        ckey = (index_dir, _index_version(index_dir), q, qlang,
+                tuple(_split_terms(sites)), docs_wanted, first_result_num,
+                do_site_clustering, hide_all_clustered,
+                do_dup_content_removal, percent_similar_summary, dedup_url,
+                include_cached_copy, show_snippets, do_query_highlighting,
+                summary_max_width, fmt,
+                tuple(sorted((k2, repr(v)) for k2, v in topk_kwargs.items())))
+        with _RCACHE_LOCK:
+            hit = _RCACHE.get(ckey)
+            if hit is not None:
+                _RCACHE.move_to_end(ckey)
+                kind, payload = hit
+                if kind == "str":
+                    return payload
+                schema, rows = payload
+                return spark.createDataFrame(rows, schema)
     if sites:
         do_site_clustering = False  # SearchInput.cpp:206-208
     if include_cached_copy:
@@ -264,7 +314,20 @@ def search(
                 cols.append(F.col("content"))
             res = page.select(*cols, snip.alias("snippet")).orderBy("rank")
     if fmt is None:
+        if ckey is not None:
+            rows = res.collect()
+            with _RCACHE_LOCK:
+                _RCACHE[ckey] = ("df", (res.schema, rows))
+                while len(_RCACHE) > _RCACHE_MAX:
+                    _RCACHE.popitem(last=False)
+            return spark.createDataFrame(rows, res.schema)
         return res
     from .render import render_results
 
-    return render_results(res, q, fmt=fmt)
+    page = render_results(res, q, fmt=fmt)
+    if ckey is not None:
+        with _RCACHE_LOCK:
+            _RCACHE[ckey] = ("str", page)
+            while len(_RCACHE) > _RCACHE_MAX:
+                _RCACHE.popitem(last=False)
+    return page

@@ -195,6 +195,48 @@ def test_hide_all_clustered(spark, index_dir):
     assert {r["repo"] for r in sited} == {one[0]["repo"]}
 
 
+def test_rcache_serves_repeat_requests(spark, index_dir, monkeypatch):
+    from open_source_search_engine_spark.operators import query_engine, searchapi
+
+    searchapi.clear_rcache()
+    kw = dict(docs_wanted=5, do_site_clustering=False,
+              do_dup_content_removal=False, rcache=True)
+    first = searchapi.search(spark, index_dir, "binary search", **kw).collect()
+    page1 = searchapi.search(spark, index_dir, "binary search", fmt="json",
+                             **kw)
+
+    # repeat requests must not reach the engine at all
+    def boom(*a, **k):
+        raise AssertionError("rcache miss: topk was invoked")
+
+    monkeypatch.setattr(query_engine, "topk", boom)
+    again = searchapi.search(spark, index_dir, "binary search", **kw).collect()
+    assert [(r["docid"], r["score"]) for r in again] == \
+           [(r["docid"], r["score"]) for r in first]
+    assert searchapi.search(spark, index_dir, "binary search", fmt="json",
+                            **kw) == page1
+    # different params -> different key -> engine invoked (and boom fires)
+    with pytest.raises(AssertionError, match="rcache miss"):
+        searchapi.search(spark, index_dir, "binary search", docs_wanted=6,
+                         do_site_clustering=False,
+                         do_dup_content_removal=False, rcache=True)
+    monkeypatch.undo()
+
+    # an index-version bump (globals mtime, what every build/finalize
+    # rewrites) invalidates every cached page for that index
+    import os
+
+    from open_source_search_engine_spark.sources import catalog
+    g = catalog.table_path(index_dir, "globals")
+    st = os.stat(g)
+    os.utime(g, (st.st_atime, st.st_mtime + 5))
+    monkeypatch.setattr(query_engine, "topk", boom)
+    with pytest.raises(AssertionError, match="rcache miss"):
+        searchapi.search(spark, index_dir, "binary search", **kw)
+    monkeypatch.undo()
+    searchapi.clear_rcache()
+
+
 def test_search_negative_first_result_num_raises(spark, index_dir):
     from open_source_search_engine_spark.operators.searchapi import search
 
