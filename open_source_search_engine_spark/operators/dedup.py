@@ -640,11 +640,14 @@ def decontaminate(
         doc_sh.join(bench_sh, "_shh")
         .groupBy("_id")
         .agg(F.count("*").alias("contaminated_ngrams"))
-        .filter(F.col("contaminated_ngrams") >= min_hits)
     )
     if mode == "drop":
         return df.join(
-            hits.withColumnRenamed("_id", id_col), id_col, "left_anti")
+            hits.filter(F.col("contaminated_ngrams") >= min_hits)
+            .withColumnRenamed("_id", id_col), id_col, "left_anti")
+    # flag mode reports the TRUE overlap count for every doc (min_hits only
+    # gates the boolean) so a sub-threshold near-miss stays visible for
+    # threshold tuning
     out = df.join(hits.withColumnRenamed("_id", id_col), id_col, "left")
     return out.withColumn(
         "contaminated_ngrams",

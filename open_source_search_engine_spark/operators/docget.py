@@ -154,15 +154,12 @@ def render_doc(doc: dict | None, *, fmt: str = "json") -> str:
         return "\n".join(parts)
     if fmt == "html":
         if "highlighted" in doc:
-            from .snippets import BACK_TAG, front_tag
+            from .snippets import restore_engine_markup
 
             # escape everything, then restore ONLY the engine's own span
             # markup — doc content can never smuggle live HTML through the
             # cached-page view (same attribute-injection rule as render.py)
-            body = escape(doc["highlighted"])
-            for ci in range(10):
-                body = body.replace(escape(front_tag(ci)), front_tag(ci))
-            body = body.replace(escape(BACK_TAG), BACK_TAG)
+            body = restore_engine_markup(escape(doc["highlighted"]))
         else:
             body = escape(doc["content"])
         return (

@@ -1281,8 +1281,10 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
             )
         if tomb is not None:
             ds = ds.join(tomb, "docid", "left_anti")
-        catalog.write_table(ds.sortWithinPartitions("docid"),
-                            index_dir, "docstore_new/gen=0")
+        catalog.write_table(
+            ds.select("docid", "content", "gen_seq")  # drop the discovered
+            .sortWithinPartitions("docid"),           # gen partition column
+            index_dir, "docstore_new/gen=0")
         _shutil.rmtree(ds_path, ignore_errors=True)
         os.rename(catalog.table_path(index_dir, "docstore_new"), ds_path)
         spark.catalog.refreshByPath(ds_path)

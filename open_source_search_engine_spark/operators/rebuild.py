@@ -53,12 +53,16 @@ def rebuild_corpus(spark: SparkSession, index_dir: str) -> DataFrame:
 
     dm = _serving_docmap(
         spark, index_dir, load_superseded(spark, index_dir)
-    ).select("docid", "repo", "path", "lang")
+    ).select("docid", "gen_seq", "repo", "path", "lang")
     tomb = load_tombstones(spark, index_dir)
     if tomb is not None:
         dm = dm.join(tomb, "docid", "left_anti")
+    # join the raw store on (docid, gen_seq) — dm already IS the serving
+    # view, so going through docstore_df would scan docmap a second time
+    ds = catalog.read_table(spark, index_dir, "docstore").select(
+        "docid", "gen_seq", "content")
     return (
-        dm.join(docstore_df(spark, index_dir), "docid", "inner")
+        dm.join(ds, ["docid", "gen_seq"], "inner")
         .select("repo", "path", "lang", "content")
     )
 
@@ -81,6 +85,7 @@ def rebuild_index(
     (``store_content=False``). Returns the build metrics dict."""
     from .index_build import build_index
 
+    recover_interrupted_swap(index_dir)
     corpus = rebuild_corpus(spark, index_dir)
     swap = out_dir is None
     if swap:
@@ -89,7 +94,11 @@ def rebuild_index(
     metrics = build_index(spark, corpus, out_dir, **build_kwargs)
     if swap:
         # build_index's writes are all actions, so the source index is no
-        # longer being read; two renames make the cutover atomic per path
+        # longer being read. Each rename is atomic; a crash BETWEEN them
+        # leaves index_dir briefly absent with the complete rebuilt index
+        # still at .rebuild — recover_interrupted_swap() finishes the
+        # cutover on the next rebuild/open (the .rebuild dir only exists
+        # in finished form at this point, every earlier path deletes it)
         old = index_dir.rstrip("/") + ".old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(index_dir, old)
@@ -100,3 +109,19 @@ def rebuild_index(
             if os.path.isdir(p):
                 spark.catalog.refreshByPath(p)
     return metrics
+
+
+def recover_interrupted_swap(index_dir: str) -> bool:
+    """Finish a rebuild cutover a crash interrupted between the two
+    renames: ``index_dir`` is gone but the COMPLETE rebuilt index sits at
+    ``<index_dir>.rebuild`` (it is only ever present in finished form when
+    ``index_dir`` is absent — the pre-build path deletes any stale copy
+    before building). Idempotent; returns True when a recovery ran.
+    ``rebuild_index`` calls this on entry; servers can call it at open."""
+    index_dir = index_dir.rstrip("/")
+    rebuilt = index_dir + ".rebuild"
+    if os.path.isdir(index_dir) or not os.path.isdir(rebuilt):
+        return False
+    os.rename(rebuilt, index_dir)
+    shutil.rmtree(index_dir + ".old", ignore_errors=True)
+    return True

@@ -73,17 +73,12 @@ def render_results(rows, query: str, *, fmt: str = "json",
         parts.append("</response>")
         return "\n".join(parts)
     if fmt == "html":
+        from .snippets import restore_engine_markup
+
         def _snippet_html(s: str) -> str:
             # escape everything, then restore ONLY the engine's own
-            # highlight markup (operators/snippets.py highlight) — snippet
-            # text can never smuggle live HTML into the SERP, same rule as
-            # docget.render_doc
-            from .snippets import BACK_TAG, front_tag
-
-            body = escape(s)
-            for ci in range(10):
-                body = body.replace(escape(front_tag(ci)), front_tag(ci))
-            return body.replace(escape(BACK_TAG), BACK_TAG)
+            # highlight markup — snippet text can never smuggle live HTML
+            return restore_engine_markup(escape(s))
 
         lis = "\n".join(
             f'<li><a href="{escape(it["url"], _ATTR)}">{escape(it["title"])}</a>'

@@ -29,20 +29,24 @@ from ..sources import catalog
 
 # result-page cache (&rcache → Msg40's cached serialized pages): keyed by
 # (index version, composed query, every serving parameter), bounded LRU.
-# The index version is the globals table's mtime — the same signal
-# query_engine.cached_handle treats as "the index changed" (every build /
-# finalize / rebuild rewrites globals), so a cached page can never outlive
-# the index state it was computed from.
+# The index version covers every mutation path: globals (build/finalize/
+# rebuild), docmap (append_generation/reindex add a gen= subdir, bumping
+# the directory mtime), tombstones (delete_docs / force_del) and
+# superseded (re-adds) — so a cached page can never outlive the index
+# state it was computed from.
 _RCACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
 _RCACHE_LOCK = threading.Lock()
 _RCACHE_MAX = 256
 
 
-def _index_version(index_dir: str) -> float:
-    try:
-        return os.path.getmtime(catalog.table_path(index_dir, "globals"))
-    except OSError:
-        return -1.0
+def _index_version(index_dir: str) -> tuple:
+    def mt(table: str) -> float:
+        try:
+            return os.path.getmtime(catalog.table_path(index_dir, table))
+        except OSError:
+            return -1.0
+
+    return (mt("globals"), mt("docmap"), mt("tombstones"), mt("superseded"))
 
 
 def clear_rcache() -> None:
@@ -194,9 +198,12 @@ def search(
         quote1=quote1, quote2=quote2, filetype=filetype, gblang=gblang,
         link=link)
     ckey = None
-    if rcache:
-        # DataFrame-valued kwargs (doc_text, temperature, ...) key by
-        # object identity via repr — a conservative miss, never a stale hit
+    if rcache and all(
+            v is None or isinstance(v, (str, int, float, bool))
+            for v in topk_kwargs.values()):
+        # DataFrame-valued kwargs (doc_text, temperature, ...) have no
+        # stable value identity (DataFrame repr is schema-only) — such
+        # requests bypass the cache entirely rather than risk a stale hit
         ckey = (index_dir, _index_version(index_dir), q, qlang,
                 tuple(_split_terms(sites)), docs_wanted, first_result_num,
                 do_site_clustering, hide_all_clustered,
@@ -313,6 +320,11 @@ def search(
             if had_content:
                 cols.append(F.col("content"))
             res = page.select(*cols, snip.alias("snippet")).orderBy("rank")
+        else:
+            # field-only query (pure filters / gbsortby): no bare term to
+            # window on — the snippet column the caller asked for is still
+            # present, empty, never silently missing
+            res = res.withColumn("snippet", F.lit(""))
     if fmt is None:
         if ckey is not None:
             rows = res.collect()

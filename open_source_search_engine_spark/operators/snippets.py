@@ -34,6 +34,20 @@ def front_tag(i: int) -> str:
     return f"<span class='gbcnst{i % 10:02d}'>"
 
 
+def restore_engine_markup(escaped: str) -> str:
+    """Given HTML-escaped text, re-substitute ONLY the engine's own
+    highlight markup (the rotating front tags + BACK_TAG) back to live
+    HTML. The escape-everything-then-restore-ours rule is what keeps
+    document content from smuggling live HTML into any render surface —
+    shared by the SERP (render.render_results) and the cached-page view
+    (docget.render_doc)."""
+    from xml.sax.saxutils import escape
+
+    for ci in range(10):
+        escaped = escaped.replace(escape(front_tag(ci)), front_tag(ci))
+    return escaped.replace(escape(BACK_TAG), BACK_TAG)
+
+
 def highlight(window: Column, terms: list[str]) -> Column:
     """Wrap every whole-word occurrence of each query term inside the
     selected window with its rotating front tag

@@ -241,6 +241,15 @@ def test_decontaminate_shuffle_tier_matches_broadcast(docs, bench):
     assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
 
 
+def test_decontaminate_min_hits_keeps_true_counts(docs, bench):
+    """min_hits gates only the boolean/drop — the flag column reports the
+    TRUE overlap count so sub-threshold near-misses stay visible."""
+    out = {r["doc_id"]: r for r in
+           dedup.decontaminate(docs, bench, n=3, min_hits=10**6).collect()}
+    assert not any(r["contaminated"] for r in out.values())
+    assert out[0]["contaminated_ngrams"] > 0
+
+
 def test_decontaminate_bad_mode(docs, bench):
     with pytest.raises(ValueError, match="mode"):
         dedup.decontaminate(docs, bench, mode="purge")

@@ -104,6 +104,24 @@ def test_rebuild_to_out_dir_leaves_original(spark, rb_index, tmp_path):
             for n in os.listdir(rb_index)} == mtimes
 
 
+def test_rebuild_swap_crash_recovery(spark, rb_index):
+    """A crash between the two cutover renames leaves index_dir absent and
+    the complete rebuilt index at .rebuild — recover_interrupted_swap
+    finishes the cutover, idempotently."""
+    from open_source_search_engine_spark.operators.rebuild import (
+        rebuild_index, recover_interrupted_swap,
+    )
+
+    before = _scores(spark, rb_index, "binary search")
+    rebuild_index(spark, rb_index, out_dir=rb_index + ".rebuild")
+    os.rename(rb_index, rb_index + ".old")  # the crash window, simulated
+    assert recover_interrupted_swap(rb_index) is True
+    assert not os.path.isdir(rb_index + ".old")
+    assert not os.path.isdir(rb_index + ".rebuild")
+    assert _scores(spark, rb_index, "binary search") == before
+    assert recover_interrupted_swap(rb_index) is False  # idempotent
+
+
 def test_rebuild_needs_docstore(spark, tmp_path):
     from open_source_search_engine_spark.corpus import corpus_df
     from open_source_search_engine_spark.operators.docget import DocStoreMissing

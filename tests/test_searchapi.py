@@ -237,6 +237,39 @@ def test_rcache_serves_repeat_requests(spark, index_dir, monkeypatch):
     searchapi.clear_rcache()
 
 
+def test_rcache_bypassed_for_dataframe_kwargs(spark, index_dir, monkeypatch):
+    from open_source_search_engine_spark.operators import query_engine, searchapi
+
+    searchapi.clear_rcache()
+    calls = {"n": 0}
+    empty = spark.createDataFrame(
+        [], "rank int, docid long, score double, repo string, path string, "
+        "content_sha256 string")
+
+    def stub(*a, **k):
+        calls["n"] += 1
+        return empty
+
+    monkeypatch.setattr(query_engine, "topk", stub)
+    temp = spark.createDataFrame([(1, 0.5)], "docid long, temperature double")
+    kw = dict(docs_wanted=5, do_site_clustering=False,
+              do_dup_content_removal=False, rcache=True, temperature=temp)
+    searchapi.search(spark, index_dir, "binary", **kw)
+    searchapi.search(spark, index_dir, "binary", **kw)
+    # DataFrame kwargs have no stable value identity -> never cached
+    assert calls["n"] == 2
+    searchapi.clear_rcache()
+
+
+def test_snippet_column_present_for_field_only_query(spark, index_dir):
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    res = search(spark, index_dir, "title:mod1", show_snippets=True,
+                 do_site_clustering=False, do_dup_content_removal=False)
+    assert "snippet" in res.columns
+    assert all(r["snippet"] == "" for r in res.collect())
+
+
 def test_search_negative_first_result_num_raises(spark, index_dir):
     from open_source_search_engine_spark.operators.searchapi import search
 
