@@ -630,7 +630,7 @@ def decontaminate(
     )
     if broadcast_bench:
         bench_sh = F.broadcast(bench_sh)
-    doc_sh = df.select(
+    doc_sh = _fanout(df).select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.array_distinct(shingles_col(tokens_col(text), n))

@@ -1,0 +1,305 @@
+"""Index inspection & verification — the reference's offline Rdb tooling.
+
+The reference ships a suite of standalone inspectors/validators over its
+on-disk Rdb files: ``tools/dump_rdbindex.cpp`` / ``tools/dump_rdbbuckets.cpp``
+(dump index-file entries), ``tools/decode_rdbkey.cpp`` (decode one key),
+``tools/validate_rdbindex.cpp`` (recompute + compare the index from data
+files), ``tools/verify_titledb.cpp`` (scan titledb records for decode
+errors), ``tools/dump_wordcount.cpp`` (term frequency dump) and the
+``gb dump`` subcommands (``main.cpp`` dumpPosdb/dumpTitledb). This module is
+the Spark-native analog over the parquet index layout:
+
+- :func:`index_summary`  — dump_rdbindex/dump_rdbbuckets analog: per-table
+  inventory plus per-source (compacted vs generation) block statistics.
+- :func:`termlist`       — gb dumpPosdb / decode_rdbkey analog: decode one
+  term's raw posting blocks into rows.
+- :func:`top_terms`      — dump_wordcount analog: heaviest termlists.
+- :func:`verify_index`   — validate_rdbindex + verify_titledb analog: every
+  block-level invariant the serving/WAND path RELIES on, recomputed from
+  the raw bytes and compared against the block metadata, plus the
+  cross-table stats checks (term_stats.df, globals.n_docs, docmap
+  uniqueness).
+
+Everything runs distributed (mapInPandas over segment blocks, Spark aggs
+for the cross-table checks); only bounded summaries collect to the driver,
+so the tools work unchanged over a 100 TB index — matching how
+validate_rdbindex streams the Rdb files rather than loading them.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import termid_for_token
+from ..sources import catalog
+from .index_build import SEGMENT_SCHEMA, serving_segments
+
+# one row per block with each invariant recomputed from the payload bytes
+_VERIFY_SCHEMA = (
+    "termid long, field int, gen_seq long, n_docs int, n_postings long, "
+    "ok_payload_vals boolean, ok_meta_posts boolean, ok_docid_bounds boolean, "
+    "ok_docid_sorted boolean, ok_max_tf boolean, ok_min_dl boolean, "
+    "ok_rank_align boolean"
+)
+
+_BLOCK_RULES = [
+    "ok_payload_vals", "ok_meta_posts", "ok_docid_bounds",
+    "ok_docid_sorted", "ok_max_tf", "ok_min_dl", "ok_rank_align",
+]
+
+
+def _verify_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..functions.varint import decode_blocks_concat
+
+    for pdf in batches:
+        nd = pdf["n_docs"].values.astype(np.int64)
+        nposts = pdf["n_postings"].values.astype(np.int64)
+        bufs = [bytes(b) for b in pdf["postings"].values]
+        nb = len(bufs)
+
+        # byte-level check BEFORE trusting the metadata-driven decode: the
+        # number of varint values in the payload (bytes with the high bit
+        # clear) must be exactly 1 + 3·n_docs + n_postings (the dl-base
+        # value, then docid-delta/tf/dl per doc, then position deltas) —
+        # the validate_rdbindex "recompute from the data file" step
+        nvals = np.fromiter(
+            (int(np.count_nonzero(
+                np.frombuffer(b, dtype=np.uint8) < 0x80)) for b in bufs),
+            dtype=np.int64, count=nb)
+        ok_vals = (nvals == 1 + 3 * nd + nposts) & (nd > 0)
+        base = pd.DataFrame({
+            "termid": pdf["termid"].values.astype(np.int64),
+            "field": pdf["field"].values.astype(np.int32),
+            "gen_seq": pdf["gen_seq"].values.astype(np.int64),
+            "n_docs": nd.astype(np.int32),
+            "n_postings": nposts,
+            "ok_payload_vals": ok_vals,
+        })
+        if not ok_vals.all():
+            # structurally-broken blocks cannot be decoded with their own
+            # metadata — fail every downstream rule for them and verify the
+            # rest of the batch normally
+            rest = base.loc[~ok_vals].copy()
+            for r in _BLOCK_RULES[1:]:
+                rest[r] = False
+            yield rest
+            keep = np.nonzero(ok_vals)[0]
+            if not len(keep):
+                continue
+            pdf = pdf.iloc[keep]
+            nd, nposts = nd[keep], nposts[keep]
+            bufs = [bufs[i] for i in keep]
+            base = base.loc[ok_vals].reset_index(drop=True)
+            nb = len(bufs)
+
+        docids, tfs, dls, _pos = decode_blocks_concat(bufs, nd, nposts)
+        starts = np.cumsum(nd) - nd
+        ends = np.cumsum(nd)
+        blk = np.repeat(np.arange(nb), nd)
+        dmin = docids[starts]
+        dmax = docids[ends - 1]
+        tfmax = np.maximum.reduceat(tfs, starts)
+        dlmin = np.minimum.reduceat(dls, starts)
+        tfsum = np.add.reduceat(tfs, starts)
+        # strictly-increasing docids inside each block (delta coding makes
+        # non-decreasing structural; equal adjacent docids would mean a
+        # duplicate posting row for the same (termid, field, doc))
+        inc = np.ones(nb, dtype=bool)
+        if len(docids) > 1:
+            bad = (docids[1:] <= docids[:-1]) & (blk[1:] == blk[:-1])
+            if bad.any():
+                np.logical_and.at(inc, blk[1:][bad], False)
+
+        ranklens = np.fromiter(
+            (0 if b is None else len(b) for b in pdf["rankbuf"].values),
+            dtype=np.int64, count=nb,
+        )
+        base["ok_meta_posts"] = tfsum == nposts
+        base["ok_docid_bounds"] = (
+            (dmin == pdf["min_docid"].values) & (dmax == pdf["max_docid"].values))
+        base["ok_docid_sorted"] = inc
+        # WAND soundness only needs max_tf >= actual and min_dl <= actual;
+        # the builder writes them tight, so verify the tight form
+        base["ok_max_tf"] = tfmax == pdf["max_tf"].values
+        base["ok_min_dl"] = dlmin == pdf["min_dl"].values
+        base["ok_rank_align"] = ranklens == 2 * nposts
+        yield base
+
+
+def verify_index(spark: SparkSession, index_dir: str, *,
+                 strict_stats: bool = False) -> dict:
+    """Recompute every block invariant from raw bytes + cross-table checks.
+
+    Returns ``{"ok": bool, "blocks": n, "violations": {rule: count},
+    "stats": {...}}``. Like validate_rdbindex, a clean index returns zero
+    violations; any non-zero count means the serving path's assumptions
+    (block pruning bounds, WAND upper bounds, rank sidecar alignment,
+    docmap uniqueness) are broken for those blocks.
+
+    ``strict_stats=True`` additionally requires the BM25 statistics tables
+    to be EXACT against the postings: term_stats.df == distinct (termid,
+    docid) and globals.n_docs == docmap distinct docids. That equality only
+    holds in a stats-exact state — right after ``build_index`` or
+    ``rebuild_stats`` — because deletes/reindexes/appends stale the additive
+    partials by design until the next rebuild (delete_docs docstring; the
+    same staleness the reference accepts with its RdbMap df estimates,
+    /root/reference/Posdb.cpp:257-302). The default verifies structure
+    only, which is sound in every legitimate index state.
+    """
+    seg = serving_segments(spark, index_dir)
+    per_block = seg.mapInPandas(_verify_blocks, _VERIFY_SCHEMA)
+    agg = per_block.agg(
+        F.count(F.lit(1)).alias("blocks"),
+        *[F.sum((~F.col(r)).cast("long")).alias(r) for r in _BLOCK_RULES],
+    ).collect()[0]
+    violations = {r: int(agg[r]) for r in _BLOCK_RULES if int(agg[r])}
+    out: dict = {"blocks": int(agg["blocks"]), "violations": violations}
+
+    stats: dict = {"strict_stats": bool(strict_stats)}
+    if strict_stats:
+        # term_stats.df == distinct (termid, docid) over the raw postings
+        decoded = _decode_doc_rows(seg)
+        true_df = decoded.groupBy("termid").agg(
+            F.countDistinct("docid").alias("df_true"))
+        ts = catalog.read_table(spark, index_dir, "term_stats")
+        joined = ts.join(true_df, "termid", "full_outer").select(
+            F.coalesce("df", F.lit(0)).alias("a"),
+            F.coalesce("df_true", F.lit(0)).alias("b"))
+        bad_df = joined.filter(F.col("a") != F.col("b")).count()
+        stats["df_mismatched_terms"] = int(bad_df)
+        if bad_df:
+            violations["term_stats_df"] = int(bad_df)
+
+    # --- titledb-style: docmap docids unique per newest generation
+    # (verify_titledb's record scan analog — always valid)
+    if catalog.table_exists(index_dir, "docmap"):
+        dm = spark.read.parquet(catalog.table_path(index_dir, "docmap"))
+        newest = dm.groupBy("docid").agg(F.max("gen_seq").alias("gen_seq"))
+        dup = (
+            dm.join(newest, ["docid", "gen_seq"])
+            .groupBy("docid").count().filter("count > 1").count()
+        )
+        stats["docmap_dup_newest"] = int(dup)
+        if dup:
+            violations["docmap_dup_newest"] = int(dup)
+        if strict_stats:
+            g = catalog.read_table(spark, index_dir, "globals").collect()[0]
+            live = newest.count()
+            stats["n_docs_globals"] = int(g["n_docs"])
+            stats["n_docs_docmap"] = int(live)
+            if int(g["n_docs"]) != int(live):
+                violations["globals_n_docs"] = abs(int(g["n_docs"]) - int(live))
+
+    out["stats"] = stats
+    out["ok"] = not violations
+    return out
+
+
+def _decode_doc_rows(seg: DataFrame) -> DataFrame:
+    """Raw per-(termid, field, docid, tf, dl, gen_seq) rows from segment
+    blocks — the dump side of gb dumpPosdb (no newest-wins filtering; this
+    is the physical content, annihilation is the query path's job)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.varint import decode_blocks_concat
+
+        for pdf in batches:
+            nd = pdf["n_docs"].values.astype(np.int64)
+            nposts = pdf["n_postings"].values.astype(np.int64)
+            bufs = [bytes(b) for b in pdf["postings"].values]
+            docids, tfs, dls, _ = decode_blocks_concat(bufs, nd, nposts)
+            yield pd.DataFrame({
+                "termid": np.repeat(pdf["termid"].values.astype(np.int64), nd),
+                "field": np.repeat(pdf["field"].values.astype(np.int32), nd),
+                "docid": docids,
+                "tf": tfs,
+                "dl": dls,
+                "gen_seq": np.repeat(pdf["gen_seq"].values.astype(np.int64), nd),
+            })
+
+    return seg.mapInPandas(
+        gen, "termid long, field int, docid long, tf long, dl long, gen_seq long")
+
+
+def termlist(spark: SparkSession, index_dir: str, token: str,
+             field: int | None = None) -> DataFrame:
+    """Decode one term's raw postings (gb dumpPosdb for a single termlist).
+
+    Partition-pruned scan: only the term's hash bucket is read, then only
+    its blocks decode. Columns: field, docid, tf, dl, gen_seq — sorted by
+    (field, gen_seq, docid). ``field`` narrows to one field code.
+    """
+    tid = termid_for_token(token)
+    seg = serving_segments(spark, index_dir).filter(F.col("termid") == tid)
+    if field is not None:
+        seg = seg.filter(F.col("field") == int(field))
+    return (
+        _decode_doc_rows(seg)
+        .select("field", "docid", "tf", "dl", "gen_seq")
+        .orderBy("field", "gen_seq", "docid")
+    )
+
+
+def top_terms(spark: SparkSession, index_dir: str, k: int = 20) -> DataFrame:
+    """Heaviest termlists by total postings (tools/dump_wordcount.cpp
+    analog) — block metadata only, no payload decode. Columns: termid,
+    n_blocks, n_docs, n_postings, bytes."""
+    return (
+        serving_segments(spark, index_dir)
+        .groupBy("termid")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_postings").alias("n_postings"),
+            F.sum(F.length("postings")).alias("bytes"),
+        )
+        .orderBy(F.desc("n_postings"), "termid")
+        .limit(k)
+    )
+
+
+def index_summary(spark: SparkSession, index_dir: str) -> dict:
+    """Table inventory + per-source block statistics (dump_rdbindex /
+    dump_rdbbuckets analog). Driver result is O(#tables + #generations)."""
+    tables: dict = {}
+    for name in ("compacted", "segments", "docmap", "docstore", "term_stats",
+                 "field_stats", "globals", "tombstones", "superseded",
+                 "suggest_index", "shortcuts", "manifest"):
+        p = catalog.table_path(index_dir, name)
+        if not catalog.table_exists(index_dir, name):
+            continue
+        size = 0
+        for root, _dirs, files in os.walk(p):
+            size += sum(os.path.getsize(os.path.join(root, f))
+                        for f in files if not f.startswith(("_", ".")))
+        tables[name] = {"bytes": size}
+
+    seg = serving_segments(spark, index_dir)
+    per_src = (
+        seg.withColumn(
+            "source",
+            F.when(F.col("gen_seq") == -1, F.lit("compacted"))
+            .otherwise(F.concat(F.lit("gen:"), F.col("gen_seq").cast("string"))))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("blocks"),
+            F.countDistinct("termid").alias("terms"),
+            F.sum("n_docs").alias("doc_entries"),
+            F.sum("n_postings").alias("postings"),
+            F.sum(F.length("postings")).alias("postings_bytes"),
+            F.countDistinct("bucket").alias("buckets"),
+        )
+        .orderBy("source")
+        .collect()
+    )
+    return {
+        "tables": tables,
+        "sources": {r["source"]: {k: int(r[k]) for k in
+                    ("blocks", "terms", "doc_entries", "postings",
+                     "postings_bytes", "buckets")} for r in per_src},
+    }

@@ -1,0 +1,157 @@
+"""Index inspection / verification tests (operators/inspect.py — the
+reference's tools/dump_rdbindex, decode_rdbkey, validate_rdbindex,
+verify_titledb, dump_wordcount analogs).
+
+Strategy: the dump side (termlist / top_terms) is checked value-exact
+against the Python OracleIndex; the validate side is checked both ways —
+a clean fresh build has zero violations under strict stats, and injected
+byte/metadata corruption of specific blocks is detected with the right
+rule attribution. The strict-stats staleness window (delete → compact →
+rebuild_stats) is exercised end-to-end.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark import FIELD_BODY
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory):
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.index_build import build_index
+
+    d = str(tmp_path_factory.mktemp("inspidx") / "idx")
+    shutil.rmtree(d, ignore_errors=True)
+    build_index(spark, corpus_df(spark, 120, partitions=4), d, n_chunks=1)
+    return d
+
+
+def test_verify_clean_index_strict(spark, index_dir):
+    from open_source_search_engine_spark.operators.inspect import verify_index
+
+    rep = verify_index(spark, index_dir, strict_stats=True)
+    assert rep["ok"], rep
+    assert rep["blocks"] > 0
+    assert rep["violations"] == {}
+    assert rep["stats"]["df_mismatched_terms"] == 0
+    assert rep["stats"]["docmap_dup_newest"] == 0
+    assert rep["stats"]["n_docs_globals"] == rep["stats"]["n_docs_docmap"]
+
+
+def test_termlist_matches_oracle(spark, index_dir, oracle_index):
+    from open_source_search_engine_spark.functions.hashing import termid_for_token
+    from open_source_search_engine_spark.operators.inspect import termlist
+
+    for token in ("binary", "binsearch_rare7"):
+        tid = termid_for_token(token)
+        rows = termlist(spark, index_dir, token, field=FIELD_BODY).collect()
+        got_tf = {r["docid"]: r["tf"] for r in rows}
+        exp_tf = oracle_index.postings[tid][FIELD_BODY]
+        assert got_tf == exp_tf, token
+        # inlined per-doc field length decodes back exactly
+        for r in rows:
+            assert r["dl"] == oracle_index.docs[r["docid"]].dl[FIELD_BODY]
+
+
+def test_top_terms_matches_oracle(spark, index_dir, oracle_index):
+    from open_source_search_engine_spark.operators.inspect import top_terms
+
+    rows = top_terms(spark, index_dir, k=10).collect()
+    assert len(rows) == 10
+    posts = [r["n_postings"] for r in rows]
+    assert posts == sorted(posts, reverse=True)
+    for r in rows[:3]:
+        per_field = oracle_index.postings[r["termid"]]
+        assert r["n_docs"] == sum(len(m) for m in per_field.values())
+        assert r["n_postings"] == sum(
+            sum(m.values()) for m in per_field.values())
+        assert r["n_blocks"] >= 1 and r["bytes"] > 0
+
+
+def test_index_summary(spark, index_dir):
+    from open_source_search_engine_spark.operators.inspect import index_summary
+
+    s = index_summary(spark, index_dir)
+    for t in ("segments", "docmap", "term_stats", "globals"):
+        assert t in s["tables"] and s["tables"][t]["bytes"] > 0
+    assert s["sources"], s
+    tot_posts = sum(v["postings"] for v in s["sources"].values())
+    tot_blocks = sum(v["blocks"] for v in s["sources"].values())
+    assert tot_posts > 0 and tot_blocks > 0
+    for name, v in s["sources"].items():
+        assert name == "compacted" or name.startswith("gen:")
+        assert v["doc_entries"] <= v["postings"]  # tf >= 1 per doc entry
+
+
+def test_verify_detects_injected_corruption(spark, small_index, tmp_path):
+    """Flip one block's max_tf (WAND bound breaks) and another block's
+    n_postings (payload value count breaks) on a COPY of the index; verify
+    attributes each to the right rule and nothing else."""
+    from open_source_search_engine_spark.operators.inspect import verify_index
+
+    d = str(tmp_path / "corrupt")
+    shutil.copytree(small_index, d)
+    seg = spark.read.parquet(f"{d}/segments").cache()
+    # two distinct victim termids, deterministic choice
+    t1, t2 = [r["termid"] for r in seg.select("termid").distinct()
+              .orderBy("termid").limit(2).collect()]
+    mod = (
+        seg.withColumn(
+            "max_tf",
+            F.when(F.col("termid") == t1, F.col("max_tf") + 1)
+            .otherwise(F.col("max_tf")))
+        .withColumn(
+            "n_postings",
+            F.when(F.col("termid") == t2, F.col("n_postings") + 1)
+            .otherwise(F.col("n_postings")))
+    )
+    tmp_out = f"{d}/segments_new"
+    mod.write.partitionBy("gen", "bucket").parquet(tmp_out)
+    seg.unpersist()
+    shutil.rmtree(f"{d}/segments")
+    shutil.move(tmp_out, f"{d}/segments")
+
+    n1 = spark.read.parquet(f"{d}/segments").filter(
+        F.col("termid") == t1).count()
+    n2 = spark.read.parquet(f"{d}/segments").filter(
+        F.col("termid") == t2).count()
+    rep = verify_index(spark, d)
+    assert not rep["ok"]
+    # t2's blocks are structurally broken (value count mismatch) and fail
+    # EVERY rule; t1's metadata bump additionally fails only ok_max_tf
+    assert rep["violations"]["ok_payload_vals"] == n2
+    assert rep["violations"]["ok_max_tf"] == n1 + n2
+    assert rep["violations"]["ok_docid_bounds"] == n2
+    # the metadata-bump blocks also land in the downstream-rule counts;
+    # no OTHER block contributes anywhere
+    for rule, cnt in rep["violations"].items():
+        assert cnt <= n1 + n2, (rule, cnt)
+
+
+def test_strict_stats_staleness_window(spark, small_index):
+    """delete → strict still exact (postings untouched) → compact stales df
+    until rebuild_stats restores exactness; structural verify is green
+    throughout (the legit-state soundness of the default mode)."""
+    from open_source_search_engine_spark.operators.index_build import (
+        compact_segments, delete_docs, rebuild_stats,
+    )
+    from open_source_search_engine_spark.operators.inspect import verify_index
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    victims = [r["docid"] for r in topk(spark, small_index, "binary", 2).collect()]
+    delete_docs(spark, small_index, victims)
+    assert verify_index(spark, small_index, strict_stats=True)["ok"]
+
+    compact_segments(spark, small_index)
+    rep = verify_index(spark, small_index)
+    assert rep["ok"]  # structure stays valid
+    strict = verify_index(spark, small_index, strict_stats=True)
+    assert not strict["ok"]
+    assert strict["violations"].get("term_stats_df") or \
+        strict["violations"].get("globals_n_docs")
+
+    rebuild_stats(spark, small_index)
+    assert verify_index(spark, small_index, strict_stats=True)["ok"]
