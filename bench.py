@@ -233,6 +233,19 @@ def main() -> None:
     if compact_trials[-1] <= compact_trials[0]:
         cm = build_trial.cm  # report the phases of the best (steady) trial
 
+    # ---- offline index verification (operators/inspect.py, the
+    # validate_rdbindex analog): recompute every block invariant from the
+    # raw payload bytes — full-index decode throughput, the maintenance
+    # tool's cost at scale. Runs before the delete so the index is in the
+    # fresh-build stats-exact state.
+    from open_source_search_engine_spark.operators.inspect import verify_index
+
+    t0 = time.time()
+    vrep = verify_index(spark, idx)
+    queries["index_verify"] = round(time.time() - t0, 3)
+    if not vrep["ok"]:  # a failed verify invalidates every number above
+        raise AssertionError(f"index verification failed: {vrep}")
+
     # ---- bulk delete → compaction (M10 at scale): tombstone 30% of the
     # corpus, then compact again — the annihilation path measured, not
     # docstring-claimed. Mutates `idx`, so it runs after every query tier.

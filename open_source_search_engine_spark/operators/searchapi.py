@@ -18,14 +18,17 @@ the page render touches the driver.
 
 from __future__ import annotations
 
+import functools
 import os
 import threading
+import time
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.plan import parse_query
 from ..sources import catalog
+from .stats import default_statistics
 
 # result-page cache (&rcache → Msg40's cached serialized pages): keyed by
 # (index version, composed query, every serving parameter), bounded LRU.
@@ -129,11 +132,40 @@ def compose_query(
     return body
 
 
+def _register_query_stats(fn):
+    """Every /search request — success, parse error, or engine error —
+    lands in the process-wide statistics registry, the way the reference
+    calls Statistics::register_query_time from its result path
+    (/root/reference/Statistics.cpp:76). Term count / qlang come from the
+    parsed plan via the ``_stat_info`` side channel (0 / "xx" when parsing
+    itself failed, matching the reference's empty-query registration)."""
+
+    @functools.wraps(fn)
+    def wrapper(spark, index_dir, query="", **kw):
+        info = {"terms": 0, "qlang": "xx"}
+        t0 = time.monotonic()
+        try:
+            out = fn(spark, index_dir, query, _stat_info=info, **kw)
+        except Exception as e:
+            default_statistics().register_query_time(
+                info["terms"], info["qlang"], type(e).__name__,
+                int((time.monotonic() - t0) * 1000))
+            raise
+        default_statistics().register_query_time(
+            info["terms"], info["qlang"], "SUCCESS",
+            int((time.monotonic() - t0) * 1000))
+        return out
+
+    return wrapper
+
+
+@_register_query_stats
 def search(
     spark: SparkSession,
     index_dir: str,
     query: str = "",
     *,
+    _stat_info: dict | None = None,
     # --- query-buffer fields (composed by compose_query) ---
     prepend: str | None = None,
     any_terms=None,
@@ -225,6 +257,9 @@ def search(
     if include_cached_copy:
         percent_similar_summary = 0  # icc=1 turns dedup off, Msg40.cpp:1325
     plan = parse_query(q, query_lang=qlang, sites=sites)
+    if _stat_info is not None:
+        _stat_info["terms"] = len(plan.terms)
+        _stat_info["qlang"] = plan.query_lang or "xx"
     # clustering rule chain (/root/reference/SearchInput.cpp:304-313):
     # hideAllClustered implies clustering at 1/site; a positive site
     # restriction (site:/sites=) turns clustering off entirely

@@ -1,0 +1,151 @@
+"""Serving-side query statistics (the reference's Statistics subsystem).
+
+The reference accumulates per-query timing statistics in memory keyed by
+(error code, term count, query language), bucketed into fixed latency
+time-ranges with min/max/count/sum per bucket, and a dump thread snapshots
+and CLEARS the map every cycle, writing ``query:lower_bound=…;terms=…;
+qlang=…;status=…;min=…;max=…;count=…;sum=…`` lines to the statsfile
+(/root/reference/Statistics.cpp:30-128, register_query_time
+Statistics.cpp:76-93; rendered by /root/reference/PageStats.cpp). Spider /
+DNS / socket counters are crawl-specific and out of scope (SURVEY.md §2);
+build-side metrics live in the index manifest instead
+(operators/index_build.py).
+
+This module is that registry re-expressed for the serving layer:
+:func:`ServingStatistics.register_query_time` is called by
+``searchapi.search()`` on every request — success, parse error, or engine
+error — and :func:`ServingStatistics.snapshot` is the dump-and-clear step.
+Driver-side by design: the registry is O(#distinct (status, terms, lang)
+keys × 12 buckets) in memory, exactly the in-process shape of the
+reference's ``query_trs`` map — it never touches Spark, so recording a
+query costs a dict update under a lock.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import TextIO
+
+from pyspark.sql import DataFrame, SparkSession
+
+# the reference's timerange_lower_bound table (Statistics.cpp:29-42), ms
+TIMERANGE_LOWER_BOUNDS = (0, 10, 20, 50, 100, 200, 500, 1000, 2000,
+                          5000, 10000, 20000)
+
+
+def ms_to_timerange(ms: int) -> int:
+    """Bucket index for a latency (Statistics.cpp ms_to_tr): the largest
+    bucket whose lower bound is <= ms."""
+    i = len(TIMERANGE_LOWER_BOUNDS) - 1
+    while ms < TIMERANGE_LOWER_BOUNDS[i]:
+        i -= 1
+    return i
+
+
+class _TimerangeStats:
+    __slots__ = ("min_time", "max_time", "count", "sum")
+
+    def __init__(self) -> None:
+        self.min_time = 0
+        self.max_time = 0
+        self.count = 0
+        self.sum = 0
+
+    def add(self, ms: int) -> None:
+        if self.count:
+            if ms < self.min_time:
+                self.min_time = ms
+            if ms > self.max_time:
+                self.max_time = ms
+        else:
+            self.min_time = ms
+            self.max_time = ms
+        self.count += 1
+        self.sum += ms
+
+
+class ServingStatistics:
+    """Query-time statistics registry (query_trs_t + GbMutex analog).
+
+    Keys are (status, term_count, qlang): ``status`` is "SUCCESS" or the
+    raising exception's class name (the merrname analog), ``term_count``
+    the parsed plan's term count (m_numTerms; 0 when parsing itself
+    failed), ``qlang`` the plan's effective query language or "xx"
+    (getLanguageAbbr(0))."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._trs: dict[tuple, list[_TimerangeStats]] = {}
+
+    def register_query_time(self, term_count: int, qlang: str,
+                            status: str, ms: int) -> None:
+        key = (str(status), int(term_count), str(qlang) or "xx")
+        i = ms_to_timerange(int(ms))
+        with self._lock:
+            buckets = self._trs.get(key)
+            if buckets is None:
+                buckets = [_TimerangeStats()
+                           for _ in TIMERANGE_LOWER_BOUNDS]
+                self._trs[key] = buckets
+            buckets[i].add(int(ms))
+
+    def snapshot(self, clear: bool = True) -> list[dict]:
+        """The dump step (dump_query_statistics): copy the map under the
+        lock, optionally clear it (the reference always clears — each dump
+        cycle reports only its own window), return one row per non-empty
+        (key, bucket)."""
+        with self._lock:
+            trs = self._trs
+            if clear:
+                self._trs = {}
+            else:
+                trs = {k: list(v) for k, v in trs.items()}
+        rows = []
+        for (status, terms, qlang), buckets in sorted(trs.items()):
+            for i, ts in enumerate(buckets):
+                if not ts.count:
+                    continue
+                rows.append({
+                    "lower_bound_ms": TIMERANGE_LOWER_BOUNDS[i],
+                    "terms": terms,
+                    "qlang": qlang,
+                    "status": status,
+                    "min_ms": ts.min_time,
+                    "max_ms": ts.max_time,
+                    "count": ts.count,
+                    "sum_ms": ts.sum,
+                })
+        return rows
+
+    def dump(self, fp: TextIO | None = None, clear: bool = True) -> str:
+        """Statsfile lines, byte-compatible with the reference's format
+        (Statistics.cpp:117-126)."""
+        lines = [
+            "query:lower_bound=%d;terms=%d;qlang=%s;status=%s;"
+            "min=%d;max=%d;count=%d;sum=%d"
+            % (r["lower_bound_ms"], r["terms"], r["qlang"], r["status"],
+               r["min_ms"], r["max_ms"], r["count"], r["sum_ms"])
+            for r in self.snapshot(clear=clear)
+        ]
+        out = "\n".join(lines) + ("\n" if lines else "")
+        if fp is not None:
+            fp.write(out)
+        return out
+
+    def to_df(self, spark: SparkSession, clear: bool = False) -> DataFrame:
+        """Snapshot as a DataFrame (the PageStats render surface)."""
+        rows = self.snapshot(clear=clear)
+        schema = ("lower_bound_ms int, terms int, qlang string, "
+                  "status string, min_ms int, max_ms int, count int, "
+                  "sum_ms long")
+        return spark.createDataFrame(
+            [tuple(r.values()) for r in rows], schema)
+
+
+_DEFAULT = ServingStatistics()
+
+
+def default_statistics() -> ServingStatistics:
+    """The process-wide registry ``search()`` records into (the
+    g_statistics singleton analog)."""
+    return _DEFAULT

@@ -1,0 +1,125 @@
+"""Serving statistics tests (operators/stats.py — Statistics.cpp analog):
+bucket math against the reference's timerange table, min/max/count/sum
+accumulation, dump-and-clear snapshot semantics, the statsfile line
+format, and the search() wiring for both success and error paths."""
+
+import re
+import shutil
+
+import pytest
+
+from open_source_search_engine_spark.operators.stats import (
+    TIMERANGE_LOWER_BOUNDS, ServingStatistics, ms_to_timerange,
+)
+
+
+def test_bucket_boundaries_match_reference_table():
+    # Statistics.cpp ms_to_tr: largest bucket with lower_bound <= ms
+    assert ms_to_timerange(0) == 0
+    assert ms_to_timerange(9) == 0
+    assert ms_to_timerange(10) == 1
+    assert ms_to_timerange(19) == 1
+    assert ms_to_timerange(999) == 6
+    assert ms_to_timerange(1000) == 7
+    assert ms_to_timerange(19999) == 10
+    assert ms_to_timerange(20000) == 11
+    assert ms_to_timerange(10**9) == 11
+    for i, lb in enumerate(TIMERANGE_LOWER_BOUNDS):
+        assert ms_to_timerange(lb) == i
+
+
+def test_accumulation_and_key_separation():
+    st = ServingStatistics()
+    for ms in (12, 15, 11):
+        st.register_query_time(2, "en", "SUCCESS", ms)
+    st.register_query_time(2, "en", "SUCCESS", 250)   # different bucket
+    st.register_query_time(3, "en", "SUCCESS", 12)    # different key
+    st.register_query_time(2, "en", "QueryParseError", 12)
+    rows = st.snapshot(clear=False)
+    assert len(rows) == 4
+    main = [r for r in rows if r["terms"] == 2 and r["status"] == "SUCCESS"
+            and r["lower_bound_ms"] == 10]
+    assert main == [{
+        "lower_bound_ms": 10, "terms": 2, "qlang": "en",
+        "status": "SUCCESS", "min_ms": 11, "max_ms": 15,
+        "count": 3, "sum_ms": 38,
+    }]
+    assert any(r["lower_bound_ms"] == 200 for r in rows)
+
+
+def test_snapshot_clears_like_the_dump_cycle():
+    st = ServingStatistics()
+    st.register_query_time(1, "xx", "SUCCESS", 5)
+    assert len(st.snapshot(clear=False)) == 1
+    assert len(st.snapshot()) == 1          # default clears
+    assert st.snapshot() == []              # window reported exactly once
+    st.register_query_time(1, "xx", "SUCCESS", 7)
+    assert st.snapshot()[0]["min_ms"] == 7  # fresh window
+
+
+def test_dump_statsfile_format():
+    st = ServingStatistics()
+    st.register_query_time(2, "en", "SUCCESS", 42)
+    line = st.dump().strip()
+    assert re.fullmatch(
+        r"query:lower_bound=20;terms=2;qlang=en;status=SUCCESS;"
+        r"min=42;max=42;count=1;sum=42", line)
+    assert st.dump() == ""  # dump cleared the window
+
+
+@pytest.fixture(scope="module")
+def stats_index(spark, tmp_path_factory):
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.index_build import build_index
+
+    d = str(tmp_path_factory.mktemp("statsidx") / "idx")
+    shutil.rmtree(d, ignore_errors=True)
+    build_index(spark, corpus_df(spark, 60, partitions=2), d, n_chunks=1)
+    return d
+
+
+def test_search_registers_success_and_errors(spark, stats_index):
+    from open_source_search_engine_spark.operators.searchapi import search
+    from open_source_search_engine_spark.operators.stats import (
+        default_statistics,
+    )
+    from open_source_search_engine_spark.plans.plan import QueryParseError
+
+    default_statistics().snapshot()  # drain whatever earlier tests left
+    search(spark, stats_index, "binary search", docs_wanted=3)
+    search(spark, stats_index, "binary search", docs_wanted=3)
+    with pytest.raises(QueryParseError):
+        search(spark, stats_index, "gbtermid:notanumber table")
+    rows = default_statistics().snapshot()
+
+    ok = [r for r in rows if r["status"] == "SUCCESS"]
+    assert sum(r["count"] for r in ok) == 2
+    # 3 = binary, search, and the attached "binary search" bigram — the
+    # reference's m_numTerms counts bigram QueryTerms the same way
+    assert all(r["terms"] == 3 and r["qlang"] == "xx" for r in ok)
+    assert all(r["min_ms"] >= 0 for r in ok)
+
+    err = [r for r in rows if r["status"] == "QueryParseError"]
+    assert sum(r["count"] for r in err) == 1
+    assert err[0]["terms"] == 0  # parse failed before term count existed
+
+
+def test_search_qlang_reaches_stats(spark, stats_index):
+    from open_source_search_engine_spark.operators.searchapi import search
+    from open_source_search_engine_spark.operators.stats import (
+        default_statistics,
+    )
+
+    default_statistics().snapshot()
+    search(spark, stats_index, "binary search", qlang="en", docs_wanted=2)
+    rows = default_statistics().snapshot()
+    assert rows and all(r["qlang"] == "en" for r in rows)
+
+
+def test_to_df(spark):
+    st = ServingStatistics()
+    st.register_query_time(2, "en", "SUCCESS", 42)
+    st.register_query_time(2, "en", "SUCCESS", 55000)
+    got = {(r["lower_bound_ms"], r["count"])
+           for r in st.to_df(spark).collect()}
+    assert got == {(20, 1), (20000, 1)}
