@@ -241,7 +241,9 @@ def main() -> None:
     from open_source_search_engine_spark.operators.inspect import verify_index
 
     t0 = time.time()
-    vrep = verify_index(spark, idx)
+    # strict: the index is freshly built+compacted here, the one state where
+    # term_stats/globals exactness is a hard invariant and not stale-by-design
+    vrep = verify_index(spark, idx, strict_stats=True)
     queries["index_verify"] = round(time.time() - t0, 3)
     if not vrep["ok"]:  # a failed verify invalidates every number above
         raise AssertionError(f"index verification failed: {vrep}")

@@ -732,6 +732,11 @@ def build_index(
     build metrics."""
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
+    # persist the physical layout so every later consumer (bucket pruning,
+    # generation appends, compaction, shortcut extraction) agrees with the
+    # writer; a resumed build keeps the original record's parameters
+    n_buckets = int(catalog.ensure_layout(
+        index_dir, n_buckets=n_buckets, block_docs=block_docs)["n_buckets"])
     corpus_id = with_doc_identity(corpus)
     done = _done_chunks(spark, index_dir)
     metrics: dict = {"chunks": [], "docs": 0, "postings": 0, "bytes": 0, "elapsed": 0.0}
@@ -1176,7 +1181,7 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
     )
     mark("fanin_stats")
 
-    n_buckets = catalog.N_BUCKETS_DEFAULT
+    n_buckets = int(catalog.index_layout(index_dir)["n_buckets"])
     if not distributed:
         # decode → merge → re-encode per (termid, field): the shared
         # vectorized merge path (collapse_salt folds every salt run into

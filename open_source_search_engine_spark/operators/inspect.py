@@ -157,8 +157,10 @@ def verify_index(spark: SparkSession, index_dir: str, *,
         F.count(F.lit(1)).alias("blocks"),
         *[F.sum((~F.col(r)).cast("long")).alias(r) for r in _BLOCK_RULES],
     ).collect()[0]
-    violations = {r: int(agg[r]) for r in _BLOCK_RULES if int(agg[r])}
-    out: dict = {"blocks": int(agg["blocks"]), "violations": violations}
+    # F.sum over zero rows is null — an index whose serving segments hold
+    # no blocks (everything deleted and compacted away) verifies clean
+    violations = {r: int(agg[r] or 0) for r in _BLOCK_RULES if agg[r]}
+    out: dict = {"blocks": int(agg["blocks"] or 0), "violations": violations}
 
     stats: dict = {"strict_stats": bool(strict_stats)}
     if strict_stats:
@@ -212,6 +214,21 @@ def _decode_doc_rows(seg: DataFrame) -> DataFrame:
             nd = pdf["n_docs"].values.astype(np.int64)
             nposts = pdf["n_postings"].values.astype(np.int64)
             bufs = [bytes(b) for b in pdf["postings"].values]
+            # same structural pre-check as _verify_blocks: a block whose
+            # payload value count disagrees with its metadata cannot be
+            # decoded with that metadata (offsets would overrun the value
+            # stream) — drop it here; the block-invariant pass is the one
+            # that REPORTS it, this dump/stats path must just not crash
+            nvals = np.fromiter(
+                (int(np.count_nonzero(
+                    np.frombuffer(b, dtype=np.uint8) < 0x80)) for b in bufs),
+                dtype=np.int64, count=len(bufs))
+            ok = (nvals == 1 + 3 * nd + nposts) & (nd > 0)
+            if not ok.all():
+                keep = np.nonzero(ok)[0]
+                pdf = pdf.iloc[keep]
+                nd, nposts = nd[keep], nposts[keep]
+                bufs = [bufs[i] for i in keep]
             docids, tfs, dls, _ = decode_blocks_concat(bufs, nd, nposts)
             yield pd.DataFrame({
                 "termid": np.repeat(pdf["termid"].values.astype(np.int64), nd),
@@ -235,7 +252,12 @@ def termlist(spark: SparkSession, index_dir: str, token: str,
     (field, gen_seq, docid). ``field`` narrows to one field code.
     """
     tid = termid_for_token(token)
-    seg = serving_segments(spark, index_dir).filter(F.col("termid") == tid)
+    n_buckets = int(catalog.index_layout(index_dir)["n_buckets"])
+    seg = (
+        serving_segments(spark, index_dir)
+        .filter(F.col("bucket") == tid % n_buckets)  # partition pruning
+        .filter(F.col("termid") == tid)
+    )
     if field is not None:
         seg = seg.filter(F.col("field") == int(field))
     return (

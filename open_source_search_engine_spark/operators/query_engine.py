@@ -497,7 +497,7 @@ def topk(
     dfs = h.term_dfs(spark, all_tids)
 
     seg = serving_segments(spark, h.index_dir)
-    n_buckets = catalog.N_BUCKETS_DEFAULT
+    n_buckets = int(catalog.index_layout(h.index_dir)["n_buckets"])
     buckets = sorted({t % n_buckets for t in all_tids})
     seg = seg.filter(F.col("bucket").isin(buckets)).filter(
         F.col("termid").isin([int(t) for t in all_tids])

@@ -247,7 +247,12 @@ def search(
             hit = _RCACHE.get(ckey)
             if hit is not None:
                 _RCACHE.move_to_end(ckey)
-                kind, payload = hit
+                kind, payload, stat = hit
+                # a cached page is still one served query — register it
+                # under the same (terms, qlang) key as the miss that
+                # populated it, not the parse-failed (0, "xx") key
+                if _stat_info is not None:
+                    _stat_info["terms"], _stat_info["qlang"] = stat
                 if kind == "str":
                     return payload
                 schema, rows = payload
@@ -364,7 +369,9 @@ def search(
         if ckey is not None:
             rows = res.collect()
             with _RCACHE_LOCK:
-                _RCACHE[ckey] = ("df", (res.schema, rows))
+                _RCACHE[ckey] = ("df", (res.schema, rows), (
+                    (_stat_info["terms"], _stat_info["qlang"])
+                    if _stat_info is not None else (0, "xx")))
                 while len(_RCACHE) > _RCACHE_MAX:
                     _RCACHE.popitem(last=False)
             return spark.createDataFrame(rows, res.schema)
@@ -374,7 +381,9 @@ def search(
     page = render_results(res, q, fmt=fmt)
     if ckey is not None:
         with _RCACHE_LOCK:
-            _RCACHE[ckey] = ("str", page)
+            _RCACHE[ckey] = ("str", page, (
+                (_stat_info["terms"], _stat_info["qlang"])
+                if _stat_info is not None else (0, "xx")))
             while len(_RCACHE) > _RCACHE_MAX:
                 _RCACHE.popitem(last=False)
     return page

@@ -183,8 +183,10 @@ def build_hot_shortcuts(
         local.repartition("termid", "field")
         .groupBy("termid", "field")
         .applyInPandas(_final_encode(cap, block_docs), SEGMENT_SCHEMA)
-        .withColumn("bucket", F.pmod("termid", F.lit(catalog.N_BUCKETS_DEFAULT))
-                    .cast("int"))
+        .withColumn("bucket",
+                    F.pmod("termid",
+                           F.lit(int(catalog.index_layout(index_dir)
+                                     ["n_buckets"]))).cast("int"))
     )
     catalog.write_table(blocks, index_dir, "hot_shortcuts_new",
                         partition_by=["bucket"])

@@ -35,7 +35,11 @@ TIMERANGE_LOWER_BOUNDS = (0, 10, 20, 50, 100, 200, 500, 1000, 2000,
 
 def ms_to_timerange(ms: int) -> int:
     """Bucket index for a latency (Statistics.cpp ms_to_tr): the largest
-    bucket whose lower bound is <= ms."""
+    bucket whose lower bound is <= ms. Negative inputs (a caller that
+    measured with a non-monotonic clock across an NTP step) clamp to
+    bucket 0 rather than walking off the table."""
+    if ms <= 0:
+        return 0
     i = len(TIMERANGE_LOWER_BOUNDS) - 1
     while ms < TIMERANGE_LOWER_BOUNDS[i]:
         i -= 1
@@ -94,26 +98,31 @@ class ServingStatistics:
         lock, optionally clear it (the reference always clears — each dump
         cycle reports only its own window), return one row per non-empty
         (key, bucket)."""
+        # the copy must be a DEEP read of the counters under the lock —
+        # sharing live _TimerangeStats objects with concurrent register
+        # calls would let the row builder read torn (count, sum) pairs
         with self._lock:
-            trs = self._trs
+            copied = {
+                k: [(ts.min_time, ts.max_time, ts.count, ts.sum)
+                    for ts in v]
+                for k, v in self._trs.items()
+            }
             if clear:
                 self._trs = {}
-            else:
-                trs = {k: list(v) for k, v in trs.items()}
         rows = []
-        for (status, terms, qlang), buckets in sorted(trs.items()):
-            for i, ts in enumerate(buckets):
-                if not ts.count:
+        for (status, terms, qlang), buckets in sorted(copied.items()):
+            for i, (mn, mx, cnt, sm) in enumerate(buckets):
+                if not cnt:
                     continue
                 rows.append({
                     "lower_bound_ms": TIMERANGE_LOWER_BOUNDS[i],
                     "terms": terms,
                     "qlang": qlang,
                     "status": status,
-                    "min_ms": ts.min_time,
-                    "max_ms": ts.max_time,
-                    "count": ts.count,
-                    "sum_ms": ts.sum,
+                    "min_ms": mn,
+                    "max_ms": mx,
+                    "count": cnt,
+                    "sum_ms": sm,
                 })
         return rows
 

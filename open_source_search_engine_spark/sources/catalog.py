@@ -26,11 +26,47 @@ Layout under ``<index_dir>/``:
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 N_BUCKETS_DEFAULT = 128
+
+_LAYOUT_FILE = "_layout.json"
+
+
+def write_layout(index_dir: str, **params) -> None:
+    """Persist physical layout parameters chosen at build time (the RdbBase
+    startup-config analog). Written atomically; read by every consumer that
+    must agree with the writer — bucket pruning, generation appends,
+    compaction, shortcut extraction."""
+    tmp = os.path.join(index_dir, _LAYOUT_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(params, f)
+    os.replace(tmp, os.path.join(index_dir, _LAYOUT_FILE))
+
+
+def ensure_layout(index_dir: str, **params) -> dict:
+    """Write the layout record if absent (first build into this dir) and
+    return the effective layout. A resumed or appended build must keep the
+    original physical parameters, so an existing record wins over the
+    caller's arguments."""
+    if not os.path.isfile(os.path.join(index_dir, _LAYOUT_FILE)):
+        os.makedirs(index_dir, exist_ok=True)
+        write_layout(index_dir, **params)
+    return index_layout(index_dir)
+
+
+def index_layout(index_dir: str) -> dict:
+    """Layout parameters for an index; indexes persisted before the layout
+    record existed get the defaults they were necessarily built with."""
+    p = os.path.join(index_dir, _LAYOUT_FILE)
+    out = {"n_buckets": N_BUCKETS_DEFAULT}
+    if os.path.isfile(p):
+        with open(p) as f:
+            out.update(json.load(f))
+    return out
 
 
 def iceberg_available(spark: SparkSession) -> bool:

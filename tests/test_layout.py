@@ -1,0 +1,110 @@
+"""Physical-layout record tests (sources/catalog.py ensure_layout /
+index_layout): an index built with a non-default bucket count must be
+served, appended, compacted and shortcut-extracted with THAT count — every
+consumer reads the persisted layout instead of assuming the default.
+Before the record existed, bucket pruning silently dropped termlists on a
+non-default index (tid % 128 vs the on-disk tid % NB partitions)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+QUERIES = ["binary search", '"binary search"', "hash -merge",
+           "site:org0/repo0 binary"]
+
+
+@pytest.fixture(scope="module")
+def two_indexes(spark, tmp_path_factory):
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.index_build import build_index
+
+    base = tmp_path_factory.mktemp("layouts")
+    corpus = corpus_df(spark, 120, partitions=4)
+    d_def, d_32 = str(base / "idx_default"), str(base / "idx_nb32")
+    for d in (d_def, d_32):
+        shutil.rmtree(d, ignore_errors=True)
+    build_index(spark, corpus, d_def, n_chunks=1)
+    build_index(spark, corpus, d_32, n_chunks=1, n_buckets=32)
+    return d_def, d_32
+
+
+def _page(spark, idx, q):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    return [(r["rank"], r["docid"], round(r["score"], 9))
+            for r in topk(spark, idx, q, 20).collect()]
+
+
+def test_layout_recorded_and_buckets_match(spark, two_indexes):
+    from open_source_search_engine_spark.sources.catalog import index_layout
+
+    d_def, d_32 = two_indexes
+    assert index_layout(d_def)["n_buckets"] == 128
+    assert index_layout(d_32)["n_buckets"] == 32
+    mx = (spark.read.parquet(f"{d_32}/segments")
+          .agg(F.max("bucket")).collect()[0][0])
+    assert mx < 32
+
+
+def test_nondefault_buckets_serve_identically(spark, two_indexes):
+    d_def, d_32 = two_indexes
+    for q in QUERIES:
+        a, b = _page(spark, d_def, q), _page(spark, d_32, q)
+        assert a == b and a, q
+
+
+def test_nondefault_buckets_survive_compaction_and_batch(spark, two_indexes):
+    from open_source_search_engine_spark.operators.batch import batch_topk
+    from open_source_search_engine_spark.operators.index_build import (
+        compact_segments,
+    )
+
+    d_def, d_32 = two_indexes
+    compact_segments(spark, d_32)
+    mx = (spark.read.parquet(f"{d_32}/compacted")
+          .agg(F.max("bucket")).collect()[0][0])
+    assert mx < 32
+    for q in QUERIES:
+        assert _page(spark, d_def, q) == _page(spark, d_32, q), q
+    # the shared-scan batch path prunes with the same layout
+    got = batch_topk(spark, d_32, QUERIES[:2], k=20).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(
+            (r["rank"], r["docid"], round(r["score"], 9)))
+    for i, q in enumerate(QUERIES[:2]):
+        assert sorted(by_q[f"q{i}"]) == sorted(_page(spark, d_32, q)), q
+
+
+def test_termlist_uses_layout_pruning(spark, two_indexes, oracle_index):
+    from open_source_search_engine_spark.functions.hashing import (
+        termid_for_token,
+    )
+    from open_source_search_engine_spark.operators.inspect import termlist
+
+    _, d_32 = two_indexes
+    rows = termlist(spark, d_32, "binary", field=0).collect()
+    assert rows
+    tid = termid_for_token("binary")
+    # every decoded posting really is the term's (pruning didn't misroute)
+    got = {r["docid"]: r["tf"] for r in rows}
+    assert all(tf >= 1 for tf in got.values())
+    assert set(got) <= set(oracle_index.postings[tid][0])
+
+
+def test_resume_keeps_original_layout(spark, tmp_path):
+    """A resumed/appended build into an existing dir keeps the dir's
+    recorded parameters even if the caller passes different ones."""
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.index_build import build_index
+    from open_source_search_engine_spark.sources.catalog import index_layout
+
+    d = str(tmp_path / "idx")
+    corpus = corpus_df(spark, 60, partitions=2)
+    build_index(spark, corpus, d, n_chunks=1, n_buckets=32)
+    build_index(spark, corpus, d, n_chunks=1, n_buckets=64)  # resume no-op
+    assert index_layout(d)["n_buckets"] == 32
+    mx = (spark.read.parquet(f"{d}/segments")
+          .agg(F.max("bucket")).collect()[0][0])
+    assert mx < 32

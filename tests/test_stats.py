@@ -116,6 +116,33 @@ def test_search_qlang_reaches_stats(spark, stats_index):
     assert rows and all(r["qlang"] == "en" for r in rows)
 
 
+def test_rcache_hit_registers_under_the_miss_key(spark, stats_index):
+    """A cached page is still one served query: the hit must land in the
+    same (terms, qlang) cell as the miss that populated it, not the
+    parse-failed (0, "xx") cell."""
+    from open_source_search_engine_spark.operators.searchapi import (
+        clear_rcache, search,
+    )
+    from open_source_search_engine_spark.operators.stats import (
+        default_statistics,
+    )
+
+    clear_rcache()
+    default_statistics().snapshot()
+    search(spark, stats_index, "binary search", docs_wanted=2, rcache=True)
+    search(spark, stats_index, "binary search", docs_wanted=2, rcache=True)
+    rows = default_statistics().snapshot()
+    assert sum(r["count"] for r in rows) == 2
+    assert all(r["terms"] == 3 and r["status"] == "SUCCESS" for r in rows)
+
+
+def test_negative_ms_clamps():
+    st = ServingStatistics()
+    st.register_query_time(1, "xx", "SUCCESS", -5)
+    [row] = st.snapshot()
+    assert row["lower_bound_ms"] == 0 and row["count"] == 1
+
+
 def test_to_df(spark):
     st = ServingStatistics()
     st.register_query_time(2, "en", "SUCCESS", 42)
