@@ -1097,6 +1097,13 @@ def _q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens_ws", "n_tokens_re")
 
 
+def _q_text_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (training-data export): distributed
+    prefix sum over doc_id order — never a global single-partition window."""
+    counted = textstats.token_counts(_docs(spark, sf_dir))
+    return textstats.pack_shards(counted, 1024, tokens="n_tokens_re")
+
+
 def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_docs(spark, sf_dir), shingle_w=3, keep=4) \
         .select("doc_id", "fp")
@@ -1777,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
         "text_token_count": _q_text_token_count,
+        "text_pack_shards": _q_text_pack_shards,
         "text_fingerprint": _q_text_fingerprint,
         # --- multimodal plumbing ---
         "multimodal_bytes": _q_multimodal_bytes,
@@ -2132,6 +2140,19 @@ SELECT doc_id,
        len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_tokens_ws,
        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens_re
 FROM documents
+""",
+        "text_pack_shards": r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       ((sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        // 1024)::BIGINT AS shard
+FROM t
 """,
         "text_fingerprint": _FINGERPRINT_SQL,
         "multimodal_bytes": """

@@ -158,3 +158,96 @@ def repetition_stats(
         F.when(n_tok > 0, n_tok_dis.cast("double") / n_tok)
         .otherwise(F.lit(0.0)).alias("distinct_token_ratio"),
     )
+
+
+def pack_shards(
+    df: DataFrame,
+    budget_tokens: int,
+    *,
+    id_col: str = "doc_id",
+    tokens: str = "n_tokens_re",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Token-budget shard assignment — the training-data export step that
+    turns a curated corpus into contiguous ~``budget_tokens`` shards.
+
+    Rule (deterministic, oracle-expressible): documents are laid out in
+    ``id_col`` order and ``shard = floor(exclusive_prefix_sum(tokens) /
+    budget_tokens)`` — a document is assigned to the shard its first token
+    lands in, so every shard except the last holds ≥ budget tokens and the
+    assignment is a pure function of the ordered token sequence.
+
+    Scale shape (the reason this is not ``SUM(...) OVER (ORDER BY ...)``):
+    a global window needs a single-partition sort — the one shape that
+    cannot scale. This is the textbook distributed prefix sum instead:
+    ONE range shuffle on the order key, per-partition token subtotals
+    collected to the driver (O(#partitions) longs), exclusive offsets
+    broadcast back, and a map-side running cumsum per partition. The
+    range-partitioned intermediate is pinned with persist() so both passes
+    see the same sampled range boundaries and partition ids.
+
+    Returns (id_col, n_tokens, shard). ``tokens`` must be a non-negative
+    numeric column (nulls count 0); ``id_col`` must be unique (it is the
+    total order)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas batch frames)
+
+    spark = df.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(tokens), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    part = (
+        base.repartitionByRange(n_parts, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .persist()
+    )
+    try:
+        partials = (
+            part.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.sum("n_tokens").alias("s"))
+            .collect()
+        )
+        sums = {int(r["pid"]): int(r["s"]) for r in partials}
+        max_pid = max(sums, default=-1)
+        offsets = np.zeros(max_pid + 2, dtype=np.int64)
+        running = 0
+        for pid in range(max_pid + 1):
+            offsets[pid] = running
+            running += sums.get(pid, 0)
+        bc = spark.sparkContext.broadcast(offsets)
+        budget = int(budget_tokens)
+        if budget <= 0:
+            raise ValueError(f"budget_tokens must be positive, got {budget}")
+
+        id_field = base.schema[id_col]
+        out_schema = (
+            f"{id_col} {id_field.dataType.simpleString()}, "
+            "n_tokens long, shard long"
+        )
+
+        def gen(batches):
+            run = None  # exclusive prefix at the head of the next batch
+            for pdf in batches:
+                if run is None:
+                    run = int(bc.value[int(pdf["_pid"].iloc[0])]) if len(pdf) else 0
+                tok = pdf["n_tokens"].values.astype(np.int64)
+                cum = np.cumsum(tok) + run - tok      # exclusive prefix
+                run += int(tok.sum())
+                yield pd.DataFrame({
+                    id_col: pdf[id_col].values,
+                    "n_tokens": tok,
+                    "shard": cum // budget,
+                })
+
+        out = (
+            part.withColumn("_pid", F.spark_partition_id())
+            .mapInPandas(gen, out_schema)
+        )
+        # materialize before unpersisting the pinned intermediate the plan
+        # depends on (localCheckpoint keeps it an action-free handle for
+        # the caller while releasing the range-partitioned cache)
+        return out.localCheckpoint(eager=True)
+    finally:
+        part.unpersist()

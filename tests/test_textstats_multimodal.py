@@ -138,3 +138,42 @@ def test_repetition_stats_reference(spark):
         assert abs(r["frag_repetition"] - fr) < 1e-9
         assert abs(r["distinct_token_ratio"] - dr) < 1e-9
     assert got[1]["frag_repetition"] > 0.5 > got[0]["frag_repetition"]
+
+
+def test_pack_shards_matches_python_oracle_and_partition_invariance(spark):
+    """shard = floor(exclusive_prefix_sum / budget) over id order, and the
+    assignment is a pure function of the ordered token sequence — identical
+    under any parallelism (the distributed-prefix-sum correctness claim)."""
+    import random
+
+    from open_source_search_engine_spark.operators.textstats import pack_shards
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 40)) for i in range(203)]
+    exp, run = {}, 0
+    for i, n in rows:  # python oracle
+        exp[i] = (run // 50, n)
+        run += n
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {}
+    for p in (1, 3, 7):
+        out = pack_shards(df, 50, tokens="n", partitions=p).collect()
+        got[p] = {r["doc_id"]: (r["shard"], r["n_tokens"]) for r in out}
+        assert got[p] == exp, f"partitions={p}"
+    # boundary rule: a doc straddling a budget edge belongs to the shard
+    # its FIRST token lands in
+    df2 = spark.createDataFrame(
+        [(1, 49), (2, 5), (3, 50)], "doc_id long, n long")
+    out2 = {r["doc_id"]: r["shard"]
+            for r in pack_shards(df2, 50, tokens="n", partitions=2).collect()}
+    assert out2 == {1: 0, 2: 0, 3: 1}
+
+
+def test_pack_shards_rejects_bad_budget(spark):
+    import pytest as _pytest
+
+    from open_source_search_engine_spark.operators.textstats import pack_shards
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n long")
+    with _pytest.raises(ValueError):
+        pack_shards(df, 0, tokens="n")
