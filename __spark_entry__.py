@@ -1104,6 +1104,15 @@ def _q_text_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pack_shards(counted, 1024, tokens="n_tokens_re")
 
 
+def _q_text_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: hash-of-id keep decision, so
+    the sample is reproducible and SQL-checkable (unlike RNG sampleBy)."""
+    return textstats.deterministic_sample(
+        _docs(spark, sf_dir),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default=0.1,
+    ).select("doc_id", "source")
+
+
 def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_docs(spark, sf_dir), shingle_w=3, keep=4) \
         .select("doc_id", "fp")
@@ -1785,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_token_count": _q_text_token_count,
         "text_pack_shards": _q_text_pack_shards,
+        "text_sample_mixture": _q_text_sample_mixture,
         "text_fingerprint": _q_text_fingerprint,
         # --- multimodal plumbing ---
         "multimodal_bytes": _q_multimodal_bytes,
@@ -2153,6 +2163,14 @@ SELECT doc_id, n_tokens,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
         // 1024)::BIGINT AS shard
 FROM t
+""",
+        "text_sample_mixture": r"""
+SELECT doc_id, source
+FROM documents
+WHERE (CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+            AS UBIGINT) / 4294967296.0)
+      < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                     WHEN 'src2' THEN 0.25 ELSE 0.1 END)
 """,
         "text_fingerprint": _FINGERPRINT_SQL,
         "multimodal_bytes": """

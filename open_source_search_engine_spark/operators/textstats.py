@@ -251,3 +251,38 @@ def pack_shards(
         return out.localCheckpoint(eager=True)
     finally:
         part.unpersist()
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    key_col: str = "source",
+    default: float = 0.0,
+) -> DataFrame:
+    """Domain-mixture sampling (the DoReMi/Pile-style reweighting step):
+    keep each row with a per-``key_col`` probability, decided by a hash of
+    the row id rather than an RNG — so the sample is deterministic,
+    reproducible across runs and cluster sizes, stable under repartitioning,
+    and exactly re-expressible in SQL for oracle checking (unlike
+    ``DataFrame.sampleBy``, whose per-partition RNG ties results to the
+    physical split).
+
+    Rule: ``u = int(md5(str(id))[:8], 16) / 2^32`` ∈ [0,1); keep iff
+    ``u < fractions[key]`` (missing keys get ``default``). The fraction map
+    becomes a literal CASE chain — #domains is small. Adding a domain later
+    never changes which ids of other domains are kept (per-row decision
+    depends only on (id, own key))."""
+    for k, v in fractions.items():
+        if not (0.0 <= float(v) <= 1.0):
+            raise ValueError(f"fraction for {k!r} must be in [0,1], got {v}")
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") / F.lit(float(1 << 32))
+    )
+    rate = F.lit(float(default))
+    for k in sorted(fractions):
+        rate = F.when(F.col(key_col) == k,
+                      F.lit(float(fractions[k]))).otherwise(rate)
+    return df.filter(u < rate)

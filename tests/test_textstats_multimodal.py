@@ -177,3 +177,43 @@ def test_pack_shards_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, n long")
     with _pytest.raises(ValueError):
         pack_shards(df, 0, tokens="n")
+
+
+def test_deterministic_sample_matches_md5_oracle(spark):
+    """Per-row keep decision = md5-of-id threshold — exactly the python
+    hashlib computation, invariant across runs and partitionings."""
+    import hashlib
+
+    from open_source_search_engine_spark.operators.textstats import (
+        deterministic_sample,
+    )
+
+    rows = [(i, f"d{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    fr = {"d0": 1.0, "d1": 0.5, "d2": 0.0}
+
+    def u(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+
+    exp = {i for i, s in rows
+           if u(i) < fr.get(s, 0.2)}
+    for p in (2, 7):
+        got = {r["doc_id"] for r in
+               deterministic_sample(df.repartition(p), fr, default=0.2)
+               .collect()}
+        assert got == exp
+    # d0 fully kept, d2 fully dropped
+    assert {i for i, s in rows if s == "d0"} <= exp
+    assert not [i for i in exp if rows[i][1] == "d2"]
+
+
+def test_deterministic_sample_rejects_bad_fraction(spark):
+    import pytest as _pytest
+
+    from open_source_search_engine_spark.operators.textstats import (
+        deterministic_sample,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        deterministic_sample(df, {"a": 1.5})
