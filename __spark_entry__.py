@@ -226,6 +226,36 @@ FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
 WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= 0.1
 """
 
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE{TOKS_CTE},
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+  FROM toks WHERE len(t) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+  WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= 0.1
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+"""
+
 _EMB_CTE = """
 q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe FROM embeddings WHERE vec_id = 0),
 e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings)
@@ -969,6 +999,13 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", "inter", "size_a", "size_b",
         F.round("jaccard", 6).alias("jaccard_r"),
     )
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup groups: pairwise near-dup output → connected components (min-id
+    canonical labels) — the keep-one-per-group step of a dedup pipeline."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1)
+    return dedup.dup_clusters(pairs)
 
 
 def _q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1781,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_decontaminate": _q_dedup_decontaminate,
         # --- similarity search ---
         "embedding_cosine_all": _q_embedding_cosine_all,
@@ -2051,6 +2089,7 @@ FROM documents
         "dedup_minhash_lsh": _minhash_sql(16, 4, 6),
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         # decontamination: distinct 3-gram containment vs the src3
         # benchmark set; zero-hit docs still appear (flag mode keeps the
         # whole corpus with contaminated=false)

@@ -653,3 +653,76 @@ def decontaminate(
         "contaminated_ngrams",
         F.coalesce(F.col("contaminated_ngrams"), F.lit(0)),
     ).withColumn("contaminated", F.col("contaminated_ngrams") >= min_hits)
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a dup-pair set → removable dup groups.
+
+    Every pair generator above (exact, MinHash/LSH, SimHash, n-gram
+    Jaccard, embedding near-dup) emits PAIRS; a curation pipeline needs the
+    transitive closure — "keep one doc per component" — because near-dup
+    similarity is not transitive (a~b, b~c does not imply a~c scores above
+    threshold, yet all three are one dup group). Output: one row per doc
+    that appears in any pair, ``(doc_id, cluster_id)`` with ``cluster_id`` =
+    the component's minimum doc id (deterministic canonical label, so
+    ``filter(doc_id != cluster_id)`` is the drop set).
+
+    Algorithm: iterative min-label propagation — each round every vertex
+    takes the min of its own label and its neighbors' labels; converged
+    when no label changes. Rounds = component diameter, and near-dup
+    components are shallow (stars around a template, short chains), so
+    this terminates in a handful of rounds; each round is ONE shuffle on
+    the edge key plus a convergence count. The edge set is the PAIR set —
+    orders of magnitude smaller than the corpus (pair generators are
+    bucketed+capped above) — so at 100 TB this loop runs on megabytes per
+    round. Each round's labeling is pinned with ``localCheckpoint`` —
+    without it the loop's plan tree grows geometrically (self-referencing
+    joins) and the driver OOMs just *planning* round ~15; checkpointing
+    keeps every round's plan a constant two joins. ``max_iter`` guards
+    pathological chains (raises rather than returning a half-converged
+    labeling; switch to alternating-star contraction if a real corpus ever
+    hits it)."""
+    e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    edges = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        # checkpoint, not persist: cuts the (possibly expensive) pair-
+        # generator lineage AND keeps each round's plan rooted at a leaf
+        .localCheckpoint(eager=True)
+    )
+    lbl = (edges.select("s").distinct().withColumn("lbl", F.col("s"))
+           .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nb = (
+            edges.join(
+                lbl.select(F.col("s").alias("d"),
+                           F.col("lbl").alias("nlbl")), "d")
+            .groupBy("s").agg(F.min("nlbl").alias("nmin"))
+        )
+        new = (
+            lbl.join(nb, "s", "left")
+            .select("s", F.least(
+                "lbl", F.coalesce("nmin", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(lbl.select("s", F.col("lbl").alias("old")), "s")
+            .filter(F.col("lbl") != F.col("old")).count()
+        )
+        lbl.unpersist()
+        lbl = new
+        if changed == 0:
+            edges.unpersist()
+            return lbl.select(F.col("s").alias("doc_id"),
+                              F.col("lbl").alias("cluster_id"))
+    edges.unpersist()
+    lbl.unpersist()
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iter} rounds "
+        "(component diameter exceeds the guard)")

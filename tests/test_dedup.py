@@ -253,3 +253,48 @@ def test_decontaminate_min_hits_keeps_true_counts(docs, bench):
 def test_decontaminate_bad_mode(docs, bench):
     with pytest.raises(ValueError, match="mode"):
         dedup.decontaminate(docs, bench, mode="purge")
+
+
+def test_dup_clusters_matches_union_find_oracle(spark):
+    """Connected components over pairs == python union-find, invariant to
+    partitioning; chains/stars/singd pairs all collapse to min-id labels."""
+    import random
+
+    rng = random.Random(3)
+    ids = list(range(100))
+    pairs = {(min(a, b), max(a, b))
+             for a, b in (rng.sample(ids, 2) for _ in range(60))}
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for p in pairs for x in p}
+    exp = {x: find(x) for x in touched}
+
+    df = spark.createDataFrame(sorted(pairs), "id_a long, id_b long")
+    for p in (1, 5):
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.dup_clusters(df.repartition(p)).collect()}
+        assert got == exp, f"partitions={p}"
+
+
+def test_dup_clusters_chain_and_guard(spark):
+    # a 6-node chain needs several propagation rounds; min label wins
+    chain = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.dup_clusters(df).collect()}
+    assert got == {i: 0 for i in range(6)}
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        dedup.dup_clusters(df, max_iter=1)
