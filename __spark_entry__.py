@@ -226,7 +226,7 @@ FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
 WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= 0.1
 """
 
-_DEDUP_CLUSTERS_SQL = f"""
+_DEDUP_CLUSTERS_CTES = f"""
 WITH RECURSIVE{TOKS_CTE},
 sh AS (
   SELECT doc_id,
@@ -252,8 +252,48 @@ edges AS (
 reach(s, d) AS (
   SELECT s, d FROM edges
   UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+lbl AS (
+  SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
 )
-SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+"""
+
+_DEDUP_CLUSTERS_SQL = _DEDUP_CLUSTERS_CTES + """
+SELECT doc_id, cluster_id FROM lbl
+"""
+
+_DEDUP_APPLY_SQL = _DEDUP_CLUSTERS_CTES + """
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
+"""
+
+_BOILERPLATE_SQL = """
+WITH segs AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS seg FROM documents
+),
+boiler AS (
+  SELECT seg FROM (
+    SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+  ) WHERE df >= 0.8 * (SELECT count(*) FROM documents)
+),
+pos AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS seg,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM pos WHERE seg NOT IN (SELECT seg FROM boiler)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(k.text, '') AS text,
+       len(string_split(d.text, ' '))::BIGINT AS n_segments,
+       (len(string_split(d.text, ' ')) - coalesce(k.n_kept, 0))::BIGINT
+         AS n_removed
+FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
 """
 
 _EMB_CTE = """
@@ -1008,6 +1048,15 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(pairs)
 
 
+def _q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline: near-dup pairs → connected components → keep
+    one canonical doc per group (min id), plus all never-paired docs."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    clusters = dedup.dup_clusters(pairs)
+    return dedup.apply_dedup(docs, clusters).select("doc_id", "source")
+
+
 def _q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (n-gram containment vs a held-out eval
     set): src3 plays the benchmark, the rest of the corpus is flagged by
@@ -1148,6 +1197,16 @@ def _q_text_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir),
         {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default=0.1,
     ).select("doc_id", "source")
+
+
+def _q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (CCNet/C4-style): drop segments
+    present in ≥80% of documents, rebuild each doc in order. Word-granularity
+    separator on this single-line corpus; one aggregation shuffle + map-side
+    array filter (the offender set is bounded by avg_segments/ratio)."""
+    return textstats.strip_boilerplate(
+        _docs(spark, sf_dir), sep=" ", max_df_ratio=0.8
+    )
 
 
 def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1819,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_apply": _q_dedup_apply,
         "dedup_decontaminate": _q_dedup_decontaminate,
         # --- similarity search ---
         "embedding_cosine_all": _q_embedding_cosine_all,
@@ -1833,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _q_text_token_count,
         "text_pack_shards": _q_text_pack_shards,
         "text_sample_mixture": _q_text_sample_mixture,
+        "text_boilerplate": _q_text_boilerplate,
         "text_fingerprint": _q_text_fingerprint,
         # --- multimodal plumbing ---
         "multimodal_bytes": _q_multimodal_bytes,
@@ -2090,6 +2151,7 @@ FROM documents
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "dedup_apply": _DEDUP_APPLY_SQL,
         # decontamination: distinct 3-gram containment vs the src3
         # benchmark set; zero-hit docs still appear (flag mode keeps the
         # whole corpus with contaminated=false)
@@ -2211,6 +2273,7 @@ WHERE (CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
       < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                      WHEN 'src2' THEN 0.25 ELSE 0.1 END)
 """,
+        "text_boilerplate": _BOILERPLATE_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
         "multimodal_bytes": """
 SELECT doc_id AS media_id,

@@ -726,3 +726,22 @@ def dup_clusters(
     raise RuntimeError(
         f"dup_clusters did not converge in {max_iter} rounds "
         "(component diameter exceeds the guard)")
+
+
+def apply_dedup(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a :func:`dup_clusters` labeling to the corpus: keep exactly one
+    document per dup group — the canonical member (``doc_id == cluster_id``,
+    i.e. the group's minimum id, so the kept set is deterministic) — and
+    every document that was never in any pair. The last step of the dedup
+    pipeline: pairs → clusters → filtered corpus.
+
+    One anti-join on the (pair-scale, tiny) drop set; the corpus shuffles
+    at most once and AQE will broadcast the drop side when it fits."""
+    drop = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(F.col("doc_id").alias(id_col))
+    return df.join(drop, id_col, "left_anti")

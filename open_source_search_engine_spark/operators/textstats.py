@@ -253,6 +253,107 @@ def pack_shards(
         part.unpersist()
 
 
+def strip_boilerplate(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_df_ratio: float | None = None,
+    max_df: int | None = None,
+    max_boilerplate: int = 100_000,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet/C4 pipeline step):
+    split each document into segments on ``sep`` (lines for prose, any
+    separator for other corpora), measure each distinct segment's document
+    frequency across the WHOLE corpus, and drop segments that appear in too
+    many documents — navigation chrome, license headers, cookie banners.
+    Exactly one of ``max_df_ratio`` (drop if df ≥ ratio·corpus_size) or
+    ``max_df`` (drop if df ≥ absolute count) must be given.
+
+    Returns ``(id_col, text, n_segments, n_removed)`` — one row per input
+    document (documents whose every segment is boilerplate keep an empty
+    string), segment order preserved.
+
+    Scale shape: for a RATIO threshold the boilerplate set is bounded
+    independent of corpus size — a segment in ≥ r·N docs occurs ≥ r·N
+    times, so at most (avg segments/doc)/r distinct segments qualify.
+    Tier 1 exploits that: ONE distinct-doc-count aggregation shuffle,
+    collect the (tiny) offender set, and a map-side ``filter()`` over each
+    doc's segment array — the corpus itself never reshuffles. An absolute
+    ``max_df`` gives no such bound, so past ``max_boilerplate`` offenders
+    tier 2 runs fully distributed: posexplode → anti-join on segment →
+    regroup by doc (three shuffles, no driver materialization). Both tiers
+    are tested equal."""
+    if (max_df_ratio is None) == (max_df is None):
+        raise ValueError("give exactly one of max_df_ratio / max_df")
+    if max_df_ratio is not None and not (0.0 < max_df_ratio <= 1.0):
+        raise ValueError(f"max_df_ratio must be in (0,1], got {max_df_ratio}")
+    if max_df is not None and max_df < 2:
+        raise ValueError(f"max_df must be ≥ 2, got {max_df}")
+
+    import re as _re
+
+    # F.split takes a regex — ``sep`` is a literal separator here
+    segs = F.split(F.col(text), F.lit(_re.escape(sep)), -1)
+    base = df.select(F.col(id_col), segs.alias("_segs")).persist()
+    try:
+        if max_df_ratio is not None:
+            n_docs = base.count()
+            threshold = max_df_ratio * n_docs
+        else:
+            threshold = float(max_df)
+        dfreq = (
+            base.select(F.col(id_col),
+                        F.explode(F.array_distinct("_segs")).alias("seg"))
+            .groupBy("seg").agg(F.count("*").alias("df"))
+            .filter(F.col("df") >= threshold)
+        )
+        boiler = [r["seg"] for r in dfreq.limit(max_boilerplate + 1).collect()]
+        n_seg = F.size("_segs")
+        if len(boiler) <= max_boilerplate:
+            if boiler:
+                kept = F.filter("_segs", lambda s: ~s.isin(*boiler))
+            else:
+                kept = F.col("_segs")
+            out = base.select(
+                F.col(id_col),
+                F.array_join(kept, sep).alias(text),
+                n_seg.cast("long").alias("n_segments"),
+                (n_seg - F.size(kept)).cast("long").alias("n_removed"),
+            )
+            return out.localCheckpoint(eager=True)
+        # tier 2: offender set too large to broadcast — stay distributed
+        pos = base.select(
+            F.col(id_col), n_seg.cast("long").alias("n_segments"),
+            F.posexplode("_segs").alias("pos", "seg"),
+        )
+        kept_rows = pos.join(dfreq.select("seg"), "seg", "left_anti")
+        rebuilt = kept_rows.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda st: st["seg"],
+                ), sep,
+            ).alias(text),
+            F.count("*").alias("n_kept"),
+        )
+        out = (
+            base.select(F.col(id_col), n_seg.cast("long").alias("n_segments"))
+            .join(rebuilt, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col(text), F.lit("")).alias(text),
+                F.col("n_segments"),
+                (F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0)))
+                .cast("long").alias("n_removed"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        base.unpersist()
+
+
 def deterministic_sample(
     df: DataFrame,
     fractions: dict[str, float],

@@ -298,3 +298,15 @@ def test_dup_clusters_chain_and_guard(spark):
 
     with _pytest.raises(RuntimeError):
         dedup.dup_clusters(df, max_iter=1)
+
+
+def test_apply_dedup_keeps_canonical_and_unpaired(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (7, 8)], "id_a long, id_b long")
+    clusters = dedup.dup_clusters(pairs)
+    kept = sorted(r["doc_id"]
+                  for r in dedup.apply_dedup(docs, clusters).collect())
+    # groups {1,3,5} -> keep 1; {7,8} -> keep 7; unpaired docs all kept
+    assert kept == [0, 1, 2, 4, 6, 7, 9]

@@ -217,3 +217,53 @@ def test_deterministic_sample_rejects_bad_fraction(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with _pytest.raises(ValueError):
         deterministic_sample(df, {"a": 1.5})
+
+
+def test_strip_boilerplate_ratio_tier(spark):
+    rows = [
+        (0, "COOKIE unique0 alpha COOKIE"),
+        (1, "COOKIE unique1 beta"),
+        (2, "COOKIE unique2"),
+        (3, "COOKIE"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.strip_boilerplate(
+        df, sep=" ", max_df_ratio=0.75).collect()}
+    # COOKIE is in 4/4 docs >= 0.75*4; everything else is df=1
+    assert out[0]["text"] == "unique0 alpha"
+    assert out[0]["n_segments"] == 4 and out[0]["n_removed"] == 2
+    assert out[1]["text"] == "unique1 beta"
+    assert out[2]["text"] == "unique2"
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 1
+
+
+def test_strip_boilerplate_tiers_equal_and_order_preserved(spark):
+    # line-granularity corpus; force tier 2 with max_boilerplate=0
+    rows = [
+        (i, "header\nbody %d\nmiddle common\nfooter" % i) for i in range(6)
+    ] + [(99, "only unique lines\nnothing shared")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t1 = textstats.strip_boilerplate(df, sep="\n", max_df=4)
+    t2 = textstats.strip_boilerplate(df, sep="\n", max_df=4,
+                                     max_boilerplate=0)
+    g1 = sorted(t1.collect())
+    g2 = sorted(t2.collect())
+    assert g1 == g2
+    by_id = {r["doc_id"]: r for r in g1}
+    # header/"middle common"/footer each in 6 docs >= 4 are dropped; the
+    # per-doc unique body line survives with its position preserved
+    assert by_id[0]["text"] == "body 0"
+    assert by_id[99]["text"] == "only unique lines\nnothing shared"
+    assert by_id[99]["n_removed"] == 0
+
+
+def test_strip_boilerplate_param_validation(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exactly one"):
+        textstats.strip_boilerplate(df)
+    with pytest.raises(ValueError, match="exactly one"):
+        textstats.strip_boilerplate(df, max_df=2, max_df_ratio=0.5)
+    with pytest.raises(ValueError, match="max_df_ratio"):
+        textstats.strip_boilerplate(df, max_df_ratio=1.5)
+    with pytest.raises(ValueError, match="max_df"):
+        textstats.strip_boilerplate(df, max_df=1)
