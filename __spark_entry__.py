@@ -1199,6 +1199,14 @@ def _q_text_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def _q_text_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard materialization: token-budget prefix-sum assignment
+    (distributed, never a global window) then per-shard concatenation in
+    doc order — the actual training-data export rows."""
+    counted = textstats.token_counts(_docs(spark, sf_dir))
+    return textstats.export_shards(counted, 1024, sep="\n\n")
+
+
 def _q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency boilerplate removal (CCNet/C4-style): drop segments
     present in ≥80% of documents, rebuild each doc in order. Word-granularity
@@ -1894,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_shards": _q_text_pack_shards,
         "text_sample_mixture": _q_text_sample_mixture,
         "text_boilerplate": _q_text_boilerplate,
+        "text_export_shards": _q_text_export_shards,
         "text_fingerprint": _q_text_fingerprint,
         # --- multimodal plumbing ---
         "multimodal_bytes": _q_multimodal_bytes,
@@ -2274,6 +2283,26 @@ WHERE (CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                      WHEN 'src2' THEN 0.25 ELSE 0.1 END)
 """,
         "text_boilerplate": _BOILERPLATE_SQL,
+        "text_export_shards": r"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
+           AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, text, n_tokens,
+         ((sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+          // 1024)::BIGINT AS shard
+  FROM t
+)
+SELECT shard,
+       string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens
+FROM p GROUP BY shard
+""",
         "text_fingerprint": _FINGERPRINT_SQL,
         "multimodal_bytes": """
 SELECT doc_id AS media_id,

@@ -212,6 +212,22 @@ def main() -> None:
         2, lambda: dedup.decontaminate(_corpus_set, _bench_set, n=8)
         .filter("contaminated").count())
 
+    # full dedup pipeline: near-dup pairs → connected components →
+    # keep-one-per-group corpus filter (pairs are the tiny set; the label
+    # propagation loop is one shuffle per round over it)
+    def _dedup_pipeline():
+        pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+        dedup.apply_dedup(docs, dedup.dup_clusters(pairs)).count()
+
+    queries["q_dedup_pipeline"] = best_of(2, _dedup_pipeline)
+
+    # corpus-frequency boilerplate removal (one agg shuffle + map-side
+    # array filter against the bounded offender set)
+    queries["q_boilerplate"] = best_of(
+        2, lambda: textstats.strip_boilerplate(
+            docs, sep=" ", max_df_ratio=0.8)
+        .agg(F.sum("n_removed"), F.count("*")).collect())
+
     from open_source_search_engine_spark.operators.suggest import (
         materialize_suggest, suggest_from_index,
     )

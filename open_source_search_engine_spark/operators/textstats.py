@@ -253,6 +253,46 @@ def pack_shards(
         part.unpersist()
 
 
+def export_shards(
+    df: DataFrame,
+    budget_tokens: int,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    tokens: str = "n_tokens_re",
+    sep: str = "\n\n",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Materialize training shards: :func:`pack_shards` assigns each doc a
+    shard by token-budget prefix sum; this step actually builds the shard
+    rows — per shard, member documents concatenated with ``sep`` in
+    ``id_col`` order (the order the prefix sum was computed over, so shard
+    content is a pure function of the corpus). Returns
+    ``(shard, text, n_docs, n_tokens)``.
+
+    Scale shape: one extra shuffle keyed by shard id on top of
+    pack_shards' range shuffle. Shard values are uniform by construction
+    (each holds ~``budget_tokens`` tokens), so the groupBy cannot skew;
+    per-task memory is bounded by the shard budget — size ``budget_tokens``
+    so one shard's text fits an executor task (the same rule any shard
+    writer has)."""
+    assigned = pack_shards(
+        df.select(F.col(id_col), F.col(tokens)),
+        budget_tokens, id_col=id_col, tokens=tokens, partitions=partitions,
+    )
+    joined = assigned.join(df.select(F.col(id_col), F.col(text)), id_col)
+    return joined.groupBy("shard").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(id_col, text))),
+                lambda st: st[text],
+            ), sep,
+        ).alias(text),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
 def strip_boilerplate(
     df: DataFrame,
     *,

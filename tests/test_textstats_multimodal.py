@@ -267,3 +267,24 @@ def test_strip_boilerplate_param_validation(spark):
         textstats.strip_boilerplate(df, max_df_ratio=1.5)
     with pytest.raises(ValueError, match="max_df"):
         textstats.strip_boilerplate(df, max_df=1)
+
+
+def test_export_shards_matches_python_oracle(spark):
+    rows = [(i, f"doc{i} " + "w " * (i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counted = textstats.token_counts(df)
+    toks = {r["doc_id"]: r["n_tokens_re"] for r in counted.collect()}
+    # python oracle: exclusive prefix sum in doc_id order, budget 10
+    run, exp = 0, {}
+    for i in sorted(toks):
+        shard = run // 10
+        exp.setdefault(shard, []).append(i)
+        run += toks[i]
+    texts = dict(rows)
+    out = {r["shard"]: r for r in
+           textstats.export_shards(counted, 10, sep="|").collect()}
+    assert set(out) == set(exp)
+    for shard, members in exp.items():
+        assert out[shard]["text"] == "|".join(texts[i] for i in members)
+        assert out[shard]["n_docs"] == len(members)
+        assert out[shard]["n_tokens"] == sum(toks[i] for i in members)
