@@ -267,6 +267,32 @@ SELECT d.doc_id, d.source FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
 """
 
+_DEDUP_INCREMENTAL_SQL = f"""
+WITH{TOKS_CTE},
+sh AS (
+  SELECT t0.doc_id, d.source,
+         unnest(list_distinct(list_transform(range(1, len(t0.t) - 1),
+                i -> t0.t[i] || ' ' || t0.t[i+1] || ' ' || t0.t[i+2]))) AS s
+  FROM toks t0 JOIN documents d ON d.doc_id = t0.doc_id
+  WHERE len(t0.t) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_new, b.doc_id AS id_seen, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.source = 'src3' AND b.source <> 'src3'
+  GROUP BY 1, 2
+),
+dup AS (
+  SELECT DISTINCT i.id_new
+  FROM inter i JOIN sz sa ON sa.doc_id = i.id_new
+              JOIN sz sb ON sb.doc_id = i.id_seen
+  WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= 0.5
+)
+SELECT doc_id, source FROM documents
+WHERE source = 'src3' AND doc_id NOT IN (SELECT id_new FROM dup)
+"""
+
 _BOILERPLATE_SQL = """
 WITH segs AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS seg FROM documents
@@ -1055,6 +1081,18 @@ def _q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1)
     clusters = dedup.dup_clusters(pairs)
     return dedup.apply_dedup(docs, clusters).select("doc_id", "source")
+
+
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the src3 slice plays the NEW snapshot, the rest
+    of the corpus is the already-ingested SEEN set; a new doc is dropped
+    when any seen doc reaches 0.5 cross-corpus n-gram Jaccard."""
+    docs = _docs(spark, sf_dir)
+    return dedup.dedup_against(
+        docs.filter(F.col("source") == "src3"),
+        docs.filter(F.col("source") != "src3"),
+        method="ngram", n=3, threshold=0.5,
+    ).select("doc_id", "source")
 
 
 def _q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1887,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_apply": _q_dedup_apply,
+        "dedup_incremental": _q_dedup_incremental,
         "dedup_decontaminate": _q_dedup_decontaminate,
         # --- similarity search ---
         "embedding_cosine_all": _q_embedding_cosine_all,
@@ -2161,6 +2200,7 @@ FROM documents
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_apply": _DEDUP_APPLY_SQL,
+        "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         # decontamination: distinct 3-gram containment vs the src3
         # benchmark set; zero-hit docs still appear (flag mode keeps the
         # whole corpus with contaminated=false)

@@ -728,6 +728,82 @@ def dup_clusters(
         "(component diameter exceeds the guard)")
 
 
+def dedup_against(
+    new: DataFrame,
+    seen: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    *,
+    method: str = "exact",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Incremental (cross-corpus) dedup: drop rows of ``new`` that duplicate
+    a document in an already-ingested ``seen`` corpus — the "new snapshot vs
+    what we already trained on" pipeline step (within-``new`` dups are NOT
+    touched; run :func:`dup_clusters`/:func:`apply_dedup` for those).
+
+    ``method='exact'``: sha256(text) anti-join — the seen side reduces to
+    its distinct hash set, one join, AQE broadcasts it when it fits.
+    ``method='ngram'``: n-gram-shingle Jaccard computed ONLY across the
+    corpus boundary (new×seen shingle join; never new×new or seen×seen),
+    drop a new doc when any seen doc reaches ``threshold``. ``max_df``
+    prunes hot shingles before the join exactly as in
+    :func:`ngram_jaccard_pairs`; at 100 TB the seen side's shingle table is
+    the thing to pre-compute and persist between snapshots."""
+    if method == "exact":
+        seen_hashes = seen.select(F.sha2(F.col(text), 256).alias("_h")).distinct()
+        return new.join(
+            seen_hashes, F.sha2(new[text], 256) == F.col("_h"), "left_anti")
+    if method != "ngram":
+        raise ValueError(f"method must be 'exact' or 'ngram', got {method!r}")
+
+    def _shingles(df: DataFrame, tag: str) -> DataFrame:
+        return _fanout(df).select(
+            F.col(id_col).alias(f"_id_{tag}"),
+            F.explode(
+                F.array_distinct(shingles_col(tokens_col(text), n))
+            ).alias("sh"),
+        )
+
+    a0 = a = _pin(_shingles(new, "new"))
+    b0 = b = _pin(_shingles(seen, "seen"))
+    try:
+        if max_df is not None:
+            hot = (
+                a.groupBy("sh").agg(F.count("*").alias("ca"))
+                .join(b.groupBy("sh").agg(F.count("*").alias("cb")), "sh",
+                      "full")
+                .filter(F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0))
+                        > max_df)
+                .select("sh")
+            )
+            a = a.join(hot, "sh", "left_anti")
+            b = b.join(hot, "sh", "left_anti")
+        sz_a = a.groupBy("_id_new").agg(F.count("*").alias("sz_a"))
+        sz_b = b.groupBy("_id_seen").agg(F.count("*").alias("sz_b"))
+        inter = (
+            a.join(b, "sh")
+            .groupBy("_id_new", "_id_seen")
+            .agg(F.count("*").alias("inter"))
+        )
+        dup_new = (
+            inter.join(sz_a, "_id_new").join(sz_b, "_id_seen")
+            .filter(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                >= threshold)
+            .select(F.col("_id_new").alias(id_col))
+            .distinct()
+        )
+        out = new.join(dup_new, id_col, "left_anti")
+        return out.localCheckpoint(eager=True)
+    finally:
+        a0.unpersist()
+        b0.unpersist()
+
+
 def apply_dedup(
     df: DataFrame,
     clusters: DataFrame,

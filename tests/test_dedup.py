@@ -310,3 +310,55 @@ def test_apply_dedup_keeps_canonical_and_unpaired(spark):
                   for r in dedup.apply_dedup(docs, clusters).collect())
     # groups {1,3,5} -> keep 1; {7,8} -> keep 7; unpaired docs all kept
     assert kept == [0, 1, 2, 4, 6, 7, 9]
+
+
+def test_dedup_against_exact(spark):
+    seen = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "delta epsilon zeta")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(0, "alpha beta gamma"),        # exact dup of 100 -> dropped
+         (1, "alpha beta gamma delta"),  # near but not exact -> kept
+         (2, "totally different")],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"]
+                  for r in dedup.dedup_against(new, seen).collect())
+    assert kept == [1, 2]
+
+
+def test_dedup_against_ngram_threshold_and_cross_only(spark):
+    seen = spark.createDataFrame(
+        [(100, "a b c d e f g h")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(0, "a b c d e f g h"),     # jaccard 1.0 vs seen -> dropped
+         (1, "a b c d e zz yy xx"),  # partial overlap below 0.5 -> kept
+         (2, "p q r s t u v w"),     # no overlap -> kept
+         (3, "p q r s t u v w")],    # dup of NEW doc 2 only -> kept (cross only)
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup.dedup_against(
+        new, seen, method="ngram", n=3, threshold=0.5).collect())
+    assert kept == [1, 2, 3]
+    # lower threshold pulls in the partial-overlap doc
+    kept_low = sorted(r["doc_id"] for r in dedup.dedup_against(
+        new, seen, method="ngram", n=3, threshold=0.2).collect())
+    assert kept_low == [2, 3]
+
+
+def test_dedup_against_max_df_guard_and_bad_method(spark):
+    seen = spark.createDataFrame(
+        [(100 + i, "hot shingle everywhere x%d" % i) for i in range(5)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(0, "hot shingle everywhere x0")], "doc_id long, text string")
+    # without the guard the shared shingles drop the doc
+    kept_all = dedup.dedup_against(
+        new, seen, method="ngram", n=3, threshold=0.5).collect()
+    assert kept_all == []
+    # max_df=1 prunes every cross-doc shingle -> no candidates -> kept
+    # (sizes are computed AFTER pruning, same as ngram_jaccard_pairs)
+    kept = dedup.dedup_against(
+        new, seen, method="ngram", n=3, threshold=0.5, max_df=1).collect()
+    assert [r["doc_id"] for r in kept] == [0]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="method"):
+        dedup.dedup_against(new, seen, method="simhash")
