@@ -1407,6 +1407,27 @@ def _q_events_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_streaming_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a streaming aggregation (file source,
+    Trigger.AvailableNow, memory sink): canonical min-id doc + copy count
+    per content hash must equal the batch GROUP BY."""
+    import tempfile
+
+    from open_source_search_engine_spark.streaming.incremental import (
+        run_available_now, streaming_exact_dedup,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    agg = streaming_exact_dedup(stream)
+    ckpt = tempfile.mkdtemp(prefix="osse_dedup_ckpt_")
+    return run_available_now(agg, "osse_streaming_dedup", ckpt)
+
+
 def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -1926,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_apply": _q_dedup_apply,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_streaming_exact": _q_dedup_streaming_exact,
         "dedup_decontaminate": _q_dedup_decontaminate,
         # --- similarity search ---
         "embedding_cosine_all": _q_embedding_cosine_all,
@@ -2201,6 +2223,12 @@ FROM documents
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_apply": _DEDUP_APPLY_SQL,
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
+        "dedup_streaming_exact": """
+SELECT sha256(text) AS content_sha256,
+       min(doc_id) AS canonical_doc_id,
+       count(*)::BIGINT AS n_copies
+FROM documents GROUP BY 1
+""",
         # decontamination: distinct 3-gram containment vs the src3
         # benchmark set; zero-hit docs still appear (flag mode keeps the
         # whole corpus with contaminated=false)

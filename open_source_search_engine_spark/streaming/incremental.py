@@ -107,6 +107,33 @@ def sessionize_stateful(
     )
 
 
+def streaming_exact_dedup(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming exact dedup: one row per distinct content hash with the
+    canonical (minimum-id) document and the copy count — the
+    ingest-time "have we seen these bytes before" step of a streaming
+    training-data pipeline. Works identically on a batch DataFrame (the
+    parity the gate exploits).
+
+    State = one row per distinct hash, so complete-mode memory grows with
+    the UNIQUE corpus — fine for a bounded ingest window. For unbounded
+    streams use ``dropDuplicatesWithinWatermark`` (bounded state, at the
+    cost of only deduping within the watermark horizon) or the
+    ``foreachBatch`` + :func:`~..operators.dedup.dedup_against` pattern
+    that checks each micro-batch against the persisted seen-hash table —
+    the cross-RUN variant of the same operator."""
+    return docs.groupBy(
+        F.sha2(F.col(text), 256).alias("content_sha256")
+    ).agg(
+        F.min(id_col).alias("canonical_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str) -> DataFrame:
     """Run a streaming DataFrame to completion with Trigger.AvailableNow into
     an in-memory sink; return the result as a batch DataFrame. Used to gate

@@ -165,3 +165,35 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
     # state carried: at least 2 batches produced updates
     assert upd.count() > len(expect)
     assert got == expect
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup (complete-mode hash agg) == batch GROUP BY,
+    including a multi-micro-batch replay (maxFilesPerTrigger=1)."""
+    import pyspark.sql.functions as F
+
+    from open_source_search_engine_spark.streaming.incremental import (
+        run_available_now, streaming_exact_dedup,
+    )
+
+    rows = [(i, "text %d" % (i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs")
+    # several files -> several micro-batches with maxFilesPerTrigger=1
+    df.repartition(4).write.parquet(src)
+
+    batch = {r["content_sha256"]: (r["canonical_doc_id"], r["n_copies"])
+             for r in streaming_exact_dedup(
+                 spark.read.parquet(src)).collect()}
+    assert len(batch) == 7
+    assert all(v[1] > 1 for v in batch.values())
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got = {r["content_sha256"]: (r["canonical_doc_id"], r["n_copies"])
+           for r in run_available_now(
+               streaming_exact_dedup(stream), "t_stream_dedup",
+               str(tmp_path / "ckpt")).collect()}
+    assert got == batch
