@@ -90,6 +90,31 @@ def main() -> None:
         failures.append("facets plan contains a document top-k (must be "
                         "match-set, not truncated)")
 
+    # 7: training-shard export — one shard-keyed Exchange feeding the
+    # aggregation, no global Sort of the corpus, no cartesian anywhere
+    from open_source_search_engine_spark.operators import dedup, textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ex = textstats.export_shards(textstats.token_counts(docs), 1024)
+    p = show("training-shard export (pack + concat)", ex)
+    if "CartesianProduct" in p:
+        failures.append("export_shards plan contains a cartesian product")
+    if "hashpartitioning(shard" not in p:
+        failures.append("export_shards aggregation is not shard-keyed")
+    if "Sort [" in p and "global=true" in p.split("Sort [")[1][:200]:
+        failures.append("export_shards plan contains a global sort")
+
+    # 8: incremental dedup exact tier — anti-join against the distinct
+    # seen-hash set, never a cartesian; the corpus side is scanned once
+    new_side = docs.filter(F.col("source") == "src3")
+    seen_side = docs.filter(F.col("source") != "src3")
+    dd = dedup.dedup_against(new_side, seen_side)
+    p = show("incremental dedup (exact sha anti-join)", dd)
+    if "LeftAnti" not in p:
+        failures.append("dedup_against exact tier is not an anti-join")
+    if "CartesianProduct" in p:
+        failures.append("dedup_against plan contains a cartesian product")
+
     print("\n" + "=" * 72)
     if failures:
         print("PLAN AUDIT FAILURES:")
