@@ -384,6 +384,127 @@ SELECT doc_id, n_tokens,
 FROM f
 """
 
+# the whole curation pipeline composed into one statement, stage-for-stage
+# the order textstats.curate() fixes: langid -> quality filter ->
+# boilerplate strip over the FILTERED corpus -> fingerprint dedup ->
+# deterministic sample -> token-budget shard assignment
+_CURATE_SQL = f"""
+WITH{TOKS_CTE},
+lc AS (
+  SELECT doc_id,
+         len(list_filter(t, x -> x IN ({_LANG_MARKER_SQL['de']}))) AS cde,
+         len(list_filter(t, x -> x IN ({_LANG_MARKER_SQL['en']}))) AS cen,
+         len(list_filter(t, x -> x IN ({_LANG_MARKER_SQL['es']}))) AS ces,
+         len(list_filter(t, x -> x IN ({_LANG_MARKER_SQL['fr']}))) AS cfr
+  FROM toks
+),
+lid AS (
+  SELECT doc_id,
+    CASE WHEN greatest(cde, cen, ces, cfr) = 0 THEN 'und'
+         WHEN cde = greatest(cde, cen, ces, cfr) THEN 'de'
+         WHEN cen = greatest(cde, cen, ces, cfr) THEN 'en'
+         WHEN ces = greatest(cde, cen, ces, cfr) THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM lc
+),
+qm AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+         list_sum(list_transform(t, x -> length(x))) AS sum_len
+  FROM toks
+),
+qq AS (
+  SELECT doc_id,
+         least(n_tokens / 20.0, 1.0)
+         * (CASE WHEN n_tokens > 0
+                  AND (sum_len::DOUBLE / n_tokens) >= 2.0
+                  AND (sum_len::DOUBLE / n_tokens) <= 12.0
+             THEN 1.0 ELSE 0.3 END)
+         * (0.5 + 0.5 * (CASE WHEN n_chars > 0
+                          THEN n_alpha::DOUBLE / n_chars ELSE 0.0 END))
+           AS quality
+  FROM qm
+),
+f AS (
+  SELECT d.doc_id, d.source, lid.lang_pred, qq.quality, d.text
+  FROM documents d
+  JOIN lid ON lid.doc_id = d.doc_id
+  JOIN qq ON qq.doc_id = d.doc_id
+  WHERE lid.lang_pred IN ('en') AND qq.quality >= 0.9
+),
+segs AS (SELECT doc_id, unnest(string_split(text, ' ')) AS seg FROM f),
+boiler AS (
+  SELECT seg FROM (
+    SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+  ) WHERE df >= 0.8 * (SELECT count(*) FROM f)
+),
+pos AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS seg,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM f
+),
+kept AS (
+  SELECT doc_id,
+         coalesce(string_agg(seg, ' ' ORDER BY pos)
+                  FILTER (WHERE seg NOT IN (SELECT seg FROM boiler)),
+                  '') AS text
+  FROM pos GROUP BY doc_id
+),
+s AS (
+  SELECT f.doc_id, f.source, f.lang_pred, f.quality, kept.text
+  FROM f JOIN kept ON kept.doc_id = f.doc_id
+),
+st AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM s
+),
+fp AS (
+  SELECT doc_id,
+    array_to_string(
+      list_sort(list_transform(
+        list_distinct(CASE WHEN len(t) >= 3
+          THEN list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+          ELSE [] END), x -> md5(x)))[1:4],
+      '|') AS f
+  FROM st
+),
+dd AS (
+  SELECT s.*
+  FROM s JOIN fp ON fp.doc_id = s.doc_id
+  QUALIFY row_number() OVER (PARTITION BY fp.f ORDER BY s.doc_id) = 1
+),
+sm AS (
+  SELECT * FROM dd
+  WHERE (CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) / 4294967296.0)
+        < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
+                       ELSE 0.5 END)
+),
+tc AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
+           AS n_tokens
+  FROM sm
+),
+pk AS (
+  SELECT doc_id, n_tokens,
+         ((sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+          // 256)::BIGINT AS shard
+  FROM tc
+)
+SELECT sm.doc_id, sm.source, sm.lang_pred,
+       round(sm.quality, 6) AS quality_r, sm.text,
+       pk.n_tokens, pk.shard
+FROM sm JOIN pk ON pk.doc_id = sm.doc_id
+"""
+
 _FINGERPRINT_SQL = f"""
 WITH{TOKS_CTE}
 SELECT doc_id,
@@ -1237,6 +1358,26 @@ def _q_text_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def _q_text_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as one operator: en-only, quality ≥0.9,
+    boilerplate strip at 0.8 over the filtered corpus, fingerprint near-dup
+    collapse, deterministic per-source sampling, 256-token shard
+    assignment — each stage the already-gated operator, composed in the
+    canonical order."""
+    out = textstats.curate(
+        _docs(spark, sf_dir),
+        langs=("en",), min_quality=0.9,
+        strip_df_ratio=0.8, dedup_mode="fingerprint",
+        sample_fractions={"src0": 1.0, "src1": 0.25}, sample_default=0.5,
+        budget_tokens=256,
+    )
+    return out.select(
+        "doc_id", "source", "lang_pred",
+        F.round("quality", 6).alias("quality_r"),
+        "text", "n_tokens", "shard",
+    )
+
+
 def _q_text_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard materialization: token-budget prefix-sum assignment
     (distributed, never a global window) then per-shard concatenation in
@@ -1964,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample_mixture": _q_text_sample_mixture,
         "text_boilerplate": _q_text_boilerplate,
         "text_export_shards": _q_text_export_shards,
+        "text_curate": _q_text_curate,
         "text_fingerprint": _q_text_fingerprint,
         # --- multimodal plumbing ---
         "multimodal_bytes": _q_multimodal_bytes,
@@ -2351,6 +2493,7 @@ WHERE (CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                      WHEN 'src2' THEN 0.25 ELSE 0.1 END)
 """,
         "text_boilerplate": _BOILERPLATE_SQL,
+        "text_curate": _CURATE_SQL,
         "text_export_shards": r"""
 WITH t AS (
   SELECT doc_id, text,

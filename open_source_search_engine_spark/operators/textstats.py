@@ -253,6 +253,86 @@ def pack_shards(
         part.unpersist()
 
 
+def curate(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    key_col: str = "source",
+    langs: tuple[str, ...] | None = None,
+    min_quality: float | None = None,
+    strip_df_ratio: float | None = None,
+    dedup_mode: str | None = "exact",
+    fp_shingle_w: int = 3,
+    fp_keep: int = 4,
+    sample_fractions: dict[str, float] | None = None,
+    sample_default: float = 0.0,
+    budget_tokens: int | None = None,
+) -> DataFrame:
+    """The whole curation pipeline as ONE operator — the composition a
+    training-data team actually runs, in the canonical order:
+
+    1. :func:`language_id` → keep ``langs`` (skip if None);
+    2. :func:`quality_score` on the ORIGINAL text → keep ``quality ≥
+       min_quality`` (skip if None);
+    3. :func:`strip_boilerplate` at ``strip_df_ratio`` over the *filtered*
+       corpus (the df statistics a later stage sees are the ones computed
+       on what survived the earlier stages — skip if None);
+    4. dedup: keep the minimum-id document per key — ``dedup_mode='exact'``
+       keys on sha256 of the (possibly stripped) text,
+       ``'fingerprint'`` on the min-k shingle fingerprint (near-dup
+       collapse, winnowing-lite), ``None`` skips;
+    5. :func:`deterministic_sample` with ``sample_fractions`` (skip if
+       None);
+    6. :func:`token_counts` + :func:`pack_shards` at ``budget_tokens``
+       (skip if None — then ``n_tokens``/``shard`` are absent).
+
+    Output: ``(id_col, key_col, lang_pred, quality, text[, n_tokens,
+    shard])``. Every stage is the already-gated operator above — this
+    function only fixes the composition order; each stage is a map, a
+    bounded-broadcast filter, or one hash-keyed shuffle, so the chain
+    scales exactly as its parts do."""
+    from pyspark.sql.window import Window
+
+    cur = language_id(df, text, id_col)
+    if langs is not None:
+        cur = cur.filter(F.col("lang_pred").isin(*langs))
+    cur = quality_score(cur, text, id_col)
+    if min_quality is not None:
+        cur = cur.filter(F.col("quality") >= min_quality)
+    cur = cur.select(id_col, key_col, "lang_pred", "quality", text)
+    if strip_df_ratio is not None:
+        stripped = strip_boilerplate(
+            cur, text=text, id_col=id_col, sep=" ",
+            max_df_ratio=strip_df_ratio,
+        ).select(id_col, text)
+        cur = cur.drop(text).join(stripped, id_col)
+    if dedup_mode is not None:
+        if dedup_mode == "exact":
+            key = F.sha2(F.col(text), 256)
+        elif dedup_mode == "fingerprint":
+            sh = F.array_distinct(shingles_col(tokens_col(text), fp_shingle_w))
+            key = F.array_join(
+                F.slice(F.array_sort(F.transform(sh, F.md5)), 1, fp_keep), "|")
+        else:
+            raise ValueError(
+                f"dedup_mode must be None, 'exact' or 'fingerprint', "
+                f"got {dedup_mode!r}")
+        w = Window.partitionBy(key).orderBy(id_col)
+        cur = (cur.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn"))
+    if sample_fractions is not None:
+        cur = deterministic_sample(
+            cur, sample_fractions, id_col=id_col, key_col=key_col,
+            default=sample_default)
+    if budget_tokens is not None:
+        counted = token_counts(cur, text, id_col)
+        shards = pack_shards(
+            counted, budget_tokens, id_col=id_col, tokens="n_tokens_re")
+        cur = cur.join(shards, id_col)
+    return cur
+
+
 def export_shards(
     df: DataFrame,
     budget_tokens: int,

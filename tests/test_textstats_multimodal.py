@@ -288,3 +288,82 @@ def test_export_shards_matches_python_oracle(spark):
         assert out[shard]["text"] == "|".join(texts[i] for i in members)
         assert out[shard]["n_docs"] == len(members)
         assert out[shard]["n_tokens"] == sum(toks[i] for i in members)
+
+
+def test_curate_full_pipeline_matches_python_oracle(spark):
+    """curate() == the stage-by-stage python computation: en filter,
+    quality floor, boilerplate strip over the FILTERED set, exact dedup
+    (min id per post-strip text), md5 sampling, shard assignment."""
+    import hashlib
+    import re
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "sA"),
+        (1, "the quick brown fox jumps over the lazy dog again and again", "sA"),
+        (2, "der hund und die katze sind nicht ein problem heute morgen", "sA"),
+        (3, "the little house by the river was quiet and warm inside it", "sB"),
+        (4, "x", "sB"),
+        (5, "the little house by the river was quiet and warm inside it", "sB"),
+        (6, "the wind and the rain came down hard on the roof at night", "sB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in textstats.curate(
+        df, langs=("en",), min_quality=0.4,
+        strip_df_ratio=0.9, dedup_mode="exact",
+        sample_fractions={"sA": 1.0}, sample_default=1.0,
+        budget_tokens=8,
+    ).collect()}
+
+    # python oracle ------------------------------------------------------
+    en_markers = {"the", "a", "of", "and", "to", "in", "is", "it"}
+    de_markers = {"der", "die", "das", "und", "ist", "nicht", "ein"}
+    sw = set(textstats.STOPWORDS_EN)
+
+    def stages():
+        kept = []
+        for did, text, src in rows:
+            t = text.lower().split()
+            cen = sum(1 for w in t if w in en_markers)
+            cde = sum(1 for w in t if w in de_markers)
+            if not (cen > 0 and cen >= cde):  # en wins ties over later langs
+                continue
+            n, nc = len(t), len(text)
+            na = len(re.sub("[^a-z]", "", text.lower()))
+            mean = sum(map(len, t)) / n
+            q = min(n / 20.0, 1.0) * (1.0 if 2 <= mean <= 12 else 0.3) \
+                * (0.5 + 0.5 * na / nc)
+            if q >= 0.4:
+                kept.append((did, text, src))
+        n_docs = len(kept)
+        dfreq = {}
+        for _, text, _ in kept:
+            for w in set(text.split(" ")):
+                dfreq[w] = dfreq.get(w, 0) + 1
+        boiler = {w for w, c in dfreq.items() if c >= 0.9 * n_docs}
+        stripped = [(d, " ".join(w for w in t.split(" ") if w not in boiler), s)
+                    for d, t, s in kept]
+        seen, dedup = set(), []
+        for d, t, s in sorted(stripped):
+            if t not in seen:
+                seen.add(t)
+                dedup.append((d, t, s))
+        return dedup
+
+    exp = stages()
+    assert sorted(got) == sorted(d for d, _, _ in exp)
+    texts = {d: t for d, t, _ in exp}
+    # shard = exclusive prefix sum of BPE-ish token counts // 8
+    run = 0
+    for d in sorted(got):
+        assert got[d]["text"] == texts[d]
+        assert got[d]["shard"] == run // 8
+        run += got[d]["n_tokens"]
+    # de doc filtered, dup doc 1 and 5 dropped, tiny doc 4 below quality
+    assert 2 not in got and 1 not in got and 5 not in got and 4 not in got
+
+
+def test_curate_bad_dedup_mode(spark):
+    df = spark.createDataFrame([(0, "a b", "s")],
+                               "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="dedup_mode"):
+        textstats.curate(df, dedup_mode="minhash")
