@@ -381,7 +381,7 @@ def strip_boilerplate(
     sep: str = "\n",
     max_df_ratio: float | None = None,
     max_df: int | None = None,
-    max_boilerplate: int = 100_000,
+    max_boilerplate: int = 10_000,
 ) -> DataFrame:
     """Corpus-frequency boilerplate removal (the CCNet/C4 pipeline step):
     split each document into segments on ``sep`` (lines for prose, any
@@ -400,11 +400,14 @@ def strip_boilerplate(
     times, so at most (avg segments/doc)/r distinct segments qualify.
     Tier 1 exploits that: ONE distinct-doc-count aggregation shuffle,
     collect the (tiny) offender set, and a map-side ``filter()`` over each
-    doc's segment array — the corpus itself never reshuffles. An absolute
-    ``max_df`` gives no such bound, so past ``max_boilerplate`` offenders
-    tier 2 runs fully distributed: posexplode → anti-join on segment →
-    regroup by doc (three shuffles, no driver materialization). Both tiers
-    are tested equal."""
+    doc's segment array — the corpus itself never reshuffles. The offender
+    set becomes an ``isin`` literal set (Catalyst compiles large ones to a
+    hash-set ``InSet``), so ``max_boilerplate`` also caps the PLAN size —
+    keep it in the thousands. An absolute ``max_df`` gives no bound at
+    all, so past ``max_boilerplate`` offenders tier 2 runs fully
+    distributed: posexplode → anti-join on segment → regroup by doc
+    (three shuffles, no driver materialization). Both tiers are tested
+    equal."""
     if (max_df_ratio is None) == (max_df is None):
         raise ValueError("give exactly one of max_df_ratio / max_df")
     if max_df_ratio is not None and not (0.0 < max_df_ratio <= 1.0):
