@@ -458,20 +458,22 @@ s AS (
   FROM f JOIN kept ON kept.doc_id = f.doc_id
 ),
 st AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          list_filter(regexp_split_to_array(lower(text), '\\s+'),
                      x -> x <> '') AS t
   FROM s
 ),
 fp AS (
   SELECT doc_id,
-    array_to_string(
-      list_sort(list_transform(
-        list_distinct(CASE WHEN len(t) >= 3
-          THEN list_transform(range(1, len(t) - 1),
-                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-          ELSE [] END), x -> md5(x)))[1:4],
-      '|') AS f
+    CASE WHEN len(t) >= 3 THEN
+      array_to_string(
+        list_sort(list_transform(
+          list_distinct(
+            list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+          x -> md5(x)))[1:4],
+        '|')
+    ELSE md5(text) END AS f
   FROM st
 ),
 dd AS (
@@ -508,12 +510,15 @@ FROM sm JOIN pk ON pk.doc_id = sm.doc_id
 _FINGERPRINT_SQL = f"""
 WITH{TOKS_CTE}
 SELECT doc_id,
-  array_to_string(
-    list_sort(list_transform(
-      list_distinct(CASE WHEN len(t) >= 3
-        THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-        ELSE [] END), s -> md5(s)))[1:4],
-    '|') AS fp
+  CASE WHEN len(t) >= 3 THEN
+    array_to_string(
+      list_sort(list_transform(
+        list_distinct(
+          list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+        s -> md5(s)))[1:4],
+      '|')
+  ELSE md5(text) END AS fp
 FROM toks
 """
 
@@ -1367,7 +1372,7 @@ def _q_text_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = textstats.curate(
         _docs(spark, sf_dir),
         langs=("en",), min_quality=0.9,
-        strip_df_ratio=0.8, dedup_mode="fingerprint",
+        strip_df_ratio=0.8, strip_sep=" ", dedup_mode="fingerprint",
         sample_fractions={"src0": 1.0, "src1": 0.25}, sample_default=0.5,
         budget_tokens=256,
     )

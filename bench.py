@@ -233,7 +233,8 @@ def main() -> None:
     queries["q_curate"] = best_of(
         2, lambda: textstats.curate(
             docs, langs=("en",), min_quality=0.9, strip_df_ratio=0.8,
-            dedup_mode="fingerprint", sample_fractions={"src0": 1.0},
+            strip_sep=" ", dedup_mode="fingerprint",
+            sample_fractions={"src0": 1.0},
             sample_default=0.5, budget_tokens=256).count())
 
     from open_source_search_engine_spark.operators.suggest import (

@@ -715,14 +715,13 @@ def dup_clusters(
             new.join(lbl.select("s", F.col("lbl").alias("old")), "s")
             .filter(F.col("lbl") != F.col("old")).count()
         )
-        lbl.unpersist()
+        # each round's superseded checkpoint RDD is reclaimed by the
+        # ContextCleaner once the python reference drops (unpersist() only
+        # covers cacheManager entries, not checkpoint blocks)
         lbl = new
         if changed == 0:
-            edges.unpersist()
             return lbl.select(F.col("s").alias("doc_id"),
                               F.col("lbl").alias("cluster_id"))
-    edges.unpersist()
-    lbl.unpersist()
     raise RuntimeError(
         f"dup_clusters did not converge in {max_iter} rounds "
         "(component diameter exceeds the guard)")

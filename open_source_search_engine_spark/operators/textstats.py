@@ -119,11 +119,18 @@ def fingerprint(
     """Min-k shingle fingerprint: the ``keep`` lexicographically smallest
     md5(shingle) digests joined with '|'. Two docs share a fingerprint iff
     their smallest-k shingle sets agree — a compact near-dup key (winnowing
-    without the window). Map-only; portable to SQL for the oracle gate."""
+    without the window). Map-only; portable to SQL for the oracle gate.
+
+    Documents too short to produce a shingle (< ``shingle_w`` tokens) fall
+    back to md5 of the raw text — otherwise every short doc would share the
+    empty fingerprint and a fingerprint-keyed dedup would silently collapse
+    unrelated documents into one."""
     sh = F.array_distinct(shingles_col(tokens_col(text), shingle_w))
-    fp = F.array_join(
-        F.slice(F.array_sort(F.transform(sh, F.md5)), 1, keep), "|"
-    )
+    fp = F.when(
+        F.size(sh) > 0,
+        F.array_join(F.slice(F.array_sort(F.transform(sh, F.md5)), 1, keep),
+                     "|"),
+    ).otherwise(F.md5(F.col(text)))
     return df.withColumn(out, fp)
 
 
@@ -262,6 +269,7 @@ def curate(
     langs: tuple[str, ...] | None = None,
     min_quality: float | None = None,
     strip_df_ratio: float | None = None,
+    strip_sep: str = "\n",
     dedup_mode: str | None = "exact",
     fp_shingle_w: int = 3,
     fp_keep: int = 4,
@@ -277,7 +285,10 @@ def curate(
        min_quality`` (skip if None);
     3. :func:`strip_boilerplate` at ``strip_df_ratio`` over the *filtered*
        corpus (the df statistics a later stage sees are the ones computed
-       on what survived the earlier stages — skip if None);
+       on what survived the earlier stages — skip if None); segments split
+       on ``strip_sep`` — newline (repeated LINES, the CCNet/C4 step) by
+       default; pass ``" "`` only for single-line corpora where word
+       granularity is the deliberate choice;
     4. dedup: keep the minimum-id document per key — ``dedup_mode='exact'``
        keys on sha256 of the (possibly stripped) text,
        ``'fingerprint'`` on the min-k shingle fingerprint (near-dup
@@ -303,29 +314,32 @@ def curate(
     cur = cur.select(id_col, key_col, "lang_pred", "quality", text)
     if strip_df_ratio is not None:
         stripped = strip_boilerplate(
-            cur, text=text, id_col=id_col, sep=" ",
+            cur, text=text, id_col=id_col, sep=strip_sep,
             max_df_ratio=strip_df_ratio,
         ).select(id_col, text)
         cur = cur.drop(text).join(stripped, id_col)
     if dedup_mode is not None:
         if dedup_mode == "exact":
-            key = F.sha2(F.col(text), 256)
+            cur = cur.withColumn("_key", F.sha2(F.col(text), 256))
         elif dedup_mode == "fingerprint":
-            sh = F.array_distinct(shingles_col(tokens_col(text), fp_shingle_w))
-            key = F.array_join(
-                F.slice(F.array_sort(F.transform(sh, F.md5)), 1, fp_keep), "|")
+            cur = fingerprint(cur, text, id_col, shingle_w=fp_shingle_w,
+                              keep=fp_keep, out="_key")
         else:
             raise ValueError(
                 f"dedup_mode must be None, 'exact' or 'fingerprint', "
                 f"got {dedup_mode!r}")
-        w = Window.partitionBy(key).orderBy(id_col)
+        w = Window.partitionBy("_key").orderBy(id_col)
         cur = (cur.withColumn("_rn", F.row_number().over(w))
-               .filter(F.col("_rn") == 1).drop("_rn"))
+               .filter(F.col("_rn") == 1).drop("_rn", "_key"))
     if sample_fractions is not None:
         cur = deterministic_sample(
             cur, sample_fractions, id_col=id_col, key_col=key_col,
             default=sample_default)
     if budget_tokens is not None:
+        # pin before the prefix-sum's eager action — pack_shards
+        # materializes `counted` once and the final join would otherwise
+        # re-execute the whole upstream chain (incl. the dedup shuffle)
+        cur = cur.localCheckpoint(eager=True)
         counted = token_counts(cur, text, id_col)
         shards = pack_shards(
             counted, budget_tokens, id_col=id_col, tokens="n_tokens_re")

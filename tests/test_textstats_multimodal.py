@@ -309,23 +309,24 @@ def test_curate_full_pipeline_matches_python_oracle(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     got = {r["doc_id"]: r for r in textstats.curate(
         df, langs=("en",), min_quality=0.4,
-        strip_df_ratio=0.9, dedup_mode="exact",
+        strip_df_ratio=0.9, strip_sep=" ", dedup_mode="exact",
         sample_fractions={"sA": 1.0}, sample_default=1.0,
         budget_tokens=8,
     ).collect()}
 
     # python oracle ------------------------------------------------------
-    en_markers = {"the", "a", "of", "and", "to", "in", "is", "it"}
-    de_markers = {"der", "die", "das", "und", "ist", "nicht", "ein"}
-    sw = set(textstats.STOPWORDS_EN)
-
     def stages():
         kept = []
         for did, text, src in rows:
             t = text.lower().split()
-            cen = sum(1 for w in t if w in en_markers)
-            cde = sum(1 for w in t if w in de_markers)
-            if not (cen > 0 and cen >= cde):  # en wins ties over later langs
+            # first-wins argmax over sorted langs — exactly language_id's
+            # tie rule (strictly-greater replaces, so 'de' beats 'en' ties)
+            best, bn = "und", 0
+            for lg in ("de", "en", "es", "fr"):
+                c = sum(1 for w in t if w in textstats.LANG_MARKERS[lg])
+                if c > bn:
+                    best, bn = lg, c
+            if best != "en":
                 continue
             n, nc = len(t), len(text)
             na = len(re.sub("[^a-z]", "", text.lower()))

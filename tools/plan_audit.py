@@ -101,8 +101,16 @@ def main() -> None:
         failures.append("export_shards plan contains a cartesian product")
     if "hashpartitioning(shard" not in p:
         failures.append("export_shards aggregation is not shard-keyed")
-    if "Sort [" in p and "global=true" in p.split("Sort [")[1][:200]:
-        failures.append("export_shards plan contains a global sort")
+    # a global sort prints as "(N) Sort" whose Arguments' second field is
+    # `true` (formatted explain has no "global=" label) — the exact shape a
+    # single-partition SUM() OVER (ORDER BY) regression would introduce
+    import re as _re
+
+    for m in _re.finditer(r"\(\d+\) Sort\b", p):
+        args = p[m.end():m.end() + 400].split("Arguments: ", 1)
+        if len(args) > 1 and _re.match(r"\[[^\]]*\], true", args[1]):
+            failures.append("export_shards plan contains a global sort")
+            break
 
     # 8: incremental dedup exact tier — anti-join against the distinct
     # seen-hash set, never a cartesian; the corpus side is scanned once
