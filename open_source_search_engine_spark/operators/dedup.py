@@ -727,9 +727,29 @@ def dup_clusters(
         "(component diameter exceeds the guard)")
 
 
+def shingle_table(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Exploded distinct n-gram shingle table ``(doc_id, sh)`` — the
+    artifact an incremental-dedup pipeline PERSISTS for the already-seen
+    corpus so each new snapshot only shingles ITS OWN documents. Write the
+    result partitioned/bucketed by ``sh`` and hand it back to
+    :func:`dedup_against` via ``seen_shingles=`` on every later run."""
+    return _fanout(df).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_col(tokens_col(text), n))
+        ).alias("sh"),
+    )
+
+
 def dedup_against(
     new: DataFrame,
-    seen: DataFrame,
+    seen: DataFrame | None,
     text: str = "text",
     id_col: str = "doc_id",
     *,
@@ -737,6 +757,7 @@ def dedup_against(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    seen_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (cross-corpus) dedup: drop rows of ``new`` that duplicate
     a document in an already-ingested ``seen`` corpus — the "new snapshot vs
@@ -749,14 +770,20 @@ def dedup_against(
     corpus boundary (new×seen shingle join; never new×new or seen×seen),
     drop a new doc when any seen doc reaches ``threshold``. ``max_df``
     prunes hot shingles before the join exactly as in
-    :func:`ngram_jaccard_pairs`; at 100 TB the seen side's shingle table is
-    the thing to pre-compute and persist between snapshots."""
+    :func:`ngram_jaccard_pairs`. At 100 TB don't re-shingle the seen
+    corpus every snapshot: persist :func:`shingle_table` once and pass it
+    as ``seen_shingles=`` (then ``seen`` may be None) — the per-snapshot
+    cost becomes shingling the NEW slice plus the join."""
     if method == "exact":
+        if seen is None:
+            raise ValueError("method='exact' needs the seen corpus")
         seen_hashes = seen.select(F.sha2(F.col(text), 256).alias("_h")).distinct()
         return new.join(
             seen_hashes, F.sha2(new[text], 256) == F.col("_h"), "left_anti")
     if method != "ngram":
         raise ValueError(f"method must be 'exact' or 'ngram', got {method!r}")
+    if seen is None and seen_shingles is None:
+        raise ValueError("give seen or seen_shingles")
 
     def _shingles(df: DataFrame, tag: str) -> DataFrame:
         return _fanout(df).select(
@@ -767,7 +794,11 @@ def dedup_against(
         )
 
     a0 = a = _pin(_shingles(new, "new"))
-    b0 = b = _pin(_shingles(seen, "seen"))
+    if seen_shingles is not None:
+        b0 = b = _pin(seen_shingles.select(
+            F.col(id_col).alias("_id_seen"), "sh"))
+    else:
+        b0 = b = _pin(_shingles(seen, "seen"))
     try:
         if max_df is not None:
             hot = (

@@ -362,3 +362,26 @@ def test_dedup_against_max_df_guard_and_bad_method(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="method"):
         dedup.dedup_against(new, seen, method="simhash")
+
+
+def test_dedup_against_precomputed_shingles_equal(spark):
+    """seen_shingles= (the persisted artifact path) must reproduce the
+    from-text computation exactly; seen may then be None."""
+    seen = spark.createDataFrame(
+        [(100, "a b c d e f g h"), (101, "m n o p q r")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(0, "a b c d e f g h"), (1, "zz yy xx ww"), (2, "m n o p q r s")],
+        "doc_id long, text string")
+    direct = sorted(r["doc_id"] for r in dedup.dedup_against(
+        new, seen, method="ngram", threshold=0.5).collect())
+    tbl = dedup.shingle_table(seen)
+    via_tbl = sorted(r["doc_id"] for r in dedup.dedup_against(
+        new, None, method="ngram", threshold=0.5,
+        seen_shingles=tbl).collect())
+    assert direct == via_tbl
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="seen"):
+        dedup.dedup_against(new, None, method="ngram")
+    with _pytest.raises(ValueError, match="seen"):
+        dedup.dedup_against(new, None, method="exact")

@@ -368,3 +368,47 @@ def test_curate_bad_dedup_mode(spark):
                                "doc_id long, text string, source string")
     with pytest.raises(ValueError, match="dedup_mode"):
         textstats.curate(df, dedup_mode="minhash")
+
+
+def test_strip_boilerplate_property_vs_python_oracle(spark):
+    """Randomized corpora: both tiers == the python computation (df counted
+    once per doc, order preserved, empty docs kept)."""
+    import random
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    for trial in range(4):
+        rows = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randrange(1, 9))))
+                for i in range(rng.randrange(3, 18))]
+        n_docs = len(rows)
+        ratio = rng.choice([0.3, 0.5, 0.8])
+        dfreq = {}
+        for _, t in rows:
+            for w in set(t.split(" ")):
+                dfreq[w] = dfreq.get(w, 0) + 1
+        boiler = {w for w, c in dfreq.items() if c >= ratio * n_docs}
+        exp = {}
+        for i, t in rows:
+            segs = t.split(" ")
+            kept = [w for w in segs if w not in boiler]
+            exp[i] = (" ".join(kept), len(segs), len(segs) - len(kept))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for cap in (10_000, 0):  # tier 1, then forced tier 2
+            got = {r["doc_id"]: (r["text"], r["n_segments"], r["n_removed"])
+                   for r in textstats.strip_boilerplate(
+                       df, sep=" ", max_df_ratio=ratio,
+                       max_boilerplate=cap).collect()}
+            assert got == exp, f"trial={trial} cap={cap} ratio={ratio}"
+
+
+def test_fingerprint_short_docs_do_not_collide(spark):
+    """Docs too short to shingle fall back to md5(text) — distinct short
+    docs must NOT share a fingerprint (the empty-fp collapse bug)."""
+    rows = [(0, "cat"), (1, "dog"), (2, "cat"), (3, "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["fp"]
+           for r in textstats.fingerprint(df, shingle_w=3).collect()}
+    assert got[0] == got[2] != got[1]
+    assert all(v != "" for v in got.values())
+    assert got[3] != got[0]
