@@ -300,6 +300,16 @@ def main() -> None:
         "metric": "index_build_plus_query_suite_steady_state",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
+        # cross-round comparable: the round-2 item set only, so a growing
+        # suite (new ops each round) can't read as a regression of "value"
+        "core_suite_s": round(sum(
+            queries[k] for k in (
+                "q_bm25_topk", "q_bm25_and3", "q_bm25_phrase",
+                "q_bm25_phrase3", "q_bm25_not", "q_bm25_boolean",
+                "q_bm25_site", "q_dedup_minhash", "q_dedup_simhash",
+                "q_ann_brute", "q_text_stats", "q_suggest",
+                "index_build", "compaction",
+            ) if k in queries), 3),
         "harness_wall_s": round(total, 3),
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
