@@ -1209,6 +1209,23 @@ def _q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.apply_dedup(docs, clusters).select("doc_id", "source")
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest planning: classify docs across two snapshots.
+    The new snapshot is derived deterministically — ids %17==0 removed,
+    ids %10==0 content-bumped, ids %13==0 re-added under shifted ids."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .withColumn("text", F.when(F.col("doc_id") % 10 == 0,
+                                   F.concat(F.col("text"), F.lit(" v2")))
+                    .otherwise(F.col("text")))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 100000))
+    )
+    return dedup.snapshot_diff(docs, new)
+
+
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: the src3 slice plays the NEW snapshot, the rest
     of the corpus is the already-ingested SEEN set; a new doc is dropped
@@ -2094,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": _q_dedup_apply,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_streaming_exact": _q_dedup_streaming_exact,
+        "snapshot_diff": _q_snapshot_diff,
         "dedup_decontaminate": _q_dedup_decontaminate,
         # --- similarity search ---
         "embedding_cosine_all": _q_embedding_cosine_all,
@@ -2375,6 +2393,23 @@ SELECT sha256(text) AS content_sha256,
        min(doc_id) AS canonical_doc_id,
        count(*)::BIGINT AS n_copies
 FROM documents GROUP BY 1
+""",
+        "snapshot_diff": """
+WITH new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 13 = 0
+),
+o AS (SELECT doc_id, sha256(text) AS h FROM documents),
+n AS (SELECT doc_id, sha256(text) AS h FROM new)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """,
         # decontamination: distinct 3-gram containment vs the src3
         # benchmark set; zero-hit docs still appear (flag mode keeps the

@@ -834,6 +834,36 @@ def dedup_against(
         b0.unpersist()
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classify every document across two corpus snapshots:
+    ``added`` (id only in new), ``removed`` (only in old), ``changed``
+    (both, content sha differs), ``unchanged`` — the planning step of an
+    incremental ingest: feed ``added ∪ changed`` to the index build
+    (`streaming.incremental.append_generation` / ``reindex``) and
+    ``removed`` to ``delete_docs`` instead of re-processing the snapshot.
+
+    One full-outer join keyed on ``id_col`` comparing content hashes —
+    shuffle ∝ corpus ids + two 64-byte hash columns, never the text
+    payloads twice (hashes are computed map-side before the join)."""
+    o = old.select(F.col(id_col), F.sha2(F.col(text), 256).alias("_ho"))
+    n = new.select(F.col(id_col), F.sha2(F.col(text), 256).alias("_hn"))
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(
+            id_col,
+            F.when(F.col("_ho").isNull(), F.lit("added"))
+            .when(F.col("_hn").isNull(), F.lit("removed"))
+            .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+            .otherwise(F.lit("unchanged")).alias("status"),
+        )
+    )
+
+
 def apply_dedup(
     df: DataFrame,
     clusters: DataFrame,

@@ -385,3 +385,15 @@ def test_dedup_against_precomputed_shingles_equal(spark):
         dedup.dedup_against(new, None, method="ngram")
     with _pytest.raises(ValueError, match="seen"):
         dedup.dedup_against(new, None, method="exact")
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in dedup.snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
