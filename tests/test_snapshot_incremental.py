@@ -1,0 +1,79 @@
+"""snapshot_diff drives the incremental index lifecycle end to end:
+classify v1→v2, delete the removed, append the added+changed as one
+generation, compact + rebuild_stats — the served results must be
+bit-identical to a fresh build of v2 (same docids, same BM25 scores)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.corpus import (
+    CORPUS_SCHEMA_DDL, make_corpus_rows,
+)
+from open_source_search_engine_spark.operators import dedup
+from open_source_search_engine_spark.operators.index_build import (
+    build_index, compact_segments, delete_docs, rebuild_stats,
+    with_doc_identity,
+)
+from open_source_search_engine_spark.streaming.incremental import (
+    append_generation,
+)
+
+MARK = "snapv2_marker_token"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+         for r in rows], CORPUS_SCHEMA_DDL)
+
+
+def _page(spark, idx, q, k=1000):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    return [(r["docid"], r["score"]) for r in topk(spark, idx, q, k).collect()]
+
+
+def test_snapshot_diff_drives_incremental_index(spark, tmp_path):
+    rows_v1 = make_corpus_rows(100)
+    extra = make_corpus_rows(108)[100:]          # 8 brand-new docs
+    rows_v2 = []
+    for i, r in enumerate(rows_v1):
+        if i % 9 == 0:
+            continue                              # removed
+        if i % 7 == 0:
+            r = dict(r, content=r["content"] + f"\n{MARK} = 1;")  # changed
+        rows_v2.append(r)
+    rows_v2 += extra
+
+    v1, v2 = _df(spark, rows_v1), _df(spark, rows_v2)
+    idx_inc = str(tmp_path / "idx_inc")
+    idx_fresh = str(tmp_path / "idx_fresh")
+    build_index(spark, v1, idx_inc, n_chunks=1)
+
+    # classify, then touch ONLY what changed
+    o = with_doc_identity(v1).select("docid", "content")
+    n = with_doc_identity(v2).select("docid", "content")
+    diff = dedup.snapshot_diff(o, n, text="content", id_col="docid")
+    by_status = {s: [r["docid"] for r in g] for s, g in
+                 __import__("itertools").groupby(
+                     sorted(diff.collect(), key=lambda r: r["status"]),
+                     key=lambda r: r["status"])}
+    assert len(by_status["removed"]) == 12        # %9==0 indices in 0..99
+    assert len(by_status["added"]) == 8
+    # %7==0 indices in 0..99 = 15, minus the two (%63==0: 0, 63) already removed
+    assert len(by_status["changed"]) == 13
+
+    upsert_ids = set(by_status["added"]) | set(by_status.get("changed", []))
+    delete_docs(spark, idx_inc, by_status["removed"])
+    upsert = (with_doc_identity(v2)
+              .filter(F.col("docid").isin(*upsert_ids))
+              .select("repo", "path", "commit", "lang", "content"))
+    assert upsert.count() == len(upsert_ids)
+    append_generation(spark, upsert, idx_inc, batch_id=90)
+    compact_segments(spark, idx_inc)
+    rebuild_stats(spark, idx_inc)
+
+    build_index(spark, v2, idx_fresh, n_chunks=1)
+
+    for q in (MARK, "binary search", "hash table", "value"):
+        assert _page(spark, idx_inc, q) == _page(spark, idx_fresh, q), q
