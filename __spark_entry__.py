@@ -888,10 +888,14 @@ def _shortcuts_sql(w1: str = _RANKER_W1, w2: str = _RANKER_W2,
     SQL can't express); at sf0.01 no tie straddles the {cap} boundary for
     either term (verified: the tied tfnorm values at the boundary sit
     entirely inside the kept set), so the truncated SET — and therefore
-    this oracle — is tie-break independent. The attached bigram's df (27)
-    is under the threshold, so its list is untruncated."""
+    this oracle — is tie-break independent. The same rule applies to the
+    ATTACHED BIGRAM term: under the threshold (df 27 at sf0.01) its list
+    is untruncated; past it (df 286 at sf0.1) the engine serves only the
+    bigram's top-{cap}, so a doc outside it scores WITHOUT the bigram
+    contribution — the oracle truncates the bigram identically."""
     c = _two_word_contribs()
     tfn_sel = _TFNORM.format(tf="tf.tf", dl="dl2.dl", avgdl="b.avgdl")
+    tfn_big = _TFNORM.format(tf="g.tf", dl="dl3.dl", avgdl="b.avgdl")
     return f"""{_two_word_bigram_ctes(w1, w2)},
 selsc AS (SELECT tf.doc_id, tf.tok, {tfn_sel} AS s
           FROM tf JOIN dl dl2 ON dl2.doc_id = tf.doc_id CROSS JOIN base b),
@@ -899,13 +903,25 @@ keep AS (SELECT doc_id, tok FROM (
            SELECT s.doc_id, s.tok, dd.df,
                   row_number() OVER (PARTITION BY s.tok ORDER BY s.s DESC) AS rn
            FROM selsc s JOIN dfs dd ON dd.tok = s.tok)
-         WHERE df < {df_threshold} OR rn <= {cap})
+         WHERE df < {df_threshold} OR rn <= {cap}),
+bigkeep AS (SELECT doc_id FROM (
+              SELECT g.doc_id, bd.df,
+                     row_number() OVER (ORDER BY {tfn_big} DESC) AS rn
+              FROM big g JOIN dl dl3 ON dl3.doc_id = g.doc_id
+              CROSS JOIN base b CROSS JOIN bigdf bd)
+            WHERE df < {df_threshold} OR rn <= {cap})
 SELECT d.doc_id,
        round({' + '.join(c)}, 4) AS score_r,
        sha256(t2.text) AS content_sha256
 FROM dl d
 CROSS JOIN base b
-{_two_word_joins(w1, w2)}
+JOIN tf f0 ON f0.doc_id = d.doc_id AND f0.tok = '{w1}'
+CROSS JOIN (SELECT df FROM dfs WHERE tok = '{w1}') x0
+JOIN tf f1 ON f1.doc_id = d.doc_id AND f1.tok = '{w2}'
+CROSS JOIN (SELECT df FROM dfs WHERE tok = '{w2}') x1
+LEFT JOIN (SELECT g.* FROM big g JOIN bigkeep kb ON kb.doc_id = g.doc_id) bg
+       ON bg.doc_id = d.doc_id
+CROSS JOIN bigdf bd
 JOIN keep k0 ON k0.doc_id = d.doc_id AND k0.tok = '{w1}'
 JOIN keep k1 ON k1.doc_id = d.doc_id AND k1.tok = '{w2}'
 JOIN documents t2 ON t2.doc_id = d.doc_id
