@@ -69,7 +69,8 @@ def main() -> int:
 
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .appName("oracle-check").getOrCreate()
