@@ -228,6 +228,29 @@ def main() -> None:
             docs, sep=" ", max_df_ratio=0.8)
         .agg(F.sum("n_removed"), F.count("*")).collect())
 
+    # incremental (cross-corpus) dedup: new snapshot (src3) vs seen corpus,
+    # from text and again from the precomputed seen-shingle artifact (the
+    # between-snapshots steady state)
+    _new = docs.filter(F.col("source") == "src3")
+    _seen = docs.filter(F.col("source") != "src3")
+    queries["q_dedup_incremental"] = best_of(
+        2, lambda: dedup.dedup_against(
+            _new, _seen, method="ngram", threshold=0.5).count())
+    # best_of clears the cache between trials, which would evict the
+    # artifact — re-pin before each timed call (pin cost is NOT timed;
+    # between real snapshots the artifact sits in storage)
+    _precomp_ts = []
+    for _ in range(2):
+        _seen_sh = dedup.shingle_table(_seen).persist()
+        _seen_sh.count()
+        t0 = time.time()
+        dedup.dedup_against(_new, None, method="ngram", threshold=0.5,
+                            seen_shingles=_seen_sh).count()
+        _precomp_ts.append(time.time() - t0)
+        _seen_sh.unpersist()
+        spark.catalog.clearCache()
+    queries["q_dedup_incremental_precomp"] = round(min(_precomp_ts), 3)
+
     # the full curation chain (langid -> quality -> strip -> fingerprint
     # dedup -> sample -> shard assignment) as one composed run
     queries["q_curate"] = best_of(
