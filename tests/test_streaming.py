@@ -197,3 +197,40 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
                streaming_exact_dedup(stream), "t_stream_dedup",
                str(tmp_path / "ckpt")).collect()}
     assert got == batch
+
+
+def test_streaming_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """The bounded-state alternative streaming_exact_dedup's docstring
+    routes unbounded streams to: dropDuplicatesWithinWatermark on the
+    content hash keeps ONE row per duplicate group arriving within the
+    watermark horizon, across micro-batches."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [(i, base + dt.timedelta(seconds=i), "text %d" % (i % 5))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    src = str(tmp_path / "docs")
+    df.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("content_sha256", F.sha2("text", 256))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["content_sha256"])
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("t_wm_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_wm_dedup").collect()
+    # 5 distinct texts, all arrivals within the 1h horizon -> one row each
+    assert len(got) == 5
+    assert len({r["content_sha256"] for r in got}) == 5
