@@ -1439,6 +1439,30 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
 
 
+_TERMCHECK_TERMS = {"hash": 10, "vector": 15, "table": 5, "binary": 8,
+                    "search": 4}
+_TERMCHECK_PHRASES = {"hash table": 20, "binary search": 25}
+_TERMCHECK_TH = {"score": 20, "words": 3, "phrases": 2}
+
+
+def _q_text_termcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored-term-list doc classification (FxCheckSpam/FxTermCheckList
+    analog, /root/reference/FxTermCheckList.cpp:119-230): per-doc unique
+    matched words + bigram phrases scored against a literal list, flag rule
+    score>=T OR words>W OR phrases>=P (FxCheckSpam.cpp:219-221). Pure map —
+    no shuffle at any corpus size."""
+    from open_source_search_engine_spark.operators.termcheck import termcheck
+
+    out = termcheck(
+        _docs(spark, sf_dir), _TERMCHECK_TERMS,
+        phrase_scores=_TERMCHECK_PHRASES, thresholds=_TERMCHECK_TH,
+    )
+    return out.select(
+        "doc_id", "check_score", "check_words", "check_phrases",
+        F.col("check_flagged").cast("int").alias("check_flagged_i"),
+    )
+
+
 def _q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing gate: documents text as opaque payload bytes →
     Arrow-batched feature extraction (sha256 + byte length)."""
@@ -2146,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_export_shards": _q_text_export_shards,
         "text_curate": _q_text_curate,
         "text_fingerprint": _q_text_fingerprint,
+        "text_termcheck": _q_text_termcheck,
         # --- multimodal plumbing ---
         "multimodal_bytes": _q_multimodal_bytes,
         # --- relational analytics ---
@@ -2571,6 +2596,34 @@ SELECT shard,
 FROM p GROUP BY shard
 """,
         "text_fingerprint": _FINGERPRINT_SQL,
+        "text_termcheck": f"""
+WITH{TOKS_CTE},
+u AS (
+  SELECT doc_id,
+         list_distinct(t) AS uw,
+         list_distinct(list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1])) AS up
+  FROM toks
+),
+s AS (
+  SELECT doc_id,
+    (coalesce(list_sum(list_transform(uw, x -> CASE x
+        WHEN 'hash' THEN 10 WHEN 'vector' THEN 15 WHEN 'table' THEN 5
+        WHEN 'binary' THEN 8 WHEN 'search' THEN 4 ELSE 0 END)), 0)
+     + coalesce(list_sum(list_transform(up, x -> CASE x
+        WHEN 'hash table' THEN 20 WHEN 'binary search' THEN 25
+        ELSE 0 END)), 0))::INT AS check_score,
+    len(list_filter(uw, x -> x IN
+        ('hash','vector','table','binary','search')))::INT AS check_words,
+    len(list_filter(up, x -> x IN
+        ('hash table','binary search')))::INT AS check_phrases
+  FROM u
+)
+SELECT doc_id, check_score, check_words, check_phrases,
+       (CASE WHEN check_score >= 20 OR check_words > 3 OR check_phrases >= 2
+             THEN 1 ELSE 0 END)::INT AS check_flagged_i
+FROM s
+""",
         "multimodal_bytes": """
 SELECT doc_id AS media_id,
        octet_length(encode(text))::BIGINT AS n_bytes,

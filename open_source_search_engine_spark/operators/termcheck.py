@@ -1,0 +1,128 @@
+"""Scored-term-list document classification (TermCheckList analog).
+
+The reference classifies documents against scored term lists: FxCheckSpam /
+FxCheckAdult build one shared unique-termId table per document, walk body,
+meta-tag and URL tokens, and for each FIRST occurrence of a listed word (or
+bigram phrase) add its score (/root/reference/FxTermCheckList.cpp:119-230 —
+``getScore``; callers /root/reference/FxCheckSpam.cpp:115-226,
+/root/reference/FxCheckAdult.cpp). The flag decision is
+``score >= T  OR  unique_matched_words > W  OR  unique_matched_phrases >= P``
+with (T, W, P) = (20, 7, 3) for spam and (30, 7, 3) for adult
+(FxCheckSpam.cpp:219-221, FxCheckAdult.cpp:406-408).
+
+This module re-expresses that as one pure map operator (built-in column
+expressions only — JVM codegen, zero shuffles, zero Python): the scored term
+list becomes a literal map broadcast in the plan, per-document uniqueness is
+``array_distinct`` over the concatenated per-field token arrays (the shared
+``uniqueTermIds`` hash table analog — a word seen in the body is NOT
+re-counted from the URL), and the score is a map-lookup fold. For a
+training-data pipeline this is the blocklist/safety-wordlist filtering stage
+(the same shape as C4's bad-words filter); term lists of any realistic size
+(10^2..10^5 entries) ride the plan as literals or a broadcast join, so the
+corpus never shuffles at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import shingles_col, tokens_col
+
+# The reference's spam decision constants (FxCheckSpam.cpp:219-221).
+SPAM_THRESHOLDS = {"score": 20, "words": 7, "phrases": 3}
+# FxCheckAdult.cpp:406-408 — same rule, higher score bar.
+ADULT_THRESHOLDS = {"score": 30, "words": 7, "phrases": 3}
+
+
+def _score_fold(uniq: Column, scores: dict[str, int]) -> Column:
+    """Sum of map-lookup scores over an array of unique tokens (JVM fold)."""
+    if not scores:
+        return F.lit(0)
+    pairs: list[Column] = []
+    for k in sorted(scores):
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(int(scores[k])))
+    m = F.create_map(*pairs)
+    return F.aggregate(
+        uniq,
+        F.lit(0),
+        lambda acc, t: acc + F.coalesce(m[t], F.lit(0)),
+    )
+
+
+def _match_count(uniq: Column, scores: dict[str, int]) -> Column:
+    if not scores:
+        return F.lit(0)
+    keys = sorted(scores)
+    return F.size(F.filter(uniq, lambda t: t.isin(*keys)))
+
+
+def termcheck(
+    df: DataFrame,
+    term_scores: dict[str, int],
+    *,
+    phrase_scores: dict[str, int] | None = None,
+    text: str = "text",
+    extra_fields: tuple[str, ...] = (),
+    thresholds: dict[str, int] | None = None,
+    prefix: str = "check",
+) -> DataFrame:
+    """Score ``df`` against a scored term list; add score/count/flag columns.
+
+    Parameters mirror the reference mechanics:
+
+    - ``term_scores``    — word → integer score (the loadScoredTermList file).
+    - ``phrase_scores``  — two-word phrase → score (the bigram phraseId tier).
+    - ``text``           — body column; ``extra_fields`` are additional text
+      columns (the meta/URL passes) sharing ONE uniqueness set with the body,
+      exactly like the reference's shared ``uniqueTermIds`` table.
+    - ``thresholds``     — {"score": T, "words": W, "phrases": P}; the flag is
+      ``score >= T OR words > W OR phrases >= P`` (FxCheckSpam.cpp:219-221).
+      Defaults to the spam rule.
+
+    Output columns: ``{prefix}_score``, ``{prefix}_words``,
+    ``{prefix}_phrases`` (unique matched words / bigrams) and
+    ``{prefix}_flagged``.
+    """
+    if not term_scores and not phrase_scores:
+        raise ValueError("termcheck: at least one scored list is required")
+    th = dict(SPAM_THRESHOLDS)
+    th.update(thresholds or {})
+    phrase_scores = phrase_scores or {}
+
+    tok_arrays = [tokens_col(text)] + [tokens_col(c) for c in extra_fields]
+    all_toks = tok_arrays[0]
+    for extra in tok_arrays[1:]:
+        all_toks = F.concat(all_toks, extra)
+    uniq_words = F.array_distinct(all_toks)
+
+    # Bigram phrases per field (phrases never straddle field boundaries —
+    # the reference builds a fresh Phrases object per field), unified into
+    # one distinct set for cross-field uniqueness.
+    if phrase_scores:
+        ph_arrays = [shingles_col(t, 2) for t in tok_arrays]
+        all_ph = ph_arrays[0]
+        for extra in ph_arrays[1:]:
+            all_ph = F.concat(all_ph, extra)
+        uniq_phrases = F.array_distinct(all_ph)
+    else:
+        uniq_phrases = F.array().cast("array<string>")
+
+    score = (
+        _score_fold(uniq_words, term_scores)
+        + _score_fold(uniq_phrases, phrase_scores)
+    )
+    n_words = _match_count(uniq_words, term_scores)
+    n_phrases = _match_count(uniq_phrases, phrase_scores)
+
+    out = (
+        df.withColumn(f"{prefix}_score", score)
+        .withColumn(f"{prefix}_words", n_words)
+        .withColumn(f"{prefix}_phrases", n_phrases)
+    )
+    flagged = (
+        (F.col(f"{prefix}_score") >= F.lit(int(th["score"])))
+        | (F.col(f"{prefix}_words") > F.lit(int(th["words"])))
+        | (F.col(f"{prefix}_phrases") >= F.lit(int(th["phrases"])))
+    )
+    return out.withColumn(f"{prefix}_flagged", flagged)

@@ -1,0 +1,114 @@
+"""Scored-term-list classification (FxTermCheckList/FxCheckSpam analog).
+
+Python oracle mirrors /root/reference/FxTermCheckList.cpp:119-230: one shared
+uniqueness set across all fields, score added on FIRST occurrence only, the
+decision rule from FxCheckSpam.cpp:219-221.
+"""
+
+import pytest
+
+TERMS = {"alpha": 10, "beta": 15, "gamma": 5}
+PHRASES = {"alpha beta": 20, "beta gamma": 7}
+
+
+def _oracle(fields, term_scores, phrase_scores):
+    toks_per_field = [[t for t in f.lower().split() if t] for f in fields]
+    seen = set()
+    uniq_words = []
+    for toks in toks_per_field:
+        for t in toks:
+            if t not in seen:
+                seen.add(t)
+                uniq_words.append(t)
+    seen_p = set()
+    uniq_phrases = []
+    for toks in toks_per_field:
+        for i in range(len(toks) - 1):
+            p = toks[i] + " " + toks[i + 1]
+            if p not in seen_p:
+                seen_p.add(p)
+                uniq_phrases.append(p)
+    score = sum(term_scores.get(w, 0) for w in uniq_words) + sum(
+        phrase_scores.get(p, 0) for p in uniq_phrases
+    )
+    nw = sum(1 for w in uniq_words if w in term_scores)
+    np_ = sum(1 for p in uniq_phrases if p in phrase_scores)
+    return score, nw, np_
+
+
+def _run(spark, rows, **kw):
+    from open_source_search_engine_spark.operators.termcheck import termcheck
+
+    df = spark.createDataFrame(rows, "doc_id string, text string, url string")
+    out = termcheck(df, TERMS, phrase_scores=PHRASES, **kw)
+    return {
+        r["doc_id"]: (
+            r["check_score"], r["check_words"], r["check_phrases"],
+            r["check_flagged"],
+        )
+        for r in out.collect()
+    }
+
+
+def test_scores_match_reference_mechanics(spark):
+    rows = [
+        ("d1", "alpha beta gamma alpha beta", ""),
+        ("d2", "Alpha ALPHA alpha", ""),          # unique: one alpha
+        ("d3", "nothing matches here at all", ""),
+        ("d4", "", ""),
+        ("d5", "beta gamma beta gamma beta", ""),
+    ]
+    got = _run(spark, rows)
+    for doc_id, text, url in rows:
+        score, nw, np_ = _oracle([text, url], TERMS, PHRASES)
+        assert got[doc_id][:3] == (score, nw, np_), doc_id
+
+
+def test_uniqueness_shared_across_fields(spark):
+    # 'alpha' in both body and url must count ONCE (the shared uniqueTermIds
+    # table, FxCheckSpam.cpp:115 — one table passed to every getScore call).
+    got = _run(spark, [("d", "alpha beta", "alpha gamma")],
+               extra_fields=("url",))
+    score, nw, np_ = _oracle(["alpha beta", "alpha gamma"], TERMS, PHRASES)
+    assert got["d"][:3] == (score, nw, np_)
+    # phrase 'beta alpha' must NOT form across the field boundary
+    assert "beta alpha" not in PHRASES  # (guard for the fixture itself)
+    got2 = _run(spark, [("d", "alpha beta", "gamma beta")],
+                extra_fields=("url",))
+    # body: alpha(10)+beta(15)+'alpha beta'(20); url adds gamma(5),
+    # 'gamma beta' unscored -> 50
+    assert got2["d"][0] == 50
+
+
+def test_flag_rule(spark):
+    # score >= T OR words > W OR phrases >= P   (FxCheckSpam.cpp:219-221)
+    th = {"score": 25, "words": 2, "phrases": 2}
+    rows = [
+        ("hi_score", "alpha beta", ""),        # 10+15+20 = 45 >= 25
+        ("hi_words", "alpha gamma x", ""),     # score 15 < 25, words 2 !> 2
+        ("hi_words2", "alpha gamma beta x y alpha", ""),  # words 3 > 2
+        ("lo", "gamma only", ""),              # 5, 1 word
+    ]
+    got = _run(spark, rows, thresholds=th)
+    assert got["hi_score"][3] is True
+    assert got["hi_words"][3] is False
+    assert got["hi_words2"][3] is True
+    assert got["lo"][3] is False
+
+
+def test_empty_lists_rejected(spark):
+    from open_source_search_engine_spark.operators.termcheck import termcheck
+
+    df = spark.createDataFrame([("d", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        termcheck(df, {})
+
+
+def test_words_only_no_phrases(spark):
+    from open_source_search_engine_spark.operators.termcheck import termcheck
+
+    df = spark.createDataFrame(
+        [("d", "alpha beta alpha")], "doc_id string, text string"
+    )
+    r = termcheck(df, TERMS).collect()[0]
+    assert r["check_score"] == 25 and r["check_phrases"] == 0
