@@ -1268,6 +1268,16 @@ def _q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "contaminated_ngrams", "contaminated")
 
 
+def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring pairs (the suffix-array training-data-dedup
+    analog): docs sharing any exact 48-char window, found via rolling-hash
+    window fingerprints + one equi-join (winnow=1 = exact tier; the
+    winnowing tier is pytest-gated against the detection guarantee)."""
+    return dedup.substring_pairs(
+        _docs(spark, sf_dir), min_len=48, winnow=1, max_df=1000,
+    ).select("id_a", "id_b", "n_shared")
+
+
 def _query_vec(spark: SparkSession, sf_dir: str):
     return (
         _emb(spark, sf_dir).filter(F.col("vec_id") == 0)
@@ -2153,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_streaming_exact": _q_dedup_streaming_exact,
         "snapshot_diff": _q_snapshot_diff,
         "dedup_decontaminate": _q_dedup_decontaminate,
+        "dedup_substring": _q_dedup_substring,
         # --- similarity search ---
         "embedding_cosine_all": _q_embedding_cosine_all,
         "embedding_topk": _q_embedding_topk,
@@ -2480,6 +2491,22 @@ SELECT dd.doc_id,
        coalesce(h.n, 0) >= 1 AS contaminated
 FROM documents dd LEFT JOIN hits h ON h.doc_id = dd.doc_id
 WHERE dd.source <> 'src3'
+""",
+        # pairs sharing >=1 exact 48-char window; n_shared = DISTINCT shared
+        # windows (Spark counts distinct shared rolling-hash fps — equal up
+        # to 2^-64 collisions, and the verifier re-compares bytes)
+        "dedup_substring": r"""
+WITH w AS (
+  SELECT DISTINCT doc_id, win FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(text) - 48 + 2),
+                                 i -> substr(text, i, 48))) AS win
+    FROM documents
+  )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+GROUP BY 1, 2
 """,
         "embedding_cosine_all": f"""
 WITH {_EMB_CTE}

@@ -881,3 +881,176 @@ def apply_dedup(
         F.col("doc_id") != F.col("cluster_id")
     ).select(F.col("doc_id").alias(id_col))
     return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Exact shared-substring dedup (character-window fingerprints + winnowing)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_BASE = np.uint64(0x100000001B3)  # odd -> invertible mod 2^64
+
+
+def _splitmix_fin(x: "np.ndarray") -> "np.ndarray":
+    """splitmix64 finalizer (vectorized uint64) — spreads rolling-hash bits."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _window_hashes(s: str, min_len: int) -> "np.ndarray":
+    """uint64 rolling polynomial hashes of every ``min_len``-char window of
+    ``s`` (stride 1), computed in O(n) numpy with modular-inverse prefix
+    sums — no Python loop over positions, no window strings materialized.
+
+    V[i] = sum_{j=0..L-1} c[i+j] * B^(L-1-j)  (mod 2^64), realized as
+    B^(i+L-1) * (pre[i+L] - pre[i]) where pre is the cumsum of c[j]*B^-j.
+    """
+    cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = cp.size
+    L = min_len
+    if n < L:
+        return np.empty(0, dtype=np.uint64)
+    inv = np.uint64(pow(int(_SUBSTR_BASE), -1, 1 << 64))
+    with np.errstate(over="ignore"):
+        invpow = np.cumprod(np.full(n, inv, dtype=np.uint64))  # inv^(j+1)
+        powB = np.cumprod(np.full(n, _SUBSTR_BASE, dtype=np.uint64))  # B^(j+1)
+        scaled = cp * invpow  # c[j] * inv^(j+1)
+        pre = np.concatenate(([np.uint64(0)], np.cumsum(scaled)))
+        diff = pre[L:] - pre[:-L]  # sum_{j=i..i+L-1} c[j] inv^(j+1)
+        # V[i] = diff[i] * B^(i+L)  (the inv^(j+1) and B^(i+L) exponents
+        # cancel to B^(i+L-1-j), the usual polynomial weighting)
+        v = diff * powB[L - 1:]
+    return _splitmix_fin(v)
+
+
+def window_fingerprints(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_len: int = 64,
+    winnow: int = 1,
+) -> DataFrame:
+    """Distinct character-window fingerprints per document:
+    ``(id, fp: long, off: int)`` with ``off`` the 1-based offset of a window
+    whose rolling hash is ``fp``.
+
+    ``winnow=1`` keeps EVERY window hash — two documents share an fp iff
+    they share an exact ``min_len``-char substring (up to 2^-64 hash
+    collisions, which the pair verifier removes). ``winnow=w>1`` keeps only
+    the minimum hash of each run of ``w`` consecutive windows (Schleimer's
+    winnowing, the MOSS fingerprint): ~(2/(w+1))× the fingerprints, with the
+    GUARANTEE that any shared substring of length >= min_len + w - 1 still
+    shares a selected fingerprint — the scale tier for 100 TB corpora, where
+    stride-1 fingerprints are O(corpus bytes).
+
+    This is the scalable re-expression of suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better"): the suffix
+    array finds shared substrings >= L; window fingerprints find exactly the
+    same pairs with ONE distinct + ONE equi-join instead of a global sort.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    if winnow < 1:
+        raise ValueError("winnow must be >= 1")
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType([
+        T.StructField(id_col, id_field.dataType, id_field.nullable),
+        T.StructField("fp", T.LongType(), False),
+        T.StructField("off", T.IntegerType(), False),
+    ])
+    src = _fanout(df).select(F.col(id_col).alias("_id"), F.col(text).alias("_t"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids, fps, offs = [], [], []
+            for _id, s in zip(pdf["_id"].values, pdf["_t"].values):
+                v = _window_hashes(s or "", min_len)
+                if v.size == 0:
+                    continue
+                if winnow > 1 and v.size > winnow:
+                    from numpy.lib.stride_tricks import sliding_window_view
+
+                    wv = sliding_window_view(v, winnow)
+                    sel = wv.argmin(axis=1) + np.arange(wv.shape[0])
+                    idx = np.unique(sel)
+                elif winnow > 1:
+                    idx = np.array([int(v.argmin())])
+                else:
+                    idx = np.arange(v.size)
+                fp_i, first = np.unique(v[idx], return_index=True)
+                ids.extend([_id] * fp_i.size)
+                fps.append(fp_i.view(np.int64))
+                offs.append(idx[first].astype(np.int32) + 1)  # 1-based
+            if fps:
+                yield pd.DataFrame({
+                    id_col: ids,
+                    "fp": np.concatenate(fps),
+                    "off": np.concatenate(offs),
+                })
+
+    return src.mapInPandas(gen, out_schema)
+
+
+def substring_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_len: int = 64,
+    winnow: int = 1,
+    max_df: int = 1000,
+    verify: bool = True,
+) -> DataFrame:
+    """Document pairs sharing an exact ``min_len``-char substring
+    (``winnow=1``; with ``winnow=w`` the guaranteed-detected length is
+    ``min_len + w - 1``). Output: ``(id_a, id_b, n_shared)`` with a < b and
+    n_shared = number of shared distinct fingerprints.
+
+    Shape at scale: fingerprints are one distinct map pass per doc; the ONLY
+    shuffle is the fp equi-join; fingerprints seen in more than ``max_df``
+    docs are dropped before the join (the boilerplate/hot-window quadratic
+    guard — same policy as the LSH ``max_bucket``; recover the dropped set
+    with the same query, they are boilerplate candidates). ``verify`` joins
+    the two texts for each candidate pair and re-compares ONE example window
+    byte-for-byte (JVM substring), removing hash-collision false pairs —
+    pair-scale work, never corpus-scale.
+    """
+    fps = _pin(window_fingerprints(
+        df, text, id_col, min_len=min_len, winnow=winnow
+    ))
+    from pyspark.sql.window import Window
+
+    sized = fps.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("fp"))
+    ).filter(F.col("_n") <= max_df).drop("_n")
+    a = sized.select(F.col(id_col).alias("id_a"), "fp",
+                     F.col("off").alias("off_a"))
+    b = sized.select(F.col(id_col).alias("id_b"), "fp",
+                     F.col("off").alias("off_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.min(F.struct("off_a", "off_b")).alias("_ex"),
+        )
+    )
+    if not verify:
+        return pairs.select("id_a", "id_b", "n_shared")
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text).alias("_ta"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text).alias("_tb"))
+    return (
+        pairs.join(ta, "id_a").join(tb, "id_b")
+        .filter(
+            F.expr(f"substring(_ta, _ex.off_a, {int(min_len)})")
+            == F.expr(f"substring(_tb, _ex.off_b, {int(min_len)})")
+        )
+        .select("id_a", "id_b", "n_shared")
+    )

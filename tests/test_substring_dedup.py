@@ -1,0 +1,126 @@
+"""Exact shared-substring dedup (window fingerprints + winnowing).
+
+Python oracle: brute-force L-char substring sets per doc. The Spark side
+must find exactly the pairs sharing >=1 exact window (winnow=1), and the
+winnowing tier must keep its detection guarantee for substrings of length
+>= min_len + winnow - 1.
+"""
+
+import random
+
+import pytest
+
+L = 16
+
+
+def _brute_pairs(rows, min_len=L):
+    wins = {
+        i: {t[j:j + min_len] for j in range(len(t) - min_len + 1)}
+        for i, t in rows
+    }
+    out = {}
+    ids = sorted(wins)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            shared = wins[ids[x]] & wins[ids[y]]
+            if shared:
+                out[(ids[x], ids[y])] = len(shared)
+    return out
+
+
+@pytest.fixture(scope="module")
+def rows():
+    rng = random.Random(7)
+    alpha = "abcdef "
+    base = "".join(rng.choice(alpha) for _ in range(200))
+    shared_block = "the quick brown fox jumps over the lazy dog"
+    docs = []
+    for i in range(12):
+        body = "".join(rng.choice(alpha) for _ in range(150))
+        if i % 3 == 0:
+            pos = rng.randrange(0, len(body))
+            body = body[:pos] + shared_block + body[pos:]
+        docs.append((f"d{i:02d}", body))
+    docs.append(("dup_a", base))
+    docs.append(("dup_b", base[10:] + "zzz"))
+    docs.append(("tiny", "short"))
+    docs.append(("empty", ""))
+    return docs
+
+
+def test_exact_tier_matches_brute_force(spark, rows):
+    from open_source_search_engine_spark.operators.dedup import substring_pairs
+
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in substring_pairs(df, min_len=L, winnow=1).collect()
+    }
+    assert got == _brute_pairs(rows)
+
+
+def test_winnow_guarantee_and_subset(spark, rows):
+    """Winnowed pairs ⊆ exact pairs, and every pair sharing a substring of
+    length >= L + w - 1 is still detected (the winnowing guarantee)."""
+    from open_source_search_engine_spark.operators.dedup import substring_pairs
+
+    w = 4
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    exact = set(
+        (r["id_a"], r["id_b"])
+        for r in substring_pairs(df, min_len=L, winnow=1).collect()
+    )
+    winnowed = set(
+        (r["id_a"], r["id_b"])
+        for r in substring_pairs(df, min_len=L, winnow=w).collect()
+    )
+    assert winnowed <= exact
+    # guarantee: pairs sharing >= L + w - 1 chars
+    long_pairs = set()
+    text = dict(rows)
+    need = L + w - 1
+    for (a, b), _ in _brute_pairs(rows, min_len=need).items():
+        long_pairs.add((a, b))
+    assert long_pairs <= winnowed
+
+
+def test_hot_window_guard_drops_boilerplate(spark):
+    """A window present in every doc is dropped by max_df before the join
+    (quadratic guard); raising the cap restores the pairs."""
+    from open_source_search_engine_spark.operators.dedup import substring_pairs
+
+    boiler = "x" * L
+    rows = [(f"d{i}", f"{boiler} unique tail {i:04d} padpadpad") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    # the run of x's yields windows shared by all 8 docs -> df=8 > max_df=4
+    few = substring_pairs(df, min_len=L, max_df=4).count()
+    assert few == 0
+    all_pairs = substring_pairs(df, min_len=L, max_df=100).count()
+    assert all_pairs == 8 * 7 // 2
+
+
+def test_fingerprint_offsets_point_at_real_windows(spark, rows):
+    from open_source_search_engine_spark.operators.dedup import (
+        _window_hashes, window_fingerprints,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    fps = window_fingerprints(df, min_len=L).collect()
+    text = dict(rows)
+    # recompute the rolling hash of the window at the reported offset
+    for r in fps[:200]:
+        t = text[r["doc_id"]]
+        win = t[r["off"] - 1: r["off"] - 1 + L]
+        assert len(win) == L
+        v = _window_hashes(win, L)
+        assert v.size == 1 and v.view("int64")[0] == r["fp"]
+
+
+def test_param_validation(spark):
+    from open_source_search_engine_spark.operators.dedup import substring_pairs
+
+    df = spark.createDataFrame([("d", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        substring_pairs(df, min_len=1)
+    with pytest.raises(ValueError):
+        substring_pairs(df, winnow=0)
