@@ -1225,6 +1225,26 @@ def _q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.apply_dedup(docs, clusters).select("doc_id", "source")
 
 
+def _q_semdedup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) pair scan at the exact tier:
+    ``n_clusters=1`` degrades the cluster-scoped cosine self-join to
+    all-pairs, so the DuckDB oracle can verify the full semantic-dup pair
+    set. The clustered tier's subset/precision properties and the
+    observable-drop guard are pytest-gated (test_dedup.py)."""
+    emb = _emb(spark, sf_dir)
+    out = dedup.semdedup_pairs(emb, threshold=0.35, n_clusters=1)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+
+
+def _q_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end at the exact tier: cosine>=t pairs → connected
+    components → keep the min-id member per component plus every unpaired
+    vector."""
+    emb = _emb(spark, sf_dir)
+    out = dedup.semdedup(emb, id_col="vec_id", threshold=0.35, n_clusters=1)
+    return out.select("vec_id", "label")
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest planning: classify docs across two snapshots.
     The new snapshot is derived deterministically — ids %17==0 removed,
@@ -2159,6 +2179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_apply": _q_dedup_apply,
+        "semdedup_pairs_exact": _q_semdedup_pairs_exact,
+        "semdedup_apply": _q_semdedup_apply,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_streaming_exact": _q_dedup_streaming_exact,
         "snapshot_diff": _q_snapshot_diff,
@@ -2439,6 +2461,30 @@ FROM documents
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_apply": _DEDUP_APPLY_SQL,
+        "semdedup_pairs_exact": f"""
+WITH {_EMB_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_COS.format(v='a.ve', w='b.ve')}, 6) AS cosine_r
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS.format(v='a.ve', w='b.ve')} >= 0.35
+""",
+        "semdedup_apply": f"""
+WITH RECURSIVE {_EMB_CTE},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_COS.format(v='a.ve', w='b.ve')} >= 0.35
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s
+),
+lbl AS (SELECT s AS vec_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
+SELECT m.vec_id, m.label FROM embeddings m
+WHERE m.vec_id NOT IN (SELECT vec_id FROM lbl WHERE vec_id <> cluster_id)
+""",
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "dedup_streaming_exact": """
 SELECT sha256(text) AS content_sha256,

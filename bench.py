@@ -221,6 +221,15 @@ def main() -> None:
 
     queries["q_dedup_pipeline"] = best_of(2, _dedup_pipeline)
 
+    # SemDeDup: k-means cluster assignment → within-cluster cosine pairs →
+    # components → keep-one (the cluster count bounds the self-join; at this
+    # sf the whole corpus is a handful of clusters)
+    def _semdedup():
+        dedup.semdedup(emb, id_col="vec_id", threshold=0.35,
+                       n_clusters=8, sample_limit=512).count()
+
+    queries["q_semdedup"] = best_of(2, _semdedup)
+
     # corpus-frequency boilerplate removal (one agg shuffle + map-side
     # array filter against the bounded offender set)
     queries["q_boilerplate"] = best_of(

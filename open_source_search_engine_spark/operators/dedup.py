@@ -1054,3 +1054,114 @@ def substring_pairs(
         )
         .select("id_a", "id_b", "n_shared")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup over an embedding column
+# ---------------------------------------------------------------------------
+
+def semdedup_pairs(
+    df: DataFrame,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    centroids=None,
+    max_cluster: int = 100_000,
+    sample_limit: int = 4096,
+    iters: int = 5,
+    seed: int = 11,
+) -> DataFrame:
+    """Semantic near-dup pairs (SemDeDup, Abbas et al. 2023): k-means-cluster
+    the embeddings, then compare cosine ONLY within each cluster — pairs with
+    cosine >= ``threshold`` are semantic duplicates. Output
+    ``(id_a, id_b, cosine)`` with a < b.
+
+    Scale shape: centroid training is a bounded driver-side sample (O(1) in
+    corpus size, similarity.train_centroids); assignment is one map pass
+    (expression argmax or a numpy matmul per Arrow batch); the ONLY shuffle
+    is the within-cluster self-join, whose cost is sum over clusters of
+    n_c^2 — the entire point of SemDeDup is that k controls this (expected
+    n_c = N/k; at 100 TB pick k so N/k fits a partition). Clusters larger
+    than ``max_cluster`` are dropped from pairing (observable via
+    :func:`semdedup_dropped_clusters` — same policy as the LSH
+    ``max_bucket`` guard). ``n_clusters=1`` (or precomputed ``centroids``)
+    degrades to exact all-pairs — the oracle-checkable tier.
+    """
+    from . import similarity as sim
+
+    if centroids is None:
+        centroids = sim.train_centroids(
+            df, vec=vec, n_centroids=n_clusters,
+            sample_limit=sample_limit, iters=iters, seed=seed,
+        )
+    assigned = _pin(sim.ivf_assign(df, centroids, vec=vec, id_col=id_col))
+    from pyspark.sql.window import Window
+
+    sized = assigned.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("centroid_id"))
+    ).filter(F.col("_n") <= max_cluster).drop("_n")
+    a = sized.select(F.col(id_col).alias("id_a"), F.col(vec).alias("_va"),
+                     "centroid_id")
+    b = sized.select(F.col(id_col).alias("id_b"), F.col(vec).alias("_vb"),
+                     "centroid_id")
+    cos = sim.cosine_col(F.col("_va"), F.col("_vb"))
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semdedup_dropped_clusters(
+    df: DataFrame,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    centroids=None,
+    max_cluster: int = 100_000,
+    sample_limit: int = 4096,
+    iters: int = 5,
+    seed: int = 11,
+) -> DataFrame:
+    """The clusters :func:`semdedup_pairs` would skip (size > max_cluster)
+    with their sizes — the observable-drop companion."""
+    from . import similarity as sim
+
+    if centroids is None:
+        centroids = sim.train_centroids(
+            df, vec=vec, n_centroids=n_clusters,
+            sample_limit=sample_limit, iters=iters, seed=seed,
+        )
+    assigned = sim.ivf_assign(df, centroids, vec=vec, id_col=id_col)
+    return (
+        assigned.groupBy("centroid_id").agg(F.count("*").alias("size"))
+        .filter(F.col("size") > max_cluster)
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    **kw,
+) -> DataFrame:
+    """Apply SemDeDup: keep ONE member (the minimum id — deterministic) of
+    each connected component of >=threshold semantic-dup pairs, plus every
+    row in no pair. pairs → :func:`dup_clusters` → anti-join, the same
+    keep-one-per-group discipline as :func:`apply_dedup`."""
+    pairs = semdedup_pairs(
+        df, vec=vec, id_col=id_col, threshold=threshold,
+        n_clusters=n_clusters, **kw,
+    )
+    clusters = dup_clusters(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
+        .select(F.col("doc_id").alias(id_col))
+    return df.join(drop, id_col, "left_anti")

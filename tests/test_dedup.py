@@ -397,3 +397,92 @@ def test_snapshot_diff_statuses(spark):
     got = {r["doc_id"]: r["status"]
            for r in dedup.snapshot_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic dedup over embeddings)
+# ---------------------------------------------------------------------------
+
+def _sem_vecs():
+    """3 well-separated groups + 2 singletons, dim 8, unit-normalized.
+    Group members differ by a tiny orthogonal nudge (cosine > 0.99)."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    base = {}
+    for g, axis in ((0, 0), (1, 3), (2, 6)):
+        v = np.zeros(8); v[axis] = 1.0
+        base[g] = v
+    rows = []
+    for vid, g in ((0, 0), (1, 0), (2, 0), (10, 1), (11, 1)):
+        v = base[g] + rng.normal(scale=0.01, size=8)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+    for vid in (20, 21):  # singletons: distinct random directions
+        v = rng.normal(size=8)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+    return rows
+
+
+def _sem_exact_pairs(rows, threshold):
+    import numpy as np
+    ids = [r[0] for r in rows]
+    X = np.asarray([r[1] for r in rows])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = X @ X.T
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if S[i, j] >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b))
+    return out
+
+
+@pytest.fixture(scope="module")
+def sem_df(spark):
+    return spark.createDataFrame(
+        _sem_vecs(), "vec_id long, embedding array<float>")
+
+
+def test_semdedup_pairs_exact_tier(sem_df):
+    """n_clusters=1 degrades to exact all-pairs — must equal brute force."""
+    rows = _sem_vecs()
+    want = _sem_exact_pairs(rows, 0.98)
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.semdedup_pairs(sem_df, threshold=0.98,
+                                         n_clusters=1).collect()}
+    assert got == want and len(want) == 4  # C(3,2) + C(2,2)
+
+
+def test_semdedup_clustered_tier_subset(sem_df):
+    """k>1: pairs are a subset of exact pairs and every reported cosine
+    clears the threshold (recall may drop across cluster boundaries,
+    precision may not)."""
+    rows = _sem_vecs()
+    want = _sem_exact_pairs(rows, 0.98)
+    out = dedup.semdedup_pairs(sem_df, threshold=0.98, n_clusters=3,
+                               sample_limit=16, iters=8).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert got <= want
+    assert all(r["cosine"] >= 0.98 for r in out)
+
+
+def test_semdedup_dropped_clusters_observable(sem_df):
+    """Clusters over max_cluster are excluded from pairing, and the drop is
+    observable via semdedup_dropped_clusters — same policy as LSH buckets."""
+    import numpy as np
+    C = np.asarray([[1.0] + [0.0] * 7])  # one centroid -> one cluster of 7
+    pairs = dedup.semdedup_pairs(sem_df, threshold=0.98, centroids=C,
+                                 max_cluster=3)
+    assert pairs.count() == 0
+    dropped = dedup.semdedup_dropped_clusters(
+        sem_df, centroids=C, max_cluster=3).collect()
+    assert len(dropped) == 1 and dropped[0]["size"] == 7
+
+
+def test_semdedup_end_to_end_keep_set(sem_df):
+    """semdedup keeps the min-id member of each semantic-dup component plus
+    every unpaired row."""
+    kept = sorted(r["vec_id"] for r in
+                  dedup.semdedup(sem_df, threshold=0.98,
+                                 n_clusters=1).collect())
+    assert kept == [0, 10, 20, 21]
