@@ -26,7 +26,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from open_source_search_engine_spark.operators import dedup, similarity, textstats
+from open_source_search_engine_spark.operators import (
+    dedup, matchlist, similarity, textstats,
+)
 from open_source_search_engine_spark.operators.dedup import _perm_coeffs, MERSENNE_P
 
 # ---------------------------------------------------------------------------
@@ -1245,6 +1247,23 @@ def _q_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def _q_matchlist_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-side URL block list (UrlMatchList/UrlBlockCheck analog,
+    /root/reference/UrlBlockCheck.cpp:10-90): every doc gets the
+    isUrlBlocked reason label (NULL = wanted). The rule list exercises
+    five match kinds: exact domain, path prefix, filename, case-insensitive
+    path substring, and a full-URL regex."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("repo"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"))
+    out = matchlist.apply_block_filters(
+        docs,
+        blacklist=["domain src1", "path 31", "file 42.txt",
+                   "pathpartial 7.t", r"regex * ^src2/[0-9]*0\.txt$"],
+        keep_reason=True)
+    return out.select("doc_id", "block_reason")
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest planning: classify docs across two snapshots.
     The new snapshot is derived deterministically — ids %17==0 removed,
@@ -2181,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": _q_dedup_apply,
         "semdedup_pairs_exact": _q_semdedup_pairs_exact,
         "semdedup_apply": _q_semdedup_apply,
+        "matchlist_block": _q_matchlist_block,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_streaming_exact": _q_dedup_streaming_exact,
         "snapshot_diff": _q_snapshot_diff,
@@ -2467,6 +2487,20 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_COS.format(v='a.ve', w='b.ve')}, 6) AS cosine_r
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS.format(v='a.ve', w='b.ve')} >= 0.35
+""",
+        "matchlist_block": r"""
+WITH u AS (
+  SELECT doc_id, source AS repo, doc_id::VARCHAR || '.txt' AS path
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN repo = 'src1'
+        OR path LIKE '31%'
+        OR path = '42.txt'
+        OR contains(lower(path), '7.t')
+        OR regexp_matches(repo || '/' || path, '^src2/[0-9]*0\.txt$')
+       THEN 'blacklisted' END AS block_reason
+FROM u
 """,
         "semdedup_apply": f"""
 WITH RECURSIVE {_EMB_CTE},

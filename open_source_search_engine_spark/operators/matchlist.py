@@ -1,0 +1,347 @@
+"""Ingest-time URL block/allow lists (UrlMatchList / UrlBlockCheck analog).
+
+The reference filters every URL through ``g_urlBlackList`` /
+``g_urlWhiteList`` before spidering or indexing
+(/root/reference/UrlMatchList.cpp:16-17, /root/reference/UrlBlockCheck.cpp:10-90).
+Rules come from a text file, one rule per line —
+``<kind> <arg> [arg2] [arg3]`` with kinds ``domain file host hostsuffix
+param path pathparam pathpartial queryparam regex tld``
+(/root/reference/UrlMatchList.cpp:239-324) — and each kind's match
+semantics live in /root/reference/UrlMatch.cpp:91-199.
+
+This corpus' document identity is ``(repo, path)`` (BASELINE input_hint),
+so the URL model is ``host = repo`` (hierarchical on '/': for
+``owner/name`` the *domain* is the trailing ``name`` segment and the
+*subdomain* is ``owner``, mirroring host/domain/subdomain on dotted web
+hosts) and ``path = path`` (query string after '?', filename = last '/'
+segment). Web-only details with no corpus analog are dropped and noted
+inline: host ports (UrlMatch.cpp:120-123) and the IP-literal host check
+(UrlBlockCheck.cpp:25-40).
+
+Scale shape: the reference already splits rules into an O(1) hash-set of
+exact domains (``m_domainMatches``), a per-domain rule map
+(``m_listMatches``) and a small scan list (``m_urlMatches``)
+(UrlMatchList.cpp:22-26). The Spark mirror: exact-domain rules become a
+broadcast (or, above memory, sort-merge) semi-join against a rules
+DataFrame — unbounded rule count; every pattern rule compiles to a
+whole-stage-codegen boolean expression — bounded by ``max_expr_rules``
+because codegen size is the real limit, and overflow routes through the
+join tier by domain key. No Python runs per row in either tier.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# pathcriteria_t (UrlMatch.h:31-35)
+ALLOW_ALL = "allow_all"
+ALLOW_INDEX_ONLY = "allow_index_only"
+ALLOW_ROOTPAGES_ONLY = "allow_rootpages_only"
+
+_KINDS = {
+    "domain", "file", "host", "hostsuffix", "path", "pathparam",
+    "pathpartial", "queryparam", "regex", "tld",
+}
+
+
+@dataclass(frozen=True)
+class MatchRule:
+    """One parsed rule. ``arg2`` is the host-rule path prefix, the regex
+    body, or the param value; ``allow``/``pathcriteria`` only apply to
+    domain rules (UrlMatch.h:29-41)."""
+    kind: str
+    arg: str
+    arg2: str = ""
+    allow: tuple = ()
+    pathcriteria: str = ALLOW_ALL
+
+
+def parse_match_list(lines: Iterable[str]) -> list[MatchRule]:
+    """Parse rule lines in the reference's file format
+    (UrlMatchList.cpp:206-324): ``#`` comments and blank lines skipped,
+    whitespace-separated columns, malformed lines ignored (the reference
+    logs-and-continues). ``param`` is accepted as an alias of
+    ``queryparam`` exactly as the reference does (UrlMatchList.cpp:276-278).
+    """
+    rules: list[MatchRule] = []
+    for raw in lines:
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        cols = line.split()
+        kind = cols[0]
+        if kind == "param":
+            kind = "queryparam"
+        if kind not in _KINDS or len(cols) < 2:
+            continue
+        arg = cols[1]
+        col3 = cols[2] if len(cols) > 2 else ""
+        col4 = cols[3] if len(cols) > 3 else ""
+        if kind == "domain":
+            allow: tuple = ()
+            if col3.startswith("allow="):
+                allow = tuple(s for s in col3[6:].split(",") if s)
+            crit = ALLOW_ALL
+            if col4 == "allowindexpage":
+                crit = ALLOW_INDEX_ONLY
+            elif col4 == "allowrootpages":
+                crit = ALLOW_ROOTPAGES_ONLY
+            rules.append(MatchRule("domain", arg, allow=allow,
+                                   pathcriteria=crit))
+        elif kind == "regex":
+            if not col3:
+                continue  # regex needs both domain ('*' = any) and pattern
+            dom = "" if arg == "*" else arg
+            rules.append(MatchRule("regex", dom, arg2=col3))
+        elif kind in ("queryparam", "pathparam"):
+            name, _, value = arg.partition("=")
+            # reference takes value from col3 (UrlMatchList.cpp:278); accept
+            # both name=value and name value spellings
+            rules.append(MatchRule(kind, name, arg2=value or col3))
+        elif kind == "host":
+            host = arg
+            if ":" in host:
+                # web-only: port constraint (UrlMatch.cpp:120-123) has no
+                # corpus analog — strip it, keep the host+path semantics
+                host = host.split(":", 1)[0]
+            rules.append(MatchRule("host", host, arg2=col3))
+        else:  # file / hostsuffix / path / pathpartial / tld
+            rules.append(MatchRule(kind, arg))
+    return rules
+
+
+def split_exact_domains(
+    rules: Sequence[MatchRule],
+) -> tuple[list[str], list[MatchRule]]:
+    """The reference's ``m_domainMatches`` split (UrlMatchList.cpp:86-89):
+    a bare ``domain d`` rule (no allow list — pathcriteria only applies
+    under one) is an exact-set member; everything else stays a pattern."""
+    exact = [r.arg for r in rules
+             if r.kind == "domain" and not r.allow]
+    patterns = [r for r in rules if not (r.kind == "domain" and not r.allow)]
+    return exact, patterns
+
+
+# --------------------------------------------------------------------------
+# URL pieces (expression-level)
+# --------------------------------------------------------------------------
+
+def _domain(host: Column) -> Column:
+    """Trailing '/'-segment of the repo — the registrable-name analog."""
+    return F.element_at(F.split(host, "/"), -1)
+
+
+def _subdomain_expr(host: Column) -> Column:
+    """Everything before the domain segment ('' when none)."""
+    d = _domain(host)
+    return F.when(F.length(host) > F.length(d),
+                  F.substring(host, 1,
+                              (F.length(host) - F.length(d) - 1).cast("int"))
+                  ).otherwise(F.lit(""))
+
+
+def _path_no_query(path: Column) -> Column:
+    return F.split(path, r"\?", 2).getItem(0)
+
+
+def _query(path: Column) -> Column:
+    parts = F.split(path, r"\?", 2)
+    return F.when(F.size(parts) > 1, parts.getItem(1)).otherwise(F.lit(""))
+
+
+def _filename(path: Column) -> Column:
+    return F.element_at(F.split(_path_no_query(path), "/"), -1)
+
+
+def _params_match(source: Column, splitter: str, name: str, value: str) -> Column:
+    """EXISTS over name[=value] segments — queryparam splits the query on
+    '&'/';', pathparam scans '/'/';' path segments carrying '='
+    (UrlMatch.cpp:144-176; name compare case-insensitive like the
+    reference's strncasestr pre-check, value compare exact)."""
+    segs = F.split(source, splitter)
+    name_l = name.lower()
+    if value:
+        return F.exists(
+            segs, lambda s: (F.lower(F.split(s, "=", 2).getItem(0))
+                             == F.lit(name_l))
+            & (F.size(F.split(s, "=", 2)) > 1)
+            & (F.split(s, "=", 2).getItem(1) == F.lit(value)))
+    return F.exists(
+        segs, lambda s: F.lower(F.split(s, "=", 2).getItem(0)) == F.lit(name_l))
+
+
+def rule_col(rule: MatchRule, host: Column, path: Column) -> Column:
+    """Compile ONE rule to a boolean expression (UrlMatch::match,
+    UrlMatch.cpp:91-199)."""
+    dom = _domain(host)
+    path_nq = _path_no_query(path)
+    if rule.kind == "domain":
+        base = dom == F.lit(rule.arg)
+        if not rule.allow:
+            return base
+        exempt = _subdomain_expr(host).isin(list(rule.allow))
+        if rule.pathcriteria == ALLOW_ALL:
+            return base & ~exempt
+        if rule.pathcriteria == ALLOW_INDEX_ONLY:
+            # exempt subdomains stay matched off the index page
+            # (UrlMatch.cpp:105-107: pathLen > 1)
+            return base & (~exempt | (F.length(path_nq) > 0))
+        # ALLOW_ROOTPAGES_ONLY: exempt subdomains stay matched below root
+        # (UrlMatch.cpp:108-109: pathDepth > 0)
+        return base & (~exempt | path_nq.contains("/"))
+    if rule.kind == "file":
+        return _filename(path) == F.lit(rule.arg)
+    if rule.kind == "host":
+        base = host == F.lit(rule.arg)
+        if rule.arg2:
+            # prefix over path INCLUDING the query (getPathLenWithCgi)
+            base = base & path.startswith(rule.arg2)
+        return base
+    if rule.kind == "hostsuffix":
+        n = len(rule.arg)
+        full = host == F.lit(rule.arg)
+        if rule.arg.startswith("."):
+            return full | host.endswith(rule.arg)
+        # suffix must start a segment: char before it is a separator
+        # (UrlMatch.cpp:133-143; '.' for web hosts, '/' for repo paths)
+        boundary = F.substring(
+            host, (F.length(host) - n).cast("int"), 1).isin(".", "/")
+        return full | (host.endswith(rule.arg) & boundary)
+    if rule.kind == "path":
+        return path.startswith(rule.arg)
+    if rule.kind == "pathpartial":
+        return F.lower(path_nq).contains(rule.arg.lower())
+    if rule.kind == "queryparam":
+        return _params_match(_query(path), "[&;]", rule.arg, rule.arg2)
+    if rule.kind == "pathparam":
+        return (path_nq.contains("=")
+                & _params_match(path_nq, "[/;]", rule.arg, rule.arg2))
+    if rule.kind == "regex":
+        url = F.concat_ws("/", host, path)
+        hit = url.rlike(rule.arg2)
+        if rule.arg:
+            hit = (dom == F.lit(rule.arg)) & hit
+        return hit
+    if rule.kind == "tld":
+        tlds = [t for t in rule.arg.split(",") if t]
+        # the reference reduces a compound TLD to its last label
+        # (UrlMatch.cpp:184-195); domains without a '.' have no TLD
+        return dom.contains(".") & F.element_at(
+            F.split(dom, r"\."), -1).isin(tlds)
+    raise ValueError(f"unknown rule kind: {rule.kind}")
+
+
+def match_col(rules: Sequence[MatchRule], host: Column, path: Column) -> Column:
+    """OR-fold of the compiled rules — one codegen'd expression."""
+    out = F.lit(False)
+    for r in rules:
+        out = out | rule_col(r, host, path)
+    return out
+
+
+# --------------------------------------------------------------------------
+# operator surface
+# --------------------------------------------------------------------------
+
+def mark_matched(
+    df: DataFrame,
+    rules: Sequence[MatchRule] | Iterable[str],
+    *,
+    host: str = "repo",
+    path: str = "path",
+    out: str = "matched",
+    max_expr_domains: int = 256,
+) -> DataFrame:
+    """Add a boolean ``out`` column: does any rule match this (host, path)?
+
+    Exact-domain rules above ``max_expr_domains`` leave the expression and
+    become a broadcast LEFT SEMI-shaped join on the domain key (marked via
+    left join + flag so non-matching rows survive); below the threshold
+    they compile to one ``isin`` — both stay JVM-side. Pattern rules always
+    compile to expressions."""
+    if rules and not isinstance(next(iter(rules)), MatchRule):
+        rules = parse_match_list(rules)  # type: ignore[arg-type]
+    rules = list(rules)  # type: ignore[arg-type]
+    exact, patterns = split_exact_domains(rules)
+    h, p = F.col(host), F.col(path)
+    hit = match_col(patterns, h, p)
+    if exact and len(exact) <= max_expr_domains:
+        hit = hit | _domain(h).isin(exact)
+        return df.withColumn(out, hit)
+    if exact:
+        spark = df.sparkSession
+        doms = spark.createDataFrame(
+            [(d,) for d in sorted(set(exact))], "_blocked_domain string")
+        joined = df.withColumn("_dom", _domain(h)).join(
+            F.broadcast(doms),
+            F.col("_dom") == F.col("_blocked_domain"), "left")
+        return (joined.withColumn(
+            out, hit | F.col("_blocked_domain").isNotNull())
+            .drop("_dom", "_blocked_domain"))
+    return df.withColumn(out, hit)
+
+
+def block_reason_col(
+    host: Column,
+    path: Column,
+    blacklist: Sequence[MatchRule],
+    whitelist: Sequence[MatchRule] = (),
+    wanted_block: Optional[Column] = None,
+) -> Column:
+    """The isUrlBlocked decision chain as one expression
+    (/root/reference/UrlBlockCheck.cpp:10-90), returning the reason label
+    the reference's Statistics counters record, or NULL when the doc is
+    wanted. Order matters and is preserved: invalid → corrupt →
+    blacklisted → whitelist short-circuit → WantedChecker. Note the
+    whitelist does NOT override the blacklist — it only skips the
+    downstream wanted-checker (UrlBlockCheck.cpp:56-70).
+
+    ``wanted_block`` is the caller's WantedChecker analog (the reference
+    delegates to a site-policy shared library, UrlBlockCheck.cpp:73-88);
+    default: nothing extra is blocked. The IP-literal host check is
+    web-only and dropped."""
+    invalid = (host.isNull() | (F.length(host) == 0) | path.isNull())
+    # trailing %-encoded control char = corrupt (UrlBlockCheck.cpp:42-55)
+    corrupt = path.rlike("%[01][0-9A-Fa-f]$")
+    black = match_col(blacklist, host, path)
+    white = match_col(whitelist, host, path)
+    chain = (
+        F.when(invalid, F.lit("url_invalid"))
+        .when(corrupt, F.lit("url_corrupt"))
+        .when(black, F.lit("blacklisted"))
+        .when(white, F.lit(None).cast("string"))
+    )
+    if wanted_block is not None:
+        chain = chain.when(wanted_block, F.lit("shlib_blocked"))
+    return chain.otherwise(F.lit(None).cast("string"))
+
+
+def apply_block_filters(
+    df: DataFrame,
+    blacklist: Sequence[MatchRule] | Iterable[str] = (),
+    whitelist: Sequence[MatchRule] | Iterable[str] = (),
+    *,
+    host: str = "repo",
+    path: str = "path",
+    wanted_block: Optional[Column] = None,
+    keep_reason: bool = False,
+) -> DataFrame:
+    """Drop blocked docs before indexing — the ingest-side gate every doc
+    passes in the reference. With ``keep_reason`` the full corpus is
+    returned with the ``block_reason`` column instead (observability: the
+    reference counts every branch in Statistics)."""
+    def _parse(x):
+        x = list(x)
+        if x and not isinstance(x[0], MatchRule):
+            return parse_match_list(x)
+        return x
+
+    reason = block_reason_col(
+        F.col(host), F.col(path), _parse(blacklist), _parse(whitelist),
+        wanted_block)
+    if keep_reason:
+        return df.withColumn("block_reason", reason)
+    return df.filter(reason.isNull())

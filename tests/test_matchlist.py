@@ -1,0 +1,126 @@
+"""UrlMatchList / UrlBlockCheck analog tests: rule parsing, each match
+kind's semantics (/root/reference/UrlMatch.cpp:91-199), the isUrlBlocked
+precedence chain (/root/reference/UrlBlockCheck.cpp:10-90), and the
+exact-domain join tier."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.operators import matchlist as ml
+
+URLS = [
+    # (doc_id, repo, path)
+    (0, "apache/spark", "core/src/main.scala"),
+    (1, "apache/spark", ""),                       # index page
+    (2, "fork/spark", "README.md"),                # root-level file
+    (3, "apache/iceberg", "api/spec.md?rev=2"),
+    (4, "tracker.ads", "pixel.gif"),
+    (5, "cdn/tracker.ads", "x/y.js"),
+    (6, "solo", "a/session=123/page.html"),
+    (7, "mirror/spark", "docs/index.html%0A"),     # corrupt trailing %0A
+    (8, "", "orphan.txt"),                         # invalid: empty host
+]
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    return spark.createDataFrame(URLS, "doc_id long, repo string, path string")
+
+
+def _matched(urls, rule_lines, **kw):
+    out = ml.mark_matched(urls, rule_lines, **kw)
+    return {r["doc_id"] for r in out.filter("matched").collect()}
+
+
+def test_parse_skips_comments_and_malformed():
+    rules = ml.parse_match_list([
+        "# comment", "", "domain spark", "bogus x", "regex *",  # regex needs 2 args
+        "param utm_source", "host h:8080 /p",
+    ])
+    kinds = [r.kind for r in rules]
+    assert kinds == ["domain", "queryparam", "host"]
+    assert rules[2].arg == "h" and rules[2].arg2 == "/p"  # port stripped
+
+
+def test_domain_exact(urls):
+    # bare domain rule: matches any owner of that repo name
+    assert _matched(urls, ["domain spark"]) == {0, 1, 2, 7}
+
+
+def test_domain_allow_subdomain_criteria(urls):
+    # allow= exempts listed owners entirely (pathcriteria_allow_all)
+    assert _matched(urls, ["domain spark allow=apache"]) == {2, 7}
+    # allowindexpage: exempt owner is still matched off the index page
+    assert _matched(
+        urls, ["domain spark allow=apache allowindexpage"]) == {0, 2, 7}
+    # allowrootpages: exempt owner still matched below root depth
+    got = _matched(urls, ["domain spark allow=apache allowrootpages"])
+    assert got == {0, 2, 7}  # doc 0 has '/' in path, doc 1 is root
+
+
+def test_host_and_path_kinds(urls):
+    assert _matched(urls, ["host apache/spark"]) == {0, 1}
+    assert _matched(urls, ["host apache/iceberg api/"]) == {3}
+    assert _matched(urls, ["path core/"]) == {0}
+    assert _matched(urls, ["file README.md"]) == {2}
+    # path prefix sees the query string (getPathLenWithCgi)
+    assert _matched(urls, ["path api/spec.md?rev"]) == {3}
+    # filename does not
+    assert _matched(urls, ["file spec.md"]) == {3}
+
+
+def test_hostsuffix_segment_boundary(urls):
+    # full-host match and dot-boundary match, but NOT mid-segment
+    assert _matched(urls, ["hostsuffix tracker.ads"]) == {4, 5}
+    assert _matched(urls, ["hostsuffix ads"]) == {4, 5}   # '.' boundary
+    assert _matched(urls, ["hostsuffix rc3"]) == set()    # mid-segment
+    assert _matched(urls, ["hostsuffix .ads"]) == {4, 5}  # leading-dot form
+
+
+def test_param_kinds(urls):
+    assert _matched(urls, ["queryparam rev"]) == {3}
+    assert _matched(urls, ["queryparam rev=2"]) == {3}
+    assert _matched(urls, ["queryparam rev=9"]) == set()
+    assert _matched(urls, ["pathparam session"]) == {6}
+    assert _matched(urls, ["pathparam session=999"]) == set()
+
+
+def test_pathpartial_and_regex_and_tld(urls):
+    assert _matched(urls, ["pathpartial SPEC."]) == {3}  # case-insensitive
+    # domain-scoped regex only fires on that domain
+    assert _matched(urls, [r"regex spark ^.*\.scala$"]) == {0}
+    assert _matched(urls, [r"regex iceberg ^.*\.scala$"]) == set()
+    assert _matched(urls, [r"regex * .*pixel.*"]) == {4}
+    # tld reduces to the last dot label of the domain; dotless domains skip
+    assert _matched(urls, ["tld ads,gif"]) == {4, 5}
+
+
+def test_exact_domain_join_tier_equals_expression_tier(urls):
+    lines = ["domain spark", "domain iceberg", "path core/"]
+    expr_tier = _matched(urls, lines, max_expr_domains=256)
+    join_tier = _matched(urls, lines, max_expr_domains=1)
+    assert expr_tier == join_tier == {0, 1, 2, 3, 7}
+
+
+def test_block_reason_chain(urls):
+    out = ml.apply_block_filters(
+        urls,
+        blacklist=["domain spark"],
+        whitelist=["host tracker.ads"],
+        wanted_block=F.col("repo").contains("tracker"),
+        keep_reason=True,
+    )
+    got = {r["doc_id"]: r["block_reason"] for r in out.collect()}
+    assert got[8] == "url_invalid"
+    assert got[7] == "url_corrupt"     # corrupt beats blacklist (doc is spark)
+    assert got[0] == "blacklisted"
+    # whitelist does NOT override the blacklist (UrlBlockCheck.cpp:56-70)...
+    assert got[4] is None              # whitelist short-circuits wanted-check
+    assert got[5] == "shlib_blocked"   # not whitelisted -> wanted check fires
+    assert got[3] is None
+
+
+def test_apply_block_filters_drops(urls):
+    kept = {r["doc_id"] for r in ml.apply_block_filters(
+        urls, blacklist=["domain spark"]).collect()}
+    assert kept == {3, 4, 5, 6}  # 0,1,2 blacklisted; 7 corrupt; 8 invalid
