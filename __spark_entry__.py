@@ -1715,6 +1715,29 @@ def _q_engine_site_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_engine_familyfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m_familyFilter (&ff=1): results whose cluster-rec adult bit is set
+    are skipped in the Msg3a merge (/root/reference/Msg3a.cpp:810-812,
+    Clusterdb::hasAdultContent). The adult bit comes from the
+    FxCheckAdult-analog scored-term rule (/root/reference/
+    FxCheckAdult.cpp:406-408) over the doc store: score('dup')=20 +
+    score('vector')=15 >= 30 — i.e. docs containing BOTH unique tokens."""
+    from open_source_search_engine_spark.operators.docget import docstore_df
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.operators.termcheck import adult_flags
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    fl = adult_flags(docstore_df(spark, idx), {"dup": 20, "vector": 15},
+                     id_col="docid", text="content",
+                     thresholds={"score": 30})
+    res = topk(spark, idx, "hash table", 1_000_000, adult_flags=fl)
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"))
+
+
 def _q_engine_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K7 snippet analog (/root/reference/Summary.cpp:181): top docs joined
     back to the doc store, snippet = 60-char window around the first query
@@ -2178,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_term_df": _q_engine_term_df,
         "engine_total_hits": _q_engine_total_hits,
         "engine_site_clustering": _q_engine_site_clustering,
+        "engine_familyfilter": _q_engine_familyfilter,
         "engine_snippets": _q_engine_snippets,
         "engine_snippets_multi": _q_engine_snippets_multi,
         "engine_suggest": _q_engine_suggest,
@@ -2380,6 +2404,17 @@ LEFT JOIN dfs d ON d.tok = w.token
 WITH{TOKS_CTE}
 SELECT count(*)::BIGINT AS n_hits FROM toks
 WHERE list_contains(t, 'hash') AND list_contains(t, 'table')
+""",
+        "engine_familyfilter": f"""
+SELECT doc_id, score_r FROM ({_bm25_sql(
+    ['hash', 'table'], bigram=('hash', 'table'),
+    extra_cte=''',
+adult AS (
+  SELECT doc_id FROM toks
+  WHERE list_contains(list_distinct(t), 'dup')
+    AND list_contains(list_distinct(t), 'vector')
+)''',
+    extra_where=["d.doc_id NOT IN (SELECT doc_id FROM adult)"])})
 """,
         "engine_site_clustering": f"""
 SELECT doc_id, repo, score_r, site_rank FROM (

@@ -410,6 +410,7 @@ def topk(
     dedup_content: bool = False,
     dedup_summary_pct: int | None = None,
     dedup_url: bool = False,
+    adult_flags: DataFrame | None = None,
     doc_text: DataFrame | None = None,
     summary_width: int = 60,
     temperature: DataFrame | None = None,
@@ -452,6 +453,13 @@ def topk(
       /root/reference/Parms.cpp:6915);
     - ``dedup_url``: case-insensitive URL dedup, skipped for site:/inurl:
       queries (/root/reference/Msg40.cpp:1370-1420);
+    - ``adult_flags``: the family filter (m_familyFilter) — a docid-keyed
+      side table (optionally with a boolean ``adult`` column; rows present
+      and true are adult). Flagged docids are skipped during the merge
+      BEFORE they can occupy a site-clustering slot, exactly where the
+      reference consults the cluster rec's adult bit
+      (/root/reference/Msg3a.cpp:810-812, Clusterdb::hasAdultContent);
+      skipped results backfill through the same recall loop;
     - both fetch 2× headroom and re-query deeper (doubling) when filtering
       starves the page — the reference's recall loop
       (/root/reference/Msg40.cpp m_docsToGet *= 2; TopTree's ≥2× headroom,
@@ -479,11 +487,12 @@ def topk(
       approximate; idf stays exact. Composes with both physical paths.
     """
     if (site_max is not None or dedup_content or dedup_summary_pct
-            or dedup_url):
+            or dedup_url or adult_flags is not None):
         return _topk_postprocessed(
             spark, index_dir, query, k, cursor=cursor, prune=prune,
             handle=handle, site_max=site_max, dedup_content=dedup_content,
             dedup_summary_pct=dedup_summary_pct, dedup_url=dedup_url,
+            adult_flags=adult_flags,
             doc_text=doc_text, summary_width=summary_width,
             temperature=temperature, repo_rank=repo_rank, ranker=ranker)
     plan = parse_query(query) if isinstance(query, str) else query
@@ -767,7 +776,8 @@ def _topk_postprocessed(
     spark: SparkSession, index_dir: str, query, k: int, *,
     cursor, prune, handle, site_max, dedup_content, temperature,
     repo_rank=None, ranker: str = "bm25", dedup_summary_pct=None,
-    dedup_url: bool = False, doc_text: DataFrame | None = None,
+    dedup_url: bool = False, adult_flags: DataFrame | None = None,
+    doc_text: DataFrame | None = None,
     summary_width: int = 60,
 ) -> DataFrame:
     """Site clustering / dup-content removal / percent-similar-summary and
@@ -785,7 +795,18 @@ def _topk_postprocessed(
                     prune=prune, handle=handle, temperature=temperature,
                     repo_rank=repo_rank, ranker=ranker)
         rows = sorted(base.collect(), key=lambda r: r["rank"])
-        kept = _apply_result_filters(rows, site_max, dedup_content)
+        adult: frozenset = frozenset()
+        if adult_flags is not None and rows:
+            # the bounded page probes the flag table (the Msg51 clusterdb
+            # lookup shape) — never a document-scale join
+            fl = adult_flags
+            if "adult" in fl.columns:
+                fl = fl.filter(F.col("adult"))
+            adult = frozenset(
+                x[0] for x in fl.filter(
+                    F.col("docid").isin([r["docid"] for r in rows]))
+                .select("docid").collect())
+        kept = _apply_result_filters(rows, site_max, dedup_content, adult)
         if dedup_summary_pct:
             kept = _dedup_summaries(spark, kept, plan, doc_text,
                                     int(dedup_summary_pct),
@@ -803,13 +824,18 @@ def _topk_postprocessed(
     return spark.createDataFrame(data, schema)
 
 
-def _apply_result_filters(rows, site_max, dedup_content):
+def _apply_result_filters(rows, site_max, dedup_content,
+                          adult: frozenset = frozenset()):
     """Rows are already (score desc, docid asc); one ordered pass applies
-    ≤site_max per repo and first-occurrence-per-content_sha256."""
+    the family filter (adult docids skipped before they can take a site
+    slot, Msg3a.cpp:810-812), ≤site_max per repo, and
+    first-occurrence-per-content_sha256."""
     seen_sha: set = set()
     per_site: dict = {}
     out = []
     for r in rows:
+        if r["docid"] in adult:
+            continue
         if dedup_content:
             if r["content_sha256"] in seen_sha:
                 continue

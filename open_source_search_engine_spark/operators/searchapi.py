@@ -188,6 +188,8 @@ def search(
     do_dup_content_removal: bool = True,  # m_doDupContentRemoval
     percent_similar_summary: int = 0,     # m_percentSimilarSummary (0 = off)
     dedup_url: bool = False,
+    family_filter: bool = False,          # m_familyFilter (&ff=1)
+    adult_flags=None,                     # docid-keyed adult-bit side table
     include_cached_copy: bool = False,    # m_includeCachedCopy
     # --- summaries (Summary.cpp window selection + Highlight.cpp markup) ---
     show_snippets: bool = False,
@@ -229,6 +231,15 @@ def search(
         query, prepend=prepend, any_terms=any_terms, plus=plus, minus=minus,
         quote1=quote1, quote2=quote2, filetype=filetype, gblang=gblang,
         link=link)
+    if family_filter:
+        # m_familyFilter: skip results whose cluster-rec adult bit is set
+        # (/root/reference/Msg3a.cpp:810-812); the bit lives in a
+        # docid-keyed side table here (termcheck.adult_flags builds one)
+        if adult_flags is None:
+            raise ValueError(
+                "family_filter needs adult_flags (a docid-keyed DataFrame; "
+                "build one with termcheck.adult_flags)")
+        topk_kwargs["adult_flags"] = adult_flags
     ckey = None
     if rcache and all(
             v is None or isinstance(v, (str, int, float, bool))

@@ -126,3 +126,31 @@ def termcheck(
         | (F.col(f"{prefix}_phrases") >= F.lit(int(th["phrases"])))
     )
     return out.withColumn(f"{prefix}_flagged", flagged)
+
+
+def adult_flags(
+    df: DataFrame,
+    term_scores: dict[str, int],
+    *,
+    phrase_scores: dict[str, int] | None = None,
+    id_col: str = "docid",
+    text: str = "text",
+    extra_fields: tuple[str, ...] = (),
+    thresholds: dict[str, int] | None = None,
+) -> DataFrame:
+    """The Clusterdb adult-bit side table (docid, adult) for the serving
+    family filter: FxCheckAdult's decision (/root/reference/
+    FxCheckAdult.cpp:406-408, default thresholds T=30/W=7/P=3) over a
+    caller-supplied scored term list, keyed by docid so ``topk(...,
+    adult_flags=...)`` can consult it exactly where the reference reads
+    Clusterdb::hasAdultContent (/root/reference/Msg3a.cpp:810-812). The
+    reference computes the bit at doc-processing time and stores it in the
+    12-byte cluster rec (/root/reference/Clusterdb.h:53-84); here it is a
+    docid-keyed DataFrame the caller persists alongside the index."""
+    out = termcheck(
+        df, term_scores, phrase_scores=phrase_scores, text=text,
+        extra_fields=extra_fields,
+        thresholds={**ADULT_THRESHOLDS, **(thresholds or {})},
+        prefix="adult")
+    return out.select(F.col(id_col).alias("docid"),
+                      F.col("adult_flagged").alias("adult"))

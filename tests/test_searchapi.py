@@ -275,3 +275,40 @@ def test_search_negative_first_result_num_raises(spark, index_dir):
 
     with pytest.raises(ValueError, match="first_result_num"):
         search(spark, index_dir, "binary", first_result_num=-1)
+
+
+def test_family_filter_requires_flags(spark, index_dir):
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    with pytest.raises(ValueError, match="adult_flags"):
+        search(spark, index_dir, "binary", family_filter=True)
+
+
+def test_family_filter_end_to_end(spark, index_dir):
+    """&ff=1 with a termcheck-built adult table: flagged docs vanish from
+    the page (FxCheckAdult -> Clusterdb adult bit -> Msg3a skip)."""
+    from open_source_search_engine_spark.operators.docget import docstore_df
+    from open_source_search_engine_spark.operators.searchapi import search
+    from open_source_search_engine_spark.operators.termcheck import adult_flags
+
+    base = search(spark, index_dir, "binary",
+                  do_site_clustering=False, do_dup_content_removal=False,
+                  docs_wanted=20).collect()
+    assert len(base) >= 2
+    # build the flag table over the doc store, restricted so that exactly
+    # the top result trips the adult rule
+    docs = docstore_df(spark, index_dir)
+    fl = adult_flags(
+        docs.filter(docs.docid == int(base[0]["docid"])),
+        {"binary": 50}, id_col="docid", text="content",
+        thresholds={"score": 50})
+    got = search(spark, index_dir, "binary", family_filter=True,
+                 adult_flags=fl, do_site_clustering=False,
+                 do_dup_content_removal=False, docs_wanted=20).collect()
+    ids = [r["docid"] for r in got]
+    assert base[0]["docid"] not in ids
+    # survivors keep their relative order; the recall loop may backfill an
+    # extra row from beyond the original page
+    rest = [r["docid"] for r in base[1:]]
+    assert ids[:len(rest)] == rest
+    assert len(ids) >= len(rest)

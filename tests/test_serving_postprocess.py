@@ -89,3 +89,34 @@ def test_page_temperature_rescales_and_reranks(spark, pidx):
     for r in base:
         if r["docid"] != last:
             assert rest[r["docid"]] == pytest.approx(r["score"], rel=1e-12)
+
+
+def test_family_filter_drops_flagged_and_backfills(spark, pidx):
+    """m_familyFilter (Msg3a.cpp:810-812): adult-flagged docids never reach
+    the page; the recall loop backfills from deeper results."""
+    base = _run(spark, pidx, k=20)
+    flagged = {base[0]["docid"], base[2]["docid"]}
+    fl = spark.createDataFrame([(int(d), True) for d in flagged]
+                               + [(int(base[1]["docid"]), False)],
+                               "docid long, adult boolean")
+    got = _run(spark, pidx, k=20, adult_flags=fl)
+    ids = [r["docid"] for r in got]
+    assert not (set(ids) & flagged)
+    assert base[1]["docid"] in ids           # adult=false row stays
+    assert len(got) == len(base) - 2         # everything else survives
+    # relative order preserved, ranks re-run 1..n
+    base_order = [r["docid"] for r in base if r["docid"] not in flagged]
+    assert ids == base_order
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_family_filter_frees_site_slots(spark, pidx):
+    """An adult result is skipped BEFORE it can occupy a site-clustering
+    slot — the next doc from the same repo takes it."""
+    base = _run(spark, pidx, k=20)
+    big = [r for r in base if r["repo"] == "big"]
+    fl = spark.createDataFrame([(int(big[0]["docid"]), True)],
+                               "docid long, adult boolean")
+    got = _run(spark, pidx, k=20, site_max=2, adult_flags=fl)
+    kept_big = [r["docid"] for r in got if r["repo"] == "big"]
+    assert kept_big == [big[1]["docid"], big[2]["docid"]]
