@@ -324,6 +324,61 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
 """
 
+def _pii_sql() -> str:
+    """PII oracle generated from the SAME pattern table the Spark module
+    uses (pii.PII_PATTERNS): injection, per-kind counts, Luhn-valid cc
+    subset, and the ordered redaction chain — in DuckDB RE2 (the patterns
+    stay in the Java∩RE2 dialect intersection by design)."""
+    from open_source_search_engine_spark.operators.pii import PII_PATTERNS
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    counts = ",\n    ".join(
+        f"len(regexp_extract_all(text, '{esc(p)}')) AS pii_{k}"
+        for k, p in PII_PATTERNS.items())
+    red = "text"
+    for k, p in PII_PATTERNS.items():
+        red = (f"regexp_replace({red}, '{esc(p)}', "
+               f"'[PII_{k.upper()}]', 'g')")
+    total = " + ".join(f"pii_{k}" for k in PII_PATTERNS)
+    # DuckDB lambdas cannot contain subqueries, so the reversed digits-only
+    # string is inlined at each use
+    rd = "reverse(regexp_replace(m, '[ -]', '', 'g'))"
+    luhn = """
+len(list_filter(regexp_extract_all(text, '{cc}'), m ->
+  length({rd}) > 1 AND
+  list_sum(list_transform(range(1, length({rd}) + 1),
+    i -> CASE WHEN i % 2 = 0
+         THEN CASE WHEN {rd}[i]::INT * 2 > 9 THEN {rd}[i]::INT * 2 - 9
+              ELSE {rd}[i]::INT * 2 END
+         ELSE {rd}[i]::INT END)) % 10 = 0
+))""".format(cc=esc(PII_PATTERNS["cc"]), rd=rd)
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' mail user' || doc_id::VARCHAR || '@example.com'
+         ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.0.1' ELSE '' END ||
+    CASE WHEN doc_id % 13 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END
+      AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text,
+    {counts},
+    {luhn} AS pii_cc_valid
+  FROM inj
+)
+SELECT doc_id, pii_email, pii_ipv4, pii_cc, pii_cc_valid,
+       ({total}) AS pii_total,
+       {red} AS text_redacted
+FROM c
+"""
+
+
 _EMB_CTE = """
 q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe FROM embeddings WHERE vec_id = 0),
 e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings)
@@ -1245,6 +1300,30 @@ def _q_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     out = dedup.semdedup(emb, id_col="vec_id", threshold=0.35, n_clusters=1)
     return out.select("vec_id", "label")
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over the corpus with deterministically injected
+    PII (the synthetic tables contain none): doc_id%7 gains an email,
+    %11 an IPv4, %13 a Luhn-valid card number. Counts per kind, the Luhn
+    subset, and the redacted text all hash-match the DuckDB oracle running
+    the same regex chain."""
+    from open_source_search_engine_spark.operators import pii
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    injected = docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" mail user"), F.col("doc_id").cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit(" from 10.0.0.1")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit(" card 4111 1111 1111 1111")).otherwise(F.lit("")),
+    ))
+    out = pii.redact(pii.pii_counts(injected))
+    return out.select("doc_id", "pii_email", "pii_ipv4", "pii_cc",
+                      "pii_cc_valid", "pii_total", "text_redacted")
 
 
 def _q_matchlist_block(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2225,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_pairs_exact": _q_semdedup_pairs_exact,
         "semdedup_apply": _q_semdedup_apply,
         "matchlist_block": _q_matchlist_block,
+        "pii_redact": _q_pii_redact,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_streaming_exact": _q_dedup_streaming_exact,
         "snapshot_diff": _q_snapshot_diff,
@@ -2523,6 +2603,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS.format(v='a.ve', w='b.ve')} >= 0.35
 """,
+        "pii_redact": _pii_sql(),
         "matchlist_block": r"""
 WITH u AS (
   SELECT doc_id, source AS repo, doc_id::VARCHAR || '.txt' AS path

@@ -1,0 +1,144 @@
+"""PII detection / redaction over document text.
+
+A training-data-pipeline stage the reference engine does not need (it
+serves pages rather than exporting corpora) but any 100 TB corpus export
+does: find and scrub emails, phone numbers, SSNs, IP addresses,
+credit-card numbers, and credentials (cloud key ids, PEM private-key
+blocks, ``secret = "..."`` assignments — the last two matter specifically
+for a SOURCE-CODE corpus, BASELINE input_hint) before the text ships.
+
+Everything is built-in column expressions (``regexp_replace`` /
+``regexp_extract_all`` / higher-order folds) — one map pass, whole-stage
+codegen, zero Python per row, zero shuffles at any corpus size. Patterns
+deliberately use the regex intersection of Java (Spark) and RE2/DuckDB
+(the oracle): no lookaround, no backreferences.
+
+Credit-card handling is two-tier because span-conditional replacement is
+not expressible as one JVM regex pass: ``redact`` scrubs every 13-19
+digit run (recall-first — the right default for an export), while
+``pii_counts`` additionally reports ``pii_cc_valid``, the subset of
+candidates passing the Luhn checksum (precision signal for threshold
+tuning), computed by an expression-level fold — no UDF.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Ordered: structured/high-precision kinds first so e.g. a key assignment
+# is scrubbed as one credential rather than leaving its quoted digits to
+# the phone pattern. Redaction applies in THIS order.
+PII_PATTERNS: dict[str, str] = {
+    "private_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "cloud_key": r"\bAKIA[0-9A-Z]{16}\b",
+    "secret_assign":
+        r"(?i)(api[_-]?key|secret|token|passwd|password)\s*[:=]\s*"
+        r"['\"][^'\"]{8,}['\"]",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "cc": r"\b\d(?:[ -]?\d){12,18}\b",
+    "phone":
+        r"\+\d{1,3}[ -]?\(?\d{1,4}\)?[ -]?\d{3,4}[ -]?\d{3,4}"
+        r"|\(\d{3}\) ?\d{3}-\d{4}"
+        r"|\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def _kinds(kinds: Optional[Iterable[str]]) -> list[str]:
+    if kinds is None:
+        return list(PII_PATTERNS)
+    ks = list(kinds)
+    unknown = [k for k in ks if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {unknown}; "
+                         f"known: {list(PII_PATTERNS)}")
+    # preserve canonical (precision-first) order regardless of caller order
+    return [k for k in PII_PATTERNS if k in ks]
+
+
+def luhn_valid(s: Column) -> Column:
+    """Luhn checksum over a digits-only string column, as a pure
+    expression fold: from the right, double every second digit (subtract
+    9 when it overflows), sum, valid iff ≡ 0 (mod 10)."""
+    rev = F.reverse(s)
+    idx = F.sequence(F.lit(1), F.length(rev))
+    digit = lambda i: F.substr(rev, i, F.lit(1)).cast("int")  # noqa: E731
+    total = F.aggregate(
+        idx, F.lit(0),
+        lambda acc, i: acc + F.when(
+            i % 2 == 0,
+            F.when(digit(i) * 2 > 9, digit(i) * 2 - 9)
+            .otherwise(digit(i) * 2),
+        ).otherwise(digit(i)),
+    )
+    return (F.length(rev) > 1) & (total % 10 == 0)
+
+
+def pii_counts(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    kinds: Optional[Iterable[str]] = None,
+    prefix: str = "pii",
+) -> DataFrame:
+    """Per-kind match counts ``{prefix}_<kind>``, the total
+    ``{prefix}_total``, and ``{prefix}_cc_valid`` (Luhn-passing subset of
+    the cc candidates) when ``cc`` is among the kinds."""
+    ks = _kinds(kinds)
+    out = df
+    total = F.lit(0)
+    for k in ks:
+        c = F.size(F.regexp_extract_all(F.col(text), F.lit(PII_PATTERNS[k]),
+                                        F.lit(0)))
+        out = out.withColumn(f"{prefix}_{k}", c)
+        total = total + c
+    if "cc" in ks:
+        cands = F.regexp_extract_all(F.col(text), F.lit(PII_PATTERNS["cc"]),
+                                     F.lit(0))
+        digits_only = lambda m: F.regexp_replace(m, r"[ -]", "")  # noqa: E731
+        out = out.withColumn(
+            f"{prefix}_cc_valid",
+            F.size(F.filter(cands, lambda m: luhn_valid(digits_only(m)))))
+    return out.withColumn(f"{prefix}_total", total)
+
+
+def redact(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    kinds: Optional[Iterable[str]] = None,
+    out: str = "text_redacted",
+    token: str = "[PII_{KIND}]",
+) -> DataFrame:
+    """Replace every match with ``token`` (``{KIND}`` expands to the
+    upper-cased kind name), applying kinds in the canonical
+    precision-first order. Idempotent: tokens contain no digits/@, so a
+    second pass matches nothing."""
+    ks = _kinds(kinds)
+    col = F.col(text)
+    for k in ks:
+        col = F.regexp_replace(
+            col, PII_PATTERNS[k], token.replace("{KIND}", k.upper()))
+    return df.withColumn(out, col)
+
+
+def drop_pii_docs(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    kinds: Optional[Iterable[str]] = None,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Keep only docs with at most ``max_hits`` total PII matches — the
+    drop-instead-of-scrub policy (some pipelines drop a doc whose PII
+    density suggests a data dump rather than incidental mentions)."""
+    ks = _kinds(kinds)
+    total = F.lit(0)
+    for k in ks:
+        total = total + F.size(
+            F.regexp_extract_all(F.col(text), F.lit(PII_PATTERNS[k]),
+                                 F.lit(0)))
+    return df.filter(total <= F.lit(int(max_hits)))
