@@ -1302,6 +1302,21 @@ def _q_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: train the add-k bigram model on the
+    corpus, score every doc's average negative log-likelihood and
+    perplexity. Train + score are the operator's real distributed paths
+    (groupBy counts, broadcast joins, per-doc agg)."""
+    from open_source_search_engine_spark.operators import lm as lm_ops
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    model = lm_ops.train_bigram_lm(docs)
+    out = lm_ops.doc_log_prob(docs, model)
+    return out.select("doc_id", "n_bigrams",
+                      F.round("avg_nll", 6).alias("avg_nll_r"),
+                      F.round("perplexity", 4).alias("ppl_r"))
+
+
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact over the corpus with deterministically injected
     PII (the synthetic tables contain none): doc_id%7 gains an email,
@@ -2305,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_apply": _q_semdedup_apply,
         "matchlist_block": _q_matchlist_block,
         "pii_redact": _q_pii_redact,
+        "lm_perplexity": _q_lm_perplexity,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_streaming_exact": _q_dedup_streaming_exact,
         "snapshot_diff": _q_snapshot_diff,
@@ -2604,6 +2620,32 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS.format(v='a.ve', w='b.ve')} >= 0.35
 """,
         "pii_redact": _pii_sql(),
+        "lm_perplexity": f"""
+WITH{TOKS_CTE},
+uni AS (SELECT tok AS w1, count(*) AS c1
+        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+vv AS (SELECT count(*)::DOUBLE AS v FROM uni),
+pb AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+  FROM toks WHERE len(t) >= 2
+),
+ex AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pb),
+big AS (SELECT w1, w2, count(*) AS c FROM ex GROUP BY 1, 2),
+sc AS (
+  SELECT e.doc_id,
+         -ln((coalesce(b.c, 0) + 0.5) / (u.c1 + 0.5 * vv.v)) AS nll
+  FROM ex e LEFT JOIN big b ON b.w1 = e.w1 AND b.w2 = e.w2
+            JOIN uni u ON u.w1 = e.w1
+            CROSS JOIN vv
+),
+agg AS (SELECT doc_id, count(*) AS n_bigrams, avg(nll) AS avg_nll
+        FROM sc GROUP BY 1)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(a.avg_nll, 6) AS avg_nll_r,
+       round(exp(a.avg_nll), 4) AS ppl_r
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+""",
         "matchlist_block": r"""
 WITH u AS (
   SELECT doc_id, source AS repo, doc_id::VARCHAR || '.txt' AS path

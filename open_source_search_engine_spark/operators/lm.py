@@ -1,0 +1,139 @@
+"""N-gram language-model perplexity scoring (the CCNet-style quality
+filter).
+
+Large-scale corpus curation pipelines score every document against a
+language model and drop the high-perplexity tail (CCNet, Wenzek et al.
+2020 — there the LM is KenLM; here it is a corpus-trained add-k-smoothed
+bigram model, which keeps the whole pipeline self-contained and the math
+oracle-checkable). No reference-engine analog — the reference serves
+pages, it does not export training corpora.
+
+Scale shape: training is ONE groupBy over the corpus' bigrams (map-side
+partial aggregation, shuffle size = |distinct bigrams|, not corpus size).
+Scoring is explode → join(bigram counts) → join(unigram counts) →
+groupBy(doc) — the joins broadcast when the model fits (``broadcast=True``)
+and fall back to shuffle hash joins under AQE otherwise; a 100 TB corpus
+with a bounded vocabulary ships the model to every executor once.
+Probability math is exact-integer counts + double logs, all expression
+level — no Python per row.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import tokens_col
+
+
+class BigramLM(NamedTuple):
+    """A trained model: integer count tables + vocabulary size. Persist the
+    two DataFrames as parquet to reuse across jobs; ``vocab_size`` rides in
+    the unigram table's row count."""
+    bigrams: DataFrame   # (w1, w2, c)
+    unigrams: DataFrame  # (w1, c1)
+    vocab_size: int
+
+
+def train_bigram_lm(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    min_count: int = 1,
+) -> BigramLM:
+    """Count bigrams/unigrams over whitespace tokens (the same tokenizer
+    every dedup tier uses, so LM vocabulary == shingle vocabulary).
+    ``min_count`` prunes the bigram tail (smoothing covers the pruned
+    mass); unigrams are never pruned — they are the conditioning
+    denominators."""
+    toks = docs.select(tokens_col(text).alias("t")).filter(F.size("t") > 0)
+    uni = (toks.select(F.explode("t").alias("w1"))
+           .groupBy("w1").agg(F.count("*").alias("c1")))
+    pairs = toks.filter(F.size("t") >= 2).select(
+        F.explode(F.arrays_zip(
+            F.slice("t", 1, F.size("t") - 1).alias("w1"),
+            F.slice("t", 2, F.size("t") - 1).alias("w2"),
+        )).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    if min_count > 1:
+        big = big.filter(F.col("c") >= min_count)
+    v = uni.count()
+    return BigramLM(bigrams=big, unigrams=uni, vocab_size=v)
+
+
+def doc_log_prob(
+    docs: DataFrame,
+    lm: BigramLM,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Per-doc add-k bigram log-likelihood:
+    ``p(w2|w1) = (c(w1,w2) + k) / (c1(w1) + k*V)`` — unseen pairs and OOV
+    conditioning words degrade smoothly to the smoothed floor. Output
+    ``(id, n_bigrams, avg_nll, perplexity)`` with ``perplexity =
+    exp(avg_nll)``; docs with fewer than two tokens get n_bigrams=0 and
+    NULL scores (observable, never silently perfect).
+
+    ``broadcast=True`` ships both count tables to every executor (the
+    right call whenever the model fits in memory — vocabulary, not corpus,
+    sized); ``False`` leaves the join strategy to AQE for huge models."""
+    V = float(lm.vocab_size)
+    kk = float(k)
+    hint = F.broadcast if broadcast else (lambda d: d)
+    pairs = docs.select(
+        F.col(id_col), tokens_col(text).alias("t")
+    ).select(
+        id_col,
+        F.when(F.size("t") >= 2, F.arrays_zip(
+            F.slice("t", 1, F.size("t") - 1).alias("w1"),
+            F.slice("t", 2, F.size("t") - 1).alias("w2"),
+        )).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        .alias("ps"))
+    ex = pairs.select(id_col, F.explode_outer("ps").alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    j = (ex.join(hint(lm.bigrams), ["w1", "w2"], "left")
+         .join(hint(lm.unigrams), ["w1"], "left"))
+    nll = -F.log(
+        (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(kk))
+        / (F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+           + F.lit(kk) * F.lit(V)))
+    per = (
+        j.groupBy(id_col).agg(
+            F.count(F.col("w1")).cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("w1").isNotNull(), nll)).alias("_snll"),
+        )
+        .withColumn(
+            "avg_nll",
+            F.when(F.col("n_bigrams") > 0,
+                   F.col("_snll") / F.col("n_bigrams")))
+        .withColumn("perplexity", F.exp("avg_nll"))
+        .drop("_snll")
+    )
+    return per
+
+
+def filter_by_perplexity(
+    docs: DataFrame,
+    lm: BigramLM,
+    max_perplexity: float,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    broadcast: bool = True,
+    keep_unscorable: bool = False,
+) -> DataFrame:
+    """Drop the high-perplexity tail — the CCNet head/middle cut. Docs too
+    short to score (no bigram) are dropped unless ``keep_unscorable``."""
+    scores = doc_log_prob(docs, lm, text=text, id_col=id_col, k=k,
+                          broadcast=broadcast)
+    cond = F.col("perplexity") <= F.lit(float(max_perplexity))
+    if keep_unscorable:
+        cond = cond | F.col("perplexity").isNull()
+    keep = scores.filter(cond).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

@@ -1,0 +1,105 @@
+"""Bigram LM perplexity (CCNet-style quality filter): training counts,
+add-k scoring against a hand-computed oracle, OOV behavior, broadcast/AQE
+join-tier equality, and the filter policy."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.operators import lm
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat sat"),
+    (2, "the dog sat on the mat"),
+    (3, "zebra quokka axolotl"),      # all-OOV bigrams after training docs
+    (4, "single"),                    # unscorable: no bigram
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def model(docs):
+    return lm.train_bigram_lm(docs)
+
+
+def _py_lm():
+    """Reference counts computed in plain Python."""
+    uni, big = {}, {}
+    for _, t in DOCS:
+        ws = t.split()
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    return uni, big
+
+
+def test_training_counts(model):
+    uni, big = _py_lm()
+    got_u = {r["w1"]: r["c1"] for r in model.unigrams.collect()}
+    got_b = {(r["w1"], r["w2"]): r["c"] for r in model.bigrams.collect()}
+    assert got_u == uni and got_b == big
+    assert model.vocab_size == len(uni)
+
+
+def test_scores_match_python_oracle(docs, model):
+    uni, big = _py_lm()
+    k, V = 0.5, float(len(uni))
+    got = {r["doc_id"]: r for r in lm.doc_log_prob(docs, model).collect()}
+    for did, t in DOCS:
+        ws = t.split()
+        ps = list(zip(ws, ws[1:]))
+        if not ps:
+            assert got[did]["n_bigrams"] == 0
+            assert got[did]["avg_nll"] is None
+            assert got[did]["perplexity"] is None
+            continue
+        nll = [-math.log((big.get(p, 0) + k) / (uni.get(p[0], 0) + k * V))
+               for p in ps]
+        want = sum(nll) / len(ps)
+        assert got[did]["n_bigrams"] == len(ps)
+        assert got[did]["avg_nll"] == pytest.approx(want, rel=1e-12)
+        assert got[did]["perplexity"] == pytest.approx(math.exp(want),
+                                                       rel=1e-12)
+
+
+def test_oov_doc_scores_worst(docs, model):
+    got = {r["doc_id"]: r["perplexity"]
+           for r in lm.doc_log_prob(docs, model).collect()}
+    scored = {d: p for d, p in got.items() if p is not None}
+    assert max(scored, key=scored.get) == 3  # the all-OOV doc
+
+
+def test_broadcast_and_shuffle_tiers_agree(docs, model):
+    a = {(r["doc_id"], r["n_bigrams"], round(r["avg_nll"] or 0, 10))
+         for r in lm.doc_log_prob(docs, model, broadcast=True).collect()}
+    b = {(r["doc_id"], r["n_bigrams"], round(r["avg_nll"] or 0, 10))
+         for r in lm.doc_log_prob(docs, model, broadcast=False).collect()}
+    assert a == b
+
+
+def test_filter_by_perplexity(docs, model):
+    got = {r["doc_id"]: r["perplexity"]
+           for r in lm.doc_log_prob(docs, model).collect()}
+    cut = got[3] - 1e-9  # just below the OOV doc's perplexity
+    kept = {r["doc_id"] for r in
+            lm.filter_by_perplexity(docs, model, cut).collect()}
+    assert kept == {0, 1, 2}          # OOV doc and unscorable doc dropped
+    kept2 = {r["doc_id"] for r in
+             lm.filter_by_perplexity(docs, model, cut,
+                                     keep_unscorable=True).collect()}
+    assert kept2 == {0, 1, 2, 4}
+
+
+def test_min_count_prunes_bigram_tail(docs):
+    m = lm.train_bigram_lm(docs, min_count=2)
+    got_b = {(r["w1"], r["w2"]): r["c"] for r in m.bigrams.collect()}
+    _, big = _py_lm()
+    assert got_b == {p: c for p, c in big.items() if c >= 2}
+    assert ("the", "cat") in got_b  # appears in docs 0 and 1
