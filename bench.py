@@ -260,6 +260,21 @@ def main() -> None:
         spark.catalog.clearCache()
     queries["q_dedup_incremental_precomp"] = round(min(_precomp_ts), 3)
 
+    # PII scrub (one codegen map pass) and LM perplexity scoring
+    # (train: vocab-sized groupBy; score: broadcast joins + per-doc agg)
+    from open_source_search_engine_spark.operators import lm as lm_ops
+    from open_source_search_engine_spark.operators import pii
+
+    queries["q_pii_redact"] = best_of(
+        2, lambda: pii.redact(docs)
+        .agg(F.sum(F.length("text_redacted"))).collect())
+
+    def _lm():
+        m = lm_ops.train_bigram_lm(docs)
+        lm_ops.doc_log_prob(docs, m).agg(F.avg("perplexity")).collect()
+
+    queries["q_lm_perplexity"] = best_of(2, _lm)
+
     # the full curation chain (langid -> quality -> strip -> fingerprint
     # dedup -> sample -> shard assignment) as one composed run
     queries["q_curate"] = best_of(
