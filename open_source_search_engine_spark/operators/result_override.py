@@ -1,0 +1,154 @@
+"""Serving-result title/summary overrides (UrlResultOverride /
+LanguageResultOverride / RobotsBlockedResultOverride analog).
+
+The reference carries two override registries consulted when a result's
+title/summary is built (/root/reference/XmlDoc.cpp:16287,16370):
+
+- ``urlresultoverride.txt`` — ``url|lang|title|summary`` rows keyed by
+  exact URL then requester language (/root/reference/UrlResultOverride.cpp)
+  — replace a listed page's title/summary with curated text in the
+  requester's language;
+- ``robotsblockedresultoverride.txt`` — ``lang|title|summary`` template
+  rows (/root/reference/LanguageResultOverride.cpp,
+  RobotsBlockedResultOverride.cpp) applied to documents whose content
+  cannot be shown (the reference: robots-blocked pages known only via
+  links), with ``{DOMAIN}``/``{HOST}`` placeholders substituted from the
+  result URL (FIRST occurrence only, /root/reference/ResultOverride.cpp:
+  18-45) and an ``en`` fallback when the requester's language has no row
+  (/root/reference/LanguageResultOverride.cpp:80-95).
+
+This engine has no crawler, so "cannot be shown" is the caller's
+predicate — typically ``matchlist.block_reason_col(...).isNotNull()`` (the
+ingest blocklist this repo already models) or any boolean column. Both
+registries compile to ONE expression over the bounded result page
+(overrides are page-level decoration, never a corpus-scale operation):
+URL-keyed rows become a literal CASE chain (they are curated by hand —
+dozens, not millions), templates become concat expressions around the
+domain/host columns.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .matchlist import _domain
+
+
+def parse_url_overrides(lines: Iterable[str]) -> dict:
+    """``url|lang|title|summary`` rows → {url: {lang: (title, summary)}}.
+    Comment/blank/malformed lines skipped, like every reference list
+    loader (UrlResultOverride.cpp:77-110)."""
+    out: dict = {}
+    for raw in lines:
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        cols = line.split("|")
+        if len(cols) != 4:
+            continue
+        url, lang, title, summary = cols
+        out.setdefault(url, {})[lang] = (title, summary)
+    return out
+
+
+def parse_lang_overrides(lines: Iterable[str]) -> dict:
+    """``lang|title|summary`` template rows → {lang: (title, summary)}
+    (LanguageResultOverride.cpp:52-66)."""
+    out: dict = {}
+    for raw in lines:
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        cols = line.split("|")
+        if len(cols) != 3:
+            continue
+        lang, title, summary = cols
+        out[lang] = (title, summary)
+    return out
+
+
+def _template_col(tpl: str, host: Column, path: Column) -> Column:
+    """{DOMAIN}/{HOST} substitution as a concat expression — FIRST
+    occurrence of each placeholder only, exactly like
+    ResultOverride.cpp:18-45 (one position recorded per placeholder at
+    parse time); any later copies stay as literal text."""
+    marks = []
+    d = tpl.find("{DOMAIN}")
+    if d != -1:
+        marks.append((d, len("{DOMAIN}"), _domain(host)))
+    h = tpl.find("{HOST}")
+    if h != -1:
+        marks.append((h, len("{HOST}"), host))
+    marks.sort(key=lambda m: m[0])
+    cols: list[Column] = []
+    prev = 0
+    for pos, ln, c in marks:
+        cols.append(F.lit(tpl[prev:pos]))
+        cols.append(c)
+        prev = pos + ln
+    cols.append(F.lit(tpl[prev:]))
+    return F.concat(*cols)
+
+
+def _lang_lookup(overrides: dict, lang: str, which: int) -> Optional[str]:
+    """Requester language, else the reference's hard 'en' fallback
+    (LanguageResultOverride.cpp:86-95); None = no override."""
+    if lang in overrides:
+        return overrides[lang][which]
+    if lang != "en" and "en" in overrides:
+        return overrides["en"][which]
+    return None
+
+
+def apply_result_overrides(
+    page: DataFrame,
+    *,
+    preferred_lang: str,
+    url_overrides: dict | Iterable[str] | None = None,
+    lang_overrides: dict | Iterable[str] | None = None,
+    blocked: Optional[Column] = None,
+    host: str = "repo",
+    path: str = "path",
+    title: str = "title",
+    summary: str = "summary",
+) -> DataFrame:
+    """Decorate the bounded result page with override title/summary
+    columns. Precedence per result, mirroring the reference's consult
+    order: URL-keyed override for (url, preferred_lang) first
+    (XmlDoc.cpp:16287 — consulted before the title is computed at all);
+    else, when ``blocked`` is true for the row, the language template
+    (requester lang → en fallback); else the existing ``title``/
+    ``summary`` values (created as empty strings when absent).
+
+    ``preferred_lang`` is m_prefferedResultLangId — callers pass the query
+    language. URL identity is ``host + '/' + path``."""
+    if url_overrides is not None and not isinstance(url_overrides, dict):
+        url_overrides = parse_url_overrides(url_overrides)
+    if lang_overrides is not None and not isinstance(lang_overrides, dict):
+        lang_overrides = parse_lang_overrides(lang_overrides)
+
+    out = page
+    for c in (title, summary):
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(""))
+    url = F.concat_ws("/", F.col(host), F.col(path))
+
+    for which, cname in ((0, title), (1, summary)):
+        expr = F.col(cname)
+        if lang_overrides:
+            tpl = _lang_lookup(lang_overrides, preferred_lang, which)
+            if tpl is not None and blocked is not None:
+                expr = F.when(
+                    blocked, _template_col(tpl, F.col(host), F.col(path))
+                ).otherwise(expr)
+        if url_overrides:
+            for u in sorted(url_overrides):
+                langs = url_overrides[u]
+                val = (langs.get(preferred_lang) or langs.get("en"))
+                if val is not None:
+                    expr = F.when(url == F.lit(u), F.lit(val[which])) \
+                        .otherwise(expr)
+        out = out.withColumn(cname, expr)
+    return out

@@ -1,0 +1,99 @@
+"""Result title/summary overrides: URL-keyed rows, language templates with
+{DOMAIN}/{HOST} substitution + en fallback, blocked-predicate gating, and
+precedence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.operators import result_override as ro
+
+PAGE = [
+    # (docid, repo, path, lang-agnostic existing title)
+    (1, "apache/spark", "core/main.scala", "main.scala"),
+    (2, "tracker/ads", "pixel.gif", "pixel.gif"),
+    (3, "fork/tools", "readme.md", "readme.md"),
+]
+
+URL_LINES = [
+    "# comment",
+    "apache/spark/core/main.scala|en|Spark Core|The distributed engine.",
+    "apache/spark/core/main.scala|da|Spark-kernen|Den distribuerede motor.",
+    "malformed|line",
+]
+
+LANG_LINES = [
+    "en|{DOMAIN}|The site prevents access. No description available.",
+    "da|{DOMAIN}|Hjemmesiden forhindrer adgang til {HOST}.",
+]
+
+
+@pytest.fixture(scope="module")
+def page(spark):
+    return spark.createDataFrame(
+        PAGE, "docid long, repo string, path string, title string")
+
+
+def test_parsers():
+    u = ro.parse_url_overrides(URL_LINES)
+    assert set(u) == {"apache/spark/core/main.scala"}
+    assert u["apache/spark/core/main.scala"]["da"][0] == "Spark-kernen"
+    l = ro.parse_lang_overrides(LANG_LINES)
+    assert l["en"][0] == "{DOMAIN}"
+
+
+def test_url_override_lang_and_fallback(page):
+    got = {r["docid"]: r for r in ro.apply_result_overrides(
+        page, preferred_lang="da", url_overrides=URL_LINES).collect()}
+    assert got[1]["title"] == "Spark-kernen"
+    assert got[1]["summary"] == "Den distribuerede motor."
+    assert got[3]["title"] == "readme.md"       # unlisted url untouched
+    # a language with no row falls back to the en row
+    got_fr = {r["docid"]: r for r in ro.apply_result_overrides(
+        page, preferred_lang="fr", url_overrides=URL_LINES).collect()}
+    assert got_fr[1]["title"] == "Spark Core"
+
+
+def test_lang_template_only_for_blocked_rows(page):
+    blocked = F.col("repo") == "tracker/ads"
+    got = {r["docid"]: r for r in ro.apply_result_overrides(
+        page, preferred_lang="da", lang_overrides=LANG_LINES,
+        blocked=blocked).collect()}
+    # {DOMAIN} = trailing repo segment, {HOST} = whole repo
+    assert got[2]["title"] == "ads"
+    assert got[2]["summary"] == \
+        "Hjemmesiden forhindrer adgang til tracker/ads."
+    assert got[1]["title"] == "main.scala"       # unblocked rows untouched
+    # en fallback when the requester lang has no template row
+    got_fr = {r["docid"]: r for r in ro.apply_result_overrides(
+        page, preferred_lang="fr", lang_overrides=LANG_LINES,
+        blocked=blocked).collect()}
+    assert got_fr[2]["summary"] == \
+        "The site prevents access. No description available."
+
+
+def test_template_without_blocked_pred_is_inert(page):
+    got = {r["docid"]: r["title"] for r in ro.apply_result_overrides(
+        page, preferred_lang="en", lang_overrides=LANG_LINES).collect()}
+    assert got == {1: "main.scala", 2: "pixel.gif", 3: "readme.md"}
+
+
+def test_url_override_beats_lang_template(page):
+    blocked = F.lit(True)  # everything "blocked"
+    got = {r["docid"]: r["title"] for r in ro.apply_result_overrides(
+        page, preferred_lang="en", url_overrides=URL_LINES,
+        lang_overrides=LANG_LINES, blocked=blocked).collect()}
+    assert got[1] == "Spark Core"   # url row wins (consulted first)
+    assert got[2] == "ads"          # template for the rest
+
+
+def test_first_occurrence_substitution_only(spark):
+    page = spark.createDataFrame([(1, "a/b", "p")],
+                                 "docid long, repo string, path string")
+    got = ro.apply_result_overrides(
+        page, preferred_lang="en",
+        lang_overrides=["en|{DOMAIN} and {DOMAIN}|x {HOST} y {HOST}"],
+        blocked=F.lit(True)).collect()[0]
+    # the reference records ONE position per placeholder
+    # (ResultOverride.cpp:18-45): later copies stay literal, not expanded
+    assert got["title"] == "b and {DOMAIN}"
+    assert got["summary"] == "x a/b y {HOST}"
