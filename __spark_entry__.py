@@ -1306,6 +1306,29 @@ def _q_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def _q_result_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving result overrides (/root/reference/UrlResultOverride.cpp,
+    LanguageResultOverride.cpp, XmlDoc.cpp:16287,16370): URL-keyed
+    title/summary rows in the requester's language (en fallback), plus
+    {DOMAIN}/{HOST} templates applied to 'blocked' rows (here: the src1
+    repo, standing in for robots-blocked pages)."""
+    from open_source_search_engine_spark.operators import (
+        result_override as ro,
+    )
+
+    page = _docs(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("repo"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"))
+    out = ro.apply_result_overrides(
+        page, preferred_lang="da",
+        url_overrides=["src0/0.txt|da|Nul-dokumentet|Kurateret resume.",
+                       "src0/7.txt|en|Doc Seven|Curated seven."],
+        lang_overrides=["en|{DOMAIN}|No description for {HOST}.",
+                        "da|{DOMAIN}|Ingen beskrivelse af {HOST}."],
+        blocked=F.col("repo") == "src1")
+    return out.select("doc_id", "title", "summary")
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring: train the add-k bigram model on the
     corpus, score every doc's average negative log-likelihood and
@@ -2325,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matchlist_block": _q_matchlist_block,
         "pii_redact": _q_pii_redact,
         "lm_perplexity": _q_lm_perplexity,
+        "engine_result_override": _q_result_override,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_streaming_exact": _q_dedup_streaming_exact,
         "snapshot_diff": _q_snapshot_diff,
@@ -2624,6 +2648,22 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS.format(v='a.ve', w='b.ve')} >= 0.35
 """,
         "pii_redact": _pii_sql(),
+        "engine_result_override": """
+WITH u AS (
+  SELECT doc_id, source AS repo, doc_id::VARCHAR || '.txt' AS path
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN repo || '/' || path = 'src0/0.txt' THEN 'Nul-dokumentet'
+       WHEN repo || '/' || path = 'src0/7.txt' THEN 'Doc Seven'
+       WHEN repo = 'src1' THEN repo
+       ELSE '' END AS title,
+  CASE WHEN repo || '/' || path = 'src0/0.txt' THEN 'Kurateret resume.'
+       WHEN repo || '/' || path = 'src0/7.txt' THEN 'Curated seven.'
+       WHEN repo = 'src1' THEN 'Ingen beskrivelse af ' || repo || '.'
+       ELSE '' END AS summary
+FROM u
+""",
         "lm_perplexity": f"""
 WITH{TOKS_CTE},
 uni AS (SELECT tok AS w1, count(*) AS c1
