@@ -190,6 +190,9 @@ def search(
     dedup_url: bool = False,
     family_filter: bool = False,          # m_familyFilter (&ff=1)
     adult_flags=None,                     # docid-keyed adult-bit side table
+    url_overrides=None,                   # urlresultoverride.txt rows/dict
+    lang_overrides=None,                  # lang|title|summary template rows
+    blocked_pred=None,                    # 'cannot show content' predicate
     include_cached_copy: bool = False,    # m_includeCachedCopy
     # --- summaries (Summary.cpp window selection + Highlight.cpp markup) ---
     show_snippets: bool = False,
@@ -241,7 +244,8 @@ def search(
                 "build one with termcheck.adult_flags)")
         topk_kwargs["adult_flags"] = adult_flags
     ckey = None
-    if rcache and all(
+    if rcache and url_overrides is None and lang_overrides is None \
+            and blocked_pred is None and all(
             v is None or isinstance(v, (str, int, float, bool))
             for v in topk_kwargs.values()):
         # DataFrame-valued kwargs (doc_text, temperature, ...) have no
@@ -376,6 +380,18 @@ def search(
             # window on — the snippet column the caller asked for is still
             # present, empty, never silently missing
             res = res.withColumn("snippet", F.lit(""))
+    if url_overrides is not None or lang_overrides is not None:
+        # result overrides consulted at result-build time
+        # (/root/reference/XmlDoc.cpp:16287,16370): title + the summary
+        # column (the snippet when summaries were requested); the
+        # requester language is the resolved query language
+        from .result_override import apply_result_overrides
+
+        summary_col = "snippet" if "snippet" in res.columns else "summary"
+        res = apply_result_overrides(
+            res, preferred_lang=plan.query_lang or "en",
+            url_overrides=url_overrides, lang_overrides=lang_overrides,
+            blocked=blocked_pred, summary=summary_col)
     if fmt is None:
         if ckey is not None:
             rows = res.collect()

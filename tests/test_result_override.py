@@ -97,3 +97,34 @@ def test_first_occurrence_substitution_only(spark):
     # (ResultOverride.cpp:18-45): later copies stay literal, not expanded
     assert got["title"] == "b and {DOMAIN}"
     assert got["summary"] == "x a/b y {HOST}"
+
+
+def test_search_applies_result_overrides(spark, index_dir):
+    """search(url_overrides=/lang_overrides=/blocked_pred=) decorates the
+    final page (XmlDoc.cpp:16287,16370 consult point)."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    base = search(spark, index_dir, "binary", docs_wanted=5,
+                  do_site_clustering=False,
+                  do_dup_content_removal=False).collect()
+    assert base
+    top = base[0]
+    url = f"{top['repo']}/{top['path']}"
+    got = search(
+        spark, index_dir, "binary", docs_wanted=5,
+        do_site_clustering=False, do_dup_content_removal=False,
+        url_overrides=[f"{url}|en|Curated Title|Curated summary."],
+        lang_overrides=["en|{DOMAIN}|No description for {HOST}."],
+        blocked_pred=F.col("repo") == base[-1]["repo"],
+    ).collect()
+    by_id = {r["docid"]: r for r in got}
+    assert by_id[top["docid"]]["title"] == "Curated Title"
+    assert by_id[top["docid"]]["summary"] == "Curated summary."
+    blocked_rows = [r for r in got if r["repo"] == base[-1]["repo"]
+                    and r["docid"] != top["docid"]]
+    for r in blocked_rows:
+        assert r["summary"] == f"No description for {r['repo']}."
+    # ranks/order unchanged by decoration
+    assert [r["docid"] for r in got] == [r["docid"] for r in base]
