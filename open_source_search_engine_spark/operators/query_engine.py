@@ -528,14 +528,16 @@ def topk(
 
     if (prune and not _match_set and temperature is None
             and repo_rank is None
-            and ranker == "bm25" and wand_eligible(plan, k, cursor)):
+            and ranker in ("bm25", "bm25_ranks")
+            and wand_eligible(plan, k, cursor)):
         from .wand import SideTableTooLarge
 
         try:
             top = (
                 wand_topk(spark, seg, plan, dfs, h.n_docs, h.avgdl,
                           h.index_dir, k, n_cells=wand_cells,
-                          decode_counters=wand_counters, cursor=cursor)
+                          decode_counters=wand_counters, cursor=cursor,
+                          ranker=ranker)
                 .orderBy(F.desc("score"), F.asc("docid")).limit(k)
             )
             sup = load_superseded(spark, h.index_dir)

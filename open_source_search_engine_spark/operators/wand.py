@@ -294,10 +294,12 @@ class _Run:
     second read."""
 
     __slots__ = ("mind", "maxd", "max_tf", "min_dl", "bufs", "nd", "npst",
-                 "gen_seq", "decoded", "want_pos")
+                 "gen_seq", "decoded", "want_pos", "want_rank", "rankbufs")
 
-    def __init__(self, pdf: pd.DataFrame, want_pos: bool = False):
+    def __init__(self, pdf: pd.DataFrame, want_pos: bool = False,
+                 want_rank: bool = False):
         self.want_pos = want_pos
+        self.want_rank = want_rank
         order = np.argsort(pdf["min_docid"].values, kind="stable")
         self.mind = pdf["min_docid"].values[order]
         self.maxd = pdf["max_docid"].values[order]
@@ -307,6 +309,11 @@ class _Run:
         self.npst = pdf["n_postings"].values[order].astype(np.int64)
         bufs = pdf["postings"].values
         self.bufs = [bufs[i] for i in order]
+        if want_rank:
+            rbufs = pdf["rankbuf"].values
+            self.rankbufs = [rbufs[i] for i in order]
+        else:
+            self.rankbufs = None
         self.gen_seq = int(pdf["gen_seq"].values[0])
         self.decoded: dict = {}
 
@@ -317,24 +324,38 @@ class _Run:
         return np.where(ok, ix, -1)
 
     def decode_block(self, bi: int, filt_mask, on_miss=None):
-        """→ (docids, tfs, dls, pos_flat|None, pos_starts|None); the last
-        two only for ``want_pos`` runs. ``filt_mask`` returns a keep mask
-        (None = keep all)."""
+        """→ (docids, tfs, dls, pos_flat|None, pos_starts|None, wtf|None);
+        positions only for ``want_pos`` runs, the per-doc rank-weighted tf
+        (Σ densityWeight·spamWeight over the doc's occurrences — the SAME
+        ``np.add.reduceat`` in the same posting order as the declarative
+        decoder, so scores stay bit-identical) only for ``want_rank``.
+        ``filt_mask`` returns a keep mask (None = keep all)."""
         got = self.decoded.get(bi)
         if got is None:
             from ..functions.varint import decode_block as _dec
 
             d, tf, dl, pos = _dec(bytes(self.bufs[bi]))
+            wtf = None
+            if self.want_rank:
+                from ..functions.ranks import occurrence_weight
+                from ..functions.varint import decode_rank_streams
+
+                w = occurrence_weight(decode_rank_streams(
+                    [self.rankbufs[bi]]))
+                wtf = (np.add.reduceat(w, np.cumsum(tf) - tf)
+                       if len(tf) else np.empty(0, dtype=np.float64))
             keep = filt_mask(d, self.gen_seq)
             if keep is not None:
                 if self.want_pos and len(pos):
                     pos = pos[np.repeat(keep, tf)]
+                if wtf is not None:
+                    wtf = wtf[keep]
                 d, tf, dl = d[keep], tf[keep], dl[keep]
             if self.want_pos:
                 ends = np.cumsum(tf)
-                got = (d, tf, dl, pos, ends - tf)
+                got = (d, tf, dl, pos, ends - tf, wtf)
             else:
-                got = (d, tf, dl, None, None)
+                got = (d, tf, dl, None, None, wtf)
             self.decoded[bi] = got
             if on_miss is not None:
                 on_miss()
@@ -365,6 +386,11 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
     phrases = meta.get("phrases", [])
     pos_keys = {(int(t), int(fld)) for tids, _offs, fld in phrases
                 for t in tids}
+    # bm25_ranks: score from the rank-weighted tf (SC2 occurrence weights)
+    # decoded from each block's rank sidecar; the block upper bounds stay
+    # valid unchanged because every occurrence weight is ≤ 1, so
+    # wtf ≤ tf ≤ max_tf and tfnorm is monotone in tf
+    want_rank = meta.get("ranker") == "bm25_ranks"
 
     def filt(d, gen_seq):
         """Whitelist + tombstone + newest-generation keep MASK for one
@@ -400,7 +426,8 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
         key_cols = ["termid", "field", "salt", "gen_seq"]
         for (t, f, _s, _g), sub in pdf.groupby(key_cols, sort=False):
             key = (int(t), int(f))
-            lists.setdefault(key, []).append(_Run(sub, want_pos=key in pos_keys))
+            lists.setdefault(key, []).append(
+                _Run(sub, want_pos=key in pos_keys, want_rank=want_rank))
 
         def list_ndocs(key) -> int:
             return sum(int(r.nd.sum()) for r in lists.get(key, []))
@@ -419,23 +446,29 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
                         bi, filt, on_miss=lambda t=key[0]: count_decoded(t)))
             if not parts:
                 z = np.empty(0, dtype=np.int64)
-                return z, z, z, ([] if want_pos else None)
+                return (z, z, z, ([] if want_pos else None),
+                        (z.astype(np.float64) if want_rank else None))
             d = np.concatenate([p[0] for p in parts])
             tf = np.concatenate([p[1] for p in parts])
             dl = np.concatenate([p[2] for p in parts])
+            wtf = (np.concatenate([p[5] for p in parts])
+                   if want_rank else None)
             pls = None
             if want_pos:
                 pls = []
-                for pd_, ptf, _dl, ppos, pst in parts:
+                for pd_, ptf, _dl, ppos, pst, _pw in parts:
                     pls.extend(ppos[a:a + t_] for a, t_ in zip(pst, ptf))
             m = (d >= lo) & (d < hi)
             keep_ix = np.nonzero(m)[0]
             d, tf, dl = d[m], tf[m], dl[m]
+            if want_rank:
+                wtf = wtf[m]
             o = np.argsort(d, kind="stable")
             if want_pos:
                 sel = keep_ix[o]
                 pls = [pls[j] for j in sel]
-            return d[o], tf[o], dl[o], pls
+            return (d[o], tf[o], dl[o], pls,
+                    (wtf[o] if want_rank else None))
 
         # pivot = required group with the fewest in-cell docs
         gsizes = [sum(list_ndocs(tuple(key)) for key in g) for g in groups]
@@ -472,15 +505,16 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
         present: dict = {}
         per_list_tfn: dict = {}
         hit_ix: dict = {}
-        for key, (d, tf, dl, _pls) in decoded.items():
+        for key, (d, tf, dl, _pls, wl) in decoded.items():
             ix = np.searchsorted(d, cand)
             ixc = np.minimum(ix, max(len(d) - 1, 0))
             hit = (len(d) > 0) & (d[ixc] == cand) if len(d) else np.zeros(nc, bool)
             present[key] = hit
             hit_ix[key] = ixc
             if key in lists_meta and hit.any():
+                tfv = wl if want_rank else tf
                 tfn = np.zeros(nc, dtype=np.float64)
-                tfn[hit] = tfnorm(tf[ixc[hit]], dl[ixc[hit]], key[1])
+                tfn[hit] = tfnorm(tfv[ixc[hit]], dl[ixc[hit]], key[1])
                 per_list_tfn[key] = tfn
                 wsum = sum(lists_meta[key])
                 if wsum:
@@ -547,13 +581,15 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
                         bi = int(ci[i])
                         if bi < 0:
                             continue
-                        dd, tt, ll, pp, ss = r.decode_block(
+                        dd, tt, ll, pp, ss, ww = r.decode_block(
                             bi, filt, on_miss=lambda t=key[0]: count_decoded(t))
                         j = np.searchsorted(dd, d)
                         if j < len(dd) and dd[j] == d:
-                            got_tf, got_dl = int(tt[j]), int(ll[j])
+                            raw_tf = int(tt[j])
+                            got_tf = float(ww[j]) if want_rank else raw_tf
+                            got_dl = int(ll[j])
                             if pp is not None:
-                                resolved_pos[key] = pp[ss[j]:ss[j] + got_tf]
+                                resolved_pos[key] = pp[ss[j]:ss[j] + raw_tf]
                             break
                 if got_tf:
                     if key in excluded_keys:
@@ -676,12 +712,19 @@ def wand_topk(
     n_cells: int | None = None,
     decode_counters: dict | None = None,
     cursor: tuple[float, int] | None = None,
+    ranker: str = "bm25",
 ) -> DataFrame:
     """Block-max WAND plan: cell-assign → shuffle → per-cell DAAT top-k →
     (docid, score) rows for the global merge. ``decode_counters`` may be a
     dict {termid: SparkAccumulator} for decoded-block instrumentation.
     ``cursor`` (score, docid) restricts the heap to results strictly after
-    that position in page order (K3 pagination served DAAT)."""
+    that position in page order (K3 pagination served DAAT).
+    ``ranker='bm25_ranks'`` scores candidates from the rank-weighted tf
+    decoded from each block's rank sidecar (the reference's DAAT scorer
+    applies its density/spam occurrence weights the same way,
+    /root/reference/PosdbTable.cpp:257-258); pruning stays lossless because
+    every occurrence weight is ≤ 1 so the unweighted block bounds remain
+    true upper bounds."""
     if n_cells is None:
         # work-proportional cell count: one docid cell per ~16k candidate
         # postings (df upper-bounds per-term candidates), capped at cluster
@@ -693,6 +736,7 @@ def wand_topk(
         total_df = sum(dfs.get(int(t.termid), 0) for t in plan.terms)
         n_cells = max(1, min(par, (total_df + 16383) // 16384))
     meta = _build_query_meta(plan, dfs, n_docs, avgdl)
+    meta["ranker"] = ranker
     tomb, sup_d, sup_g = load_delete_state(index_dir)
     meta["tomb"], meta["sup_d"], meta["sup_g"] = tomb, sup_d, sup_g
     meta["allowed"] = load_allowed_docids(spark, index_dir, plan)
@@ -704,9 +748,11 @@ def wand_topk(
         (F.col("min_docid") / F.lit(cell_w)).cast("long"),
         (F.col("max_docid") / F.lit(cell_w)).cast("long"),
     )
+    # the rank sidecar only ships when the ranker consumes it
+    if ranker != "bm25_ranks" and "rankbuf" in seg.columns:
+        seg = seg.drop("rankbuf")
     part = (
-        seg.drop("rankbuf")  # rank sidecar never feeds the WAND scorer
-        .withColumn("cell", F.explode(cells))
+        seg.withColumn("cell", F.explode(cells))
         .repartition(n_cells, "cell")
     )
     scorer = _cell_scorer(meta, k, n_cells, decode_counters)

@@ -275,3 +275,40 @@ def test_whitelist_budget_falls_back_to_declarative(spark, fine_index,
     got = [(r["docid"], r["score"]) for r in
            topk(spark, fine_index, q, 10, prune=True).collect()]
     assert got == want
+
+
+def test_ranks_ranker_takes_wand_path_and_stays_exact(spark, fine_index):
+    """ranker='bm25_ranks' now rides WAND: the rank-weighted tf is decoded
+    from each block's rank sidecar and scores stay BIT-identical to the
+    declarative prune=False plan (every occurrence weight ≤ 1, so the
+    unweighted block bounds remain true upper bounds)."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    for q in ("scan if", "hash table", "binsearch_rare7 if"):
+        wand = topk(spark, fine_index, q, 10, prune=True,
+                    ranker="bm25_ranks").collect()
+        base = topk(spark, fine_index, q, 10, prune=False,
+                    ranker="bm25_ranks").collect()
+        assert [(r["docid"], r["score"]) for r in wand] == \
+               [(r["docid"], r["score"]) for r in base], q
+        assert wand, q
+    # and the weighting is real: plain bm25 differs somewhere in the page
+    plain = topk(spark, fine_index, "scan if", 10, prune=True).collect()
+    ranked = topk(spark, fine_index, "scan if", 10, prune=True,
+                  ranker="bm25_ranks").collect()
+    assert [(r["docid"], r["score"]) for r in plain] != \
+           [(r["docid"], r["score"]) for r in ranked]
+
+
+def test_ranks_ranker_still_skips_hot_blocks(spark, fine_index):
+    """The threshold prune keeps working under rank-weighted scoring."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    hot = _tid("if")
+    counters = {hot: spark.sparkContext.accumulator(0)}
+    rows = topk(spark, fine_index, "scan if", 10, wand_cells=1,
+                wand_counters=counters, ranker="bm25_ranks").collect()
+    assert rows
+    total = _block_count(spark, fine_index, hot)
+    frac = counters[hot].value / total
+    assert frac < 0.25, f"decoded {counters[hot].value}/{total} = {frac:.0%}"
