@@ -1306,6 +1306,19 @@ def _q_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def _q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (max 32 tokens, overlap 4): the
+    pretraining prep step between curation and shard packing. One map
+    stage — windows are expression-level sequence/slice, fan-out is one
+    posexplode."""
+    from open_source_search_engine_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return chunk_documents(docs, 32, overlap=4)
+
+
 def _q_result_override(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving result overrides (/root/reference/UrlResultOverride.cpp,
     LanguageResultOverride.cpp, XmlDoc.cpp:16287,16370): URL-keyed
@@ -2349,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "lm_perplexity": _q_lm_perplexity,
         "engine_result_override": _q_result_override,
+        "text_chunking": _q_text_chunking,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_streaming_exact": _q_dedup_streaming_exact,
         "snapshot_diff": _q_snapshot_diff,
@@ -2648,6 +2662,20 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS.format(v='a.ve', w='b.ve')} >= 0.35
 """,
         "pii_redact": _pii_sql(),
+        "text_chunking": f"""
+WITH{TOKS_CTE},
+w AS (
+  SELECT doc_id, t, len(t) AS n,
+         greatest(1, ceil((len(t) - 4)::DOUBLE / 28)::INT) AS nw
+  FROM toks
+),
+c AS (SELECT doc_id, unnest(range(0, nw)) AS cid, t, n FROM w)
+SELECT doc_id, cid::INT AS chunk_id,
+       array_to_string(t[cid*28 + 1 : cid*28 + 32], ' ') AS chunk_text,
+       least(n - (cid*28 + 1) + 1, 32)::INT AS n_chunk_tokens
+FROM c
+WHERE least(n - (cid*28 + 1) + 1, 32) >= 1 OR cid = 0
+""",
         "engine_result_override": """
 WITH u AS (
   SELECT doc_id, source AS repo, doc_id::VARCHAR || '.txt' AS path

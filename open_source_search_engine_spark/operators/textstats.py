@@ -524,3 +524,63 @@ def deterministic_sample(
         rate = F.when(F.col(key_col) == k,
                       F.lit(float(fractions[k]))).otherwise(rate)
     return df.filter(u < rate)
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    *,
+    overlap: int = 0,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_tail: int = 1,
+) -> DataFrame:
+    """Split long documents into ≤``max_tokens`` whitespace-token windows
+    with ``overlap`` tokens of context carried between consecutive chunks —
+    the pretraining prep step between curation and shard packing (a doc
+    longer than the model's sequence budget must become several training
+    rows; the overlap preserves boundary context, the standard sliding
+    window). Output: one row per chunk with ``(id, chunk_id, chunk_text,
+    n_chunk_tokens)``; docs at or under the budget pass through as their
+    own single chunk (chunk_id 0). A final window shorter than ``min_tail``
+    tokens is dropped UNLESS it is the doc's only window (a short doc is
+    still a doc; a 2-token tail of a long doc is packing noise).
+
+    Expression-level end to end: windows come from ``sequence`` over start
+    offsets + ``slice``/``array_join`` inside ``transform``, then ONE
+    ``posexplode`` — the per-doc fan-out is ceil((n-overlap)/(stride)), so
+    output size is corpus tokens / stride, never quadratic. No shuffle; at
+    100 TB this is a map stage like every other textstats operator."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if not (0 <= overlap < max_tokens):
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < max_tokens, got {overlap}")
+    stride = max_tokens - overlap
+    toks = tokens_col(text)
+    n = F.size(toks)
+    # window start offsets (1-based): 1, 1+stride, 1+2*stride, ... while
+    # start <= n - overlap (so every window holds at least one NEW token)
+    n_windows = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride))
+        .cast("int"))
+    starts = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: i * F.lit(stride) + 1)
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s, max_tokens), " "))
+    sizes = F.transform(
+        starts, lambda s: F.least(n - s + 1, F.lit(max_tokens)))
+    out = (
+        df.select(F.col(id_col), F.posexplode(F.arrays_zip(
+            chunks.alias("chunk_text"), sizes.alias("n_chunk_tokens")))
+            .alias("chunk_id", "_c"))
+        .select(id_col, "chunk_id",
+                F.col("_c.chunk_text").alias("chunk_text"),
+                F.col("_c.n_chunk_tokens").cast("int")
+                .alias("n_chunk_tokens"))
+    )
+    return out.filter(
+        (F.col("n_chunk_tokens") >= F.lit(int(min_tail)))
+        | (F.col("chunk_id") == 0))

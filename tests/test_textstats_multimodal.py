@@ -412,3 +412,56 @@ def test_fingerprint_short_docs_do_not_collide(spark):
     assert got[0] == got[2] != got[1]
     assert all(v != "" for v in got.values())
     assert got[3] != got[0]
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from open_source_search_engine_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10))),   # 10 toks -> 3 windows
+         (1, "a b c"),                                 # short: one chunk
+         (2, "")],                                     # empty: one empty chunk
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["chunk_id"]): r for r in
+           chunk_documents(docs, 4, overlap=1).collect()}
+    # stride 3: starts at tokens 0,3,6,9(1-based 1,4,7,10) while start<=n-ov
+    assert got[(0, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert got[(0, 1)]["chunk_text"] == "t3 t4 t5 t6"
+    assert got[(0, 2)]["chunk_text"] == "t6 t7 t8 t9"
+    assert all(got[(0, j)]["n_chunk_tokens"] == 4 for j in range(3))
+    assert (0, 3) not in got
+    assert got[(1, 0)]["chunk_text"] == "a b c"
+    assert got[(1, 0)]["n_chunk_tokens"] == 3
+    assert got[(2, 0)]["chunk_text"] == ""
+    # every adjacent pair shares exactly `overlap` tokens
+    a, b = got[(0, 0)]["chunk_text"].split(), got[(0, 1)]["chunk_text"].split()
+    assert a[-1:] == b[:1]
+
+
+def test_chunk_documents_tail_rule_and_validation(spark):
+    import pytest
+
+    from open_source_search_engine_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(9)))],  # 9 toks
+        "doc_id long, text string")
+    # max 4, overlap 0 -> windows of 4,4,1; min_tail=2 drops the 1-token tail
+    got = [r["n_chunk_tokens"] for r in
+           chunk_documents(docs, 4, min_tail=2).orderBy("chunk_id").collect()]
+    assert got == [4, 4]
+    got_all = [r["n_chunk_tokens"] for r in
+               chunk_documents(docs, 4).orderBy("chunk_id").collect()]
+    assert got_all == [4, 4, 1]
+    # full coverage: concatenating overlap-0 chunks rebuilds the token stream
+    texts = [r["chunk_text"] for r in
+             chunk_documents(docs, 4).orderBy("chunk_id").collect()]
+    assert " ".join(texts).split() == [f"t{i}" for i in range(9)]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, 4, overlap=4)
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(docs, 0)

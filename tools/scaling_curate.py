@@ -1,0 +1,136 @@
+"""Two-parallelism scaling evidence for the TRAINING-DATA PIPELINE path
+(the build path's evidence lives in scaling_bench.py): run the composed
+curation chain — language id → quality floor → boilerplate strip →
+fingerprint dedup → deterministic mixture sample → token-budget shard
+assignment (textstats.curate) — on the SAME deterministic distributed
+corpus at local[N] and local[4N], report docs/sec at both plus
+efficiency = (throughput_4N / throughput_N) / 4.
+
+Methodology identical to scaling_bench.py: executor-side corpus
+generation cached before the clock, one untimed warmup per leg, best of
+``--trials`` timed runs, /proc/stat cpu-sec with steal and guest jiffies
+excluded and steal reported per trial.
+
+Usage: python tools/scaling_curate.py [n_docs] [N] [trials] [mult]
+Defaults: 65536 docs, N=8, trials=2, mult=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_CHILD = r"""
+import json, os, sys, tempfile, time
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+sys.path.insert(0, %(repo)r)
+n_docs, cores, trials, mult = %(n_docs)d, %(cores)d, %(trials)d, %(mult)d
+parts = cores * mult
+
+def jif():
+    with open("/proc/stat") as f:
+        p = [int(x) for x in f.readline().split()[1:]]
+    steal = p[7] if len(p) > 7 else 0
+    guest = (p[8] if len(p) > 8 else 0) + (p[9] if len(p) > 9 else 0)
+    return sum(p) - p[3] - p[4] - steal - guest, steal
+
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master(f"local[{cores}]")
+         .config("spark.sql.shuffle.partitions", str(parts))
+         .config("spark.driver.memory", "24g")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.ui.enabled", "false")
+         .appName(f"scaling-curate-{cores}").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import pandas as pd
+from open_source_search_engine_spark.corpus import _make_row
+from open_source_search_engine_spark.operators import textstats
+
+def gen(batches):
+    for pdf in batches:
+        rows = [_make_row(int(i), 42) for i in pdf["id"].values]
+        out = pd.DataFrame(rows,
+            columns=["repo", "path", "commit", "lang", "content"])
+        out["doc_id"] = pdf["id"].values
+        yield out[["doc_id", "repo", "content"]].rename(
+            columns={"repo": "source", "content": "text"})
+
+docs = (spark.range(0, n_docs, 1, cores * 4)
+        .mapInPandas(gen, "doc_id long, source string, text string")
+        .cache())
+docs.count()  # materialize input before the clock starts
+
+def one_run():
+    return textstats.curate(
+        docs, langs=None, min_quality=0.5, strip_df_ratio=0.8,
+        strip_sep=" ", dedup_mode="fingerprint",
+        sample_default=0.9, budget_tokens=4096).count()
+
+one_run()  # steady-state warmup
+best = None
+runs = []
+for trial in range(trials):
+    (j0, st0), t0 = jif(), time.time()
+    kept = one_run()
+    elapsed = time.time() - t0
+    j1, st1 = jif()
+    cpu = (j1 - j0) / 100.0
+    steal = (st1 - st0) / 100.0
+    runs.append({"elapsed_s": round(elapsed, 2), "cpu_sec": round(cpu, 1),
+                 "steal_sec": round(steal, 1)})
+    if best is None or elapsed < best["elapsed_s"]:
+        best = {"cores": cores, "docs": n_docs, "kept": int(kept),
+                "elapsed_s": round(elapsed, 2), "cpu_sec": round(cpu, 1),
+                "steal_sec": round(steal, 1),
+                "effective_cores": round(cpu / elapsed, 1),
+                "docs_per_sec": round(n_docs / elapsed, 2)}
+print("RESULT " + json.dumps({"best": best, "all_trials": runs}))
+spark.stop()
+"""
+
+
+def run(n_docs: int, cores: int, trials: int, mult: int = 1) -> dict:
+    code = _CHILD % {
+        "repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "n_docs": n_docs, "cores": cores, "trials": trials, "mult": mult}
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"child (cores={cores}) produced no result:\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    mult = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    r_n = run(n_docs, n, trials, mult)
+    r_4n = run(n_docs, 4 * n, trials, mult)
+    b_n, b_4n = r_n["best"], r_4n["best"]
+    if b_n["kept"] != b_4n["kept"]:
+        raise SystemExit(
+            f"kept-count diverged across parallelism: {b_n['kept']} vs "
+            f"{b_4n['kept']} — the pipeline must be partition-invariant")
+    eff = (b_4n["docs_per_sec"] / b_n["docs_per_sec"]) / 4.0
+    print(json.dumps({
+        "pipeline": "curate(langid+quality+boilerplate+fp-dedup+sample+shards)",
+        "input_docs": n_docs,
+        "partition_mult": mult,
+        f"local[{n}]": b_n,
+        f"local[{4 * n}]": b_4n,
+        f"local[{n}]_trials": r_n["all_trials"],
+        f"local[{4 * n}]_trials": r_4n["all_trials"],
+        "speedup": round(b_4n["docs_per_sec"] / b_n["docs_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "cpu_inflation_4N_vs_N": round(b_4n["cpu_sec"] / b_n["cpu_sec"], 3),
+        "pass_0.8": eff >= 0.8,
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()
