@@ -1306,6 +1306,22 @@ def _q_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def _q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality rules (Rae et al. 2021 App. A1.1) at the
+    published thresholds: one boolean per rule + the pass conjunction,
+    integer-exact expressions replayed by the DuckDB oracle."""
+    from open_source_search_engine_spark.operators.textstats import (
+        gopher_rules,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = gopher_rules(docs)
+    return out.select(
+        "doc_id", "gr_word_count", "gr_mean_word_len", "gr_symbol_ratio",
+        "gr_bullet_lines", "gr_ellipsis_lines",
+        "gr_alpha_words", "gr_stop_words", "gopher_pass")
+
+
 def _q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (max 32 tokens, overlap 4): the
     pretraining prep step between curation and shard packing. One map
@@ -2363,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "engine_result_override": _q_result_override,
         "text_chunking": _q_text_chunking,
+        "text_gopher": _q_text_gopher,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_streaming_exact": _q_dedup_streaming_exact,
         "snapshot_diff": _q_snapshot_diff,
@@ -2662,6 +2679,45 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS.format(v='a.ve', w='b.ve')} >= 0.35
 """,
         "pii_redact": _pii_sql(),
+        "text_gopher": f"""
+WITH{TOKS_CTE},
+m AS (
+  SELECT doc_id, len(t) AS n,
+    CASE WHEN len(t) > 0
+         THEN list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+         ELSE 0.0 END AS ml,
+    (len(string_split(text, '#')) - 1
+     + len(string_split(text, '...')) - 1
+     + len(string_split(text, '…')) - 1) AS nsym,
+    len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS aw,
+    len(list_filter(list_distinct(t), x -> x IN
+        ('the','be','to','of','and','that','have','with'))) AS nstop,
+    len(list_filter(string_split(text, chr(10)), l -> l <> '')) AS nl,
+    len(list_filter(string_split(text, chr(10)), l ->
+        starts_with(l, '- ') OR starts_with(l, '* ')
+        OR starts_with(l, '• '))) AS bl,
+    len(list_filter(string_split(text, chr(10)), l ->
+        l LIKE '%...' OR l LIKE '%…')) AS el
+  FROM toks
+),
+r AS (
+  SELECT doc_id,
+    (n >= 50 AND n <= 100000) AS gr_word_count,
+    (ml >= 3.0 AND ml <= 10.0) AS gr_mean_word_len,
+    (n > 0 AND nsym::DOUBLE / n <= 0.1) AS gr_symbol_ratio,
+    (nl = 0 OR bl::DOUBLE / nl <= 0.9) AS gr_bullet_lines,
+    (nl = 0 OR el::DOUBLE / nl <= 0.3) AS gr_ellipsis_lines,
+    (n > 0 AND aw::DOUBLE / n >= 0.8) AS gr_alpha_words,
+    (nstop >= 2) AS gr_stop_words
+  FROM m
+)
+SELECT doc_id, gr_word_count, gr_mean_word_len, gr_symbol_ratio,
+       gr_bullet_lines, gr_ellipsis_lines, gr_alpha_words, gr_stop_words,
+       (gr_word_count AND gr_mean_word_len AND gr_symbol_ratio
+        AND gr_bullet_lines AND gr_ellipsis_lines
+        AND gr_alpha_words AND gr_stop_words) AS gopher_pass
+FROM r
+""",
         "text_chunking": f"""
 WITH{TOKS_CTE},
 w AS (

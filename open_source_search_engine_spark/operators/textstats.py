@@ -584,3 +584,91 @@ def chunk_documents(
     return out.filter(
         (F.col("n_chunk_tokens") >= F.lit(int(min_tail)))
         | (F.col("chunk_id") == 0))
+
+
+# The Gopher/MassiveText document-quality rule set (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", App. A1.1) — the published
+# thresholds, overridable per corpus. "required stop words" follows the
+# paper: at least 2 distinct members of this fixed 8-word list.
+GOPHER_DEFAULTS = dict(
+    min_words=50, max_words=100_000,
+    min_mean_word_len=3.0, max_mean_word_len=10.0,
+    max_symbol_word_ratio=0.1,          # '#' and '…'/'...' per word
+    max_bullet_line_ratio=0.9,
+    max_ellipsis_line_ratio=0.3,
+    min_alpha_word_ratio=0.8,           # words containing ≥1 alphabetic char
+    min_stop_words=2,
+)
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    line_sep: str = "\n",
+    **overrides,
+) -> DataFrame:
+    """Per-rule booleans + a ``gopher_pass`` flag for the Gopher quality
+    filter — every rule one integer-exact column expression over tokens
+    and lines (one map stage, no shuffle, whole-stage codegen; the same
+    scale shape as :func:`quality_score`). Columns: ``gr_word_count``,
+    ``gr_mean_word_len``, ``gr_symbol_ratio``, ``gr_bullet_lines``,
+    ``gr_ellipsis_lines``, ``gr_alpha_words``, ``gr_stop_words`` and the
+    conjunction ``gopher_pass``. Rule thresholds are the paper's defaults
+    (GOPHER_DEFAULTS), overridable by keyword — a source-code corpus will
+    typically relax mean-word-length and symbol rules (code is symbol-
+    heavy by construction; the defaults are web-text calibrated)."""
+    p = dict(GOPHER_DEFAULTS)
+    unknown = set(overrides) - set(p)
+    if unknown:
+        raise ValueError(f"unknown gopher rule overrides: {sorted(unknown)}")
+    p.update(overrides)
+    toks = tokens_col(text)
+    n = F.size(toks)
+    mean_len = F.when(n > 0, F.aggregate(
+        toks, F.lit(0), lambda a, t: a + F.length(t)
+    ).cast("double") / n).otherwise(F.lit(0.0))
+    n_hash = F.size(F.split(F.col(text), "#", -1)) - 1
+    n_ell = (F.size(F.split(F.col(text), r"\.\.\.", -1)) - 1
+             + F.size(F.split(F.col(text), "…", -1)) - 1)
+    lines = F.filter(F.split(F.col(text), line_sep), lambda l: l != "")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(
+        lines, lambda l: l.startswith("- ") | l.startswith("* ")
+        | l.startswith("• ")))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda l: l.endswith("...") | l.endswith("…")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    n_stop = F.size(F.filter(
+        F.array_distinct(toks), lambda t: t.isin(*GOPHER_STOP_WORDS)))
+
+    r_words = (n >= p["min_words"]) & (n <= p["max_words"])
+    r_mean = (mean_len >= p["min_mean_word_len"]) & \
+        (mean_len <= p["max_mean_word_len"])
+    r_sym = F.when(n > 0, (n_hash + n_ell).cast("double") / n
+                   <= p["max_symbol_word_ratio"]).otherwise(F.lit(False))
+    r_bullet = F.when(
+        n_lines > 0, bullet_lines.cast("double") / n_lines
+        <= p["max_bullet_line_ratio"]).otherwise(F.lit(True))
+    r_ell = F.when(
+        n_lines > 0, ellipsis_lines.cast("double") / n_lines
+        <= p["max_ellipsis_line_ratio"]).otherwise(F.lit(True))
+    r_alpha = F.when(n > 0, alpha_words.cast("double") / n
+                     >= p["min_alpha_word_ratio"]).otherwise(F.lit(False))
+    r_stop = n_stop >= p["min_stop_words"]
+    out = (
+        df.withColumn("gr_word_count", r_words)
+        .withColumn("gr_mean_word_len", r_mean)
+        .withColumn("gr_symbol_ratio", r_sym)
+        .withColumn("gr_bullet_lines", r_bullet)
+        .withColumn("gr_ellipsis_lines", r_ell)
+        .withColumn("gr_alpha_words", r_alpha)
+        .withColumn("gr_stop_words", r_stop)
+    )
+    return out.withColumn(
+        "gopher_pass",
+        F.col("gr_word_count") & F.col("gr_mean_word_len")
+        & F.col("gr_symbol_ratio") & F.col("gr_bullet_lines")
+        & F.col("gr_ellipsis_lines") & F.col("gr_alpha_words")
+        & F.col("gr_stop_words"))

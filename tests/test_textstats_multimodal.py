@@ -465,3 +465,41 @@ def test_chunk_documents_tail_rule_and_validation(spark):
         chunk_documents(docs, 4, overlap=4)
     with pytest.raises(ValueError, match="max_tokens"):
         chunk_documents(docs, 0)
+
+
+def test_gopher_rules(spark):
+    """Published Gopher thresholds (Rae et al. 2021 App. A1.1): each rule
+    fires on a doc constructed to violate exactly it."""
+    from open_source_search_engine_spark.operators.textstats import (
+        gopher_rules,
+    )
+
+    good = ("the code and that of this have with be to " * 6).strip()  # 60 w
+    docs = [
+        (0, good),
+        (1, "too short with the and of that"),                 # < 50 words
+        (2, ("a " * 60).strip()),                              # mean len 1
+        (3, good + " " + "# " * 20),                           # symbol ratio
+        (4, "\n".join(["- item the be to of and that have with x y z"] * 10)),
+        (5, "\n".join([good, "trailing..."] * 5)),             # ellipsis lines
+        (6, good + " " + "123 456 789 " * 10),                 # alpha ratio
+        (7, ("apple banana cherry " * 20).strip()),            # no stop words
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert got[0]["gopher_pass"]
+    assert not got[1]["gr_word_count"]
+    assert not got[2]["gr_mean_word_len"]
+    assert not got[3]["gr_symbol_ratio"]
+    assert not got[4]["gr_bullet_lines"]
+    assert not got[5]["gr_ellipsis_lines"]
+    assert not got[6]["gr_alpha_words"]
+    assert not got[7]["gr_stop_words"]
+    # each violator fails overall; override relaxes a rule
+    assert not any(got[i]["gopher_pass"] for i in range(1, 8))
+    relaxed = {r["doc_id"]: r for r in gopher_rules(
+        df, min_words=5).collect()}
+    assert relaxed[1]["gopher_pass"]
+    import pytest
+    with pytest.raises(ValueError, match="unknown gopher"):
+        gopher_rules(df, min_wordz=5)
