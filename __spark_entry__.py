@@ -62,9 +62,13 @@ def _bm25_sql(words: list[str], *, lang: str | None = None,
     bolt on a per-doc score multiplier (the siterank prior gate): the score
     becomes round((contribs) * mult_expr, 4)."""
     optional_terms = optional_terms or []
-    or_group = or_group or []
+    # or_group entries: plain word (weight 1.0) or (word, weight) — the
+    # weighted form serves the synonym same-group membership oracle
+    or_group = [(w, 1.0) if isinstance(w, str) else w
+                for w in (or_group or [])]
     _excl = [exclude] if isinstance(exclude, str) else (exclude or [])
-    scan_words = (words + _excl + [w for w, _ in optional_terms] + or_group)
+    scan_words = (words + _excl + [w for w, _ in optional_terms]
+                  + [w for w, _ in or_group])
     wl = ", ".join(f"'{w}'" for w in scan_words)
     joins, contribs = [], []
     for i, w in enumerate(words):
@@ -81,13 +85,14 @@ def _bm25_sql(words: list[str], *, lang: str | None = None,
         contribs.append(
             f"(CASE WHEN o{i}.tf IS NOT NULL THEN ({wt} * {idf}) * {tfn} ELSE 0.0 END)"
         )
-    for i, w in enumerate(or_group):
+    for i, (w, gwt) in enumerate(or_group):
         joins.append(f"LEFT JOIN tf g{i} ON g{i}.doc_id = d.doc_id AND g{i}.tok = '{w}'")
         joins.append(f"CROSS JOIN (SELECT df FROM dfs WHERE tok = '{w}') z{i}")
         idf = _IDF.format(n="b.n", df=f"z{i}.df")
         tfn = _TFNORM.format(tf=f"g{i}.tf", dl="d.dl", avgdl="b.avgdl")
         contribs.append(
-            f"(CASE WHEN g{i}.tf IS NOT NULL THEN {idf} * {tfn} ELSE 0.0 END)"
+            f"(CASE WHEN g{i}.tf IS NOT NULL THEN ({gwt} * {idf}) * {tfn} "
+            f"ELSE 0.0 END)"
         )
     big_cte = ""
     if bigram is not None:
@@ -2070,8 +2075,10 @@ def _q_engine_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_engine_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7/T6 synonym expansion (/root/reference/Query.cpp:1008-1035, weight
     0.9 per /root/reference/Parms.cpp:3883-3893): parse_query with expansion
-    on auto-attaches the dictionary synonyms of 'sort' as optional specs at
-    0.9 — scores add where a synonym hits."""
+    on attaches the dictionary synonyms of 'sort' INTO the term's membership
+    group at 0.9 (QueryTermInfo same-group semantics, Query.h:195-222) — a
+    doc containing only a synonym matches, and scores add where each form
+    hits."""
     from open_source_search_engine_spark.operators.query_engine import topk
     from open_source_search_engine_spark.plans.plan import parse_query
     from open_source_search_engine_spark.sources.testdata import (
@@ -2635,7 +2642,7 @@ SELECT token, df FROM vocab
 WHERE levenshtein(token, 'vectr') <= 1
 ORDER BY df DESC, token LIMIT 5
 """,
-        "engine_synonyms": _bm25_sql(["sort"], optional_terms=[
+        "engine_synonyms": _bm25_sql([], or_group=[("sort", 1.0)] + [
             (s, 0.9) for s in __import__(
                 "open_source_search_engine_spark.functions.synonyms",
                 fromlist=["SYNONYMS"]).SYNONYMS["sort"]

@@ -61,9 +61,28 @@ SYNONYMS: dict[str, list[str]] = {
     "spec": ["specification"],
     "test": ["check"],
     "check": ["test"],
-    # abbreviation/expansion pairs (the reference's acronym expansions,
-    # e.g. test/system/test_search_terms.py asserting "html" expands; ours
-    # are single-token pairs since multi-word expansions need phrase terms)
+    # number words ↔ digits — the reference attaches digit synonyms
+    # (its own golden test pins 'the one' → [..., '1'],
+    # test/system/test_search_terms.py:6)
+    "zero": ["0"], "one": ["1"], "two": ["2"], "three": ["3"],
+    "four": ["4"], "five": ["5"], "six": ["6"], "seven": ["7"],
+    "eight": ["8"], "nine": ["9"], "ten": ["10"],
+    "0": ["zero"], "1": ["one"], "2": ["two"], "3": ["three"],
+    "4": ["four"], "5": ["five"], "6": ["six"], "7": ["seven"],
+    "8": ["eight"], "9": ["nine"], "10": ["ten"],
+    # multi-word acronym expansions (the reference's golden shape:
+    # 'html' → 'Hypertext Markup Language',
+    # test/system/test_search_terms.py:8). A multi-word synonym attaches
+    # as its adjacent-pair BIGRAM terms at the synonym weight — the
+    # reference hashes the whole phrase as one term; this engine's indexed
+    # phrase granularity is the T4 bigram, so the chain is the documented
+    # substitution (plans/plan.py attach site).
+    "html": ["hypertext markup language"],
+    "http": ["hypertext transfer protocol"],
+    "sql": ["structured query language"],
+    "api": ["application programming interface"],
+    # abbreviation/expansion pairs (the reference's acronym expansions;
+    # single-token pairs)
     "js": ["javascript"],
     "javascript": ["js"],
     "db": ["database"],

@@ -473,11 +473,20 @@ def _looks_like_domain(q: str) -> bool:
 
 class _PlanBuilder:
     def __init__(self, plan: QueryPlan, expand_synonyms: bool,
-                 expand_variations: bool = False):
+                 expand_variations: bool = False,
+                 synonyms: dict | None = None):
         self.plan = plan
         self.expand_synonyms = expand_synonyms
         self.expand_variations = expand_variations
+        # dictionary override (the reference's dictionary is a swappable
+        # data file); None = the committed functions.synonyms table
+        self._synonyms = synonyms
         self._spec_ix: dict[tuple, int] = {}
+
+    def synonyms_for(self, token: str) -> list[str]:
+        if self._synonyms is not None:
+            return self._synonyms.get(token, [])
+        return synonyms_for(token)
 
     def spec(self, termid: int, token: str, field: int | None, weight: float,
              required: bool, excluded: bool, is_bigram: bool = False) -> int:
@@ -514,23 +523,55 @@ class _PlanBuilder:
             ix = self.spec(tid, t, atom.field, 1.0,
                            required=not negated, excluded=negated)
             leaf = Leaf(ix, negated=negated)
+            syn_alts: list = []
             if not negated and self.expand_synonyms:
-                for s in synonyms_for(t):
-                    self.attach_optional(s, atom.field, SYNONYM_WEIGHT)
+                # synonyms JOIN the base term's membership group at 0.9 —
+                # the reference's QueryTermInfo same-group semantics
+                # (/root/reference/Query.cpp:1008-1035 attach,
+                # /root/reference/Query.h:195-222): a document containing
+                # only the synonym satisfies the term's slot
+                for s in self.synonyms_for(t):
+                    stoks = s.split()
+                    if len(stoks) == 1:
+                        sid = int(_hasher.termids([s])[0])
+                        six = self.spec(sid, s, atom.field, SYNONYM_WEIGHT,
+                                        required=True, excluded=False)
+                        syn_alts.append(Leaf(six))
+                    else:
+                        # multi-word synonym (the reference hashes the
+                        # whole phrase as ONE synonym term — the 'html' →
+                        # 'Hypertext Markup Language' golden,
+                        # test/system/test_search_terms.py:8): this
+                        # engine's indexed phrase granularity is the T4
+                        # bigram, so the phrase joins the group as the
+                        # CONJUNCTION of its adjacent-pair bigram terms
+                        bleaves = []
+                        for a_, b_ in zip(stoks, stoks[1:]):
+                            both_stop = (a_ in STOP_WORDS
+                                         and b_ in STOP_WORDS)
+                            bid = int(_hasher.bigram_ids(
+                                [(a_, b_, both_stop)])[0])
+                            bix = self.spec(bid, f"{a_} {b_}", atom.field,
+                                            SYNONYM_WEIGHT, required=True,
+                                            excluded=False, is_bigram=True)
+                            bleaves.append(Leaf(bix))
+                        syn_alts.append(
+                            bleaves[0] if len(bleaves) == 1
+                            else Node("and", tuple(bleaves)))
+            alts = [leaf] + syn_alts
             if not negated and self.expand_variations:
                 # morphological variations join the base term's membership
                 # group (OR) at 0.9 — the reference's QueryTermInfo
                 # same-group semantics for generated word forms
                 # (/root/reference/Query.cpp:1008-1035 attach,
                 # /root/reference/word_variations/ generators)
-                alts = [leaf]
                 for v in variants_for(t):
                     vid = int(_hasher.termids([v])[0])
                     vix = self.spec(vid, v, atom.field, VARIATION_WEIGHT,
                                     required=True, excluded=False)
                     alts.append(Leaf(vix))
-                if len(alts) > 1:
-                    leaf = Node("or", tuple(alts))
+            if len(alts) > 1:
+                leaf = Node("or", tuple(alts))
             leaves.append(leaf)
         if len(leaves) == 1:
             return leaves[0]
@@ -659,6 +700,7 @@ class _PlanBuilder:
 
 def parse_query(q: str, *, expand_synonyms: bool = False,
                 expand_variations: bool = False,
+                synonyms: dict | None = None,
                 soft_stops: bool = False, lang: str | None = None,
                 query_lang: str | None = None,
                 sites: "list[str] | str | None" = None) -> QueryPlan:
@@ -670,7 +712,8 @@ def parse_query(q: str, *, expand_synonyms: bool = False,
     machinery as ``site:`` — declarative semi-join, batch path, or the WAND
     whitelist mask — at any site-list size."""
     plan = QueryPlan(raw=q)
-    b = _PlanBuilder(plan, expand_synonyms, expand_variations)
+    b = _PlanBuilder(plan, expand_synonyms, expand_variations,
+                     synonyms=synonyms)
 
     # modifyQuery heuristic: domain-like single-token query also scores
     # its tokens against the URL field at 10x (Query.cpp:2473+ analog)

@@ -1,0 +1,83 @@
+"""The reference's own query-expansion golden tests
+(/root/reference/test/system/test_search_terms.py:4-20), replayed against
+this engine's parse plan: exact bigram chains, the number-word digit
+synonym, and the multi-word acronym expansion (attached at this engine's
+indexed phrase granularity — the T4 bigram chain)."""
+
+from pyspark.sql import functions as F  # noqa: F401  (spark fixture import)
+
+from open_source_search_engine_spark.plans.plan import parse_query
+
+
+def _terms(q, **kw):
+    return {t.token for t in parse_query(q, expand_synonyms=True, **kw).terms}
+
+
+def test_golden_the_one():
+    # reference: ['the one', 'the', 'one', '1']
+    got = _terms("the one")
+    assert {"the one", "the", "one", "1"} <= got
+
+
+def test_golden_to_be_or_not_to_be():
+    # reference: ['to be', 'be or', 'or not', 'not to', 'to', 'be', 'or']
+    # (lowercase 'or'/'not' are terms, not operators — same as the
+    # reference; bigrams attach between every adjacent bare pair)
+    got = _terms("to be or not to be")
+    assert {"to be", "be or", "or not", "not to", "to", "be", "or"} <= got
+
+
+def test_golden_html_expansion():
+    # reference: 'html' → 'Hypertext Markup Language' as one phrase term;
+    # here the phrase attaches as its adjacent-pair bigrams at the synonym
+    # weight (documented substitution — indexed phrase granularity)
+    p = parse_query("html", expand_synonyms=True)
+    toks = {t.token for t in p.terms}
+    assert "html" in toks
+    assert {"hypertext markup", "markup language"} <= toks
+    for t in p.terms:
+        if t.token in ("hypertext markup", "markup language"):
+            # membership specs (same-group semantics), weight 0.9
+            assert t.is_bigram and t.required
+            assert t.weight == 0.9
+
+
+def test_synonym_dictionary_override():
+    got = _terms("hash", synonyms={"hash": ["digest", "merge sort"]})
+    assert {"hash", "digest", "merge sort"} <= got
+    # override replaces the committed dictionary entirely
+    assert "1" not in _terms("one", synonyms={})
+
+
+def test_multiword_synonym_end_to_end(spark, tmp_path):
+    """Same-group membership: a doc containing only the expansion phrase IS
+    reached from the acronym query (Query.h:195-222 — the reference's
+    system test serves a 'Hypertext Markup Language' doc for 'html'); a
+    doc with the words non-adjacent matches no attached term."""
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.plans.plan import parse_query as pq
+
+    rows = [
+        ("r0", "a.txt", "0", "en", "html reference for the parser"),
+        ("r1", "b.txt", "0", "en",
+         "hypertext markup language reference guide here"),
+        ("r2", "c.txt", "0", "en",
+         "hypertext pages markup of language reference"),  # non-adjacent
+        ("r3", "d.txt", "0", "en", "unrelated content entirely now"),
+    ]
+    idx = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(rows, CORPUS_SCHEMA_DDL), idx,
+                n_chunks=1)
+    plan = pq("html", expand_synonyms=True)
+    got = {r["repo"]: r["score"]
+           for r in topk(spark, idx, plan, 10).collect()}
+    assert "r0" in got            # the literal acronym doc
+    assert "r1" in got            # reached via the expansion bigrams
+    assert "r3" not in got
+    # the adjacent-phrase doc collects bigram credit the scattered one
+    # cannot (r2 matches no attached term at all: no 'html', no adjacency)
+    assert "r2" not in got
