@@ -235,16 +235,64 @@ def rule_col(rule: MatchRule, host: Column, path: Column) -> Column:
 
 
 def match_col(rules: Sequence[MatchRule], host: Column, path: Column) -> Column:
-    """OR-fold of the compiled rules — one codegen'd expression."""
-    out = F.lit(False)
-    for r in rules:
-        out = out | rule_col(r, host, path)
-    return out
+    """OR-fold of the compiled rules — one codegen'd expression. The fold
+    is BALANCED (depth log₂ n, not n): a few hundred left-nested ORs
+    overflow the JVM stack inside Catalyst's column converter."""
+    cols = [rule_col(r, host, path) for r in rules]
+    if not cols:
+        return F.lit(False)
+    while len(cols) > 1:
+        cols = [cols[i] | cols[i + 1] if i + 1 < len(cols) else cols[i]
+                for i in range(0, len(cols), 2)]
+    return cols[0]
 
 
 # --------------------------------------------------------------------------
 # operator surface
 # --------------------------------------------------------------------------
+
+def _scoped_domain_key(rule: MatchRule) -> Optional[str]:
+    """The domain key a rule registers under in the reference's per-domain
+    map (``m_listMatches``, UrlMatchList.cpp:106-128,139-142,170-172): a
+    rule whose match REQUIRES a specific document domain can be looked up
+    by key instead of scanned. ``hostsuffix`` is keyed by the reference but
+    its key is the suffix's registrable domain — which under this corpus'
+    '/'-hierarchy need not equal the document's domain segment — so it
+    stays in the scan set here (sound, just unsharded). None = global."""
+    if rule.kind == "domain" and rule.allow:
+        return rule.arg
+    if rule.kind == "host":
+        return rule.arg.rsplit("/", 1)[-1]
+    if rule.kind == "regex" and rule.arg:
+        return rule.arg
+    return None
+
+
+def _scoped_hit_col(host: Column, path: Column) -> Column:
+    """Row-wise evaluation of ONE joined scoped rule — args arrive as
+    COLUMNS (``regexp_like`` accepts a column pattern), so a million-rule
+    table evaluates with zero codegen growth."""
+    path_nq = F.split(path, r"\?", 2).getItem(0)
+    url = F.concat_ws("/", host, path)
+    sub = _subdomain_expr(host)
+    exempt = (F.col("_allow") != "") & F.array_contains(
+        F.split(F.col("_allow"), ","), sub)
+    domain_hit = F.when(
+        F.col("_allow") == "", F.lit(True)
+    ).when(F.col("_crit") == ALLOW_ALL, ~exempt) \
+     .when(F.col("_crit") == ALLOW_INDEX_ONLY,
+           ~exempt | (F.length(path_nq) > 0)) \
+     .otherwise(~exempt | path_nq.contains("/"))
+    host_hit = (host == F.col("_arg")) & (
+        (F.col("_arg2") == "") | path.startswith(F.col("_arg2")))
+    regex_hit = F.regexp_like(url, F.col("_arg2"))
+    return (
+        F.when(F.col("_kind") == "domain", domain_hit)
+        .when(F.col("_kind") == "host", host_hit)
+        .when(F.col("_kind") == "regex", regex_hit)
+        .otherwise(F.lit(False))
+    )
+
 
 def mark_matched(
     df: DataFrame,
@@ -254,34 +302,85 @@ def mark_matched(
     path: str = "path",
     out: str = "matched",
     max_expr_domains: int = 256,
+    max_expr_rules: int = 256,
 ) -> DataFrame:
     """Add a boolean ``out`` column: does any rule match this (host, path)?
 
-    Exact-domain rules above ``max_expr_domains`` leave the expression and
-    become a broadcast LEFT SEMI-shaped join on the domain key (marked via
-    left join + flag so non-matching rows survive); below the threshold
-    they compile to one ``isin`` — both stay JVM-side. Pattern rules always
-    compile to expressions."""
+    Three tiers, mirroring the reference's own rule sharding
+    (UrlMatchList.cpp:22-26):
+
+    - exact-domain rules (``m_domainMatches``): one ``isin`` up to
+      ``max_expr_domains``, a broadcast join on the domain key above it —
+      unbounded rule count;
+    - domain-SCOPED pattern rules (``m_listMatches`` — domain-with-allow,
+      host, domain-scoped regex): compiled into the expression while the
+      total pattern count fits ``max_expr_rules`` (codegen size is the real
+      limit); above it they become a broadcast join on the domain key with
+      COLUMN-VALUED rule evaluation — unbounded rule count, each document
+      meets only its own domain's rules;
+    - global scan rules (``m_urlMatches`` — file/path/pathpartial/params/
+      tld/hostsuffix/unscoped regex): inherently per-document scans, always
+      expressions; exceeding ``max_expr_rules`` of THEM raises rather than
+      silently compiling a giant plan (the reference's global list is
+      hand-curated and small for the same reason).
+
+    Rows are identified by (host, path) — the corpus document identity —
+    when the join tiers mark matches back onto the frame."""
     if rules and not isinstance(next(iter(rules)), MatchRule):
         rules = parse_match_list(rules)  # type: ignore[arg-type]
     rules = list(rules)  # type: ignore[arg-type]
     exact, patterns = split_exact_domains(rules)
     h, p = F.col(host), F.col(path)
-    hit = match_col(patterns, h, p)
+
+    scoped = [(r, _scoped_domain_key(r)) for r in patterns]
+    global_rules = [r for r, key in scoped if key is None]
+    scoped_rules = [(r, key) for r, key in scoped if key is not None]
+    if len(patterns) <= max_expr_rules:
+        hit = match_col(patterns, h, p)   # everything fits the expression
+        scoped_rules = []
+    elif len(global_rules) > max_expr_rules:
+        raise ValueError(
+            f"{len(global_rules)} global scan rules exceed max_expr_rules="
+            f"{max_expr_rules}; global rules (file/path/pathpartial/"
+            "params/tld/hostsuffix/unscoped-regex) scan every document — "
+            "shard them by a derivable key or raise the bound explicitly")
+    else:
+        hit = match_col(global_rules, h, p)
+
+    spark = df.sparkSession
+    out_df = df
+    if scoped_rules:
+        rows = [(key, r.kind, r.arg, r.arg2, ",".join(r.allow),
+                 r.pathcriteria) for r, key in scoped_rules]
+        rtab = spark.createDataFrame(
+            rows, "_key string, _kind string, _arg string, _arg2 string, "
+                  "_allow string, _crit string")
+        hits = (
+            df.select(h.alias("_h"), p.alias("_p"))
+            .withColumn("_dom", _domain(F.col("_h")))
+            .join(F.broadcast(rtab), F.col("_dom") == F.col("_key"))
+            .filter(_scoped_hit_col(F.col("_h"), F.col("_p")))
+            .select(F.col("_h"), F.col("_p")).distinct()
+            .withColumn("_scoped_hit", F.lit(True))
+        )
+        out_df = out_df.join(
+            hits, (h == F.col("_h")) & (p == F.col("_p")), "left")
+        hit = hit | F.coalesce(F.col("_scoped_hit"), F.lit(False))
+
     if exact and len(exact) <= max_expr_domains:
         hit = hit | _domain(h).isin(exact)
-        return df.withColumn(out, hit)
-    if exact:
-        spark = df.sparkSession
+    elif exact:
         doms = spark.createDataFrame(
             [(d,) for d in sorted(set(exact))], "_blocked_domain string")
-        joined = df.withColumn("_dom", _domain(h)).join(
+        out_df = out_df.withColumn("_dom", _domain(h)).join(
             F.broadcast(doms),
             F.col("_dom") == F.col("_blocked_domain"), "left")
-        return (joined.withColumn(
-            out, hit | F.col("_blocked_domain").isNotNull())
-            .drop("_dom", "_blocked_domain"))
-    return df.withColumn(out, hit)
+        hit = hit | F.col("_blocked_domain").isNotNull()
+    res = out_df.withColumn(out, hit)
+    for c in ("_h", "_p", "_scoped_hit", "_dom", "_blocked_domain"):
+        if c in res.columns:
+            res = res.drop(c)
+    return res
 
 
 def block_reason_col(

@@ -124,3 +124,27 @@ def test_apply_block_filters_drops(urls):
     kept = {r["doc_id"] for r in ml.apply_block_filters(
         urls, blacklist=["domain spark"]).collect()}
     assert kept == {3, 4, 5, 6}  # 0,1,2 blacklisted; 7 corrupt; 8 invalid
+
+
+def test_scoped_join_tier_equals_expression_tier(urls, spark):
+    """Above max_expr_rules, domain-scoped pattern rules route through the
+    broadcast join (the m_listMatches per-domain map) with column-valued
+    evaluation — output identical to the expression tier on the same
+    rules."""
+    lines = [
+        "domain spark allow=apache allowindexpage",
+        "host apache/iceberg api/",
+        r"regex spark ^.*\.scala$",
+        "path core/",                      # global: stays an expression
+    ] + [f"host noise{i}/repo{i}" for i in range(300)]  # force the tier
+    expr_tier = _matched(urls, lines, max_expr_rules=1000)
+    join_tier = _matched(urls, lines, max_expr_rules=8)
+    assert expr_tier == join_tier == {0, 2, 3, 7}
+
+
+def test_too_many_global_rules_raises(urls):
+    import pytest as _pytest
+
+    lines = [f"path p{i}/" for i in range(50)]
+    with _pytest.raises(ValueError, match="global scan rules"):
+        ml.mark_matched(urls, lines, max_expr_rules=8)
