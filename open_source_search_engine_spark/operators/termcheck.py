@@ -66,6 +66,8 @@ def termcheck(
     extra_fields: tuple[str, ...] = (),
     thresholds: dict[str, int] | None = None,
     prefix: str = "check",
+    id_col: str = "doc_id",
+    max_expr_terms: int = 1024,
 ) -> DataFrame:
     """Score ``df`` against a scored term list; add score/count/flag columns.
 
@@ -83,6 +85,13 @@ def termcheck(
     Output columns: ``{prefix}_score``, ``{prefix}_words``,
     ``{prefix}_phrases`` (unique matched words / bigrams) and
     ``{prefix}_flagged``.
+
+    Two physical tiers: up to ``max_expr_terms`` total list entries the
+    scores ride the plan as a literal map (whole-stage codegen, zero
+    shuffle); above it the lists become a broadcast-joined score table —
+    explode(distinct tokens) ⋈ scores → per-``id_col`` partial aggregation
+    → join back — so a 10⁵-entry safety wordlist never inflates the plan.
+    Both tiers are test-pinned equal.
     """
     if not term_scores and not phrase_scores:
         raise ValueError("termcheck: at least one scored list is required")
@@ -107,6 +116,15 @@ def termcheck(
         uniq_phrases = F.array_distinct(all_ph)
     else:
         uniq_phrases = F.array().cast("array<string>")
+
+    if len(term_scores) + len(phrase_scores) > max_expr_terms:
+        if id_col not in df.columns:
+            raise ValueError(
+                f"termcheck join tier needs id_col={id_col!r} to attach "
+                "aggregates back to the frame")
+        return _termcheck_join_tier(
+            df, term_scores, phrase_scores, uniq_words, uniq_phrases,
+            th, prefix, id_col)
 
     score = (
         _score_fold(uniq_words, term_scores)
@@ -154,3 +172,63 @@ def adult_flags(
         prefix="adult")
     return out.select(F.col(id_col).alias("docid"),
                       F.col("adult_flagged").alias("adult"))
+
+
+def _flag_expr(prefix: str, th: dict) -> "Column":
+    return (
+        (F.col(f"{prefix}_score") >= F.lit(int(th["score"])))
+        | (F.col(f"{prefix}_words") > F.lit(int(th["words"])))
+        | (F.col(f"{prefix}_phrases") >= F.lit(int(th["phrases"])))
+    )
+
+
+def _termcheck_join_tier(
+    df: DataFrame,
+    term_scores: dict[str, int],
+    phrase_scores: dict[str, int],
+    uniq_words: Column,
+    uniq_phrases: Column,
+    th: dict,
+    prefix: str,
+    id_col: str,
+) -> DataFrame:
+    """Broadcast-score-table tier: explode the per-doc distinct token /
+    bigram sets, inner-join the (term, score, is_phrase) table, aggregate
+    per doc, join the three counters back. The score table is vocabulary-
+    sized (broadcast); the exploded side is bounded by distinct tokens per
+    doc — one small shuffle on ``id_col``, no giant literal in the plan."""
+    spark = df.sparkSession
+    rows = [(t, int(s), False) for t, s in sorted(term_scores.items())] + \
+           [(p, int(s), True) for p, s in sorted(phrase_scores.items())]
+    tbl = spark.createDataFrame(
+        rows, "_term string, _tscore int, _is_phrase boolean")
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        uniq_words.alias("_uw"), uniq_phrases.alias("_up"))
+    ex = src.select(
+        "_id", F.explode(F.concat(
+            F.transform("_uw", lambda t: F.struct(
+                t.alias("_term"), F.lit(False).alias("_is_phrase"))),
+            F.transform("_up", lambda t: F.struct(
+                t.alias("_term"), F.lit(True).alias("_is_phrase"))),
+        )).alias("_e")
+    ).select("_id", F.col("_e._term").alias("_term"),
+             F.col("_e._is_phrase").alias("_is_phrase"))
+    agg = (
+        ex.join(F.broadcast(tbl), ["_term", "_is_phrase"])
+        .groupBy("_id")
+        .agg(F.sum("_tscore").alias("_s"),
+             F.sum(F.when(~F.col("_is_phrase"), 1).otherwise(0)).alias("_w"),
+             F.sum(F.when(F.col("_is_phrase"), 1).otherwise(0)).alias("_p"))
+    )
+    out = (
+        df.join(agg, F.col(id_col) == F.col("_id"), "left")
+        .withColumn(f"{prefix}_score",
+                    F.coalesce(F.col("_s"), F.lit(0)).cast("int"))
+        .withColumn(f"{prefix}_words",
+                    F.coalesce(F.col("_w"), F.lit(0)).cast("int"))
+        .withColumn(f"{prefix}_phrases",
+                    F.coalesce(F.col("_p"), F.lit(0)).cast("int"))
+        .drop("_id", "_s", "_w", "_p")
+    )
+    return out.withColumn(f"{prefix}_flagged", _flag_expr(prefix, th))

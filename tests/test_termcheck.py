@@ -112,3 +112,39 @@ def test_words_only_no_phrases(spark):
     )
     r = termcheck(df, TERMS).collect()[0]
     assert r["check_score"] == 25 and r["check_phrases"] == 0
+
+
+def test_join_tier_equals_expression_tier(spark):
+    """Above max_expr_terms the scored list becomes a broadcast-joined
+    table; scores/counts/flags must equal the literal-map tier, incl. docs
+    matching nothing (left-join zeros)."""
+    from open_source_search_engine_spark.operators.termcheck import termcheck
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma alpha"), (1, "delta beta"),
+         (2, "nothing matches here"), (3, "")],
+        "doc_id long, text string")
+    terms = {"alpha": 12, "beta": 9, "delta": 25}
+    phrases = {"alpha beta": 7, "delta beta": 30}
+    kw = dict(phrase_scores=phrases, thresholds={"score": 21})
+    expr = termcheck(docs, terms, **kw).collect()
+    join = termcheck(docs, terms, max_expr_terms=2, **kw).collect()
+    cols = ("doc_id", "check_score", "check_words", "check_phrases",
+            "check_flagged")
+    assert sorted(tuple(r[c] for c in cols) for r in expr) == \
+           sorted(tuple(r[c] for c in cols) for r in join)
+    got = {r["doc_id"]: r for r in join}
+    assert got[0]["check_score"] == 12 + 9 + 7
+    assert got[2]["check_score"] == 0 and not got[2]["check_flagged"]
+    # a genuinely large list works and the plan stays joined, not literal
+    big = {f"w{i}": 1 for i in range(3000)}
+    big["alpha"] = 50
+    out = termcheck(docs, big)
+    flagged = {r["doc_id"]: r["check_flagged"] for r in out.collect()}
+    assert flagged[0] and not flagged[2]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # missing id column fails loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="id_col"):
+        termcheck(docs.drop("doc_id"), big)
