@@ -48,6 +48,7 @@ _TFNORM = "(({tf} * (1.2 + 1.0)) / ({tf} + 1.2 * (0.25 + (0.75 * {dl}) / {avgdl}
 
 def _bm25_sql(words: list[str], *, lang: str | None = None,
               exclude: str | None = None, bigram: tuple[str, str] | None = None,
+              bigrams: list[tuple[str, str]] | None = None,
               bigram_required: bool = False,
               optional_terms: list[tuple[str, float]] | None = None,
               or_group: list[str] | None = None,
@@ -95,27 +96,27 @@ def _bm25_sql(words: list[str], *, lang: str | None = None,
             f"ELSE 0.0 END)"
         )
     big_cte = ""
-    if bigram is not None:
-        w1, w2 = bigram
-        big_cte = f""",
-big AS (
+    bigram_list = ([bigram] if bigram is not None else []) + list(bigrams or [])
+    for bi, (w1, w2) in enumerate(bigram_list):
+        big_cte += f""",
+big{bi} AS (
   SELECT doc_id,
          len(list_filter(range(1, len(t)), i -> t[i] = '{w1}' AND t[i+1] = '{w2}')) AS tf
   FROM toks
   WHERE len(list_filter(range(1, len(t)), i -> t[i] = '{w1}' AND t[i+1] = '{w2}')) > 0
 ),
-bigdf AS (SELECT count(*) AS df FROM big)"""
-        idf_b = _IDF.format(n="b.n", df="bd.df")
-        tfn_b = _TFNORM.format(tf="bg.tf", dl="d.dl", avgdl="b.avgdl")
+bigdf{bi} AS (SELECT count(*) AS df FROM big{bi})"""
+        idf_b = _IDF.format(n="b.n", df=f"bd{bi}.df")
+        tfn_b = _TFNORM.format(tf=f"bg{bi}.tf", dl="d.dl", avgdl="b.avgdl")
         if bigram_required:
-            joins.append("JOIN big bg ON bg.doc_id = d.doc_id")
+            joins.append(f"JOIN big{bi} bg{bi} ON bg{bi}.doc_id = d.doc_id")
             contribs.append(f"((5.0 * {idf_b}) * {tfn_b})")
         else:
-            joins.append("LEFT JOIN big bg ON bg.doc_id = d.doc_id")
+            joins.append(f"LEFT JOIN big{bi} bg{bi} ON bg{bi}.doc_id = d.doc_id")
             contribs.append(
-                f"(CASE WHEN bg.tf IS NOT NULL THEN (5.0 * {idf_b}) * {tfn_b} ELSE 0.0 END)"
+                f"(CASE WHEN bg{bi}.tf IS NOT NULL THEN (5.0 * {idf_b}) * {tfn_b} ELSE 0.0 END)"
             )
-        joins.append("CROSS JOIN bigdf bd")
+        joins.append(f"CROSS JOIN bigdf{bi} bd{bi}")
     filters = []
     if or_group:
         filters.append(
@@ -853,11 +854,15 @@ CROSS JOIN bigdf bd"""
 def _proximity_sql(w1: str = _RANKER_W1, w2: str = _RANKER_W2) -> str:
     """Oracle for the SC4 bm25_proximity ranker on a two-word query: the
     bigram-attached BM25 score × the minimal-covering-window factor
-    1 + 1/max(1, 1 + (span - 1)) from BODY word positions (the corpus has no
-    punctuation/newlines, so stored positions differ by exactly the token
+    1 + 0.1/max(1, 1 + (span - 1)) from BODY word positions (the corpus has
+    no punctuation/newlines, so stored positions differ by exactly the token
     index deltas; the title/url fields never contain the query words, so the
     engine's best-of-fields max reduces to the body factor, 1.0 when absent
-    — here always present because both terms are required)."""
+    — here always present because both terms are required). The 0.1
+    amplitude is the wiki-phrase rule: '{w1} {w2}' is a committed
+    phrase-title (functions/wikiphrases.py), so the window is dampened by
+    WIKI_WEIGHT = 0.10 (/root/reference/PosdbTable.h:17) and targets the
+    query's own spacing — 1 here, identical to the adjacency default."""
     c = _two_word_contribs()
     return f"""{_two_word_bigram_ctes(w1, w2)},
 p1 AS (SELECT doc_id, unnest(list_filter(range(1, len(t) + 1), i -> t[i] = '{w1}')) AS p FROM toks),
@@ -866,7 +871,7 @@ span AS (SELECT p1.doc_id, min(abs(p1.p - p2.p)) AS span
          FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id GROUP BY 1)
 SELECT d.doc_id,
        round(({' + '.join(c)})
-             * (1.0 + 1.0 / greatest(1.0, 1.0 + (sp.span - 1.0))), 4) AS score_r,
+             * (1.0 + 0.1 / greatest(1.0, 1.0 + (sp.span - 1.0))), 4) AS score_r,
        sha256(t2.text) AS content_sha256
 FROM dl d
 CROSS JOIN base b
@@ -874,6 +879,32 @@ CROSS JOIN base b
 JOIN span sp ON sp.doc_id = d.doc_id
 JOIN documents t2 ON t2.doc_id = d.doc_id
 """
+
+
+def _wikiphrase_sql(w1: str = "sort", stop: str = "the",
+                    w2: str = "table") -> str:
+    """Oracle for the wiki-phrase proximity rule on '{w1} {stop} {w2}' with
+    soft stops: BM25 over required {w1}, {w2} + optional stop word (weight
+    1.0, demoted by apply_soft_stops) + the two attached optional bigrams at
+    weight 5, multiplied by the wiki window factor
+    1 + WIKI_WEIGHT/max(1, 1 + (span - 2)) — target span 2 = the query's own
+    {w1}→{w2} cursor distance with the stop word counted
+    (/root/reference/PosdbTable.cpp:816-842 qdist targeting,
+    /root/reference/PosdbTable.h:17 WIKI_WEIGHT). Titles/urls never hold the
+    corpus words, so the body window is the engine's best-of-fields max."""
+    extra_cte = f""",
+wp1 AS (SELECT doc_id, unnest(list_filter(range(1, len(t) + 1), i -> t[i] = '{w1}')) AS p FROM toks),
+wp2 AS (SELECT doc_id, unnest(list_filter(range(1, len(t) + 1), i -> t[i] = '{w2}')) AS p FROM toks),
+wspan AS (SELECT wp1.doc_id, min(abs(wp1.p - wp2.p)) AS span
+          FROM wp1 JOIN wp2 ON wp2.doc_id = wp1.doc_id GROUP BY 1)"""
+    return _bm25_sql(
+        [w1, w2],
+        optional_terms=[(stop, 1.0)],
+        bigrams=[(w1, stop), (stop, w2)],
+        extra_cte=extra_cte,
+        extra_join="JOIN wspan sp ON sp.doc_id = d.doc_id",
+        mult_expr="1.0 + 0.1 / greatest(1.0, 1.0 + (sp.span - 2.0))",
+    )
 
 
 def _ranks_sql(w1: str = _RANKER_W1, w2: str = _RANKER_W2) -> str:
@@ -1003,6 +1034,30 @@ def _q_engine_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = ensure_index(spark, sf_dir)
     res = topk(spark, idx, "hash table", 1_000_000, ranker="bm25_proximity")
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
+def _q_engine_wikiphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wiki-phrase proximity rule (Wiki.cpp / Query.cpp:2416-2432 /
+    PosdbTable.cpp:816-842 analog): the query 'sort the table' matches a
+    phrase title, so the covering window targets the QUERY's own member
+    spacing (sort→table = 2 cursor units, the stop word counted) at
+    WIKI_WEIGHT = 0.10 amplitude instead of adjacency at 1.0. Soft stops
+    demote 'the' to optional-scoring, so the window members are
+    {sort, table} — the exact case where the wiki target differs from the
+    adjacency default. DuckDB oracle: _wikiphrase_sql."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.plans.plan import parse_query
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    plan = parse_query("sort the table", soft_stops=True,
+                       wiki_phrases=("sort the table",))
+    res = topk(spark, idx, plan, 1_000_000, ranker="bm25_proximity")
     return doc_id_from_path(res).select(
         "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
     )
@@ -2346,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_sites": _q_engine_sites,
         "engine_contenthash": _q_engine_contenthash,
         "engine_proximity": _q_engine_proximity,
+        "engine_wikiphrase": _q_engine_wikiphrase,
         "engine_ranks": _q_engine_ranks,
         "engine_shortcuts": _q_engine_shortcuts,
         "engine_field_title": _engine_query("title:123"),
@@ -2499,6 +2555,7 @@ LIMIT 20
         "engine_boolean_not_kw": _bm25_sql(["sort"], exclude=["hash", "merge"]),
         "engine_phrase3": _phrase3_sql(),
         "engine_proximity": _proximity_sql(),
+        "engine_wikiphrase": _wikiphrase_sql(),
         "engine_ranks": _ranks_sql(),
         "engine_shortcuts": _shortcuts_sql(),
         # title:"7.txt": field-scoped punctuated phrase. Title tokens are

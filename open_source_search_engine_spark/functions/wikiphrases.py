@@ -1,0 +1,102 @@
+"""Wiki-phrase detection for query terms (the Wiki.cpp / wikiPhraseId
+analog).
+
+The reference loads a phrase-title lexicon (``wikititles.txt``) into
+``g_wiki`` and, at query-parse time, assigns every query word the id of the
+longest known phrase covering it (/root/reference/Wiki.cpp:182
+``getNumWordsInWikiPhrase`` — longest match wins; /root/reference/
+Query.cpp:2416-2432 — the assignment loop advances past each match).
+Term pairs sharing a ``wikiPhraseId`` are then scored against the QUERY's
+own spacing instead of the default target distance of 2, weighted by
+``WIKI_WEIGHT`` = 0.10 (/root/reference/PosdbTable.h:17, applied
+/root/reference/PosdbTable.cpp:816-842,2936-2955,3131-3149: ``qdist =
+m_qpos[j] - m_qpos[i]`` for same-phrase pairs, else 2).
+
+The committed dictionary below is a small public phrase list in the spirit
+of the synonyms lexicon (functions/synonyms.py) — the reference ships a
+multi-million-title file; callers substitute their own via
+``parse_query(wiki_phrases=...)`` exactly as the reference swaps the
+lexicon file.
+"""
+
+from __future__ import annotations
+
+# WIKI_WEIGHT from /root/reference/PosdbTable.h:17 — same-phrase term pairs
+# are deliberately dampened (the phrase is EXPECTED to co-occur; proximity
+# evidence is weaker) while their target spacing becomes the query's own.
+WIKI_WEIGHT = 0.10
+
+# longest phrase the detector will try (the committed dictionary's max)
+_MAX_PHRASE_TOKENS = 6
+
+# phrase titles, lowercase, one space between tokens — software/database
+# domain to suit the source-code corpus this engine targets
+WIKI_PHRASES: tuple[str, ...] = (
+    "abstract syntax tree",
+    "binary search",
+    "binary search tree",
+    "breadth first search",
+    "bloom filter",
+    "depth first search",
+    "dynamic programming",
+    "garbage collection",
+    "hash join",
+    "hash table",
+    "linked list",
+    "machine learning",
+    "merge join",
+    "merge sort",
+    "natural language processing",
+    "neural network",
+    "operating system",
+    "priority queue",
+    "query plan",
+    "quick sort",
+    "red black tree",
+    "regular expression",
+    "sort merge join",
+    "version control",
+    "virtual machine",
+    "window function",
+)
+
+
+def _phrase_index(phrases) -> dict[tuple[str, ...], int]:
+    """token-tuple → 1-based phrase id (ids are positions in the iteration
+    order, mirroring the reference's ``wkid`` counter, Query.cpp:2414)."""
+    ix: dict[tuple[str, ...], int] = {}
+    for p in phrases:
+        toks = tuple(p.split())
+        if len(toks) >= 2 and toks not in ix:
+            ix[toks] = len(ix) + 1
+    return ix
+
+
+def detect_wiki_phrases(tokens: list[str],
+                        phrases=None) -> list[tuple[int, int]]:
+    """Greedy longest-match phrase spans over a token sequence: from each
+    position take the LONGEST dictionary phrase starting there, assign all
+    its tokens one id, and continue after it — the
+    ``getNumWordsInWikiPhrase`` + assignment-loop behavior
+    (/root/reference/Wiki.cpp:182, /root/reference/Query.cpp:2416-2432).
+
+    Returns ``[(start, end), ...]`` half-open token spans in query order.
+    """
+    ix = _phrase_index(WIKI_PHRASES if phrases is None else phrases)
+    if not ix:
+        return []
+    max_len = min(_MAX_PHRASE_TOKENS, max(len(k) for k in ix))
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        hit = 0
+        for ln in range(min(max_len, n - i), 1, -1):
+            if tuple(tokens[i:i + ln]) in ix:
+                hit = ln
+                break
+        if hit:
+            spans.append((i, i + hit))
+            i += hit
+        else:
+            i += 1
+    return spans

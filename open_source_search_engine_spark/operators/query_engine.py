@@ -39,6 +39,7 @@ from pyspark.sql.window import Window
 
 from .. import BM25_B, BM25_K1, FIELD_BODY, FIELD_TITLE, FIELD_URL
 from ..functions.bm25 import bm25_idf
+from ..functions.wikiphrases import WIKI_WEIGHT
 from ..plans.plan import FIELD_WEIGHTS, QueryPlan, parse_query
 from ..sources import catalog
 from .index_build import serving_segments
@@ -324,14 +325,25 @@ def _min_window_spans(decoded: DataFrame, member_tids: list[int]) -> DataFrame:
     return mem.mapInPandas(gen, "docid long, field int, span long")
 
 
-def proximity_factor(span: F.Column, n_terms: int) -> F.Column:
-    """Score multiplier from the minimal covering span: 2.0 at perfect
-    adjacency (span = n_terms-1), → 1.0 as terms drift apart — the bounded
-    analog of the reference's 1/(dist+1) pair weighting
-    (/root/reference/PosdbTable.cpp:551-732)."""
-    return F.lit(1.0) + F.lit(1.0) / F.greatest(
+def proximity_factor(span: F.Column, n_terms: int, *,
+                     ideal: int | None = None,
+                     amplitude: float = 1.0) -> F.Column:
+    """Score multiplier from the minimal covering span: 1+amplitude at the
+    ideal span (default: perfect adjacency, span = n_terms-1), → 1.0 as
+    terms drift apart — the bounded analog of the reference's 1/(dist+1)
+    pair weighting (/root/reference/PosdbTable.cpp:551-732).
+
+    Wiki-phrase queries pass ``ideal`` = the query's own member spacing and
+    ``amplitude`` = WIKI_WEIGHT: the reference targets ``qdist = m_qpos[j] -
+    m_qpos[i]`` for same-phrase pairs (dist -= qdist before the 1/(dist+1),
+    PosdbTable.cpp:765-771,823-842) and dampens them by WIKI_WEIGHT = 0.10
+    (PosdbTable.h:17) — a known phrase is EXPECTED to co-occur, so its
+    proximity evidence counts for less while its target spacing becomes the
+    verbatim phrase's, stop words included."""
+    tgt = float(n_terms - 1) if ideal is None else float(ideal)
+    return F.lit(1.0) + F.lit(float(amplitude)) / F.greatest(
         F.lit(1.0),
-        F.lit(1.0) + (span - F.lit(float(n_terms - 1))).cast("double"),
+        F.lit(1.0) + (span - F.lit(tgt)).cast("double"),
     )
 
 
@@ -563,6 +575,25 @@ def topk(
         })
         if len(prox_members) >= 2:
             pos_tids = sorted(set(pos_tids) | set(prox_members))
+    # wiki-phrase rule (Wiki.cpp / PosdbTable.cpp:816-842 analog): when ONE
+    # detected phrase group covers every proximity member, the window
+    # targets the query's own member spacing at WIKI_WEIGHT amplitude.
+    # Partial coverage keeps the default rule — the set-level narrowing of
+    # the reference's per-pair qdist, consistent with this scorer's
+    # covering-window generalization of the pair matrix (SC3/SC4).
+    prox_ideal: int | None = None
+    prox_ampl = 1.0
+    if len(prox_members) >= 2 and plan.wiki_groups:
+        pset = set(prox_members)
+        covering = [g for g in plan.wiki_groups
+                    if pset <= {int(t) for t in g.termids}]
+        if len(covering) == 1:
+            offs = [o for t, o in zip(covering[0].termids,
+                                      covering[0].offsets)
+                    if int(t) in pset]
+            if len(offs) >= 2:
+                prox_ideal = int(max(offs) - min(offs))
+                prox_ampl = WIKI_WEIGHT
     with_wtf = ranker == "bm25_ranks"
     if not with_wtf:
         # keep the rank sidecar column out of the scan entirely
@@ -722,7 +753,9 @@ def topk(
         fac = (
             spans.select(
                 "docid",
-                proximity_factor(F.col("span"), len(prox_members)).alias("_f"))
+                proximity_factor(F.col("span"), len(prox_members),
+                                 ideal=prox_ideal,
+                                 amplitude=prox_ampl).alias("_f"))
             .groupBy("docid").agg(F.max("_f").alias("_prox"))
         )
         agg = (

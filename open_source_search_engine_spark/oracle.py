@@ -308,14 +308,31 @@ class OracleIndex:
                 and (t.field is None or t.field == FIELD_BODY)
             })
             if len(members) >= 2:
+                # wiki-phrase rule (Wiki.cpp analog, mirroring
+                # query_engine.topk): one covering group → target the
+                # query's member spacing at WIKI_WEIGHT amplitude
+                from .functions.wikiphrases import WIKI_WEIGHT
+
+                ideal = float(len(members) - 1)
+                ampl = 1.0
+                pset = set(members)
+                covering = [g for g in plan.wiki_groups
+                            if pset <= {int(t) for t in g.termids}]
+                if len(covering) == 1:
+                    offs = [o for t, o in zip(covering[0].termids,
+                                              covering[0].offsets)
+                            if int(t) in pset]
+                    if len(offs) >= 2:
+                        ideal = float(max(offs) - min(offs))
+                        ampl = WIKI_WEIGHT
                 rescored = []
                 for s, d in scored:
                     best = 1.0
                     for f in (FIELD_BODY, FIELD_TITLE, FIELD_URL):
                         span = self._min_window_span(d, members, f)
                         if span is not None:
-                            best = max(best, 1.0 + 1.0 / max(
-                                1.0, 1.0 + float(span - (len(members) - 1))))
+                            best = max(best, 1.0 + ampl / max(
+                                1.0, 1.0 + float(span) - ideal))
                     rescored.append((s * best, d))
                 scored = rescored
 

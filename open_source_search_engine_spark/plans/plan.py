@@ -148,6 +148,25 @@ class Phrase:
         return self.offsets if self.offsets else tuple(range(len(self.termids)))
 
 
+@dataclass(frozen=True)
+class WikiGroup:
+    """Consecutive bare query terms matching a known phrase title share a
+    wikiPhraseId (/root/reference/Query.cpp:2416-2432 assignment from
+    /root/reference/Wiki.cpp:182 longest-match). The proximity scorer
+    targets the QUERY's own member spacing for such groups, dampened by
+    WIKI_WEIGHT (/root/reference/PosdbTable.cpp:816-842: ``qdist =
+    m_qpos[j] - m_qpos[i]`` for same-phrase pairs instead of 2).
+
+    ``offsets`` are indexer-cursor positions of the members relative to the
+    first (the same cursor Phrase offsets use), so a document holding the
+    phrase verbatim — stop words included — spans exactly
+    ``max(offsets) - min(offsets)``."""
+
+    termids: tuple          # member unigram termids, in phrase order
+    tokens: tuple           # surface forms
+    offsets: tuple          # cursor offsets per member, first = 0
+
+
 @dataclass
 class QueryPlan:
     raw: str
@@ -173,6 +192,9 @@ class QueryPlan:
     query_lang: str | None = None
     lang_spec_same: int | None = None
     lang_spec_und: int | None = None
+    # wiki-phrase groups over bare positive terms (Wiki.cpp analog); the
+    # bm25_proximity ranker consults them — see WikiGroup
+    wiki_groups: list = dc_field(default_factory=list)
 
     @property
     def required(self) -> list[TermSpec]:
@@ -703,7 +725,8 @@ def parse_query(q: str, *, expand_synonyms: bool = False,
                 synonyms: dict | None = None,
                 soft_stops: bool = False, lang: str | None = None,
                 query_lang: str | None = None,
-                sites: "list[str] | str | None" = None) -> QueryPlan:
+                sites: "list[str] | str | None" = None,
+                wiki_phrases=None) -> QueryPlan:
     """``sites`` is the &sites= whitelist (SearchInput::m_sites →
     Msg39Request ptr_whiteList, /root/reference/Msg40.cpp:344-345; consulted
     per candidate inside the intersection, PosdbTable.cpp:5067): a list (or
@@ -753,6 +776,29 @@ def parse_query(q: str, *, expand_synonyms: bool = False,
             both_stop = a in STOP_WORDS and bb in STOP_WORDS
             b.attach_optional(f"{a} {bb}", FIELD_BODY, BIGRAM_WEIGHT,
                               is_bigram=True, pair=(a, bb, both_stop))
+
+    # wiki-phrase ids (Wiki.cpp analog): greedy longest dictionary match
+    # over each run of adjacent bare positive words — the same adjacency
+    # stream the bigram attach walks (operators/parens/signs/fields break
+    # runs, as the reference's phrase ids never cross them)
+    from ..functions.wikiphrases import detect_wiki_phrases
+
+    seg: list[str] = []
+    for lx in bare_seq + ["\x00"]:
+        if lx == "\x00":
+            for s0, s1 in detect_wiki_phrases(seg, wiki_phrases):
+                toks = tuple(seg[s0:s1])
+                tf_w = tokenize_text(" ".join(toks), per_line_density=False)
+                poss = [p for p, k in zip(tf_w.positions, tf_w.kinds)
+                        if k == KIND_UNIGRAM]
+                plan.wiki_groups.append(WikiGroup(
+                    tuple(int(t) for t in _hasher.termids(list(toks))),
+                    toks,
+                    tuple(p - poss[0] for p in poss),
+                ))
+            seg = []
+        else:
+            seg.append(lx)
 
     if query_lang == "auto":
         # no explicit &qlang hint: infer the language from the query's own

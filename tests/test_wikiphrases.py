@@ -1,0 +1,146 @@
+"""Wiki-phrase proximity rule (Wiki.cpp / Query.cpp:2416-2432 /
+PosdbTable.cpp:816-842 analog): detection, parse integration, and the
+query-spacing-targeted dampened window in the bm25_proximity ranker."""
+
+import pytest
+
+from open_source_search_engine_spark.functions.wikiphrases import (
+    WIKI_WEIGHT, detect_wiki_phrases,
+)
+from open_source_search_engine_spark.plans.plan import parse_query
+
+
+def test_detect_greedy_longest_match():
+    # 'binary search tree' beats its prefix 'binary search'
+    assert detect_wiki_phrases(
+        ["binary", "search", "tree", "x"]) == [(0, 3)]
+    # after a match the scan continues past it (Query.cpp:2432)
+    assert detect_wiki_phrases(
+        ["merge", "sort", "merge", "join"]) == [(0, 2), (2, 4)]
+    # no phrase → no spans
+    assert detect_wiki_phrases(["alpha", "beta"]) == []
+    # custom lexicon override (the swappable wikititles file)
+    assert detect_wiki_phrases(
+        ["alpha", "beta"], phrases=("alpha beta",)) == [(0, 2)]
+    # single-word entries are not phrases
+    assert detect_wiki_phrases(["alpha"], phrases=("alpha",)) == []
+
+
+def test_parse_query_attaches_wiki_groups():
+    plan = parse_query("hash table")
+    assert len(plan.wiki_groups) == 1
+    g = plan.wiki_groups[0]
+    assert g.tokens == ("hash", "table")
+    assert g.offsets == (0, 1)
+    # operators break adjacency runs, like the bigram attach
+    assert parse_query("hash OR table").wiki_groups == []
+    assert parse_query('"hash table"').wiki_groups == []
+    # custom lexicon: the stop word is a group member with its cursor offset
+    plan = parse_query("sort the table", wiki_phrases=("sort the table",))
+    assert len(plan.wiki_groups) == 1
+    assert plan.wiki_groups[0].offsets == (0, 1, 2)
+
+
+ROWS = [
+    # verbatim phrase: sort→table span 2 = the query spacing → full wiki
+    # factor 1 + WIKI_WEIGHT
+    {"repo": "r", "path": "verbatim.py", "lang": "py",
+     "content": "sort the table now\nfiller words here"},
+    # members adjacent (tighter than the query): span 1 < target 2 →
+    # greatest(1, ...) clamps — same full factor
+    {"repo": "r", "path": "tight.py", "lang": "py",
+     "content": "sort table the columns\nmore filler"},
+    # members far apart: dampened tail of the factor
+    {"repo": "r", "path": "spread.py", "lang": "py",
+     "content": "sort something first\nthe filler line\nthen a table shows"},
+]
+
+
+@pytest.fixture(scope="module")
+def widx(spark, tmp_path_factory):
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+    from open_source_search_engine_spark.oracle import OracleIndex
+
+    rows = [dict(r, commit="0") for r in ROWS]
+    d = str(tmp_path_factory.mktemp("wiki") / "idx")
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+         for r in rows],
+        CORPUS_SCHEMA_DDL,
+    )
+    build_index(spark, df, d, n_chunks=1)
+    return d, OracleIndex.build(rows)
+
+
+def _plan():
+    return parse_query("sort the table", soft_stops=True,
+                       wiki_phrases=("sort the table",))
+
+
+def test_wiki_rule_engine_matches_python_oracle(spark, widx):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, oracle = widx
+    eng = [(r["docid"], r["score"]) for r in
+           topk(spark, idx, _plan(), 10, ranker="bm25_proximity").collect()]
+    ora = [(r["docid"], r["score"]) for r in
+           oracle.topk(_plan(), 10, ranker="bm25_proximity")]
+    assert [e[0] for e in eng] == [o[0] for o in ora]
+    for e, o in zip(eng, ora):
+        assert e[1] == pytest.approx(o[1], rel=1e-9)
+
+
+def test_wiki_factor_targets_query_spacing(spark, widx):
+    """verbatim.py (span 2 = query spacing) and tight.py (span 1, clamped)
+    get exactly 1 + WIKI_WEIGHT; spread.py decays from the target, not from
+    adjacency."""
+    from open_source_search_engine_spark.functions.hashing import (
+        docid_for_url,
+    )
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, _ = widx
+    base = {r["docid"]: r["score"]
+            for r in topk(spark, idx, _plan(), 10).collect()}
+    prox = {r["docid"]: r["score"]
+            for r in topk(spark, idx, _plan(), 10,
+                          ranker="bm25_proximity").collect()}
+    for p in ("verbatim.py", "tight.py"):
+        d = docid_for_url(f"r/{p}")
+        assert prox[d] == pytest.approx(base[d] * (1.0 + WIKI_WEIGHT),
+                                        rel=1e-12), p
+    d = docid_for_url("r/spread.py")
+    # spread.py: sort at 0, table at 10 (cursor: 3 body tokens + newline gaps
+    # land it well past the target) → factor strictly inside (1, 1+W)
+    assert 1.0 < prox[d] / base[d] < 1.0 + WIKI_WEIGHT
+
+
+def test_partial_coverage_keeps_default_rule(spark, widx):
+    """A required term outside the phrase (set-level narrowing): the default
+    adjacency rule at amplitude 1.0 applies — tight.py holds 'sort table'
+    adjacent plus 'columns', so its factor under 'sort table columns' must
+    exceed 1 + WIKI_WEIGHT (impossible under the wiki rule)."""
+    from open_source_search_engine_spark.functions.hashing import (
+        docid_for_url,
+    )
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    idx, oracle = widx
+    plan = parse_query("sort table columns", wiki_phrases=("sort table",))
+    base = {r["docid"]: r["score"] for r in topk(spark, idx, plan, 10).collect()}
+    prox = {r["docid"]: r["score"]
+            for r in topk(spark, idx, plan, 10,
+                          ranker="bm25_proximity").collect()}
+    d = docid_for_url("r/tight.py")
+    assert prox[d] / base[d] > 1.0 + WIKI_WEIGHT
+    ora = [(r["docid"], r["score"])
+           for r in oracle.topk(plan, 10, ranker="bm25_proximity")]
+    eng = [(r["docid"], r["score"])
+           for r in topk(spark, idx, plan, 10,
+                         ranker="bm25_proximity").collect()]
+    assert [e[0] for e in eng] == [o[0] for o in ora]
+    for e, o in zip(eng, ora):
+        assert e[1] == pytest.approx(o[1], rel=1e-9)
