@@ -1395,6 +1395,126 @@ def _q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, 32, overlap=4)
 
 
+def _q_text_gopher_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText REPETITION rules (Rae et al. 2021 App. A1.1,
+    "repetitious documents"): 13 exact int/int metrics + the pass
+    conjunction. The corpus is single-line, so line/paragraph breaks are
+    injected deterministically (' the ' -> LF, ' merge ' -> LF LF) in BOTH
+    this query and the DuckDB oracle before the metric pass."""
+    from open_source_search_engine_spark.operators.textstats import (
+        _REP_METRICS,
+        gopher_repetition,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" the "), F.lit("\n")),
+            F.lit(" merge "), F.lit("\n\n")).alias("text"))
+    out = gopher_repetition(docs)
+    return out.select(
+        "doc_id",
+        *[F.round(m, 6).alias(f"{m}_r") for m in _REP_METRICS],
+        "gopher_rep_pass")
+
+
+def _gopher_rep_sql() -> str:
+    """DuckDB replay of gopher_repetition over the same injected-separator
+    text: duplicate line/para occurrence+char fractions, top-{2,3,4}-gram
+    and dup-{5..10}-gram character fractions — all integer numerators over
+    integer denominators, so each double is bit-identical to the engine's."""
+    seg = """
+{name}s AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, {sep}), s -> s <> '')) AS s
+  FROM d0
+),
+{name}met AS (
+  SELECT doc_id,
+         (sum(c) - count(*))::DOUBLE / sum(c) AS dup_{name}_frac,
+         CASE WHEN sum(c * l) > 0
+              THEN sum((c - 1) * l)::DOUBLE / sum(c * l) ELSE 0.0 END
+           AS dup_{name}_char_frac
+  FROM (SELECT doc_id, s, count(*) AS c, length(s) AS l
+        FROM {name}s GROUP BY 1, 2)
+  GROUP BY 1
+)"""
+    gram_ctes, gram_cols, checks = [], [], [
+        ("dup_line_frac", 0.30), ("dup_line_char_frac", 0.20),
+        ("dup_para_frac", 0.30), ("dup_para_char_frac", 0.20),
+    ]
+    for n in range(2, 11):
+        key = (f"top_{n}gram_char_frac" if n <= 4
+               else f"dup_{n}gram_char_frac")
+        agg = ("max(c * gl)" if n <= 4
+               else "sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END)")
+        gram_ctes.append(f"""
+g{n} AS (
+  SELECT doc_id, {agg} AS cover
+  FROM (SELECT doc_id, g, count(*) AS c, length(any_value(g)) AS gl
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(t) - {n} + 2),
+                            i -> array_to_string(t[i:i+{n - 1}], ' '))) AS g
+              FROM toks WHERE len(t) >= {n}) GROUP BY doc_id, g)
+  GROUP BY 1
+)""")
+        gram_cols.append(
+            f"CASE WHEN tc.total_chars > 0 THEN coalesce(g{n}.cover, 0)::DOUBLE"
+            f" / tc.total_chars ELSE 0.0 END AS {key}")
+        thr = {2: 0.20, 3: 0.18, 4: 0.16, 5: 0.15, 6: 0.14, 7: 0.13,
+               8: 0.12, 9: 0.11, 10: 0.10}[n]
+        checks.append((key, thr))
+    metrics = (["dup_line_frac", "dup_line_char_frac",
+                "dup_para_frac", "dup_para_char_frac"]
+               + [f"top_{n}gram_char_frac" for n in (2, 3, 4)]
+               + [f"dup_{n}gram_char_frac" for n in range(5, 11)])
+    pass_expr = " AND ".join(f"m.{k} <= {t}" for k, t in checks)
+    line_cte = seg.format(name="line", sep="chr(10)")
+    para_cte = seg.format(name="para", sep="chr(10) || chr(10)")
+    gram_ctes_sql = ",".join(gram_ctes)
+    gram_cols_sql = ",\n         ".join(gram_cols)
+    gram_joins_sql = " ".join(
+        f"LEFT JOIN g{n} USING (doc_id)" for n in range(2, 11))
+    round_cols_sql = ",\n       ".join(
+        f"round(m.{k}, 6) AS {k}_r" for k in metrics)
+    return f"""
+WITH d0 AS (
+  SELECT doc_id,
+         replace(replace(text, ' the ', chr(10)),
+                 ' merge ', chr(10) || chr(10)) AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM d0
+),
+tc AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN 0
+              ELSE list_sum(list_transform(t, x -> length(x)))
+                   + len(t) - 1 END AS total_chars
+  FROM toks
+),{line_cte},{para_cte},{gram_ctes_sql},
+m AS (
+  SELECT tc.doc_id,
+         coalesce(linemet.dup_line_frac, 0.0) AS dup_line_frac,
+         coalesce(linemet.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+         coalesce(paramet.dup_para_frac, 0.0) AS dup_para_frac,
+         coalesce(paramet.dup_para_char_frac, 0.0) AS dup_para_char_frac,
+         {gram_cols_sql}
+  FROM tc
+  LEFT JOIN linemet USING (doc_id)
+  LEFT JOIN paramet USING (doc_id)
+  {gram_joins_sql}
+)
+SELECT m.doc_id,
+       {round_cols_sql},
+       ({pass_expr}) AS gopher_rep_pass
+FROM m
+"""
+
+
 def _q_result_override(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving result overrides (/root/reference/UrlResultOverride.cpp,
     LanguageResultOverride.cpp, XmlDoc.cpp:16287,16370): URL-keyed
@@ -2442,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "engine_result_override": _q_result_override,
         "text_chunking": _q_text_chunking,
+        "text_gopher_rep": _q_text_gopher_rep,
         "text_gopher": _q_text_gopher,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_streaming_exact": _q_dedup_streaming_exact,
@@ -2782,6 +2903,7 @@ SELECT doc_id, gr_word_count, gr_mean_word_len, gr_symbol_ratio,
         AND gr_alpha_words AND gr_stop_words) AS gopher_pass
 FROM r
 """,
+        "text_gopher_rep": _gopher_rep_sql(),
         "text_chunking": f"""
 WITH{TOKS_CTE},
 w AS (

@@ -672,3 +672,195 @@ def gopher_rules(
         & F.col("gr_symbol_ratio") & F.col("gr_bullet_lines")
         & F.col("gr_ellipsis_lines") & F.col("gr_alpha_words")
         & F.col("gr_stop_words"))
+
+
+# The Gopher/MassiveText REPETITION-removal rule set (Rae et al. 2021,
+# App. A1.1, "repetitious documents") — the published thresholds,
+# overridable per corpus. Separate from the quality rules above: these
+# remove documents dominated by repeated lines/paragraphs/n-grams.
+GOPHER_REP_DEFAULTS = dict(
+    max_dup_line_frac=0.30, max_dup_para_frac=0.30,
+    max_dup_line_char_frac=0.20, max_dup_para_char_frac=0.20,
+    max_top_2gram_char_frac=0.20, max_top_3gram_char_frac=0.18,
+    max_top_4gram_char_frac=0.16,
+    max_dup_5gram_char_frac=0.15, max_dup_6gram_char_frac=0.14,
+    max_dup_7gram_char_frac=0.13, max_dup_8gram_char_frac=0.12,
+    max_dup_9gram_char_frac=0.11, max_dup_10gram_char_frac=0.10,
+)
+
+_REP_METRICS = (
+    ["dup_line_frac", "dup_line_char_frac",
+     "dup_para_frac", "dup_para_char_frac"]
+    + [f"top_{n}gram_char_frac" for n in (2, 3, 4)]
+    + [f"dup_{n}gram_char_frac" for n in range(5, 11)]
+)
+
+
+def _rep_metrics_batch(texts, line_sep: str, para_sep: str):
+    """Whole-batch numpy computation of the 13 repetition metrics.
+
+    Every numerator/denominator is an INTEGER (occurrence counts × char
+    lengths), so each metric is one exact int/int division — bit-identical
+    to any re-implementation of the same definition (the DuckDB oracle)
+    regardless of summation order. Definitions (documented deviations from
+    the paper's prose, which does not pin them):
+
+    - dup_line_frac / dup_para_frac: duplicate occurrences beyond the first
+      over total occurrences, (total - distinct) / total;
+    - dup_*_char_frac: characters of those beyond-first occurrences over
+      all segment characters, Σ (c-1)·len / Σ c·len;
+    - top_ngram_char_frac (n=2..4): the n-gram covering the most characters,
+      max(c·len_chars) / total_chars, where len_chars is the
+      space-joined gram length and total_chars the space-joined token
+      stream length;
+    - dup_ngram_char_frac (n=5..10): Σ over grams occurring ≥2 times of
+      c·len_chars / total_chars — the count-based form; overlapping
+      occurrences are counted per occurrence, not span-merged (the
+      span-marking variant needs per-position bookkeeping; this form is
+      exactly SQL-expressible and monotone in the same signal).
+
+    Tokens are lowercase whitespace splits (dedup.tokens_col); lines and
+    paragraphs are raw (case-preserving) non-empty splits.
+    """
+    import numpy as np
+
+    n_docs = len(texts)
+    out = {m: np.zeros(n_docs, dtype=np.float64) for m in _REP_METRICS}
+
+    def seg_stats(splitter):
+        frac = np.zeros(n_docs)
+        cfrac = np.zeros(n_docs)
+        for i, t in enumerate(texts):
+            segs = [s for s in (t or "").split(splitter) if s != ""]
+            if not segs:
+                continue
+            seen: dict[str, int] = {}
+            for s in segs:
+                seen[s] = seen.get(s, 0) + 1
+            total = len(segs)
+            dist = len(seen)
+            tot_c = sum(c * len(s) for s, c in seen.items())
+            dup_c = sum((c - 1) * len(s) for s, c in seen.items())
+            frac[i] = (total - dist) / total
+            cfrac[i] = dup_c / tot_c if tot_c else 0.0
+        return frac, cfrac
+
+    out["dup_line_frac"], out["dup_line_char_frac"] = seg_stats(line_sep)
+    out["dup_para_frac"], out["dup_para_char_frac"] = seg_stats(para_sep)
+
+    # flatten tokens once; n-gram identities are rows of a token-code
+    # matrix (np.unique(axis=0) — exact, no hashing)
+    tok_lists = [(t or "").lower().split() for t in texts]
+    doc_ix = np.repeat(np.arange(n_docs), [len(x) for x in tok_lists])
+    flat = [w for x in tok_lists for w in x]
+    if flat:
+        uniq, codes = np.unique(np.asarray(flat, dtype=object),
+                                return_inverse=True)
+        tok_lens = np.array([len(w) for w in uniq], dtype=np.int64)
+        lens = tok_lens[codes]
+    else:
+        codes = np.zeros(0, dtype=np.int64)
+        lens = np.zeros(0, dtype=np.int64)
+    n_toks = np.array([len(x) for x in tok_lists], dtype=np.int64)
+    total_chars = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(total_chars, doc_ix, lens)
+    total_chars += np.maximum(n_toks - 1, 0)
+
+    m = len(codes)
+    for n in range(2, 11):
+        key = (f"top_{n}gram_char_frac" if n <= 4
+               else f"dup_{n}gram_char_frac")
+        if m < n:
+            continue
+        valid = doc_ix[: m - n + 1] == doc_ix[n - 1:]
+        if not valid.any():
+            continue
+        starts = np.nonzero(valid)[0]
+        mat = np.empty((len(starts), n + 1), dtype=np.int64)
+        mat[:, 0] = doc_ix[starts]
+        glen = np.full(len(starts), n - 1, dtype=np.int64)  # joiner spaces
+        for k in range(n):
+            mat[:, k + 1] = codes[starts + k]
+            glen += lens[starts + k]
+        rows, first_ix, counts = np.unique(
+            mat, axis=0, return_index=True, return_counts=True)
+        g_doc = rows[:, 0]
+        g_len = glen[first_ix]
+        cover = np.zeros(n_docs, dtype=np.int64)
+        if n <= 4:
+            np.maximum.at(cover, g_doc, counts * g_len)
+        else:
+            np.add.at(cover, g_doc,
+                      np.where(counts >= 2, counts * g_len, 0))
+        nz = total_chars > 0
+        out[key][nz] = cover[nz] / total_chars[nz]
+    return out
+
+
+def gopher_repetition(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    line_sep: str = "\n",
+    para_sep: str = "\n\n",
+    **overrides,
+) -> DataFrame:
+    """Per-rule booleans + ``gopher_rep_pass`` for the Gopher REPETITION
+    filter (Rae et al. 2021 App. A1.1 "repetitious documents"): duplicate
+    line/paragraph fractions (count- and character-based), top-{2,3,4}-gram
+    character fractions and duplicate-{5..10}-gram character fractions, at
+    the paper's thresholds (GOPHER_REP_DEFAULTS, keyword-overridable).
+
+    Per-document only — ONE Arrow-batched map stage, no shuffle (the same
+    scale shape as :func:`gopher_rules`; here the gram counting runs as
+    whole-batch numpy inside mapInPandas rather than codegen because
+    per-doc gram count tables are not expressible as column expressions
+    without a quadratic fold). Metric definitions in
+    :func:`_rep_metrics_batch`; all 13 metrics are exact int/int divisions,
+    so the DuckDB oracle reproduces them bit-for-bit."""
+    import pandas as pd
+
+    p = dict(GOPHER_REP_DEFAULTS)
+    unknown = set(overrides) - set(p)
+    if unknown:
+        raise ValueError(
+            f"unknown gopher repetition overrides: {sorted(unknown)}")
+    p.update(overrides)
+
+    in_schema = df.schema
+    out_fields = (in_schema.fieldNames()
+                  + _REP_METRICS + ["gopher_rep_pass"])
+    out_schema = (", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                            for f in in_schema.fields)
+                  + ", " + ", ".join(f"{mname} double"
+                                     for mname in _REP_METRICS)
+                  + ", gopher_rep_pass boolean")
+
+    thresholds = [
+        ("dup_line_frac", p["max_dup_line_frac"]),
+        ("dup_line_char_frac", p["max_dup_line_char_frac"]),
+        ("dup_para_frac", p["max_dup_para_frac"]),
+        ("dup_para_char_frac", p["max_dup_para_char_frac"]),
+        ("top_2gram_char_frac", p["max_top_2gram_char_frac"]),
+        ("top_3gram_char_frac", p["max_top_3gram_char_frac"]),
+        ("top_4gram_char_frac", p["max_top_4gram_char_frac"]),
+    ] + [(f"dup_{n}gram_char_frac", p[f"max_dup_{n}gram_char_frac"])
+         for n in range(5, 11)]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mets = _rep_metrics_batch(
+                pdf[text].tolist(), line_sep, para_sep)
+            res = pdf.copy()
+            ok = None
+            for mname in _REP_METRICS:
+                res[mname] = mets[mname]
+            for mname, thr in thresholds:
+                bit = mets[mname] <= thr
+                ok = bit if ok is None else (ok & bit)
+            res["gopher_rep_pass"] = ok
+            yield res[out_fields]
+
+    return df.mapInPandas(gen, out_schema)

@@ -503,3 +503,54 @@ def test_gopher_rules(spark):
     import pytest
     with pytest.raises(ValueError, match="unknown gopher"):
         gopher_rules(df, min_wordz=5)
+
+
+def test_gopher_repetition_metrics(spark):
+    """Hand-computed repetition metrics (Rae et al. 2021 App. A1.1
+    "repetitious documents"): duplicate line/para fractions and n-gram
+    character fractions are exact int/int divisions."""
+    from open_source_search_engine_spark.operators.textstats import (
+        gopher_repetition,
+    )
+
+    docs = [
+        (0, "a b\na b\nc d"),                # dup lines
+        (1, "x y z w v x y z w v"),          # dup 5-gram
+        (2, "p1 l1\np1 l2\n\np1 l1\np1 l2\n\nother"),  # dup paragraphs
+        (3, ""),                             # empty: all metrics 0
+        # all-distinct and long enough that no single n-gram's share of
+        # the joined char stream can cross the top-n-gram thresholds
+        (4, " ".join(f"word{i:02d}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+
+    # doc 0: lines [a b, a b, c d] -> (3-2)/3 occurrences, 3/9 chars
+    assert got[0]["dup_line_frac"] == 1 / 3
+    assert got[0]["dup_line_char_frac"] == 3 / 9
+    # tokens a b a b c d: top 2-gram 'a b' covers 2*3=6 of 11 joined chars
+    assert got[0]["top_2gram_char_frac"] == 6 / 11
+    # doc 1: 5-gram 'x y z w v' occurs twice -> 2*9 of 19 chars
+    assert got[1]["dup_5gram_char_frac"] == 18 / 19
+    assert got[1]["top_4gram_char_frac"] == 14 / 19  # 'x y z w' occurs twice
+    # doc 2: paras [p1 l1\np1 l2 (x2), other] -> (3-2)/3; chars 11/27
+    assert got[2]["dup_para_frac"] == 1 / 3
+    assert got[2]["dup_para_char_frac"] == 11 / 27
+    # doc 3: no segments, no grams
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["dup_10gram_char_frac"] == 0.0
+    assert got[3]["gopher_rep_pass"]
+    # pass bits: 0/1/2 each violate at least one published threshold
+    assert not got[0]["gopher_rep_pass"]
+    assert not got[1]["gopher_rep_pass"]
+    assert not got[2]["gopher_rep_pass"]
+    assert got[4]["gopher_rep_pass"]
+    # thresholds are keyword-overridable; unknown names fail loudly
+    relaxed = {r["doc_id"]: r for r in gopher_repetition(
+        df, max_dup_line_frac=0.5, max_dup_line_char_frac=0.5,
+        max_top_2gram_char_frac=0.6, max_top_3gram_char_frac=0.6,
+        max_top_4gram_char_frac=0.7).collect()}
+    assert relaxed[0]["gopher_rep_pass"]
+    import pytest
+    with pytest.raises(ValueError, match="unknown gopher repetition"):
+        gopher_repetition(df, max_dup_linez=0.5)
