@@ -1515,6 +1515,137 @@ FROM m
 """
 
 
+def _c4_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus with deterministically injected sentence/line structure
+    for the C4 gates: ' the ' -> '. ' (sentence break), ' merge ' ->
+    '.' + LF (line break after terminal punct), ' sort ' -> LF (line
+    break without) — mirrored verbatim by the oracle SQL."""
+    rep = F.replace(F.col("text"), F.lit(" the "), F.lit(". "))
+    rep = F.replace(rep, F.lit(" merge "), F.lit(".\n"))
+    rep = F.replace(rep, F.lit(" sort "), F.lit("\n"))
+    return _docs(spark, sf_dir).select("doc_id", rep.alias("text"))
+
+
+def _q_text_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): terminal-punct +
+    min-word + javascript line filters, then sentence-count / badword /
+    lorem-ipsum / curly-brace page filters — all Catalyst expressions in
+    one codegen map stage."""
+    from open_source_search_engine_spark.operators.c4 import c4_rules
+
+    out = c4_rules(_c4_text(spark, sf_dir), badwords=("slow", "dup"))
+    return out.select(
+        "doc_id", "c4_text", "c4_sentences", "c4_badwords", "c4_lorem",
+        "c4_brace", "c4_pass")
+
+
+def _q_text_c4_spandedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cross-document 3-sentence-span dedup (Raffel et al. 2020 §2.2
+    'we discarded all but one of any three-sentence span occurring more
+    than once'): globally-first occurrence wins, losing spans' sentences
+    deleted, docs rebuilt — two uniform hash shuffles, no all-pairs."""
+    from open_source_search_engine_spark.operators.c4 import c4_span_dedup
+
+    out = c4_span_dedup(_c4_text(spark, sf_dir))
+    return out.select(
+        "doc_id", "c4_dedup_text",
+        F.col("c4_dropped_sentences").cast("long")
+        .alias("c4_dropped_sentences"))
+
+
+_C4_D0 = """
+d0 AS (
+  SELECT doc_id,
+         replace(replace(replace(text, ' the ', '. '),
+                         ' merge ', '.' || chr(10)),
+                 ' sort ', chr(10)) AS text
+  FROM documents
+)"""
+
+
+def _c4_sql() -> str:
+    """DuckDB replay of c4_rules over the same injected-structure text."""
+    line_ok = """(
+      (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+       OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+      AND len(list_filter(string_split(trim(l), ' '), w -> w <> '')) >= 5
+      AND NOT contains(lower(trim(l)), 'javascript'))"""
+    return f"""
+WITH{_C4_D0},
+c AS (
+  SELECT doc_id,
+         coalesce(array_to_string(list_transform(
+             list_filter(string_split(text, chr(10)), l -> {line_ok}),
+             l -> trim(l)), chr(10)), '') AS c4_text
+  FROM d0
+),
+m AS (
+  SELECT doc_id, c4_text,
+         len(list_filter(
+             flatten(list_transform(string_split(c4_text, chr(10)),
+                                    l -> string_split(l, '. '))),
+             s -> trim(s) <> '')) AS nsent,
+         len(list_intersect(
+             list_filter(regexp_split_to_array(lower(c4_text), '\\s+'),
+                         w -> w <> ''),
+             ['slow', 'dup'])) AS nbad,
+         contains(lower(c4_text), 'lorem ipsum') AS has_lorem,
+         contains(c4_text, '{{') AS has_brace
+  FROM c
+)
+SELECT doc_id, c4_text,
+       (nsent >= 3) AS c4_sentences,
+       (nbad = 0) AS c4_badwords,
+       NOT has_lorem AS c4_lorem,
+       NOT has_brace AS c4_brace,
+       ((nsent >= 3) AND nbad = 0 AND NOT has_lorem AND NOT has_brace)
+         AS c4_pass
+FROM m
+"""
+
+
+def _c4_spandedup_sql() -> str:
+    """DuckDB replay of c4_span_dedup: row_number over (span, order) picks
+    the first occurrence; losing spans' 1-based sentence offsets union
+    into a per-doc delete list applied by an indexed list_filter."""
+    return f"""
+WITH{_C4_D0},
+s AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, '. '),
+                                    x -> trim(x)), x -> x <> '') AS sents
+  FROM d0
+),
+sp AS (
+  SELECT doc_id, unnest(list_transform(
+             range(1, len(sents) - 1),
+             i -> struct_pack(off := i,
+                              h := array_to_string(sents[i:i+2], '. '))),
+         recursive := true)
+  FROM s WHERE len(sents) >= 3
+),
+rk AS (
+  SELECT doc_id, off, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, off) AS rn,
+         count(*) OVER (PARTITION BY h) AS c
+  FROM sp
+),
+del AS (
+  SELECT doc_id, unnest(range(off, off + 3)) AS di
+  FROM rk WHERE c > 1 AND rn > 1
+),
+dels AS (SELECT doc_id, list(DISTINCT di) AS dl FROM del GROUP BY 1)
+SELECT s.doc_id,
+       coalesce(array_to_string(
+           list_filter(s.sents,
+               (x, i) -> NOT list_contains(
+                   coalesce(d.dl, CAST([] AS BIGINT[])), i)), '. '), '')
+         AS c4_dedup_text,
+       coalesce(len(d.dl), 0)::BIGINT AS c4_dropped_sentences
+FROM s LEFT JOIN dels d USING (doc_id)
+"""
+
+
 def _q_result_override(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving result overrides (/root/reference/UrlResultOverride.cpp,
     LanguageResultOverride.cpp, XmlDoc.cpp:16287,16370): URL-keyed
@@ -2563,6 +2694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_result_override": _q_result_override,
         "text_chunking": _q_text_chunking,
         "text_gopher_rep": _q_text_gopher_rep,
+        "text_c4": _q_text_c4,
+        "text_c4_spandedup": _q_text_c4_spandedup,
         "text_gopher": _q_text_gopher,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_streaming_exact": _q_dedup_streaming_exact,
@@ -2904,6 +3037,8 @@ SELECT doc_id, gr_word_count, gr_mean_word_len, gr_symbol_ratio,
 FROM r
 """,
         "text_gopher_rep": _gopher_rep_sql(),
+        "text_c4": _c4_sql(),
+        "text_c4_spandedup": _c4_spandedup_sql(),
         "text_chunking": f"""
 WITH{TOKS_CTE},
 w AS (

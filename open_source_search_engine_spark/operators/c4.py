@@ -1,0 +1,184 @@
+"""C4 corpus-cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+Transfer Learning with a Unified Text-to-Text Transformer", §2.2) — the
+second canonical LLM-curation rule set next to Gopher
+(:mod:`.textstats`). No reference analog (the reference is a search
+engine); these are first-class training-data-pipeline operators.
+
+Two pieces, matching the paper's two passes:
+
+- :func:`c4_rules` — the per-document line/page filters: keep only lines
+  that end in terminal punctuation, hold at least ``min_line_words``
+  words, and don't mention "javascript"; then drop pages with fewer than
+  ``min_sentences`` sentences, pages containing a blocklisted word,
+  "lorem ipsum", or a curly bracket. Every rule is a Catalyst column
+  expression (split/filter/array_join lambdas) — ONE codegen map stage,
+  no shuffle, no Python in the hot path.
+
+- :func:`c4_span_dedup` — the paper's cross-document deduplication:
+  "we discarded all but one of any three-sentence span occurring more
+  than once in the data set". Exact and global: explode every
+  ``n``-sentence sliding span, group on the span's sha256 (fixed-width
+  shuffle keys, never the span text), keep the globally-first occurrence
+  ((doc, offset) min), delete the member sentences of every losing span,
+  and rebuild each document from its surviving sentences. Two uniform
+  hash shuffles (span groupBy + doc-level regroup) — linear in total
+  sentence count, no all-pairs anywhere, hot boilerplate spans are
+  single-key aggregates AQE splits if skewed.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# the paper's thresholds (§2.2); overridable per corpus
+C4_DEFAULTS = dict(
+    min_line_words=5,
+    min_sentences=3,
+    terminal_punct=(".", "!", "?", '"'),
+    badwords=(),            # the paper uses the public "Dirty, Naughty,
+                            # Obscene" wordlist; caller supplies theirs
+)
+
+
+def _line_ok(line: Column, min_words: int, terminal: tuple) -> Column:
+    trimmed = F.trim(line)
+    ends = None
+    for t in terminal:
+        bit = trimmed.endswith(t)
+        ends = bit if ends is None else (ends | bit)
+    words = F.size(F.filter(F.split(trimmed, " "), lambda w: w != ""))
+    return (ends & (words >= F.lit(int(min_words)))
+            & ~F.contains(F.lower(trimmed), F.lit("javascript")))
+
+
+def c4_rules(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    line_sep: str = "\n",
+    sent_sep: str = ". ",
+    **overrides,
+) -> DataFrame:
+    """Append ``c4_text`` (the line-filtered page), per-rule booleans
+    ``c4_sentences`` / ``c4_badwords`` / ``c4_lorem`` / ``c4_brace`` and
+    the conjunction ``c4_pass``.
+
+    Line filtering happens first (as in the paper), so the sentence count
+    is over the CLEANED page. Sentences are ``sent_sep``-delimited
+    non-empty segments of ``c4_text`` with line breaks also counted as
+    boundaries — exactly reproducible in SQL (int comparisons only).
+    Badword matching is whole-token on lowercased whitespace words, the
+    wordlist folded into one ``arrays_overlap`` against a literal array
+    (a 400-word list is a broadcast-free literal; beyond that use
+    :mod:`.termcheck` which joins a score table)."""
+    p = dict(C4_DEFAULTS)
+    unknown = set(overrides) - set(p)
+    if unknown:
+        raise ValueError(f"unknown c4 overrides: {sorted(unknown)}")
+    p.update(overrides)
+
+    lines = F.split(F.col(text), re.escape(line_sep), -1)
+    kept = F.filter(
+        lines, lambda l: _line_ok(l, p["min_line_words"],
+                                  tuple(p["terminal_punct"])))
+    clean = F.array_join(F.transform(kept, F.trim), line_sep)
+    out = df.withColumn("c4_text", clean)
+
+    # sentence segments: split the cleaned page on sent_sep AND line_sep
+    sents = F.filter(
+        F.flatten(F.transform(
+            F.split(F.col("c4_text"), re.escape(line_sep), -1),
+            lambda l: F.split(l, re.escape(sent_sep), -1))),
+        lambda s: F.trim(s) != "")
+    toks = F.filter(F.split(F.lower(F.col("c4_text")), r"\s+", -1),
+                    lambda w: w != "")
+    bad = [w.lower() for w in p["badwords"]]
+    out = (
+        out.withColumn(
+            "c4_sentences", F.size(sents) >= F.lit(int(p["min_sentences"])))
+        .withColumn(
+            "c4_badwords",
+            ~F.arrays_overlap(toks, F.array([F.lit(w) for w in bad]))
+            if bad else F.lit(True))
+        .withColumn(
+            "c4_lorem",
+            ~F.contains(F.lower(F.col("c4_text")), F.lit("lorem ipsum")))
+        .withColumn("c4_brace",
+                    ~F.contains(F.col("c4_text"), F.lit("{"))))
+    return out.withColumn(
+        "c4_pass",
+        F.col("c4_sentences") & F.col("c4_badwords") & F.col("c4_lorem")
+        & F.col("c4_brace"))
+
+
+def c4_span_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+    sent_sep: str = ". ",
+    n: int = 3,
+) -> DataFrame:
+    """Global exact ``n``-sentence-span dedup (C4 §2.2): for every span of
+    ``n`` consecutive sentences that occurs more than once ACROSS the
+    corpus, the first occurrence (minimal ``(id, offset)``) survives and
+    every sentence belonging to any other occurrence is deleted; documents
+    are rebuilt from their surviving sentences (``c4_dedup_text``, plus
+    ``c4_dropped_sentences``).
+
+    Scale shape: posexplode of spans (linear fan-out, ≤ one span per
+    sentence), groupBy on ``sha2(span)`` — fixed 64-char shuffle keys —
+    with a single ``min(struct(id, offset))`` map-side-combinable
+    aggregate, inner-join back on the hash (only spans, never documents,
+    cross the wire twice), then one doc-keyed regroup of deleted sentence
+    offsets folded into an expression-level rebuild. Docs with fewer than
+    ``n`` sentences pass through untouched via the left join."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    sents_col = F.filter(
+        F.transform(F.split(F.col(text), re.escape(sent_sep), -1),
+                    F.trim),
+        lambda s: s != "")
+    base = df.select(F.col(id_col).alias("_id"),
+                     sents_col.alias("_sents"))
+
+    spans = (
+        base.filter(F.size("_sents") >= n)
+        .select(
+            "_id",
+            F.posexplode(F.transform(
+                F.sequence(F.lit(1), F.size("_sents") - (n - 1)),
+                lambda i: F.sha2(F.array_join(
+                    F.slice(F.col("_sents"), i, n), sent_sep), 256)))
+            .alias("_off", "_h")))
+    winners = spans.groupBy("_h").agg(
+        F.min(F.struct("_id", "_off")).alias("_w"),
+        F.count(F.lit(1)).alias("_c"))
+    losers = (
+        spans.join(winners.filter(F.col("_c") > 1), "_h")
+        .filter((F.col("_id") != F.col("_w._id"))
+                | (F.col("_off") != F.col("_w._off")))
+        # a losing span at 0-based sentence offset _off deletes sentences
+        # _off .. _off+n-1 (1-based indexes into _sents)
+        .select("_id", F.explode(F.sequence(
+            F.col("_off") + 1, F.col("_off") + n)).alias("_del"))
+        .groupBy("_id").agg(F.collect_set("_del").alias("_dels")))
+
+    rebuilt = (
+        base.join(losers, "_id", "left")
+        .select(
+            "_id", "_sents",
+            F.coalesce("_dels", F.array().cast("array<int>"))
+            .alias("_dels"))
+        .select(
+            "_id",
+            F.array_join(
+                F.filter(F.transform(
+                    "_sents", lambda s, i: F.when(
+                        ~F.array_contains("_dels", (i + 1).cast("int")), s)),
+                    lambda s: s.isNotNull()),
+                sent_sep).alias("c4_dedup_text"),
+            F.size("_dels").alias("c4_dropped_sentences")))
+    return df.join(rebuilt.withColumnRenamed("_id", id_col), id_col)

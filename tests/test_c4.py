@@ -1,0 +1,87 @@
+"""C4 cleaning rules + cross-document 3-sentence-span dedup
+(Raffel et al. 2020 §2.2)."""
+
+import pytest
+
+from open_source_search_engine_spark.operators.c4 import (
+    C4_DEFAULTS,
+    c4_rules,
+    c4_span_dedup,
+)
+
+GOOD = ("first good sentence is here.\nanother fine long line here!\n"
+        "third proper sentence stands alone?")
+
+
+def test_c4_rules_per_rule(spark):
+    docs = [
+        (0, GOOD),
+        (1, "no terminal punctuation on this line\nnor on this one here"),
+        (2, "too few words here.\n" + GOOD.split("\n")[0]),  # 1 line < 5 w
+        (3, GOOD.replace("another", "javascript another")),
+        (4, GOOD + "\nthis mentions lorem ipsum sadly."),
+        (5, GOOD + "\nbrace { appears in this sentence."),
+        (6, GOOD + "\nthe badword zebra appears right here."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           c4_rules(df, badwords=("zebra",)).collect()}
+    assert got[0]["c4_pass"]
+    # line filters: doc 1 loses every line -> no sentences
+    assert got[1]["c4_text"] == ""
+    assert not got[1]["c4_sentences"] and not got[1]["c4_pass"]
+    # doc 2: the short line is dropped, leaving 1 sentence < 3
+    assert got[2]["c4_text"] == GOOD.split("\n")[0]
+    assert not got[2]["c4_sentences"]
+    # doc 3: the javascript line is dropped -> 2 sentences remain
+    assert "javascript" not in got[3]["c4_text"]
+    assert not got[3]["c4_sentences"]
+    # page filters fire on the CLEANED text
+    assert not got[4]["c4_lorem"] and not got[4]["c4_pass"]
+    assert not got[5]["c4_brace"] and not got[5]["c4_pass"]
+    assert not got[6]["c4_badwords"] and not got[6]["c4_pass"]
+    # badword match is whole-token: 'zebras' does not fire
+    relaxed = c4_rules(df, badwords=("zebras",)).collect()
+    assert all(r["c4_badwords"] for r in relaxed)
+    with pytest.raises(ValueError, match="unknown c4"):
+        c4_rules(df, min_wordz=1)
+    assert set(C4_DEFAULTS) == {
+        "min_line_words", "min_sentences", "terminal_punct", "badwords"}
+
+
+def test_c4_span_dedup_first_occurrence_wins(spark):
+    docs = [
+        (0, "alpha one. beta two. gamma three. delta four"),
+        (1, "alpha one. beta two. gamma three. epsilon five"),
+        (2, "unique a. unique b. unique c"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_span_dedup(df).collect()}
+    # doc 0 holds the first occurrence of the shared span -> untouched
+    assert got[0]["c4_dedup_text"] == docs[0][1]
+    assert got[0]["c4_dropped_sentences"] == 0
+    # doc 1 loses the three shared sentences, keeps the tail
+    assert got[1]["c4_dedup_text"] == "epsilon five"
+    assert got[1]["c4_dropped_sentences"] == 3
+    # below n sentences -> passthrough (and n is validated)
+    assert got[2]["c4_dedup_text"] == docs[2][1]
+    with pytest.raises(ValueError, match="n must be"):
+        c4_span_dedup(df, n=0)
+
+
+def test_c4_span_dedup_within_doc_and_overlap(spark):
+    # the same 3-span occurs twice INSIDE one doc (offsets 0 and 3):
+    # the first survives, the repeat's sentences are deleted
+    d0 = "a x. b y. c z. a x. b y. c z. tail here"
+    # overlapping duplicated spans in doc 2: sentences 1..4 all belong to
+    # some span duplicated against doc 1 -> all four deleted
+    d1 = "p q. r s. t u. v w"
+    d2 = "p q. r s. t u. v w. own end"
+    df = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_span_dedup(df).collect()}
+    assert got[0]["c4_dedup_text"] == "a x. b y. c z. tail here"
+    assert got[0]["c4_dropped_sentences"] == 3
+    assert got[1]["c4_dropped_sentences"] == 0
+    assert got[2]["c4_dedup_text"] == "own end"
+    assert got[2]["c4_dropped_sentences"] == 4
