@@ -1646,6 +1646,20 @@ FROM s LEFT JOIN dels d USING (doc_id)
 """
 
 
+def _q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: seeded sha256 permutation of
+    doc ids packed into exact 100-row shards via distributed zipWithIndex
+    (range sort + per-partition count offsets — never a single-partition
+    window). The oracle replays it with one row_number over the same
+    digest order."""
+    from open_source_search_engine_spark.operators.training import (
+        training_order,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return training_order(docs, seed=42, shard_size=100)
+
+
 def _q_result_override(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving result overrides (/root/reference/UrlResultOverride.cpp,
     LanguageResultOverride.cpp, XmlDoc.cpp:16287,16370): URL-keyed
@@ -2696,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_rep": _q_text_gopher_rep,
         "text_c4": _q_text_c4,
         "text_c4_spandedup": _q_text_c4_spandedup,
+        "training_order": _q_training_order,
         "text_gopher": _q_text_gopher,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_streaming_exact": _q_dedup_streaming_exact,
@@ -3039,6 +3054,15 @@ FROM r
         "text_gopher_rep": _gopher_rep_sql(),
         "text_c4": _c4_sql(),
         "text_c4_spandedup": _c4_spandedup_sql(),
+        "training_order": """
+WITH k AS (
+  SELECT doc_id,
+         row_number() OVER (
+             ORDER BY sha256(doc_id::VARCHAR || ':42')) - 1 AS pos
+  FROM documents
+)
+SELECT doc_id, pos // 100 AS shard, pos % 100 AS shard_pos FROM k
+""",
         "text_chunking": f"""
 WITH{TOKS_CTE},
 w AS (

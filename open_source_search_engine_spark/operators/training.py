@@ -1,0 +1,105 @@
+"""Deterministic training-order shuffle + exact shard packing.
+
+The last step of an LLM data pipeline (after curation/dedup — no reference
+analog; the reference is a search engine): place every example at a
+reproducible, seeded pseudorandom position in a total order and pack that
+order into fixed-size shards, so a 1000-executor run and a laptop run emit
+byte-identical shard manifests.
+
+Spark-first shape — a distributed zipWithIndex, NOT a single-partition
+window:
+
+1. order key = ``sha2(id || ':' || seed)`` — an order-theoretic PRF: the
+   hex digest's lexicographic order is a seeded uniform permutation of the
+   ids, reproducible on any engine (the DuckDB oracle replays it with one
+   ``row_number() OVER (ORDER BY sha256(...))``).
+2. ``repartitionByRange`` on the key + ``sortWithinPartitions`` — Spark's
+   distributed range sort (sampled boundaries, one shuffle).
+3. per-partition counts → driver (ONE small job over P rows — the only
+   driver materialization, P integers, never data), prefix-summed into
+   partition offsets.
+4. one ``mapInPandas`` pass adds ``global_pos = offset[pid] + local_idx``
+   with a per-partition running counter; ``shard = pos // shard_size``,
+   ``shard_pos = pos % shard_size``.
+
+The result is invariant to WHERE the range sampler places partition
+boundaries: offsets come from the realized counts and range partitions are
+totally ordered, so ``(shard, shard_pos)`` depends only on the global key
+order — re-runs, different parallelism, and different input partitioning
+all reproduce it bit-for-bit (pytest-pinned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def training_order(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    shard_size: int = 1024,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Append ``shard`` and ``shard_pos`` (both long): the row's position
+    in the seeded global permutation, packed into ``shard_size``-row
+    shards. Every shard except the last is exactly full; positions within
+    a shard are 0-based and contiguous. ``id_col`` values must be unique
+    (duplicate ids would tie the order key; ties are still deterministic —
+    sha256 of equal strings is equal, and equal keys land in one range
+    partition sorted stably — but shard contents would depend on input
+    order, so prefer unique ids)."""
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    spark = df.sparkSession
+    n_part = int(partitions
+                 or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    key = F.sha2(
+        F.concat_ws(":", F.col(id_col).cast("string"),
+                    F.lit(str(int(seed)))), 256)
+    ordered = (
+        df.withColumn("_to_key", key)
+        .repartitionByRange(n_part, "_to_key")
+        .sortWithinPartitions("_to_key")
+        .withColumn("_to_pid", F.spark_partition_id()))
+    # pin the sorted layout so the count pass and the position pass see
+    # the same partitions without recomputing the range sort
+    ordered = ordered.localCheckpoint(eager=False)
+
+    counts = {
+        int(r["_to_pid"]): int(r["cnt"])
+        for r in ordered.groupBy("_to_pid")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    fields = ordered.schema.fields
+    out_schema = (", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in fields
+        if not f.name.startswith("_to_"))
+        + ", shard bigint, shard_pos bigint")
+    keep = [f.name for f in fields if not f.name.startswith("_to_")]
+    size = int(shard_size)
+
+    def gen(batches):
+        pos = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["_to_pid"].iloc[0])]
+            import numpy as np
+
+            g = np.arange(pos, pos + len(pdf), dtype="int64")
+            pos += len(pdf)
+            res = pdf[keep].copy()
+            res["shard"] = g // size
+            res["shard_pos"] = g % size
+            yield res
+
+    return ordered.mapInPandas(gen, out_schema)

@@ -1,0 +1,58 @@
+"""Deterministic training-order shuffle: seeded permutation + exact
+shard packing, invariant to input partitioning and parallelism."""
+
+import hashlib
+
+import pytest
+
+from open_source_search_engine_spark.operators.training import training_order
+
+
+def _expected(ids, seed, shard_size):
+    keyed = sorted(
+        ids, key=lambda i: hashlib.sha256(f"{i}:{seed}".encode()).hexdigest())
+    return {
+        i: (pos // shard_size, pos % shard_size)
+        for pos, i in enumerate(keyed)
+    }
+
+
+def test_matches_reference_permutation(spark):
+    ids = list(range(257))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: (r["shard"], r["shard_pos"])
+           for r in training_order(df, seed=7, shard_size=100).collect()}
+    assert got == _expected(ids, 7, 100)
+    # exact packing: shards 0,1 full, shard 2 holds the 57-row tail
+    from collections import Counter
+
+    sizes = Counter(s for s, _ in got.values())
+    assert sizes == {0: 100, 1: 100, 2: 57}
+
+
+def test_invariant_to_partitioning_and_seeded(spark):
+    ids = list(range(500))
+    a = spark.createDataFrame([(i,) for i in ids], "doc_id long").coalesce(1)
+    b = spark.createDataFrame([(i,) for i in reversed(ids)],
+                              "doc_id long").repartition(13)
+    ga = {r["doc_id"]: (r["shard"], r["shard_pos"])
+          for r in training_order(a, seed=3, shard_size=64,
+                                  partitions=2).collect()}
+    gb = {r["doc_id"]: (r["shard"], r["shard_pos"])
+          for r in training_order(b, seed=3, shard_size=64,
+                                  partitions=11).collect()}
+    assert ga == gb
+    gc = {r["doc_id"]: (r["shard"], r["shard_pos"])
+          for r in training_order(a, seed=4, shard_size=64).collect()}
+    assert gc != ga          # a different seed is a different permutation
+    assert sorted(gc.values()) == sorted(ga.values())  # same packing
+    with pytest.raises(ValueError, match="shard_size"):
+        training_order(a, shard_size=0)
+
+
+def test_carries_payload_columns(spark):
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string")
+    rows = training_order(df, seed=1, shard_size=4).collect()
+    assert {r["text"] for r in rows} == {f"t{i}" for i in range(10)}
+    assert set(rows[0].asDict()) == {"doc_id", "text", "shard", "shard_pos"}
