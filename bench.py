@@ -212,6 +212,31 @@ def main() -> None:
         2, lambda: dedup.decontaminate(_corpus_set, _bench_set, n=8)
         .filter("contaminated").count())
 
+    # Gopher repetition removal (13 whole-batch numpy metrics, one
+    # shuffle-free map stage) and the C4 rule+span-dedup pair
+    from open_source_search_engine_spark.operators import c4 as c4mod
+
+    queries["q_gopher_rep"] = best_of(
+        2, lambda: textstats.gopher_repetition(docs)
+        .agg(F.sum(F.col("gopher_rep_pass").cast("int"))).collect())
+    _c4in = docs.withColumn(
+        "text", F.replace(F.col("text"), F.lit(" the "), F.lit(". ")))
+    queries["q_c4"] = best_of(
+        2, lambda: c4mod.c4_span_dedup(
+            c4mod.c4_rules(_c4in).filter("c4_sentences"),
+            text="c4_text")
+        .agg(F.sum("c4_dropped_sentences")).collect())
+
+    # deterministic training-order shard packing (distributed zipWithIndex)
+    from open_source_search_engine_spark.operators.training import (
+        training_order,
+    )
+
+    queries["q_training_order"] = best_of(
+        2, lambda: training_order(docs.select("doc_id"), seed=1,
+                                  shard_size=512)
+        .groupBy("shard").count().collect())
+
     # full dedup pipeline: near-dup pairs → connected components →
     # keep-one-per-group corpus filter (pairs are the tiny set; the label
     # propagation loop is one shuffle per round over it)
