@@ -1586,8 +1586,10 @@ m AS (
                                     l -> string_split(l, '. '))),
              s -> trim(s) <> '')) AS nsent,
          len(list_intersect(
-             list_filter(regexp_split_to_array(lower(c4_text), '\\s+'),
-                         w -> w <> ''),
+             list_filter(list_transform(
+                 regexp_split_to_array(lower(c4_text), '\\s+'),
+                 w -> trim(w, '".,!?;:()[]{{}}''')),
+                 w -> w <> ''),
              ['slow', 'dup'])) AS nbad,
          contains(lower(c4_text), 'lorem ipsum') AS has_lorem,
          contains(c4_text, '{{') AS has_brace

@@ -42,9 +42,15 @@ C4_DEFAULTS = dict(
 )
 
 
+# punctuation trimmed off token edges before badword comparison, so a
+# line-final 'zebra.' still matches blocklisted 'zebra'
+EDGE_PUNCT = "\".,!?;:()[]{}'"
+
+
 def _line_ok(line: Column, min_words: int, terminal: tuple) -> Column:
     trimmed = F.trim(line)
-    ends = None
+    # empty terminal set = the rule is disabled (keep every line shape)
+    ends = F.lit(True) if not terminal else None
     for t in terminal:
         bit = trimmed.endswith(t)
         ends = bit if ends is None else (ends | bit)
@@ -69,7 +75,9 @@ def c4_rules(
     is over the CLEANED page. Sentences are ``sent_sep``-delimited
     non-empty segments of ``c4_text`` with line breaks also counted as
     boundaries — exactly reproducible in SQL (int comparisons only).
-    Badword matching is whole-token on lowercased whitespace words, the
+    Badword matching is whole-token on lowercased whitespace words with
+    edge punctuation trimmed (``EDGE_PUNCT`` — a line-final ``zebra.``
+    matches blocklisted ``zebra``), the
     wordlist folded into one ``arrays_overlap`` against a literal array
     (a 400-word list is a broadcast-free literal; beyond that use
     :mod:`.termcheck` which joins a score table)."""
@@ -92,8 +100,10 @@ def c4_rules(
             F.split(F.col("c4_text"), re.escape(line_sep), -1),
             lambda l: F.split(l, re.escape(sent_sep), -1))),
         lambda s: F.trim(s) != "")
-    toks = F.filter(F.split(F.lower(F.col("c4_text")), r"\s+", -1),
-                    lambda w: w != "")
+    toks = F.filter(
+        F.transform(F.split(F.lower(F.col("c4_text")), r"\s+", -1),
+                    lambda w: F.btrim(w, F.lit(EDGE_PUNCT))),
+        lambda w: w != "")
     bad = [w.lower() for w in p["badwords"]]
     out = (
         out.withColumn(
@@ -181,4 +191,13 @@ def c4_span_dedup(
                     lambda s: s.isNotNull()),
                 sent_sep).alias("c4_dedup_text"),
             F.size("_dels").alias("c4_dropped_sentences")))
-    return df.join(rebuilt.withColumnRenamed("_id", id_col), id_col)
+    # LEFT join: a NULL id never equi-joins, so such rows pass through
+    # identity-rebuilt (they can't participate in dedup) instead of
+    # silently vanishing from the corpus
+    identity = F.array_join(sents_col, sent_sep)
+    return (
+        df.join(rebuilt.withColumnRenamed("_id", id_col), id_col, "left")
+        .withColumn("c4_dedup_text",
+                    F.coalesce("c4_dedup_text", identity))
+        .withColumn("c4_dropped_sentences",
+                    F.coalesce("c4_dropped_sentences", F.lit(0))))

@@ -52,6 +52,14 @@ def training_order(
     order, so prefer unique ids)."""
     if shard_size < 1:
         raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    clash = [c for c in df.columns
+             if c in ("shard", "shard_pos") or c.startswith("_to_")]
+    if clash:
+        # pack_shards upstream also emits 'shard' — fail loudly instead of
+        # producing a duplicate column in the output schema
+        raise ValueError(
+            f"training_order output columns collide with input {clash}; "
+            f"rename (e.g. .withColumnRenamed('shard', 'pack_shard')) first")
     spark = df.sparkSession
     n_part = int(partitions
                  or spark.conf.get("spark.sql.shuffle.partitions", "32"))

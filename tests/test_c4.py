@@ -69,6 +69,31 @@ def test_c4_span_dedup_first_occurrence_wins(spark):
         c4_span_dedup(df, n=0)
 
 
+def test_c4_review_fixes(spark):
+    """Round-3 self-review regressions: line-final badwords behind edge
+    punctuation, empty terminal_punct as rule-disable, NULL-id span-dedup
+    passthrough."""
+    df = spark.createDataFrame(
+        [(0, GOOD + "\nthis line ends with the badword zebra.")],
+        "doc_id long, text string")
+    r = c4_rules(df, badwords=("zebra",)).collect()[0]
+    assert not r["c4_badwords"]          # 'zebra.' matches 'zebra'
+    # () disables the terminal-punctuation rule rather than dropping all
+    noterm = spark.createDataFrame(
+        [(0, "five plain words no punct here")], "doc_id long, text string")
+    r2 = c4_rules(noterm, terminal_punct=()).collect()[0]
+    assert r2["c4_text"] == noterm.collect()[0]["text"]
+    # NULL ids pass through identity-rebuilt instead of vanishing
+    nid = spark.createDataFrame(
+        [(None, "a b. c d. e f"), (1, "g h. i j. k l")],
+        "doc_id long, text string")
+    rows = c4_span_dedup(nid).collect()
+    assert len(rows) == 2
+    nul = [x for x in rows if x["doc_id"] is None][0]
+    assert nul["c4_dedup_text"] == "a b. c d. e f"
+    assert nul["c4_dropped_sentences"] == 0
+
+
 def test_c4_span_dedup_within_doc_and_overlap(spark):
     # the same 3-span occurs twice INSIDE one doc (offsets 0 and 3):
     # the first survives, the repeat's sentences are deleted

@@ -56,3 +56,6 @@ def test_carries_payload_columns(spark):
     rows = training_order(df, seed=1, shard_size=4).collect()
     assert {r["text"] for r in rows} == {f"t{i}" for i in range(10)}
     assert set(rows[0].asDict()) == {"doc_id", "text", "shard", "shard_pos"}
+    # colliding upstream columns (e.g. pack_shards' 'shard') fail loudly
+    with pytest.raises(ValueError, match="collide"):
+        training_order(df.withColumn("shard", df.doc_id), seed=1)

@@ -2,8 +2,10 @@
 (the build path's evidence lives in scaling_bench.py): run the composed
 curation chain — language id → quality floor → boilerplate strip →
 fingerprint dedup → deterministic mixture sample → token-budget shard
-assignment (textstats.curate) — on the SAME deterministic distributed
-corpus at local[N] and local[4N], report docs/sec at both plus
+assignment (textstats.curate), then Gopher repetition filtering, C4
+global 3-sentence-span dedup, and the deterministic training-order
+shard shuffle — on the SAME deterministic distributed corpus at
+local[N] and local[4N], report docs/sec at both plus
 efficiency = (throughput_4N / throughput_N) / 4.
 
 Methodology identical to scaling_bench.py: executor-side corpus
@@ -36,7 +38,7 @@ def jif():
     guest = (p[8] if len(p) > 8 else 0) + (p[9] if len(p) > 9 else 0)
     return sum(p) - p[3] - p[4] - steal - guest, steal
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 spark = (SparkSession.builder.master(f"local[{cores}]")
          .config("spark.sql.shuffle.partitions", str(parts))
          .config("spark.driver.memory", "24g")
@@ -46,7 +48,9 @@ spark = (SparkSession.builder.master(f"local[{cores}]")
 spark.sparkContext.setLogLevel("ERROR")
 import pandas as pd
 from open_source_search_engine_spark.corpus import _make_row
+from open_source_search_engine_spark.operators import c4 as c4mod
 from open_source_search_engine_spark.operators import textstats
+from open_source_search_engine_spark.operators.training import training_order
 
 def gen(batches):
     for pdf in batches:
@@ -63,10 +67,20 @@ docs = (spark.range(0, n_docs, 1, cores * 4)
 docs.count()  # materialize input before the clock starts
 
 def one_run():
-    return textstats.curate(
+    kept = textstats.curate(
         docs, langs=None, min_quality=0.5, strip_df_ratio=0.8,
         strip_sep=" ", dedup_mode="fingerprint",
-        sample_default=0.9, budget_tokens=4096).count()
+        sample_default=0.9, budget_tokens=4096)
+    rep = textstats.gopher_repetition(
+        kept.select("doc_id", "source", "text"))
+    rep = rep.filter("gopher_rep_pass").select(
+        "doc_id", "source",
+        # inject sentence structure so the C4 span pass has real spans
+        F.replace(F.col("text"), F.lit(" the "), F.lit(". ")).alias("text"))
+    dd = c4mod.c4_span_dedup(rep)
+    return training_order(
+        dd.select("doc_id", "c4_dedup_text"), seed=7,
+        shard_size=1024).count()
 
 one_run()  # steady-state warmup
 best = None
@@ -118,7 +132,7 @@ def main() -> None:
             f"{b_4n['kept']} — the pipeline must be partition-invariant")
     eff = (b_4n["docs_per_sec"] / b_n["docs_per_sec"]) / 4.0
     print(json.dumps({
-        "pipeline": "curate(langid+quality+boilerplate+fp-dedup+sample+shards)",
+        "pipeline": "curate(langid+quality+boilerplate+fp-dedup+sample+shards)+gopher_rep+c4_span_dedup+training_order",
         "input_docs": n_docs,
         "partition_mult": mult,
         f"local[{n}]": b_n,
