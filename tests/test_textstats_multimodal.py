@@ -554,3 +554,72 @@ def test_gopher_repetition_metrics(spark):
     import pytest
     with pytest.raises(ValueError, match="unknown gopher repetition"):
         gopher_repetition(df, max_dup_linez=0.5)
+
+
+def test_gopher_repetition_property_vs_naive(spark):
+    """Property: the whole-batch numpy metric kernel equals a naive
+    per-document dict/loop reference bit-for-bit (both are exact int/int
+    divisions) across randomized corpora with heavy repetition."""
+    import random
+
+    from open_source_search_engine_spark.operators.textstats import (
+        _REP_METRICS,
+        _rep_metrics_batch,
+    )
+
+    def naive(text, line_sep="\n", para_sep="\n\n"):
+        out = {}
+
+        def seg(sep, fkey, ckey):
+            segs = [s for s in text.split(sep) if s != ""]
+            if not segs:
+                out[fkey] = out[ckey] = 0.0
+                return
+            cnt = {}
+            for s in segs:
+                cnt[s] = cnt.get(s, 0) + 1
+            tot_c = sum(c * len(s) for s, c in cnt.items())
+            out[fkey] = (len(segs) - len(cnt)) / len(segs)
+            out[ckey] = (sum((c - 1) * len(s) for s, c in cnt.items())
+                         / tot_c if tot_c else 0.0)
+
+        seg(line_sep, "dup_line_frac", "dup_line_char_frac")
+        seg(para_sep, "dup_para_frac", "dup_para_char_frac")
+        toks = text.lower().split()
+        total = sum(len(w) for w in toks) + max(len(toks) - 1, 0)
+        for n in range(2, 11):
+            key = (f"top_{n}gram_char_frac" if n <= 4
+                   else f"dup_{n}gram_char_frac")
+            cnt = {}
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i:i + n])
+                cnt[g] = cnt.get(g, 0) + 1
+            if not cnt or not total:
+                out[key] = 0.0
+            elif n <= 4:
+                out[key] = max(c * len(g) for g, c in cnt.items()) / total
+            else:
+                out[key] = sum(c * len(g) for g, c in cnt.items()
+                               if c >= 2) / total
+        return out
+
+    rng = random.Random(20260820)
+    vocab = ["ab", "c", "defg", "hi", "j", "klm"]
+    texts = []
+    for _ in range(60):
+        n = rng.randrange(0, 40)
+        words = [rng.choice(vocab) for _ in range(n)]
+        t = " ".join(words)
+        # inject separators and duplicate lines
+        for sep in ("\n", "\n\n"):
+            if rng.random() < 0.6 and t:
+                parts = [t[: len(t) // 2], t[: len(t) // 2], t]
+                t = sep.join(parts)
+        texts.append(t)
+    texts += ["", " ", "x", "a b\na b"]
+
+    got = _rep_metrics_batch(texts, "\n", "\n\n")
+    for i, t in enumerate(texts):
+        want = naive(t)
+        for m in _REP_METRICS:
+            assert got[m][i] == want[m], (i, m, t)
