@@ -1662,6 +1662,59 @@ def _q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_order(docs, seed=42, shard_size=100)
 
 
+def _q_lm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (GPT-3 Appendix A discipline):
+    closed-form Naive-Bayes linear model trained to separate the src0
+    slice (pseudo reference corpus) from src3 (pseudo crawl), scoring the
+    WHOLE corpus. Training is one vocabulary-sized groupBy; scoring is a
+    broadcast join + per-doc sum — the oracle replays the exact count
+    arithmetic and add-k logs."""
+    from open_source_search_engine_spark.operators.lm import (
+        quality_log_odds,
+        train_quality_classifier,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    model = train_quality_classifier(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") == "src3"))
+    out = quality_log_odds(docs, model)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("log_odds", 6).alias("log_odds_r"),
+        (F.col("log_odds") >= 0).alias("quality_pass"))
+
+
+_LM_NBQ_SQL = r"""
+WITH t0 AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, source, unnest(t) AS w FROM t0),
+cnt AS (
+  SELECT w,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_pos,
+         sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS c_neg
+  FROM tok WHERE source IN ('src0', 'src3') GROUP BY 1
+),
+tots AS (SELECT sum(c_pos) AS tp, sum(c_neg) AS tn, count(*) AS v FROM cnt),
+sc AS (
+  SELECT tok.doc_id, count(*) AS n_tokens,
+         sum(ln((coalesce(cnt.c_pos, 0) + 0.5) / (tots.tp + 0.5 * tots.v))
+           - ln((coalesce(cnt.c_neg, 0) + 0.5) / (tots.tn + 0.5 * tots.v)))
+           AS lo
+  FROM tok CROSS JOIN tots LEFT JOIN cnt USING (w)
+  GROUP BY 1
+)
+SELECT d.doc_id, coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+       round(sc.lo, 6) AS log_odds_r,
+       (sc.lo >= 0) AS quality_pass
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 def _q_result_override(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving result overrides (/root/reference/UrlResultOverride.cpp,
     LanguageResultOverride.cpp, XmlDoc.cpp:16287,16370): URL-keyed
@@ -2713,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4": _q_text_c4,
         "text_c4_spandedup": _q_text_c4_spandedup,
         "training_order": _q_training_order,
+        "lm_quality_classifier": _q_lm_quality_classifier,
         "text_gopher": _q_text_gopher,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_streaming_exact": _q_dedup_streaming_exact,
@@ -3056,6 +3110,7 @@ FROM r
         "text_gopher_rep": _gopher_rep_sql(),
         "text_c4": _c4_sql(),
         "text_c4_spandedup": _c4_spandedup_sql(),
+        "lm_quality_classifier": _LM_NBQ_SQL,
         "training_order": """
 WITH k AS (
   SELECT doc_id,

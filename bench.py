@@ -227,6 +227,18 @@ def main() -> None:
             text="c4_text")
         .agg(F.sum("c4_dropped_sentences")).collect())
 
+    # NB quality classifier: vocabulary-sized train + broadcast-join score
+    from open_source_search_engine_spark.operators import lm as lm_ops2
+
+    def _nbq():
+        m = lm_ops2.train_quality_classifier(
+            docs.filter(F.col("source") == "src0"),
+            docs.filter(F.col("source") == "src3"))
+        lm_ops2.quality_log_odds(docs, m).agg(
+            F.sum((F.col("log_odds") >= 0).cast("int"))).collect()
+
+    queries["q_quality_classifier"] = best_of(2, _nbq)
+
     # deterministic training-order shard packing (distributed zipWithIndex)
     from open_source_search_engine_spark.operators.training import (
         training_order,

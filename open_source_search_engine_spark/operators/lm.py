@@ -137,3 +137,119 @@ def filter_by_perplexity(
         cond = cond | F.col("perplexity").isNull()
     keep = scores.filter(cond).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+class NBQualityClassifier(NamedTuple):
+    """Classifier-based quality filtering (the GPT-3 Appendix A
+    discipline: train a linear classifier to separate a high-quality
+    reference corpus from the raw crawl, score everything, keep the
+    high-scoring tail; LLaMA/PaLM kept the same stage). The model here is
+    multinomial Naive Bayes over whitespace tokens — *exactly* the linear
+    bag-of-words model the fastText/LR filters fit, but with closed-form
+    weights (per-token log-likelihood ratios from integer counts), so
+    training is ONE groupBy and every score is replayable bit-for-bit by
+    the SQL oracle. ``weights`` is (w, c_pos, c_neg) — integer counts,
+    persistable as parquet; smoothing happens at score time."""
+    weights: DataFrame       # (w, c_pos, c_neg)
+    pos_total: int           # Σ c_pos
+    neg_total: int           # Σ c_neg
+    vocab_size: int          # |union vocabulary|
+
+
+def train_quality_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    *,
+    text: str = "text",
+    min_count: int = 1,
+) -> NBQualityClassifier:
+    """Count tokens per class (one union + one groupBy: shuffle sized by
+    vocabulary, map-side combined; the two corpora are scanned once).
+    ``min_count`` prunes tokens whose TOTAL count is below it — their mass
+    falls through to the OOV floor."""
+    def cls(df, label):
+        return (df.select(F.explode(tokens_col(text)).alias("w"))
+                .withColumn("_l", F.lit(label)))
+
+    counts = (
+        cls(pos, 1).unionByName(cls(neg, 0))
+        .groupBy("w").agg(
+            F.sum("_l").cast("long").alias("c_pos"),
+            F.sum(1 - F.col("_l")).cast("long").alias("c_neg")))
+    if min_count > 1:
+        counts = counts.filter(
+            F.col("c_pos") + F.col("c_neg") >= min_count)
+    tot = counts.agg(
+        F.sum("c_pos").alias("p"), F.sum("c_neg").alias("n"),
+        F.count(F.lit(1)).alias("v")).collect()[0]
+    return NBQualityClassifier(
+        weights=counts,
+        pos_total=int(tot["p"] or 0), neg_total=int(tot["n"] or 0),
+        vocab_size=int(tot["v"]))
+
+
+def quality_log_odds(
+    docs: DataFrame,
+    model: NBQualityClassifier,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    prior_log_odds: float = 0.0,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Per-doc score: ``prior + Σ_tokens [log p(w|pos) − log p(w|neg)]``
+    with add-k smoothing — tokens outside the vocabulary contribute the
+    constant OOV floor ``log((neg_total + kV) / (pos_total + kV))``-shaped
+    term like any zero-count token, never NULL. Output ``(id, n_tokens,
+    log_odds, quality_prob)`` with ``quality_prob = sigmoid(log_odds)``;
+    empty docs score NULL (observable). Same join strategy switch as
+    :func:`doc_log_prob` (broadcast the vocabulary-sized model, or AQE)."""
+    kk, V = float(k), float(model.vocab_size)
+    hint = F.broadcast if broadcast else (lambda d: d)
+    ex = docs.select(
+        F.col(id_col), F.explode_outer(tokens_col(text)).alias("w"))
+    j = ex.join(hint(model.weights), ["w"], "left")
+    w_tok = (
+        F.log((F.coalesce(F.col("c_pos"), F.lit(0)).cast("double")
+               + F.lit(kk))
+              / (F.lit(float(model.pos_total)) + F.lit(kk) * F.lit(V)))
+        - F.log((F.coalesce(F.col("c_neg"), F.lit(0)).cast("double")
+                 + F.lit(kk))
+                / (F.lit(float(model.neg_total)) + F.lit(kk) * F.lit(V))))
+    out = (
+        j.groupBy(id_col).agg(
+            F.count(F.col("w")).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("w").isNotNull(), w_tok)).alias("_s"))
+        .withColumn(
+            "log_odds",
+            F.when(F.col("n_tokens") > 0,
+                   F.col("_s") + F.lit(float(prior_log_odds))))
+        .withColumn("quality_prob",
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_odds"))))
+        .drop("_s"))
+    return out
+
+
+def filter_by_quality_classifier(
+    docs: DataFrame,
+    model: NBQualityClassifier,
+    min_log_odds: float = 0.0,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    broadcast: bool = True,
+    keep_unscorable: bool = False,
+) -> DataFrame:
+    """Keep docs the classifier scores at or above ``min_log_odds`` (the
+    GPT-3 pipeline additionally re-admitted low scorers by a Pareto lottery;
+    compose :func:`textstats.deterministic_sample` over the rejects for
+    that). Unscorable (empty) docs drop unless ``keep_unscorable``."""
+    scores = quality_log_odds(docs, model, text=text, id_col=id_col, k=k,
+                              broadcast=broadcast)
+    cond = F.col("log_odds") >= F.lit(float(min_log_odds))
+    if keep_unscorable:
+        cond = cond | F.col("log_odds").isNull()
+    keep = scores.filter(cond).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

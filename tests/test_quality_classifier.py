@@ -1,0 +1,72 @@
+"""Classifier-based quality filtering: closed-form NB weights against a
+hand-computed probability oracle."""
+
+import math
+
+import pytest
+
+from open_source_search_engine_spark.operators.lm import (
+    filter_by_quality_classifier,
+    quality_log_odds,
+    train_quality_classifier,
+)
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    pos = spark.createDataFrame(
+        [(0, "good clean text")], "doc_id long, text string")
+    neg = spark.createDataFrame(
+        [(1, "bad spam spam")], "doc_id long, text string")
+    return train_quality_classifier(pos, neg)
+
+
+def test_training_counts(model):
+    w = {r["w"]: (r["c_pos"], r["c_neg"])
+         for r in model.weights.collect()}
+    assert w == {"good": (1, 0), "clean": (1, 0), "text": (1, 0),
+                 "bad": (0, 1), "spam": (0, 2)}
+    assert (model.pos_total, model.neg_total, model.vocab_size) == (3, 3, 5)
+
+
+def test_scores_match_hand_math(spark, model):
+    # k=0.5, V=5: w(good) = log(1.5/5.5) - log(0.5/5.5) = log 3;
+    # w(spam) = log(0.5/5.5) - log(2.5/5.5) = -log 5; OOV = 0
+    docs = spark.createDataFrame(
+        [(0, "good clean"), (1, "spam"), (2, "zzz"), (3, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in quality_log_odds(docs, model).collect()}
+    assert got[0]["log_odds"] == pytest.approx(2 * math.log(3))
+    assert got[0]["quality_prob"] == pytest.approx(
+        1 / (1 + math.exp(-2 * math.log(3))))
+    assert got[1]["log_odds"] == pytest.approx(-math.log(5))
+    assert got[2]["log_odds"] == pytest.approx(0.0)
+    assert got[3]["log_odds"] is None and got[3]["n_tokens"] == 0
+    # prior shifts every scorable doc uniformly
+    shifted = {r["doc_id"]: r for r in quality_log_odds(
+        docs, model, prior_log_odds=1.5).collect()}
+    assert shifted[2]["log_odds"] == pytest.approx(1.5)
+    # broadcast and shuffle tiers agree
+    sj = {r["doc_id"]: r["log_odds"] for r in quality_log_odds(
+        docs, model, broadcast=False).collect()}
+    for i in (0, 1, 2):
+        assert sj[i] == pytest.approx(got[i]["log_odds"])
+
+
+def test_filter_and_min_count(spark, model):
+    docs = spark.createDataFrame(
+        [(0, "good clean"), (1, "spam"), (2, "zzz"), (3, "")],
+        "doc_id long, text string")
+    kept = {r["doc_id"] for r in filter_by_quality_classifier(
+        docs, model, 0.0).collect()}
+    assert kept == {0, 2}
+    kept2 = {r["doc_id"] for r in filter_by_quality_classifier(
+        docs, model, 0.0, keep_unscorable=True).collect()}
+    assert kept2 == {0, 2, 3}
+    # min_count prunes rare tokens into the OOV floor
+    pos = spark.createDataFrame(
+        [(0, "good good rare")], "doc_id long, text string")
+    neg = spark.createDataFrame([(1, "bad bad")], "doc_id long, text string")
+    m2 = train_quality_classifier(pos, neg, min_count=2)
+    assert {r["w"] for r in m2.weights.collect()} == {"good", "bad"}
+    assert m2.vocab_size == 2
