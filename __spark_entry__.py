@@ -1715,6 +1715,80 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): fit hashed-ngram
+    bucket distributions on the src0 slice (pseudo target corpus) vs the
+    src3 slice (pseudo raw crawl), score EVERY document's importance
+    log-weight, and take the seeded Gumbel top-120 — a deterministic
+    without-replacement sample ∝ exp(log_weight). Train, score, and the
+    Gumbel keys are all replayed bit-for-bit by the DuckDB oracle."""
+    from open_source_search_engine_spark.operators import dsir
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    model = dsir.train_dsir(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") == "src3"),
+        n_buckets=1024, smoothing=1.0)
+    out = dsir.dsir_resample(docs, model, 120, seed=42)
+    return out.select(
+        "doc_id", "n_ngrams",
+        F.round("log_weight", 6).alias("log_weight_r"),
+        F.round("gumbel_key", 6).alias("gumbel_key_r"))
+
+
+_DSIR_SQL = r"""
+WITH t0 AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, source,
+         unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM t0 WHERE len(t) >= 2
+),
+grams AS (
+  SELECT doc_id, source, unnest(t) AS g FROM t0
+  UNION ALL
+  SELECT doc_id, source, w1 || ' ' || w2 AS g FROM bi
+),
+feat AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS bucket
+  FROM grams
+),
+tc AS (SELECT bucket, count(*) AS ct FROM feat WHERE source = 'src0' GROUP BY 1),
+rc AS (SELECT bucket, count(*) AS cr FROM feat WHERE source = 'src3' GROUP BY 1),
+tots AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tc) AS tt,
+                (SELECT coalesce(sum(cr), 0) FROM rc) AS rt),
+bk AS (SELECT unnest(range(0, 1024)) AS bucket),
+lr AS (
+  SELECT bk.bucket,
+         ln((coalesce(tc.ct, 0) + 1.0) / (tots.tt + 1.0 * 1024))
+       - ln((coalesce(rc.cr, 0) + 1.0) / (tots.rt + 1.0 * 1024)) AS log_w
+  FROM bk CROSS JOIN tots
+  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+),
+sc AS (
+  SELECT feat.doc_id, count(*) AS n_ngrams, sum(lr.log_w) AS logw
+  FROM feat JOIN lr USING (bucket) GROUP BY 1
+),
+keyed AS (
+  SELECT d.doc_id,
+         coalesce(sc.n_ngrams, 0)::BIGINT AS n_ngrams,
+         coalesce(sc.logw, 0.0) AS logw,
+         coalesce(sc.logw, 0.0)
+           - ln(-ln((('0x' || substr(md5(d.doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                     + 0.5) / 4294967296.0)) AS gkey
+  FROM documents d LEFT JOIN sc USING (doc_id)
+)
+SELECT doc_id, n_ngrams, round(logw, 6) AS log_weight_r,
+       round(gkey, 6) AS gumbel_key_r
+FROM keyed ORDER BY gkey DESC, doc_id LIMIT 120
+"""
+
+
 def _q_result_override(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving result overrides (/root/reference/UrlResultOverride.cpp,
     LanguageResultOverride.cpp, XmlDoc.cpp:16287,16370): URL-keyed
@@ -2767,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_spandedup": _q_text_c4_spandedup,
         "training_order": _q_training_order,
         "lm_quality_classifier": _q_lm_quality_classifier,
+        "dsir_select": _q_dsir_select,
         "text_gopher": _q_text_gopher,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_streaming_exact": _q_dedup_streaming_exact,
@@ -3111,6 +3186,7 @@ FROM r
         "text_c4": _c4_sql(),
         "text_c4_spandedup": _c4_spandedup_sql(),
         "lm_quality_classifier": _LM_NBQ_SQL,
+        "dsir_select": _DSIR_SQL,
         "training_order": """
 WITH k AS (
   SELECT doc_id,

@@ -312,6 +312,18 @@ def main() -> None:
 
     queries["q_lm_perplexity"] = best_of(2, _lm)
 
+    # DSIR importance resampling (Xie et al. 2023): fit hashed-ngram
+    # distributions src0-vs-src3, score all docs, Gumbel top-1000
+    from open_source_search_engine_spark.operators import dsir as dsir_ops
+
+    def _dsir():
+        m = dsir_ops.train_dsir(
+            docs.filter(F.col("source") == "src0"),
+            docs.filter(F.col("source") == "src3"), n_buckets=10_000)
+        dsir_ops.dsir_resample(docs, m, 1000, seed=42).count()
+
+    queries["q_dsir"] = best_of(2, _dsir)
+
     # the full curation chain (langid -> quality -> strip -> fingerprint
     # dedup -> sample -> shard assignment) as one composed run
     queries["q_curate"] = best_of(

@@ -1,0 +1,196 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169).
+
+No reference-engine analog — the reference serves pages, it does not
+select pretraining data. This is the published recipe the LLaMA-class
+pipelines use to pick raw-corpus documents that "look like" a trusted
+target corpus, implemented Spark-first and bit-replayable by SQL:
+
+1. **Hashed n-gram features** (paper §3.2): unigrams + adjacent bigrams
+   of the shared whitespace tokens (:func:`..operators.dedup.tokens_col`
+   — the same tokenizer every curation tier uses), each hashed into
+   ``n_buckets`` buckets with the portable 60-bit md5 hash
+   (:func:`..operators.dedup._hash60` ``md5`` strategy, identical in
+   DuckDB — the gate oracle replays it).
+2. **Fit bag-of-ngrams bucket distributions** on the target and raw
+   corpora with add-``smoothing`` mass over the FULL bucket space:
+   ``p[b] = (count[b] + a) / (total + a·B)``.
+3. **Per-doc importance log-weight**
+   ``logw(doc) = Σ_g  log p_target(b(g)) − log p_raw(b(g))``.
+4. **Gumbel top-k resampling** (paper §3.1; Vieira 2014): keep the ``n``
+   docs maximizing ``logw + G_i`` with ``G_i = −ln(−ln u_i)`` — exactly a
+   sample of ``n`` docs without replacement with probability ∝ exp(logw).
+   ``u_i`` is a seeded md5-derived uniform, so selection is
+   deterministic, partition-invariant, and SQL-replayable (no RNG state).
+
+Scale shape (100 TB): feature hashing is a pure map (whole-stage
+codegen, no Python); fitting is ONE groupBy per corpus over exploded
+buckets — map-side combined, shuffle ≤ ``n_buckets`` rows per task;
+scoring broadcast-joins the ≤``n_buckets``-row log-ratio table and sums
+per doc (AQE shuffle fallback if a caller passes ``broadcast=False``);
+resampling is ``TakeOrdered(n)`` — no global sort materialization. No
+stage ever holds corpus-proportional state in one place.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import _hash60, tokens_col
+
+_U32 = 4294967296.0  # 2^32 — the seeded-uniform denominator
+
+
+class DSIRModel(NamedTuple):
+    """Fitted importance model. ``log_ratio`` has exactly ``n_buckets``
+    rows ``(bucket, log_w)`` — persist it as parquet to reuse across
+    snapshots (at 100 TB the fit is the once-per-target artifact; scoring
+    any new corpus slice is map + broadcast join)."""
+    log_ratio: DataFrame     # (bucket: long, log_w: double), n_buckets rows
+    n_buckets: int
+    smoothing: float
+    target_total: int        # Σ target n-gram occurrences
+    raw_total: int           # Σ raw n-gram occurrences
+
+
+def ngram_buckets(text: Column | str, *, n_buckets: int) -> Column:
+    """array<long> of hashed feature buckets for one document: every
+    unigram then every adjacent bigram (paper §3.2), bucket =
+    md5-60bit(gram) mod ``n_buckets``. Stays inside codegen — no explode,
+    no Python."""
+    toks = tokens_col(text)
+    b = F.lit(int(n_buckets))
+    uni = F.transform(toks, lambda t: _hash60(t, "md5") % b)
+    n = F.size(toks)
+    big = F.when(
+        n >= 2,
+        F.transform(
+            F.arrays_zip(
+                F.slice(toks, 1, n - 1).alias("w1"),
+                F.slice(toks, 2, n - 1).alias("w2"),
+            ),
+            lambda p: _hash60(F.concat_ws(" ", p["w1"], p["w2"]), "md5") % b,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(uni, big)
+
+
+def _bucket_counts(docs: DataFrame, text: str, n_buckets: int) -> DataFrame:
+    """(bucket, c) occurrence counts — one explode + one groupBy on a
+    fixed-width key; map-side partial aggregation bounds the shuffle at
+    ``n_buckets`` rows per task regardless of corpus size."""
+    return (
+        docs.select(F.explode(ngram_buckets(text, n_buckets=n_buckets))
+                    .alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").alias("c"))
+    )
+
+
+def train_dsir(
+    target: DataFrame,
+    raw: DataFrame,
+    *,
+    text: str = "text",
+    n_buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> DSIRModel:
+    """Fit the two hashed-ngram distributions and return their per-bucket
+    log importance ratio over the FULL bucket space (unseen buckets get
+    the smoothed floor on both sides — a doc full of never-seen n-grams
+    scores the floor ratio, never ±inf)."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    a = float(smoothing)
+    if a <= 0:
+        raise ValueError(f"smoothing must be positive, got {smoothing}")
+    spark = target.sparkSession
+    tc = _bucket_counts(target, text, n_buckets)
+    rc = _bucket_counts(raw, text, n_buckets)
+    t_total = int(tc.agg(F.sum("c")).first()[0] or 0)
+    r_total = int(rc.agg(F.sum("c")).first()[0] or 0)
+    buckets = spark.range(int(n_buckets)).select(F.col("id").alias("bucket"))
+    log_ratio = (
+        buckets
+        .join(tc.withColumnRenamed("c", "_ct"), "bucket", "left")
+        .join(rc.withColumnRenamed("c", "_cr"), "bucket", "left")
+        .select(
+            "bucket",
+            (F.log((F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(a))
+                   / F.lit(t_total + a * n_buckets))
+             - F.log((F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(a))
+                     / F.lit(r_total + a * n_buckets))).alias("log_w"),
+        )
+    )
+    return DSIRModel(log_ratio=log_ratio, n_buckets=int(n_buckets),
+                     smoothing=a, target_total=t_total, raw_total=r_total)
+
+
+def dsir_score(
+    docs: DataFrame,
+    model: DSIRModel,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    broadcast: bool = True,
+) -> DataFrame:
+    """(id, n_ngrams, log_weight) per document. Empty/whitespace-only
+    docs are kept with ``n_ngrams = 0`` and ``log_weight = 0.0`` (the
+    empty product — observable, not silently dropped)."""
+    lr = model.log_ratio
+    if broadcast:
+        lr = F.broadcast(lr)
+    feats = docs.select(
+        F.col(id_col),
+        F.explode_outer(ngram_buckets(text, n_buckets=model.n_buckets))
+        .alias("bucket"),
+    )
+    return (
+        feats.join(lr, "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("bucket").alias("n_ngrams"),
+            F.coalesce(F.sum("log_w"), F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def gumbel_key_col(id_col: str, seed: int) -> Column:
+    """``logw + Gumbel`` perturbation key, seeded and deterministic:
+    ``u = (md5_32(id ':' seed) + 0.5) / 2^32`` ∈ (0,1),
+    ``G = −ln(−ln u)``. Pure expression — the same doc gets the same key
+    on any partitioning, any executor count, and in the SQL oracle."""
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                              F.lit(str(int(seed))))), 1, 8),
+        16, 10,
+    ).cast("long")
+    u = (h32 + F.lit(0.5)) / F.lit(_U32)
+    return F.col("log_weight") - F.log(-F.log(u))
+
+
+def dsir_resample(
+    docs: DataFrame,
+    model: DSIRModel,
+    n: int,
+    *,
+    seed: int = 42,
+    text: str = "text",
+    id_col: str = "doc_id",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Select ``n`` documents by Gumbel top-k over the importance
+    log-weights — a without-replacement sample with inclusion probability
+    ∝ exp(log_weight). Returns the full doc rows plus ``n_ngrams``,
+    ``log_weight`` and ``gumbel_key``. ``orderBy(...).limit(n)`` plans as
+    TakeOrdered — per-partition heaps of size n, never a global sort."""
+    scored = dsir_score(docs, model, text=text, id_col=id_col,
+                        broadcast=broadcast)
+    sel = (
+        scored.withColumn("gumbel_key", gumbel_key_col(id_col, seed))
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(int(n))
+    )
+    return docs.join(sel, id_col, "inner")

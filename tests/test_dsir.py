@@ -1,0 +1,147 @@
+"""DSIR importance-resampling tests: a pure-Python replay of the whole
+pipeline (hashed n-gram features → smoothed bucket distributions → per-doc
+log-weights → seeded Gumbel top-k) checked against the Spark operator, plus
+the determinism/edge properties the paper's recipe relies on."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.operators import dsir
+
+TARGET = [
+    (0, "hash table lookup with open addressing and linear probing"),
+    (1, "hash table resize doubles the bucket array on load factor"),
+    (2, "open addressing hash table deletion uses tombstone markers"),
+]
+RAW = [
+    (10, "the weather today is cloudy with a chance of rain showers"),
+    (11, "hash table lookup with open addressing is a fast structure"),
+    (12, "rain showers continue through the weekend with cloudy skies"),
+    (13, "binary search tree rotations keep the tree balanced"),
+    (14, "hash buckets and probing sequences in a table structure"),
+    (15, ""),
+    (16, "   "),
+]
+B = 64
+SMOOTH = 1.0
+SEED = 7
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _grams(text: str) -> list[str]:
+    t = [w for w in text.lower().split() if w]
+    return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+
+def _py_model(target_rows, raw_rows):
+    tc, rc = {}, {}
+    for rows, acc in ((target_rows, tc), (raw_rows, rc)):
+        for _, text in rows:
+            for g in _grams(text):
+                k = _h60(g) % B
+                acc[k] = acc.get(k, 0) + 1
+    tt, rt = sum(tc.values()), sum(rc.values())
+    return {
+        b: (math.log((tc.get(b, 0) + SMOOTH) / (tt + SMOOTH * B))
+            - math.log((rc.get(b, 0) + SMOOTH) / (rt + SMOOTH * B)))
+        for b in range(B)
+    }
+
+
+def _py_scores(rows, lr):
+    out = {}
+    for doc_id, text in rows:
+        gs = _grams(text)
+        out[doc_id] = (len(gs), sum(lr[_h60(g) % B] for g in gs))
+    return out
+
+
+def _py_gumbel(doc_id: int, logw: float) -> float:
+    h = int(hashlib.md5(f"{doc_id}:{SEED}".encode()).hexdigest()[:8], 16)
+    u = (h + 0.5) / 4294967296.0
+    return logw - math.log(-math.log(u))
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    return target, raw
+
+
+@pytest.fixture(scope="module")
+def model(frames):
+    target, raw = frames
+    return dsir.train_dsir(target, raw, n_buckets=B, smoothing=SMOOTH)
+
+
+def test_log_ratio_matches_python_oracle(model):
+    got = {r["bucket"]: r["log_w"] for r in model.log_ratio.collect()}
+    want = _py_model(TARGET, RAW)
+    assert set(got) == set(range(B))
+    for b in range(B):
+        assert got[b] == pytest.approx(want[b], rel=1e-12)
+
+
+def test_scores_match_python_oracle(frames, model):
+    _, raw = frames
+    lr = _py_model(TARGET, RAW)
+    want = _py_scores(RAW, lr)
+    got = {r["doc_id"]: (r["n_ngrams"], r["log_weight"])
+           for r in dsir.dsir_score(raw, model).collect()}
+    assert set(got) == set(want)
+    for d, (n, w) in want.items():
+        assert got[d][0] == n
+        assert got[d][1] == pytest.approx(w, rel=1e-9, abs=1e-12)
+    # target-looking raw docs outscore off-target ones
+    assert got[11][1] > got[10][1]
+    assert got[14][1] > got[12][1]
+
+
+def test_empty_docs_observable_not_dropped(frames, model):
+    _, raw = frames
+    got = {r["doc_id"]: r for r in dsir.dsir_score(raw, model).collect()}
+    for d in (15, 16):
+        assert got[d]["n_ngrams"] == 0
+        assert got[d]["log_weight"] == 0.0
+
+
+def test_resample_matches_python_gumbel_topk(frames, model):
+    _, raw = frames
+    lr = _py_model(TARGET, RAW)
+    keys = {d: _py_gumbel(d, w) for d, (_, w) in _py_scores(RAW, lr).items()}
+    want = sorted(keys, key=lambda d: (-keys[d], d))[:3]
+    out = dsir.dsir_resample(raw, model, 3, seed=SEED)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(want)
+    for r in out.collect():
+        assert r["gumbel_key"] == pytest.approx(keys[r["doc_id"]], rel=1e-9)
+        assert r["text"] == dict(RAW)[r["doc_id"]]
+
+
+def test_partition_invariance(frames, model):
+    _, raw = frames
+    a = dsir.dsir_resample(raw.repartition(7), model, 4, seed=SEED)
+    b = dsir.dsir_resample(raw.coalesce(1), model, 4, seed=SEED)
+    assert (sorted(r["doc_id"] for r in a.collect())
+            == sorted(r["doc_id"] for r in b.collect()))
+
+
+def test_identical_corpora_give_zero_weights(spark, frames):
+    target, _ = frames
+    m = dsir.train_dsir(target, target, n_buckets=B, smoothing=SMOOTH)
+    for r in dsir.dsir_score(target, m).collect():
+        assert r["log_weight"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_bad_params_raise(frames):
+    target, raw = frames
+    with pytest.raises(ValueError):
+        dsir.train_dsir(target, raw, n_buckets=0)
+    with pytest.raises(ValueError):
+        dsir.train_dsir(target, raw, n_buckets=8, smoothing=0.0)
