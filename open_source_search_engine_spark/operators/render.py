@@ -49,10 +49,13 @@ def _result_dicts(rows: Iterable[Any]) -> list[dict]:
 
 
 def render_results(rows, query: str, *, fmt: str = "json",
-                   total_hits: int | None = None) -> str:
+                   total_hits: int | None = None,
+                   did_you_mean: str | None = None) -> str:
     """Serialize one result page. ``rows`` is a ``topk`` DataFrame or its
     collected rows; ``fmt`` is ``json`` | ``xml`` | ``html`` | ``csv`` (the
-    reference's four output formats, /root/reference/GbFormat.h:5-8)."""
+    reference's four output formats, /root/reference/GbFormat.h:5-8).
+    ``did_you_mean`` is the spell recommendation line (suggest.did_you_mean)
+    — json/xml/html carry it, csv is rows-only."""
     if hasattr(rows, "collect"):
         rows = rows.collect()
     results = _result_dicts(rows)
@@ -60,11 +63,15 @@ def render_results(rows, query: str, *, fmt: str = "json",
         page = {"query": query, "hits": len(results), "results": results}
         if total_hits is not None:
             page["totalHits"] = int(total_hits)
+        if did_you_mean is not None:
+            page["didYouMean"] = did_you_mean
         return json.dumps(page, sort_keys=True)
     if fmt == "xml":
         parts = ["<response>", f"  <query>{escape(query)}</query>"]
         if total_hits is not None:
             parts.append(f"  <totalHits>{int(total_hits)}</totalHits>")
+        if did_you_mean is not None:
+            parts.append(f"  <didYouMean>{escape(did_you_mean)}</didYouMean>")
         for it in results:
             parts.append("  <result>")
             for k2 in sorted(it):
@@ -87,8 +94,11 @@ def render_results(rows, query: str, *, fmt: str = "json",
             + "</li>"
             for it in results
         )
+        dym = (
+            f'<p class="dym">Did you mean: <i>{escape(did_you_mean)}</i></p>'
+            if did_you_mean is not None else "")
         return (
-            f"<html><body><h1>{escape(query)}</h1><ol>\n{lis}\n</ol></body></html>"
+            f"<html><body><h1>{escape(query)}</h1>{dym}<ol>\n{lis}\n</ol></body></html>"
         )
     if fmt == "csv":
         # the reference's fourth output format (FORMAT_CSV,

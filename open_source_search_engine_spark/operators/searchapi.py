@@ -199,6 +199,7 @@ def search(
     do_query_highlighting: bool = False,  # m_doQueryHighlighting
     summary_max_width: int = 60,          # m_summaryMaxWidth
     # --- output ---
+    spell_check: bool = False,            # "did you mean" (m_qbuf2 surface)
     fmt: str | None = None,               # None -> DataFrame; else rendered
     rcache: bool = False,                 # m_rcache (result-page cache)
     **topk_kwargs,
@@ -256,7 +257,7 @@ def search(
                 do_site_clustering, hide_all_clustered,
                 do_dup_content_removal, percent_similar_summary, dedup_url,
                 include_cached_copy, show_snippets, do_query_highlighting,
-                summary_max_width, fmt,
+                summary_max_width, spell_check, fmt,
                 tuple(sorted((k2, repr(v)) for k2, v in topk_kwargs.items())))
         with _RCACHE_LOCK:
             hit = _RCACHE.get(ckey)
@@ -405,7 +406,16 @@ def search(
         return res
     from .render import render_results
 
-    page = render_results(res, q, fmt=fmt)
+    dym = None
+    if spell_check:
+        # "did you mean" over the field-op-free words (the reference's
+        # m_qbuf2 spell buffer, /root/reference/SearchInput.h:9): only
+        # words ABSENT from the index trigger a dictionary lookup, so the
+        # warm all-words-known path costs zero Spark jobs
+        from .suggest import did_you_mean as _did_you_mean
+
+        dym = _did_you_mean(spark, index_dir, plan, q)
+    page = render_results(res, q, fmt=fmt, did_you_mean=dym)
     if ckey is not None:
         with _RCACHE_LOCK:
             _RCACHE[ckey] = ("str", page, (

@@ -105,3 +105,52 @@ def suggest(vocab: DataFrame, word: str, k: int = 5) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("token"))
         .limit(k)
     )
+
+
+def did_you_mean(spark, index_dir: str, plan, query: str,
+                 *, max_terms: int = 8) -> str | None:
+    """Spell recommendation for one parsed query — the "did you mean"
+    surface. The reference reserves a field-op-free query buffer for its
+    spell checker (m_qbuf2, /root/reference/SearchInput.h:9; the fork
+    removed the Speller recommendation path itself); this restores the
+    feature over the corpus dictionary: every bare query word ABSENT from
+    the index (df == 0, from the cached handle's memoized term stats — no
+    Spark job on the warm path) is replaced with its top
+    delete-neighbourhood suggestion (:func:`suggest_from_index`,
+    partition-pruned + levenshtein-verified, df-ranked). Returns the
+    corrected query string, or ``None`` when every word is known, nothing
+    within edit distance 1 exists, no ``suggest_index`` table was
+    materialized, or the query has more than ``max_terms`` bare words
+    (long queries are not spell-checked — the reference caps spell work
+    the same way its dict lookup frags cap at MAX_FRAG_SIZE)."""
+    import re
+
+    from ..sources import catalog
+    from .query_engine import cached_handle
+
+    if not catalog.table_exists(index_dir, "suggest_index"):
+        return None
+    words: list[tuple[int, str]] = []
+    seen: set[str] = set()
+    for t in plan.required:
+        if t.field is None and not t.is_bigram and t.token not in seen:
+            seen.add(t.token)
+            words.append((int(t.termid), t.token))
+    if not words or len(words) > max_terms:
+        return None
+    dfs = cached_handle(spark, index_dir).term_dfs(
+        spark, [tid for tid, _ in words])
+    fixes: dict[str, str] = {}
+    for tid, tok in words:
+        if dfs.get(tid, 0) > 0:
+            continue
+        top = suggest_from_index(spark, index_dir, tok, 1).collect()
+        if top and top[0]["token"] != tok:
+            fixes[tok] = top[0]["token"]
+    if not fixes:
+        return None
+    out = query
+    for tok, rep in fixes.items():
+        out = re.sub(rf"(?<!\w){re.escape(tok)}(?!\w)", rep, out,
+                     flags=re.IGNORECASE)
+    return out if out != query else None

@@ -1,6 +1,8 @@
 """Multi-term snippet selection (K7 Summary.cpp analog) and the
 edit-distance-1 suggestion operator (Speller analog)."""
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -139,3 +141,73 @@ def test_highlight_markup_collision_terms(spark):
         f"{front_tag(2)}class</span> {front_tag(3)}00</span> "
         f"{front_tag(0)}foo</span>"
     )
+
+
+# --- "did you mean" on the /search surface (m_qbuf2 spell buffer) --------
+
+@pytest.fixture(scope="module")
+def suggest_ready_index(spark, index_dir):
+    """The shared index with its suggest_index table materialized (additive
+    — nothing else reads the table unless asked)."""
+    from open_source_search_engine_spark.operators.docget import doc_text_df
+    from open_source_search_engine_spark.operators.suggest import (
+        materialize_suggest,
+    )
+    from open_source_search_engine_spark.sources import catalog
+
+    if not catalog.table_exists(index_dir, "suggest_index"):
+        docs = doc_text_df(spark, index_dir).withColumnRenamed(
+            "content", "text")
+        materialize_suggest(spark, index_dir, docs)
+    return index_dir
+
+
+def test_did_you_mean_corrects_unknown_word(spark, suggest_ready_index):
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    page = json.loads(search(
+        spark, suggest_ready_index, "binnary search",
+        spell_check=True, fmt="json"))
+    assert page["didYouMean"] == "binary search"
+    # the recommendation is a live query: it must find results
+    fixed = json.loads(search(
+        spark, suggest_ready_index, page["didYouMean"], fmt="json"))
+    assert fixed["hits"] > 0
+
+
+def test_did_you_mean_absent_when_spelled_right(spark, suggest_ready_index):
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    page = json.loads(search(
+        spark, suggest_ready_index, "binary search",
+        spell_check=True, fmt="json"))
+    assert "didYouMean" not in page
+
+
+def test_did_you_mean_preserves_field_ops(spark, suggest_ready_index):
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    page = json.loads(search(
+        spark, suggest_ready_index, "binnary site:org0/repo0",
+        spell_check=True, fmt="json"))
+    assert page["didYouMean"] == "binary site:org0/repo0"
+
+
+def test_did_you_mean_none_without_table(spark, tmp_path):
+    from open_source_search_engine_spark.operators.suggest import did_you_mean
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    plan = parse_query("binnary")
+    assert did_you_mean(spark, str(tmp_path / "noidx"), plan,
+                        "binnary") is None
+
+
+def test_did_you_mean_xml_and_html(spark, suggest_ready_index):
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    xml = search(spark, suggest_ready_index, "binnary search",
+                 spell_check=True, fmt="xml")
+    assert "<didYouMean>binary search</didYouMean>" in xml
+    html = search(spark, suggest_ready_index, "binnary search",
+                  spell_check=True, fmt="html")
+    assert "Did you mean: <i>binary search</i>" in html
