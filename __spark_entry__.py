@@ -2792,6 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_phrase3": _engine_query('"hash value table"'),
         "engine_phrase_title": _engine_query('title:"7.txt"'),
         "engine_site_filter": _q_engine_site_filter,
+        "engine_site_not": _engine_query("hash table -site:src3"),
         "engine_sites": _q_engine_sites,
         "engine_contenthash": _q_engine_contenthash,
         "engine_proximity": _q_engine_proximity,
@@ -2986,6 +2987,14 @@ SELECT s.doc_id, s.score_r, s.content_sha256
 FROM ({_bm25_sql(['hash', 'table'], bigram=('hash', 'table'))}) s
 JOIN documents dd ON dd.doc_id = s.doc_id
 WHERE dd.source = 'src3'
+""",
+        # -site: exclusion (minus-signed filter op, Query.h:195-199): same
+        # scoring, match set anti-filtered on the excluded source
+        "engine_site_not": f"""
+SELECT s.doc_id, s.score_r, s.content_sha256
+FROM ({_bm25_sql(['hash', 'table'], bigram=('hash', 'table'))}) s
+JOIN documents dd ON dd.doc_id = s.doc_id
+WHERE dd.source <> 'src3'
 """,
         # &sites= whitelist: same scoring as engine_site_filter's query,
         # match set ORed over the two listed sources

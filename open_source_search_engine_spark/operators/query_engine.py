@@ -1007,11 +1007,20 @@ def docmap_filter_cond(plan: QueryPlan) -> F.Column:
     cond = F.lit(True)
     if plan.site_filters:
         cond = cond & F.col("repo").isin(list(plan.site_filters))
+    if plan.site_excludes:
+        # -site: (minus-signed field term, Query.h:195-199): same docmap
+        # predicate, negated — rides every physical path the positive does
+        cond = cond & ~F.col("repo").isin(list(plan.site_excludes))
     if plan.ext_filters:
         ext_c = F.lit(False)
         for e in plan.ext_filters:
             ext_c = ext_c | F.col("path").endswith("." + e)
         cond = cond & ext_c
+    for e in plan.ext_excludes:
+        cond = cond & ~F.col("path").endswith("." + e)
+    if plan.docid_excludes:
+        cond = cond & ~F.col("docid").isin(
+            [int(d) for d in plan.docid_excludes])
     if plan.sha_filters:
         # gbcontenthash: — the content-hash dedup term analog
         cond = cond & F.col("content_sha256").isin(list(plan.sha_filters))
@@ -1033,7 +1042,9 @@ def docmap_filter_cond(plan: QueryPlan) -> F.Column:
 def docmap_filtered(plan: QueryPlan) -> bool:
     """True when the plan carries any docmap-level document filter."""
     return bool(plan.site_filters or plan.ext_filters or plan.sha_filters
-                or plan.num_filters or plan.fieldmatch_filters)
+                or plan.num_filters or plan.fieldmatch_filters
+                or plan.site_excludes or plan.ext_excludes
+                or plan.docid_excludes)
 
 
 def _serving_docmap(spark: SparkSession, h: "IndexHandle | str",

@@ -177,6 +177,12 @@ class QueryPlan:
     ext_filters: list[str] = dc_field(default_factory=list)    # path suffixes
     docid_filter: int | None = None                            # gbdocid:
     sha_filters: list[str] = dc_field(default_factory=list)    # gbcontenthash:
+    # minus-signed filter ops (-site:/-ext:/-gbdocid:/-url: — the reference
+    # honors the minus sign on any field term, Query.h:195-199); served as
+    # NOT-conditions in the same J6 docmap predicate as the positives
+    site_excludes: list[str] = dc_field(default_factory=list)
+    ext_excludes: list[str] = dc_field(default_factory=list)
+    docid_excludes: list[int] = dc_field(default_factory=list)
     # gbmin:/gbmax: numeric docmap filters — (column, '>=' | '<=', value);
     # served like the J6 whitelist family (WAND mask or declarative semi-join)
     num_filters: list[tuple] = dc_field(default_factory=list)
@@ -669,21 +675,32 @@ class _PlanBuilder:
                                required=not neg, excluded=neg)
                 return Leaf(ix, negated=neg)
             if tree.kind == "site":
-                self.plan.site_filters.append(tree.value)
+                (self.plan.site_excludes if neg
+                 else self.plan.site_filters).append(tree.value)
                 return None
             if tree.kind == "ext":
-                self.plan.ext_filters.append(tree.value.lstrip("."))
+                (self.plan.ext_excludes if neg
+                 else self.plan.ext_filters).append(tree.value.lstrip("."))
                 return None
             if tree.kind == "docid":
                 try:
-                    self.plan.docid_filter = int(tree.value)
+                    d = int(tree.value)
                 except ValueError:
                     pass
+                else:
+                    if neg:
+                        self.plan.docid_excludes.append(d)
+                    else:
+                        self.plan.docid_filter = d
                 return None
             if tree.kind == "url":
                 from ..functions.hashing import docid_for_url
 
-                self.plan.docid_filter = int(docid_for_url(tree.value))
+                d = int(docid_for_url(tree.value))
+                if neg:
+                    self.plan.docid_excludes.append(d)
+                else:
+                    self.plan.docid_filter = d
                 return None
             if tree.kind == "sha":
                 self.plan.sha_filters.append(tree.value.lower())

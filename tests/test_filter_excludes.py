@@ -1,0 +1,83 @@
+"""Minus-signed filter operators (-site:/-ext:/-gbdocid:/-url:): the
+reference honors the minus sign on any field term (Query.h:195-199); these
+previously parsed as their positive forms. Exclusions ride the shared J6
+docmap predicate, so both physical paths and the batch path honor them."""
+
+import pytest
+
+from open_source_search_engine_spark.plans.plan import parse_query
+
+
+def test_parser_separates_excluded_filters():
+    p = parse_query("binary -site:org0/repo0")
+    assert p.site_excludes == ["org0/repo0"] and not p.site_filters
+    p = parse_query("binary site:a -site:b")
+    assert p.site_filters == ["a"] and p.site_excludes == ["b"]
+    p = parse_query("binary -ext:py")
+    assert p.ext_excludes == ["py"] and not p.ext_filters
+    p = parse_query("binary -gbdocid:77")
+    assert p.docid_excludes == [77] and p.docid_filter is None
+    p = parse_query("binary gbdocid:77")
+    assert p.docid_filter == 77 and not p.docid_excludes
+
+
+def test_site_exclude_drops_repo_and_paths_agree(spark, index_dir):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    base = topk(spark, index_dir, "binary", 50,
+                dedup_content=False).collect()
+    repos = {r["repo"] for r in base}
+    assert len(repos) >= 2, "corpus must span repos for this test"
+    victim = sorted(repos)[0]
+
+    neg = topk(spark, index_dir, f"binary -site:{victim}", 50,
+               dedup_content=False, prune=True).collect()
+    neg_full = topk(spark, index_dir, f"binary -site:{victim}", 50,
+                    dedup_content=False, prune=False).collect()
+    # A/B: WAND path == declarative path, bit-for-bit
+    assert [(r["docid"], r["score"]) for r in neg] == \
+           [(r["docid"], r["score"]) for r in neg_full]
+    assert neg and all(r["repo"] != victim for r in neg)
+    # scores unchanged: the exclusion removes docs, never rescores
+    base_scores = {r["docid"]: r["score"] for r in base}
+    for r in neg:
+        if r["docid"] in base_scores:
+            assert r["score"] == base_scores[r["docid"]]
+    # removal only promotes: every surviving base-page doc stays on the page
+    kept = {r["docid"] for r in base if r["repo"] != victim}
+    assert kept <= {r["docid"] for r in neg}
+
+
+def test_ext_exclude(spark, index_dir):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    base = topk(spark, index_dir, "binary", 50, dedup_content=False).collect()
+    exts = {r["path"].rsplit(".", 1)[-1] for r in base}
+    assert exts
+    victim = sorted(exts)[0]
+    neg = topk(spark, index_dir, f"binary -ext:{victim}", 50,
+               dedup_content=False).collect()
+    assert all(not r["path"].endswith("." + victim) for r in neg)
+
+
+def test_gbdocid_exclude_removes_one_doc(spark, index_dir):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    base = topk(spark, index_dir, "binary", 20, dedup_content=False).collect()
+    top = base[0]["docid"]
+    neg = topk(spark, index_dir, f"binary -gbdocid:{top}", 20,
+               dedup_content=False).collect()
+    assert top not in {r["docid"] for r in neg}
+    # the next ranks shift up by exactly one doc
+    assert [r["docid"] for r in neg[:5]] == \
+        [r["docid"] for r in base[1:6]]
+
+
+def test_positive_site_filter_still_whitelists(spark, index_dir):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    base = topk(spark, index_dir, "binary", 50, dedup_content=False).collect()
+    victim = sorted({r["repo"] for r in base})[0]
+    pos = topk(spark, index_dir, f"binary site:{victim}", 50,
+               dedup_content=False).collect()
+    assert pos and all(r["repo"] == victim for r in pos)
