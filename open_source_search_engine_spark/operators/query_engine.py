@@ -1024,11 +1024,17 @@ def docmap_filter_cond(plan: QueryPlan) -> F.Column:
     if plan.sha_filters:
         # gbcontenthash: — the content-hash dedup term analog
         cond = cond & F.col("content_sha256").isin(list(plan.sha_filters))
+    if plan.sha_excludes:
+        cond = cond & ~F.col("content_sha256").isin(list(plan.sha_excludes))
     for col, op, v in plan.num_filters:
         # gbmin:/gbmax: (/root/reference/Query.cpp:1713-1720 value form);
-        # parquet min/max stats push these down to the docmap scan
+        # parquet min/max stats push these down to the docmap scan; the
+        # strict ops are the minus-signed complements (NOT(x>=v) == x<v)
         c = _docmap_num_col(col)
-        cond = cond & (c >= F.lit(v) if op == ">=" else c <= F.lit(v))
+        cond = cond & {
+            ">=": c >= F.lit(v), "<=": c <= F.lit(v),
+            ">": c > F.lit(v), "<": c < F.lit(v),
+        }[op]
     for col, v in plan.fieldmatch_filters:
         # gbfieldmatch: exact CASE-SENSITIVE whole-value equality
         # (/root/reference/Query.cpp:1737-1780); `url` is the repo/path
@@ -1036,6 +1042,10 @@ def docmap_filter_cond(plan: QueryPlan) -> F.Column:
         c = (F.concat_ws("/", "repo", "path") if col == "url"
              else F.col(col))
         cond = cond & (c == F.lit(v))
+    for col, v in plan.fieldmatch_excludes:
+        c = (F.concat_ws("/", "repo", "path") if col == "url"
+             else F.col(col))
+        cond = cond & (c != F.lit(v))
     return cond
 
 
@@ -1044,7 +1054,8 @@ def docmap_filtered(plan: QueryPlan) -> bool:
     return bool(plan.site_filters or plan.ext_filters or plan.sha_filters
                 or plan.num_filters or plan.fieldmatch_filters
                 or plan.site_excludes or plan.ext_excludes
-                or plan.docid_excludes)
+                or plan.docid_excludes or plan.sha_excludes
+                or plan.fieldmatch_excludes)
 
 
 def _serving_docmap(spark: SparkSession, h: "IndexHandle | str",

@@ -183,6 +183,8 @@ class QueryPlan:
     site_excludes: list[str] = dc_field(default_factory=list)
     ext_excludes: list[str] = dc_field(default_factory=list)
     docid_excludes: list[int] = dc_field(default_factory=list)
+    sha_excludes: list[str] = dc_field(default_factory=list)
+    fieldmatch_excludes: list[tuple] = dc_field(default_factory=list)
     # gbmin:/gbmax: numeric docmap filters — (column, '>=' | '<=', value);
     # served like the J6 whitelist family (WAND mask or declarative semi-join)
     num_filters: list[tuple] = dc_field(default_factory=list)
@@ -703,17 +705,27 @@ class _PlanBuilder:
                     self.plan.docid_filter = d
                 return None
             if tree.kind == "sha":
-                self.plan.sha_filters.append(tree.value.lower())
+                (self.plan.sha_excludes if neg
+                 else self.plan.sha_filters).append(tree.value.lower())
                 return None
             if tree.kind == "num":
-                # filter operators carry no membership leaf (like site:/ext:)
-                self.plan.num_filters.append(tree.value)
+                # filter operators carry no membership leaf (like site:/ext:);
+                # a minus sign means the logical complement, which for the
+                # closed bounds gbmin(>=)/gbmax(<=) is the STRICT opposite
+                # comparison (NOT(x>=v) == x<v)
+                col, op_, v = tree.value
+                if neg:
+                    op_ = {"<=": ">", ">=": "<"}[op_]
+                self.plan.num_filters.append((col, op_, v))
                 return None
             if tree.kind == "fieldmatch":
-                self.plan.fieldmatch_filters.append(tree.value)
+                (self.plan.fieldmatch_excludes if neg
+                 else self.plan.fieldmatch_filters).append(tree.value)
                 return None
             if tree.kind == "sortby":
-                self.plan.sort_by = tree.value
+                # -gbsortby: == gbrevsortby: (negation reverses the order)
+                col, desc = tree.value
+                self.plan.sort_by = (col, (not desc) if neg else desc)
                 return None
             return None
         if tree.op == "not":

@@ -81,3 +81,46 @@ def test_positive_site_filter_still_whitelists(spark, index_dir):
     pos = topk(spark, index_dir, f"binary site:{victim}", 50,
                dedup_content=False).collect()
     assert pos and all(r["repo"] == victim for r in pos)
+
+
+def test_parser_negates_sha_num_fieldmatch_sortby():
+    p = parse_query("binary -gbcontenthash:abc")
+    assert p.sha_excludes == ["abc"] and not p.sha_filters
+    p = parse_query("binary -gbmin:size:5")
+    assert p.num_filters == [("size", "<", 5.0)]
+    p = parse_query("binary -gbmax:size:5")
+    assert p.num_filters == [("size", ">", 5.0)]
+    p = parse_query("binary -gbfieldmatch:lang:en")
+    assert p.fieldmatch_excludes == [("lang", "en")] and \
+        not p.fieldmatch_filters
+    assert parse_query("x -gbsortby:size").sort_by == ("size", False)
+    assert parse_query("x -gbrevsortby:size").sort_by == ("size", True)
+    assert parse_query("x gbsortby:size").sort_by == ("size", True)
+
+
+def test_neg_gbmin_complements_exactly(spark, index_dir):
+    """-gbmin:size:v must partition the match set with gbmin:size:v —
+    strict complement, no doc on both sides, union == unfiltered."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    allr = {r["docid"] for r in
+            topk(spark, index_dir, "binary", 500, dedup_content=False)
+            .collect()}
+    lo = {r["docid"] for r in
+          topk(spark, index_dir, "binary -gbmin:size:400", 500,
+               dedup_content=False).collect()}
+    hi = {r["docid"] for r in
+          topk(spark, index_dir, "binary gbmin:size:400", 500,
+               dedup_content=False).collect()}
+    assert lo | hi == allr
+    assert not (lo & hi)
+
+
+def test_neg_contenthash_excludes_doc(spark, index_dir):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    base = topk(spark, index_dir, "binary", 20, dedup_content=False).collect()
+    sha = base[0]["content_sha256"]
+    neg = topk(spark, index_dir, f"binary -gbcontenthash:{sha}", 20,
+               dedup_content=False).collect()
+    assert sha not in {r["content_sha256"] for r in neg}
