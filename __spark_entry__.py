@@ -1238,6 +1238,30 @@ def _q_engine_site_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_query("site:src3 hash table")(spark, sf_dir)
 
 
+def _q_engine_tagdb_ban(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagdb manualban serving exclusion (/root/reference/Tagdb.cpp;
+    PageResults.cpp:1574 admin ban link; Parms.cpp:11508 tag:manualban==1):
+    src3 banned, src1 banned-then-UNbanned by a newer tag row (Rdb
+    newest-key-wins) — the oracle replays the tag resolution with arg_max
+    and anti-filters the same BM25 match set."""
+    from open_source_search_engine_spark.operators.searchapi import search
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    tags = spark.createDataFrame(
+        [("src3", "manualban", "1", 1),
+         ("src1", "manualban", "1", 1),
+         ("src1", "manualban", "0", 2)],
+        "site string, tagname string, tagdata string, ts long")
+    res = search(spark, idx, "hash table", tags=tags,
+                 docs_wanted=1_000_000, do_site_clustering=False,
+                 do_dup_content_removal=False)
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256")
+
+
 def _q_engine_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
     """&sites= multi-site whitelist through the /search API surface
     (SearchInput::m_sites → Msg39 ptr_whiteList,
@@ -2793,6 +2817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_phrase_title": _engine_query('title:"7.txt"'),
         "engine_site_filter": _q_engine_site_filter,
         "engine_site_not": _engine_query("hash table -site:src3"),
+        "engine_tagdb_ban": _q_engine_tagdb_ban,
         "engine_sites": _q_engine_sites,
         "engine_contenthash": _q_engine_contenthash,
         "engine_proximity": _q_engine_proximity,
@@ -2995,6 +3020,24 @@ SELECT s.doc_id, s.score_r, s.content_sha256
 FROM ({_bm25_sql(['hash', 'table'], bigram=('hash', 'table'))}) s
 JOIN documents dd ON dd.doc_id = s.doc_id
 WHERE dd.source <> 'src3'
+""",
+        # tagdb manualban: newest-tag-wins resolution (arg_max) over a
+        # literal tag table, then the same anti-filter as -site:
+        "engine_tagdb_ban": f"""
+WITH tags(site, tagname, tagdata, ts) AS (
+  VALUES ('src3', 'manualban', '1', 1),
+         ('src1', 'manualban', '1', 1),
+         ('src1', 'manualban', '0', 2)
+),
+eff AS (
+  SELECT site, arg_max(tagdata, ts) AS td
+  FROM tags WHERE tagname = 'manualban' GROUP BY site
+),
+banned AS (SELECT site FROM eff WHERE lower(td) IN ('1', 'true'))
+SELECT s.doc_id, s.score_r, s.content_sha256
+FROM ({_bm25_sql(['hash', 'table'], bigram=('hash', 'table'))}) s
+JOIN documents dd ON dd.doc_id = s.doc_id
+WHERE dd.source NOT IN (SELECT site FROM banned)
 """,
         # &sites= whitelist: same scoring as engine_site_filter's query,
         # match set ORed over the two listed sources

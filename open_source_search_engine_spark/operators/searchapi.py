@@ -190,6 +190,7 @@ def search(
     dedup_url: bool = False,
     family_filter: bool = False,          # m_familyFilter (&ff=1)
     adult_flags=None,                     # docid-keyed adult-bit side table
+    tags=None,                            # tagdb table (manualban exclusion)
     url_overrides=None,                   # urlresultoverride.txt rows/dict
     lang_overrides=None,                  # lang|title|summary template rows
     blocked_pred=None,                    # 'cannot show content' predicate
@@ -246,7 +247,7 @@ def search(
         topk_kwargs["adult_flags"] = adult_flags
     ckey = None
     if rcache and url_overrides is None and lang_overrides is None \
-            and blocked_pred is None and all(
+            and blocked_pred is None and tags is None and all(
             v is None or isinstance(v, (str, int, float, bool))
             for v in topk_kwargs.values()):
         # DataFrame-valued kwargs (doc_text, temperature, ...) have no
@@ -278,6 +279,16 @@ def search(
     if include_cached_copy:
         percent_similar_summary = 0  # icc=1 turns dedup off, Msg40.cpp:1325
     plan = parse_query(q, query_lang=qlang, sites=sites)
+    if tags is not None:
+        # tagdb manualban (/root/reference/PageResults.cpp:1574 admin ban
+        # link; Parms.cpp:11508 tag:manualban==1): banned sites leave the
+        # result stream via the same J6 exclusion predicate as -site:, so
+        # both physical paths honor the ban
+        from .tagdb import banned_sites, expand_banned_repos
+
+        for b in expand_banned_repos(spark, index_dir, banned_sites(tags)):
+            if b not in plan.site_excludes:
+                plan.site_excludes.append(b)
     if _stat_info is not None:
         _stat_info["terms"] = len(plan.terms)
         _stat_info["qlang"] = plan.query_lang or "xx"

@@ -1,0 +1,146 @@
+"""Tagdb — the per-site metadata tag store
+(/root/reference/Tagdb.h:63-108, Tagdb.cpp).
+
+The reference keys TagRecs by site, each tag a (tagname, timestamp,
+tagdata) triple where the NEWEST timestamp wins (Tagdb is an Rdb —
+newest-key-wins semantics, Tagdb.cpp:304 "the tag type, like
+'sitenuminlinks' or 'rootlang'"), and consults it wherever site-level
+metadata matters: manual bans (the admin result page emits
+``tagtype0=manualban&tagdata0=1`` links, /root/reference/PageResults.cpp:
+1574,2855; the url-filter language matches ``tag:manualban==1``,
+Parms.cpp:11508-11510), cached sitenuminlinks feeding siterank
+(/root/reference/XmlDoc.cpp:6792), firstip, rootlang. Lookup resolves the
+most specific record first (the exact host's TagRec beats the domain's).
+
+Analog: a ``(site, tagname, tagdata, ts)`` DataFrame (persist as parquet
+to share across jobs). ``site`` is either a full repo ``org/name`` (the
+HOST tier) or a bare ``org`` (the DOMAIN tier); repo-tier tags beat
+org-tier tags for the same tagname.
+
+Scale shape: effective-tag resolution is one groupBy over the TAG table
+(tag-table-sized — sitenuminlinks rows ∝ #sites, manual tags ∝ admin
+actions — never corpus-sized). Serving consumption either broadcasts
+(#repos multiplier rows for the siterank prior, same as linkrank) or
+collects the ban list under an explicit budget (admin-curated, bounded
+like the reference's url blacklist files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .linkrank import site_rank_col
+
+#: collect budget for driver-side ban lists — admin-curated tables are
+#: small; crossing this loudly signals the table is being misused as a
+#: corpus-scale store (use matchlist/ingest filtering for that)
+BAN_LIST_MAX = 1_000_000
+
+
+def effective_tags(tags: DataFrame) -> DataFrame:
+    """Newest tag per (site, tagname) — the Rdb newest-key-wins read view.
+    One groupBy on the tag table; ``F.max(struct(ts, tagdata))`` makes the
+    tie-break deterministic (higher ts wins, then lexicographically larger
+    tagdata)."""
+    return (
+        tags.groupBy("site", "tagname")
+        .agg(F.max(F.struct("ts", "tagdata")).alias("_m"))
+        .select("site", "tagname", F.col("_m.tagdata").alias("tagdata"),
+                F.col("_m.ts").alias("ts"))
+    )
+
+
+def _org(site: Column) -> Column:
+    return F.split(site, "/").getItem(0)
+
+
+def tag_value_for_repos(tags: DataFrame, repos: DataFrame,
+                        tagname: str) -> DataFrame:
+    """(repo, tagdata) for every repo in ``repos`` (one ``repo`` column):
+    the repo-tier tag if present, else the org-tier tag, else no row —
+    the reference's host-beats-domain TagRec resolution. Two broadcast
+    joins against the (small) effective tag slice."""
+    eff = effective_tags(tags).filter(F.col("tagname") == tagname)
+    repo_tier = eff.filter(F.col("site").contains("/")).select(
+        F.col("site").alias("repo"), F.col("tagdata").alias("_rv"))
+    org_tier = eff.filter(~F.col("site").contains("/")).select(
+        F.col("site").alias("_org"), F.col("tagdata").alias("_ov"))
+    return (
+        repos.select("repo")
+        .join(F.broadcast(repo_tier), "repo", "left")
+        .join(F.broadcast(org_tier),
+              _org(F.col("repo")) == F.col("_org"), "left")
+        .select("repo", F.coalesce("_rv", "_ov").alias("tagdata"))
+        .filter(F.col("tagdata").isNotNull())
+    )
+
+
+def banned_sites(tags: DataFrame) -> list[str]:
+    """Sites whose effective ``manualban`` tag is truthy ('1'/'true') —
+    org- or repo-tier. Driver-side list (it feeds the query plan's
+    exclusion filters); crossing :data:`BAN_LIST_MAX` raises rather than
+    silently OOMing the driver."""
+    eff = effective_tags(tags).filter(
+        (F.col("tagname") == "manualban")
+        & F.lower(F.col("tagdata")).isin("1", "true"))
+    rows = eff.select("site").limit(BAN_LIST_MAX + 1).collect()
+    if len(rows) > BAN_LIST_MAX:
+        raise ValueError(
+            f"manualban tag rows exceed BAN_LIST_MAX={BAN_LIST_MAX}; "
+            "corpus-scale blocking belongs in matchlist/ingest filtering")
+    return sorted(r["site"] for r in rows)
+
+
+def expand_banned_repos(spark, index_dir: str,
+                        banned: list[str]) -> list[str]:
+    """Org-tier bans cover every repo under the org (and the bare-org repo
+    itself); expansion consults the index's distinct-repo set — a
+    #repos-sized docmap aggregate with predicate pushdown, never a
+    corpus scan."""
+    from .query_engine import _serving_docmap
+
+    repo_bans = [s for s in banned if "/" in s]
+    org_bans = [s for s in banned if "/" not in s]
+    if org_bans:
+        dm = _serving_docmap(spark, index_dir, None).select("repo").distinct()
+        cond = F.lit(False)
+        for o in org_bans:
+            cond = cond | (F.col("repo") == o) \
+                | F.col("repo").startswith(o + "/")
+        repo_bans += [r["repo"] for r in dm.filter(cond).collect()]
+    return sorted(set(repo_bans))
+
+
+def repo_rank_from_tags(tags: DataFrame) -> DataFrame:
+    """(repo, inlinks, rank, adj_rank) from cached ``sitenuminlinks`` tags
+    — the reference stores Msg25's computed inlink count in tagdb and
+    XmlDoc reads it back for siterank (/root/reference/XmlDoc.cpp:6792).
+    Repo-tier rows only (an inlink count is per-site by construction);
+    rank via the same getSiteRank buckets as linkrank, ``adj_rank`` equals
+    ``rank`` (a cached count carries no inlinker-rank information).
+    Output shape matches :func:`..operators.linkrank.repo_rank`, so it
+    plugs straight into ``topk(repo_rank=...)``."""
+    eff = effective_tags(tags).filter(
+        (F.col("tagname") == "sitenuminlinks") & F.col("site").contains("/"))
+    sni = eff.select(
+        F.col("site").alias("repo"),
+        F.col("tagdata").cast("long").alias("inlinks"),
+    ).filter(F.col("inlinks").isNotNull())
+    return sni.select(
+        "repo", "inlinks",
+        site_rank_col(F.col("inlinks")).alias("rank"),
+        site_rank_col(F.col("inlinks")).cast("double").alias("adj_rank"),
+    )
+
+
+def merge_repo_rank(tag_rank: DataFrame,
+                    link_rank: DataFrame) -> DataFrame:
+    """Tagdb-cached rank beats the freshly computed link-graph rank per
+    repo (the tag IS the admin-visible cache; an operator override wins) —
+    full outer join on the two #repos-sized tables."""
+    t = tag_rank.select("repo", F.col("adj_rank").alias("_t"))
+    l = link_rank.select("repo", F.col("adj_rank").alias("_l"))
+    return (
+        t.join(l, "repo", "full_outer")
+        .select("repo", F.coalesce("_t", "_l").alias("adj_rank"))
+    )

@@ -1,0 +1,102 @@
+"""Tagdb analog (per-site tag store, /root/reference/Tagdb.cpp): newest-
+tag-wins resolution, host-beats-domain lookup, manualban serving
+exclusion, sitenuminlinks-cached siterank."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.operators import tagdb
+
+SCHEMA = "site string, tagname string, tagdata string, ts long"
+
+
+@pytest.fixture()
+def tags(spark):
+    rows = [
+        ("org0/repo0", "manualban", "1", 100),
+        ("org1", "manualban", "1", 100),            # org-tier ban
+        ("org2/repo2", "manualban", "1", 100),
+        ("org2/repo2", "manualban", "0", 200),      # newer unban wins
+        ("org0/repo0", "sitenuminlinks", "25", 100),
+        ("org0/repo0", "sitenuminlinks", "700", 200),  # newer count wins
+        ("org3/repo3", "sitenuminlinks", "3", 100),
+        ("org4", "rootlang", "en", 100),
+        ("org4/repo4", "rootlang", "da", 100),      # repo beats org
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_effective_tags_newest_wins(tags):
+    eff = {(r["site"], r["tagname"]): r["tagdata"]
+           for r in tagdb.effective_tags(tags).collect()}
+    assert eff[("org2/repo2", "manualban")] == "0"
+    assert eff[("org0/repo0", "sitenuminlinks")] == "700"
+    assert eff[("org0/repo0", "manualban")] == "1"
+
+
+def test_tag_value_repo_beats_org(spark, tags):
+    repos = spark.createDataFrame(
+        [("org4/repo4",), ("org4/other",), ("org5/none",)], "repo string")
+    got = {r["repo"]: r["tagdata"] for r in
+           tagdb.tag_value_for_repos(tags, repos, "rootlang").collect()}
+    assert got == {"org4/repo4": "da", "org4/other": "en"}
+
+
+def test_banned_sites_resolution(tags):
+    # repo0 banned, org1 banned at org tier, repo2's ban lifted by the
+    # newer tagdata=0 row
+    assert tagdb.banned_sites(tags) == ["org0/repo0", "org1"]
+
+
+def test_repo_rank_from_tags(tags):
+    got = {r["repo"]: (r["inlinks"], r["rank"], r["adj_rank"])
+           for r in tagdb.repo_rank_from_tags(tags).collect()}
+    # sni=700 → bucket 12 (getSiteRank bounds), sni=3 → bucket 3
+    assert got["org0/repo0"] == (700, 12, 12.0)
+    assert got["org3/repo3"] == (3, 3, 3.0)
+
+
+def test_merge_repo_rank_tag_overrides(spark, tags):
+    link = spark.createDataFrame(
+        [("org0/repo0", 2, 2, 2.0), ("org9/repo9", 5, 5, 5.0)],
+        "repo string, inlinks long, rank int, adj_rank double")
+    merged = {r["repo"]: r["adj_rank"] for r in tagdb.merge_repo_rank(
+        tagdb.repo_rank_from_tags(tags), link).collect()}
+    assert merged["org0/repo0"] == 12.0   # tag cache beats link rank
+    assert merged["org9/repo9"] == 5.0    # link-only repo survives
+    assert merged["org3/repo3"] == 3.0    # tag-only repo survives
+
+
+def test_search_manualban_excludes_repo_and_org(spark, index_dir):
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    base = search(spark, index_dir, "binary", docs_wanted=50,
+                  do_dup_content_removal=False).collect()
+    repos = sorted({r["repo"] for r in base})
+    assert len(repos) >= 3
+    repo_victim = repos[0]
+    org_victim = repos[-1].split("/")[0]
+    tags = spark.createDataFrame(
+        [(repo_victim, "manualban", "1", 1),
+         (org_victim, "manualban", "1", 1)], SCHEMA)
+    got = search(spark, index_dir, "binary", docs_wanted=50,
+                 do_dup_content_removal=False, tags=tags).collect()
+    assert got
+    for r in got:
+        assert r["repo"] != repo_victim
+        assert not r["repo"].startswith(org_victim + "/")
+        assert r["repo"] != org_victim
+    # an unban row newer than the ban restores the repo
+    tags2 = spark.createDataFrame(
+        [(repo_victim, "manualban", "1", 1),
+         (repo_victim, "manualban", "0", 2)], SCHEMA)
+    got2 = {r["repo"] for r in search(
+        spark, index_dir, "binary", docs_wanted=50,
+        do_dup_content_removal=False, tags=tags2).collect()}
+    assert repo_victim in got2
+
+
+def test_ban_budget_guard(spark, monkeypatch, tags):
+    monkeypatch.setattr(tagdb, "BAN_LIST_MAX", 1)
+    with pytest.raises(ValueError, match="BAN_LIST_MAX"):
+        tagdb.banned_sites(tags)
