@@ -771,8 +771,15 @@ def topk(
     # served document IS the newest version.
     if docmap_filtered(plan):
         dm = _serving_docmap(spark, h, sup)
-        allowed = dm.filter(docmap_filter_cond(plan)).select("docid")
-        agg = agg.join(allowed, "docid", "leftsemi")
+        if docmap_positive_filtered(plan):
+            allowed = dm.filter(docmap_filter_cond(plan)).select("docid")
+            agg = agg.join(allowed, "docid", "leftsemi")
+        else:
+            # exclusion-only: anti-join against the EXCLUDED subset —
+            # the join build side is sized by what's banned, not by the
+            # corpus (the semi-join complement would be ≈N rows)
+            banned = dm.filter(docmap_exclusion_cond(plan)).select("docid")
+            agg = agg.join(banned, "docid", "left_anti")
 
     if _match_set:
         # full unordered match set (facets/analytics): no global sort, no
@@ -1045,7 +1052,10 @@ def docmap_filter_cond(plan: QueryPlan) -> F.Column:
     for col, v in plan.fieldmatch_excludes:
         c = (F.concat_ws("/", "repo", "path") if col == "url"
              else F.col(col))
-        cond = cond & (c != F.lit(v))
+        # null-safe: the exclusion must be the exact complement of the
+        # positive filter, so a NULL column value passes (c != v would
+        # evaluate NULL → dropped from BOTH sides)
+        cond = cond & ~c.eqNullSafe(F.lit(v))
     return cond
 
 
@@ -1056,6 +1066,42 @@ def docmap_filtered(plan: QueryPlan) -> bool:
                 or plan.site_excludes or plan.ext_excludes
                 or plan.docid_excludes or plan.sha_excludes
                 or plan.fieldmatch_excludes)
+
+
+def docmap_positive_filtered(plan: QueryPlan) -> bool:
+    """True when the plan carries a POSITIVE (whitelist-shaped) docmap
+    filter. ``num_filters`` count as positive regardless of comparison
+    direction — a range restriction is only servable as a whitelist."""
+    return bool(plan.site_filters or plan.ext_filters or plan.sha_filters
+                or plan.num_filters or plan.fieldmatch_filters)
+
+
+def docmap_exclusion_cond(plan: QueryPlan) -> "F.Column | None":
+    """Predicate that a doc IS EXCLUDED by the minus-signed filter ops
+    (None when the plan has none) — the complement piece of
+    :func:`docmap_filter_cond`, exposed separately so the WAND path can
+    fetch the (small) blocklist for exclusion-only plans instead of
+    materializing a corpus-sized whitelist complement."""
+    conds = []
+    if plan.site_excludes:
+        conds.append(F.col("repo").isin(list(plan.site_excludes)))
+    for e in plan.ext_excludes:
+        conds.append(F.col("path").endswith("." + e))
+    if plan.sha_excludes:
+        conds.append(F.col("content_sha256").isin(list(plan.sha_excludes)))
+    for col, v in plan.fieldmatch_excludes:
+        c = (F.concat_ws("/", "repo", "path") if col == "url"
+             else F.col(col))
+        conds.append(c.eqNullSafe(F.lit(v)))
+    if plan.docid_excludes:
+        conds.append(F.col("docid").isin(
+            [int(d) for d in plan.docid_excludes]))
+    if not conds:
+        return None
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
 
 
 def _serving_docmap(spark: SparkSession, h: "IndexHandle | str",

@@ -190,7 +190,7 @@ def search(
     dedup_url: bool = False,
     family_filter: bool = False,          # m_familyFilter (&ff=1)
     adult_flags=None,                     # docid-keyed adult-bit side table
-    tags=None,                            # tagdb table (manualban exclusion)
+    tags=None,                            # tagdb table OR pre-resolved ban list
     url_overrides=None,                   # urlresultoverride.txt rows/dict
     lang_overrides=None,                  # lang|title|summary template rows
     blocked_pred=None,                    # 'cannot show content' predicate
@@ -236,6 +236,12 @@ def search(
         query, prepend=prepend, any_terms=any_terms, plus=plus, minus=minus,
         quote1=quote1, quote2=quote2, filetype=filetype, gblang=gblang,
         link=link)
+    if spell_check and fmt not in ("json", "xml", "html"):
+        # loud rather than silently dropped: csv is rows-only and a
+        # DataFrame result has no page to carry the recommendation
+        raise ValueError(
+            f"spell_check needs a page format that carries didYouMean "
+            f"(json/xml/html), got fmt={fmt!r}")
     if family_filter:
         # m_familyFilter: skip results whose cluster-rec adult bit is set
         # (/root/reference/Msg3a.cpp:810-812); the bit lives in a
@@ -283,10 +289,18 @@ def search(
         # tagdb manualban (/root/reference/PageResults.cpp:1574 admin ban
         # link; Parms.cpp:11508 tag:manualban==1): banned sites leave the
         # result stream via the same J6 exclusion predicate as -site:, so
-        # both physical paths honor the ban
-        from .tagdb import banned_sites, expand_banned_repos
+        # both physical paths honor the ban. A serving loop should resolve
+        # the tag table ONCE (tagdb.banned_sites + expand_banned_repos are
+        # two small Spark jobs) and pass the resulting repo list here —
+        # a list/tuple/set is used as the pre-resolved ban list directly.
+        if isinstance(tags, (list, tuple, set, frozenset)):
+            banned = sorted(tags)
+        else:
+            from .tagdb import banned_sites, expand_banned_repos
 
-        for b in expand_banned_repos(spark, index_dir, banned_sites(tags)):
+            banned = expand_banned_repos(spark, index_dir,
+                                         banned_sites(tags))
+        for b in banned:
             if b not in plan.site_excludes:
                 plan.site_excludes.append(b)
     if _stat_info is not None:
@@ -364,12 +378,7 @@ def search(
                 "(built store_content=False)")
         # rarity-first term order — the reference weights rare terms
         # higher when scoring summary windows (Summary.cpp:181)
-        toks: list[tuple[int, str]] = []
-        seen: set[str] = set()
-        for t in plan.required:
-            if t.field is None and not t.is_bigram and t.token not in seen:
-                seen.add(t.token)
-                toks.append((int(t.termid), t.token))
+        toks = plan.bare_required_words()
         if toks:
             dfs = cached_handle(spark, index_dir).term_dfs(
                 spark, [tid for tid, _ in toks])

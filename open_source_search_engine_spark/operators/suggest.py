@@ -130,12 +130,7 @@ def did_you_mean(spark, index_dir: str, plan, query: str,
 
     if not catalog.table_exists(index_dir, "suggest_index"):
         return None
-    words: list[tuple[int, str]] = []
-    seen: set[str] = set()
-    for t in plan.required:
-        if t.field is None and not t.is_bigram and t.token not in seen:
-            seen.add(t.token)
-            words.append((int(t.termid), t.token))
+    words = plan.bare_required_words()
     if not words or len(words) > max_terms:
         return None
     dfs = cached_handle(spark, index_dir).term_dfs(
@@ -149,8 +144,23 @@ def did_you_mean(spark, index_dir: str, plan, query: str,
             fixes[tok] = top[0]["token"]
     if not fixes:
         return None
-    out = query
-    for tok, rep in fixes.items():
-        out = re.sub(rf"(?<!\w){re.escape(tok)}(?!\w)", rep, out,
-                     flags=re.IGNORECASE)
+    # rewrite only BARE segments: quoted phrases pass through verbatim, and
+    # any whitespace-token containing ':' is a field operator whose value
+    # must never be touched (site:binnary-utils is an address, not a typo)
+    pats = {tok: re.compile(rf"(?<!\w){re.escape(tok)}(?!\w)", re.IGNORECASE)
+            for tok in fixes}
+
+    def fix_bare(segment: str) -> str:
+        parts = re.split(r"(\s+)", segment)
+        for i, p in enumerate(parts):
+            if not p or p.isspace() or ":" in p:
+                continue
+            for tok, rep in fixes.items():
+                p = pats[tok].sub(rep, p)
+            parts[i] = p
+        return "".join(parts)
+
+    segments = re.split(r'("[^"]*")', query)
+    out = "".join(s if s.startswith('"') else fix_bare(s)
+                  for s in segments if s is not None)
     return out if out != query else None

@@ -136,21 +136,30 @@ def load_allowed_docids(spark, index_dir: str, plan: QueryPlan):
     ``site:`` query keeps block-max pruning instead of falling back to a
     full declarative decode.
 
-    Budgeted like the delete state: a whitelist past
+    EXCLUSION-ONLY plans (just -site:/-ext:/-gbdocid:/... and no positive
+    filter) return a BLOCKLIST instead: the excluded docid set itself —
+    size ∝ what is excluded, never the corpus-sized whitelist complement
+    (excluding one docid must not collect N−1 docids to the driver).
+
+    Budgeted like the delete state: either side table past
     ``WAND_SIDE_TABLE_MAX`` docids raises :class:`SideTableTooLarge` and
     serving falls back to the declarative semi-join path (which handles any
-    cardinality). Returns a SORTED unique int64 array; empty array = the
+    cardinality). Returns ``(allowed, blocked)`` — SORTED unique int64
+    arrays or None; at most one is not None. An empty ``allowed`` = the
     filter matches nothing."""
     import numpy as np
 
     from .index_build import load_superseded
     from .query_engine import (
-        _serving_docmap, docmap_filter_cond, docmap_filtered,
+        _serving_docmap, docmap_exclusion_cond, docmap_filter_cond,
+        docmap_positive_filtered,
     )
 
-    if docmap_filtered(plan):
+    allowed = blocked = None
+    if docmap_positive_filtered(plan):
         # newest-generation rows only (M7): a reindexed doc's stale docmap
-        # row must not whitelist its docid pre-compaction
+        # row must not whitelist its docid pre-compaction. The combined
+        # predicate already folds any exclusions in.
         sup = load_superseded(spark, index_dir)
         dm = (
             _serving_docmap(spark, index_dir, sup)
@@ -162,12 +171,27 @@ def load_allowed_docids(spark, index_dir: str, plan: QueryPlan):
         if len(pdf) > WAND_SIDE_TABLE_MAX:
             raise SideTableTooLarge("docmap-whitelist")
         allowed = np.unique(pdf["docid"].to_numpy(np.int64))
-    else:
-        allowed = None
+    elif docmap_exclusion_cond(plan) is not None:
+        if not (plan.site_excludes or plan.ext_excludes or plan.sha_excludes
+                or plan.fieldmatch_excludes):
+            # pure -gbdocid:/-url: exclusion — no Spark job at all
+            blocked = np.unique(np.asarray(plan.docid_excludes, np.int64))
+        else:
+            sup = load_superseded(spark, index_dir)
+            dm = (
+                _serving_docmap(spark, index_dir, sup)
+                .filter(docmap_exclusion_cond(plan))
+                .select("docid")
+                .limit(WAND_SIDE_TABLE_MAX + 1)
+            )
+            pdf = dm.toPandas()
+            if len(pdf) > WAND_SIDE_TABLE_MAX:
+                raise SideTableTooLarge("docmap-blocklist")
+            blocked = np.unique(pdf["docid"].to_numpy(np.int64))
     if plan.docid_filter is not None:
         pin = np.array([int(plan.docid_filter)], dtype=np.int64)
         allowed = pin if allowed is None else np.intersect1d(allowed, pin)
-    return allowed
+    return allowed, blocked
 
 
 def _phrases_wand_expressible(plan: QueryPlan) -> bool:
@@ -380,6 +404,7 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
     sup_d = meta.get("sup_d")
     sup_g = meta.get("sup_g")
     allowed = meta.get("allowed")  # sorted whitelist docids (None = all)
+    blocked = meta.get("blocked")  # sorted blocklist docids (None = none)
     cell_w = (DOCID_MASK + n_cells) // n_cells
 
     # quoted-phrase member lists keep word positions through decode
@@ -395,7 +420,8 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
     def filt(d, gen_seq):
         """Whitelist + tombstone + newest-generation keep MASK for one
         decoded run (None = keep all)."""
-        if (tomb is None and sup_d is None and allowed is None) or not len(d):
+        if (tomb is None and sup_d is None and allowed is None
+                and blocked is None) or not len(d):
             return None
         keep = np.ones(len(d), dtype=bool)
         if allowed is not None:
@@ -404,6 +430,9 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
                 keep &= allowed[ix] == d
             else:
                 keep[:] = False
+        if blocked is not None and len(blocked):
+            ix = np.minimum(np.searchsorted(blocked, d), len(blocked) - 1)
+            keep &= blocked[ix] != d
         if tomb is not None:
             keep &= ~np.isin(d, tomb)
         if sup_d is not None:
@@ -739,7 +768,8 @@ def wand_topk(
     meta["ranker"] = ranker
     tomb, sup_d, sup_g = load_delete_state(index_dir)
     meta["tomb"], meta["sup_d"], meta["sup_g"] = tomb, sup_d, sup_g
-    meta["allowed"] = load_allowed_docids(spark, index_dir, plan)
+    meta["allowed"], meta["blocked"] = load_allowed_docids(
+        spark, index_dir, plan)
     meta["cursor"] = ((float(cursor[0]), int(cursor[1]))
                       if cursor is not None else None)
 

@@ -224,20 +224,44 @@ class OracleIndex:
             universe &= {plan.docid_filter}
         if plan.site_filters:
             universe = {d for d in universe if self.docs[d].repo in plan.site_filters}
+        if plan.site_excludes:
+            universe = {d for d in universe
+                        if self.docs[d].repo not in plan.site_excludes}
         if plan.ext_filters:
             universe = {
                 d for d in universe
                 if any(self.docs[d].path.endswith("." + e) for e in plan.ext_filters)
             }
+        if plan.ext_excludes:
+            universe = {
+                d for d in universe
+                if not any(self.docs[d].path.endswith("." + e)
+                           for e in plan.ext_excludes)
+            }
+        if plan.docid_excludes:
+            universe -= set(plan.docid_excludes)
         if plan.sha_filters:
             universe = {d for d in universe
                         if self.docs[d].content_sha256 in plan.sha_filters}
+        if plan.sha_excludes:
+            universe = {d for d in universe
+                        if self.docs[d].content_sha256 not in plan.sha_excludes}
+        _num_ops = {">=": lambda a, b: a >= b, "<=": lambda a, b: a <= b,
+                    ">": lambda a, b: a > b, "<": lambda a, b: a < b}
         for col, op, v in plan.num_filters:
             universe = {
-                d for d in universe
-                if (self._num_value(d, col) >= v if op == ">="
-                    else self._num_value(d, col) <= v)
+                d for d in universe if _num_ops[op](self._num_value(d, col), v)
             }
+
+        def fm_value(d: int, col: str) -> str:
+            doc = self.docs[d]
+            return f"{doc.repo}/{doc.path}" if col == "url" \
+                else getattr(doc, col)
+
+        for col, v in plan.fieldmatch_filters:
+            universe = {d for d in universe if fm_value(d, col) == v}
+        for col, v in plan.fieldmatch_excludes:
+            universe = {d for d in universe if fm_value(d, col) != v}
 
         cands: list[int] = []
         for d in universe:

@@ -212,6 +212,20 @@ class QueryPlan:
     def excluded(self) -> list[TermSpec]:
         return [t for t in self.terms if t.excluded]
 
+    def bare_required_words(self) -> list[tuple[int, str]]:
+        """(termid, token) per distinct REQUIRED bare body word (no field,
+        not a bigram), first-appearance order — the field-op-free word set
+        the reference keeps in m_qbuf2 (SearchInput.h:9); shared by the
+        summary-window and spell surfaces so they can never disagree on
+        what counts as a bare query word."""
+        out: list[tuple[int, str]] = []
+        seen: set[str] = set()
+        for t in self.required:
+            if t.field is None and not t.is_bigram and t.token not in seen:
+                seen.add(t.token)
+                out.append((int(t.termid), t.token))
+        return out
+
     @property
     def optional(self) -> list[TermSpec]:
         return [t for t in self.terms if not t.required and not t.excluded]
@@ -264,6 +278,11 @@ def _lex(q: str) -> list[str]:
     out = []
     for m in _LEX_RE.finditer(q):
         tok = m.group(0)
+        # -(...) negates the group (same as NOT (...)): split the sign off
+        # so it can't glue to the paren and silently drop the negation
+        while tok.startswith("-(") and len(tok) > 2:
+            out.append("NOT")
+            tok = tok[1:]
         # split word-adjacent parens: foo) / (foo
         while tok.startswith("(") and len(tok) > 1:
             out.append("(")
@@ -645,13 +664,27 @@ class _PlanBuilder:
             return leaves[0]
         return Node("or" if negated else "and", tuple(leaves))
 
-    def build(self, tree, negated: bool = False):
+    _FILTER_KINDS = frozenset(
+        ("site", "ext", "docid", "url", "sha", "num", "fieldmatch", "sortby"))
+
+    def build(self, tree, negated: bool = False, in_or: bool = False):
         """Parse tree → NNF expression over specs, registering specs/filters
-        as a side effect."""
+        as a side effect. ``in_or`` marks subtrees under an effective-OR
+        node: filter operators (site:/ext:/gbdocid:/... — collected on the
+        plan as one conjunctive document predicate, not expression leaves)
+        cannot express OR semantics there, so they raise rather than
+        silently binding conjunctively (this includes De Morgan flips:
+        ``-(site:a ext:py)`` is NOT(AND) == OR of the negations)."""
         if tree is None:
             return None
         if isinstance(tree, _Atom):
             neg = negated ^ tree.negated
+            if in_or and tree.kind in self._FILTER_KINDS:
+                raise QueryParseError(
+                    f"{tree.kind} filter operators cannot appear inside an "
+                    "OR group (document filters apply conjunctively); "
+                    "restructure the query or use the boolean form over "
+                    "indexed field terms")
             if tree.kind == "word":
                 return self.word_leaves(tree, neg)
             if tree.kind == "phrase":
@@ -729,10 +762,12 @@ class _PlanBuilder:
                 return None
             return None
         if tree.op == "not":
-            return self.build(tree.children[0], not negated)
+            return self.build(tree.children[0], not negated, in_or)
         op = tree.op if not negated else ("or" if tree.op == "and" else "and")
+        child_in_or = in_or or (op == "or" and len(tree.children) > 1)
         kids = tuple(
-            c for c in (self.build(ch, negated) for ch in tree.children)
+            c for c in (self.build(ch, negated, child_in_or)
+                        for ch in tree.children)
             if c is not None
         )
         if not kids:

@@ -4,6 +4,7 @@ previously parsed as their positive forms. Exclusions ride the shared J6
 docmap predicate, so both physical paths and the batch path honor them."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from open_source_search_engine_spark.plans.plan import parse_query
 
@@ -124,3 +125,43 @@ def test_neg_contenthash_excludes_doc(spark, index_dir):
     neg = topk(spark, index_dir, f"binary -gbcontenthash:{sha}", 20,
                dedup_content=False).collect()
     assert sha not in {r["content_sha256"] for r in neg}
+
+
+def test_filter_ops_under_or_raise():
+    from open_source_search_engine_spark.plans.plan import QueryParseError
+
+    for q in ("a OR site:x", "a OR (b ext:py)", "-(site:a ext:py)",
+              "gbmin:size:5 OR b", "a | gbsortby:size"):
+        with pytest.raises(QueryParseError):
+            parse_query(q)
+    # NOT(OR) De-Morgans to a conjunction — filters there are sound
+    p = parse_query("binary -(site:a OR junk)")
+    assert p.site_excludes == ["a"]
+
+
+def test_wand_blocklist_not_whitelist(spark, index_dir):
+    """Exclusion-only plans must ship the (small) excluded set, never the
+    corpus-sized whitelist complement."""
+    from open_source_search_engine_spark.operators.wand import (
+        load_allowed_docids,
+    )
+
+    allowed, blocked = load_allowed_docids(
+        spark, index_dir, parse_query("binary -gbdocid:77"))
+    assert allowed is None and list(blocked) == [77]
+
+    allowed, blocked = load_allowed_docids(
+        spark, index_dir, parse_query("binary -site:org0/repo0"))
+    assert allowed is None and blocked is not None
+    # blocked holds just the excluded repo's docs — far below corpus size
+    from open_source_search_engine_spark.operators.query_engine import (
+        _serving_docmap,
+    )
+    dm = _serving_docmap(spark, index_dir, None)
+    n_excl = dm.filter(F.col("repo") == "org0/repo0").count()
+    n_all = dm.count()
+    assert 0 < len(blocked) == n_excl < n_all
+
+    allowed, blocked = load_allowed_docids(
+        spark, index_dir, parse_query("binary site:org0/repo0"))
+    assert blocked is None and allowed is not None

@@ -21,6 +21,9 @@ QUERY_SET = [
     "file.open()",                # API-like tokenization
     "to be",                      # stop-word bigram attach
     "zzz_nonexistent",            # zero results
+    "binary -site:org0/repo0",    # minus-signed site filter
+    "value -ext:py",              # minus-signed ext filter
+    "binary -gbmax:size:400",     # strict-complement numeric filter
 ]
 
 

@@ -211,3 +211,32 @@ def test_did_you_mean_xml_and_html(spark, suggest_ready_index):
     html = search(spark, suggest_ready_index, "binnary search",
                   spell_check=True, fmt="html")
     assert "Did you mean: <i>binary search</i>" in html
+
+
+def test_did_you_mean_never_touches_field_values(spark, suggest_ready_index):
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    page = json.loads(search(
+        spark, suggest_ready_index, "binnary site:binnary/utils",
+        spell_check=True, fmt="json"))
+    # the bare word is fixed; the site: value with the same token is not
+    assert page["didYouMean"] == "binary site:binnary/utils"
+
+
+def test_did_you_mean_skips_quoted_phrases(spark, suggest_ready_index):
+    from open_source_search_engine_spark.operators.suggest import did_you_mean
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    q = '"binnary inside quotes" binnary'
+    out = did_you_mean(spark, suggest_ready_index, parse_query(q), q)
+    assert out == '"binnary inside quotes" binary'
+
+
+def test_spell_check_requires_carrying_format(spark, suggest_ready_index):
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    with pytest.raises(ValueError, match="spell_check"):
+        search(spark, suggest_ready_index, "binnary", spell_check=True)
+    with pytest.raises(ValueError, match="spell_check"):
+        search(spark, suggest_ready_index, "binnary", spell_check=True,
+               fmt="csv")

@@ -100,3 +100,14 @@ def test_ban_budget_guard(spark, monkeypatch, tags):
     monkeypatch.setattr(tagdb, "BAN_LIST_MAX", 1)
     with pytest.raises(ValueError, match="BAN_LIST_MAX"):
         tagdb.banned_sites(tags)
+
+
+def test_search_accepts_preresolved_ban_list(spark, index_dir):
+    from open_source_search_engine_spark.operators.searchapi import search
+
+    base = search(spark, index_dir, "binary", docs_wanted=50,
+                  do_dup_content_removal=False).collect()
+    victim = sorted({r["repo"] for r in base})[0]
+    got = search(spark, index_dir, "binary", docs_wanted=50,
+                 do_dup_content_removal=False, tags=[victim]).collect()
+    assert got and all(r["repo"] != victim for r in got)
