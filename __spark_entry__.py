@@ -1238,6 +1238,82 @@ def _q_engine_site_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_query("site:src3 hash table")(spark, sf_dir)
 
 
+def _q_engine_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score transparency (SearchInput::m_getDocIdScoringInfo,
+    /root/reference/SearchInput.h:146; Msg39 ptr_scoreInfo
+    /root/reference/Msg39.h:114; DocIdScore /root/reference/PosdbTable.h:
+    221-299): per-term component rows for the 'hash table' top-10 page.
+    The oracle recomputes each component (tf, idf·tfnorm contribution)
+    from the raw text with the same float arithmetic."""
+    from open_source_search_engine_spark.operators.explain import (
+        explain_scores,
+    )
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    exp = explain_scores(spark, idx, "hash table", 10)
+    agg = (exp.groupBy("docid", "repo", "path", "token")
+           .agg(F.sum("contrib").alias("c"),
+                F.sum("tf").cast("long").alias("tf")))
+    return doc_id_from_path(agg).select(
+        "doc_id", "token", "tf", F.round("c", 6).alias("contrib_r"))
+
+
+_EXPLAIN_SQL = f"""
+WITH{TOKS_CTE},
+base AS (SELECT count(*) AS n, (sum(len(t)) / count(*)) AS avgdl FROM toks),
+occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ
+       WHERE tok IN ('hash', 'table') GROUP BY 1, 2),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+dd AS (SELECT doc_id, len(t) AS dl FROM toks),
+big0 AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(t)),
+                         i -> t[i] = 'hash' AND t[i+1] = 'table')) AS tf
+  FROM toks
+  WHERE len(list_filter(range(1, len(t)),
+                        i -> t[i] = 'hash' AND t[i+1] = 'table')) > 0
+),
+bigdf0 AS (SELECT count(*) AS df FROM big0),
+scored AS (
+  SELECT dd.doc_id,
+         f0.tf AS tf_hash,
+         ({_IDF.format(n='b.n', df='x0.df')}
+          * {_TFNORM.format(tf='f0.tf', dl='dd.dl', avgdl='b.avgdl')}) AS c_hash,
+         f1.tf AS tf_table,
+         ({_IDF.format(n='b.n', df='x1.df')}
+          * {_TFNORM.format(tf='f1.tf', dl='dd.dl', avgdl='b.avgdl')}) AS c_table,
+         bg0.tf AS tf_big,
+         (CASE WHEN bg0.tf IS NOT NULL THEN
+            (5.0 * {_IDF.format(n='b.n', df='bd0.df')})
+            * {_TFNORM.format(tf='bg0.tf', dl='dd.dl', avgdl='b.avgdl')}
+          ELSE 0.0 END) AS c_big
+  FROM dd
+  JOIN tf f0 ON f0.doc_id = dd.doc_id AND f0.tok = 'hash'
+  CROSS JOIN (SELECT df FROM dfs WHERE tok = 'hash') x0
+  JOIN tf f1 ON f1.doc_id = dd.doc_id AND f1.tok = 'table'
+  CROSS JOIN (SELECT df FROM dfs WHERE tok = 'table') x1
+  LEFT JOIN big0 bg0 ON bg0.doc_id = dd.doc_id
+  CROSS JOIN bigdf0 bd0
+  CROSS JOIN base b
+),
+top AS (
+  SELECT * FROM scored
+  ORDER BY (c_hash + c_table + c_big) DESC, doc_id LIMIT 10
+)
+SELECT doc_id, 'hash' AS token, tf_hash::BIGINT AS tf,
+       round(c_hash, 6) AS contrib_r FROM top
+UNION ALL
+SELECT doc_id, 'table', tf_table::BIGINT, round(c_table, 6) FROM top
+UNION ALL
+SELECT doc_id, 'hash table', tf_big::BIGINT, round(c_big, 6)
+FROM top WHERE tf_big IS NOT NULL
+"""
+
+
 def _q_engine_tagdb_ban(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagdb manualban serving exclusion (/root/reference/Tagdb.cpp;
     PageResults.cpp:1574 admin ban link; Parms.cpp:11508 tag:manualban==1):
@@ -2818,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_site_filter": _q_engine_site_filter,
         "engine_site_not": _engine_query("hash table -site:src3"),
         "engine_tagdb_ban": _q_engine_tagdb_ban,
+        "engine_explain": _q_engine_explain,
         "engine_sites": _q_engine_sites,
         "engine_contenthash": _q_engine_contenthash,
         "engine_proximity": _q_engine_proximity,
@@ -3021,6 +3098,9 @@ FROM ({_bm25_sql(['hash', 'table'], bigram=('hash', 'table'))}) s
 JOIN documents dd ON dd.doc_id = s.doc_id
 WHERE dd.source <> 'src3'
 """,
+        # score transparency: per-term components of the top-10 page,
+        # recomputed from raw text with the same float arithmetic
+        "engine_explain": _EXPLAIN_SQL,
         # tagdb manualban: newest-tag-wins resolution (arg_max) over a
         # literal tag table, then the same anti-filter as -site:
         "engine_tagdb_ban": f"""

@@ -1,0 +1,82 @@
+"""Per-result score transparency — the reference's "get scoring info"
+surface (SearchInput::m_getDocIdScoringInfo /root/reference/SearchInput.h:146,
+shipped per result as Msg39's ``ptr_scoreInfo`` /root/reference/Msg39.h:114
+and structured as DocIdScore / SingleScore lists,
+/root/reference/PosdbTable.h:221-299; PageResults renders the breakdown
+table).
+
+:func:`explain_scores` returns, for every result on the bounded top-k page,
+one row per (term spec, field) carrying the EXACT float components the
+engine's membership aggregation summed: tf, dl, the driver-precomputed
+``weight·idf`` product, and the contribution ``weight·idf·tfnorm``. Row
+sums reproduce the pre-multiplier score bit-for-bit (the same canonical
+(termid, field) addition order); the residual doc-level multiplier
+(&qlang language weighting — the only post-aggregation factor on the pure
+path) is disclosed per doc as ``doc_multiplier``.
+
+Scale shape: the component pass is ONE declarative run of the same
+decode → spec-join plan the query itself uses (bucket-pruned scan, no
+WAND truncation so every page doc's rows exist), semi-joined down to the
+≤k page docids — output is (k × terms × fields) rows, never corpus-scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.plan import QueryPlan, parse_query
+
+
+def explain_scores(
+    spark: SparkSession,
+    index_dir: str,
+    query: "str | QueryPlan",
+    k: int = 10,
+    *,
+    handle=None,
+    ranker: str = "bm25",
+) -> DataFrame:
+    """(rank, docid, score, repo, path, spec_id, token, weight, field, tf,
+    dl, weight_idf, contrib, doc_multiplier) for the top-k page of
+    ``query``. ``contrib`` values for one docid sum to
+    ``score / doc_multiplier`` exactly."""
+    from .query_engine import topk
+
+    plan = parse_query(query) if isinstance(query, str) else query
+    page = topk(spark, index_dir, plan, k, handle=handle, ranker=ranker)
+    comp = topk(spark, index_dir, plan, k, handle=handle, ranker=ranker,
+                prune=False, _explain=True)
+
+    spec_meta = spark.createDataFrame(
+        [(i, t.token, float(t.weight), bool(t.is_bigram), bool(t.excluded))
+         for i, t in enumerate(plan.terms)],
+        "spec_id int, token string, weight double, is_bigram boolean, "
+        "excluded boolean")
+
+    joined = (
+        comp.join(F.broadcast(page.select("rank", "docid", "score",
+                                          "repo", "path")),
+                  "docid", "inner")
+        .join(F.broadcast(spec_meta), "spec_id", "inner")
+    )
+    # the only post-aggregation factor on this serving path is the &qlang
+    # doc-language multiplier; disclose it as score / Σ contrib (exactly
+    # 1.0 when the query carries no qlang — the sum here replays the
+    # engine's canonical (termid, field)-sorted addition order, so the
+    # division is float-exact, not within-one-ulp)
+    sums = joined.groupBy("docid").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(
+                F.struct("termid", "field", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("_csum"))
+    out = joined.join(F.broadcast(sums), "docid", "inner").withColumn(
+        "doc_multiplier",
+        F.when(F.col("_csum") != 0.0,
+               F.col("score") / F.col("_csum")).otherwise(F.lit(1.0)))
+    return out.select(
+        "rank", "docid", "score", "repo", "path", "spec_id", "termid",
+        "token", "weight", "is_bigram", "excluded", "field", "tf", "dl",
+        "weight_idf", "contrib", "doc_multiplier",
+    ).orderBy("rank", "spec_id", "field")

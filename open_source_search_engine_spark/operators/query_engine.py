@@ -430,6 +430,7 @@ def topk(
     ranker: str = "bm25",
     use_shortcuts: bool = False,
     _match_set: bool = False,
+    _explain: bool = False,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame
     (rank, docid, score, repo, path, content_sha256).
@@ -538,7 +539,7 @@ def topk(
     from .index_build import load_superseded
     from .wand import wand_eligible, wand_topk
 
-    if (prune and not _match_set and temperature is None
+    if (prune and not _match_set and not _explain and temperature is None
             and repo_rank is None
             and ranker in ("bm25", "bm25_ranks")
             and wand_eligible(plan, k, cursor)):
@@ -645,6 +646,16 @@ def topk(
     # their 0.0 contribution is exact under float addition
     matched = matched.withColumn(
         "contrib", F.col("wid") * _tfnorm_expr(h.avgdl, tf))
+
+    if _explain:
+        # score transparency (internal; operators/explain.py is the
+        # surface): one row per (docid, spec, field) carrying the EXACT
+        # float components the membership aggregation sums — the Msg39
+        # ptr_scoreInfo / DocIdScore analog
+        # (/root/reference/PosdbTable.h:221-299)
+        return matched.select(
+            "docid", "spec_id", "termid", "field", "tf", "dl",
+            F.col("wid").alias("weight_idf"), "contrib")
 
     # membership flags + canonical-order score sum in ONE aggregation; when
     # the query has quoted phrases, the members' stored position arrays ride

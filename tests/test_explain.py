@@ -1,0 +1,66 @@
+"""Score transparency (Msg39 ptr_scoreInfo / DocIdScore analog): the
+per-term component rows must reconstruct the served scores exactly."""
+
+import math
+
+import pytest
+
+
+def _page(spark, index_dir, q, k=10):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    return topk(spark, index_dir, q, k).collect()
+
+
+def test_components_sum_to_score(spark, index_dir):
+    from open_source_search_engine_spark.operators.explain import (
+        explain_scores,
+    )
+
+    page = _page(spark, index_dir, "binary search")
+    rows = explain_scores(spark, index_dir, "binary search", 10).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["docid"], []).append(r)
+    assert set(by_doc) == {r["docid"] for r in page}
+    for p in page:
+        comps = by_doc[p["docid"]]
+        # canonical (termid, field) ascending addition order — same floats
+        total = 0.0
+        for r in sorted(comps, key=lambda r: (r["termid"], r["field"])):
+            total += r["contrib"]
+        assert total * comps[0]["doc_multiplier"] == pytest.approx(
+            p["score"], rel=1e-12)
+        assert comps[0]["doc_multiplier"] == 1.0  # no qlang on this query
+
+
+def test_explain_carries_term_identity(spark, index_dir):
+    from open_source_search_engine_spark.operators.explain import (
+        explain_scores,
+    )
+
+    rows = explain_scores(spark, index_dir, "binary search", 5).collect()
+    toks = {r["token"] for r in rows}
+    assert {"binary", "search", "binary search"} <= toks  # incl. bigram
+    big = [r for r in rows if r["is_bigram"]]
+    assert all(r["token"] == "binary search" for r in big)
+    for r in rows:
+        assert r["tf"] >= 1
+        assert r["weight_idf"] >= 0.0
+        assert math.isfinite(r["contrib"])
+
+
+def test_explain_discloses_qlang_multiplier(spark, index_dir):
+    from open_source_search_engine_spark.operators.explain import (
+        explain_scores,
+    )
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    plan = parse_query("binary search", query_lang="py")
+    rows = explain_scores(spark, index_dir, plan, 10).collect()
+    assert rows
+    mults = {r["doc_multiplier"] for r in rows}
+    # normalized weights: 1.0 (same lang), 10/20 (und), 1/20 (other)
+    for m in mults:
+        assert any(abs(m - x) < 1e-9 for x in (1.0, 0.5, 0.05))
