@@ -175,8 +175,14 @@ def batch_topk(
            .select("qidx", "docid", (F.col("score") * mult).alias("score")))
 
     # per-query docmap filters (J6 analog): semi-join on (qidx, docid) built
-    # from the union of each filtered query's allowed set
-    from .query_engine import docmap_filter_cond, docmap_filtered
+    # from the union of each positively-filtered query's allowed set;
+    # exclusion-ONLY queries anti-join their (small) banned set instead —
+    # same split as the single-query path, so the build side is sized by
+    # what the filters name, never by the corpus complement
+    from .query_engine import (
+        docmap_exclusion_cond, docmap_filter_cond, docmap_filtered,
+        docmap_positive_filtered,
+    )
 
     filtered = [(qidx, p) for qidx, p in live if docmap_filtered(p)]
     if filtered:
@@ -184,17 +190,31 @@ def batch_topk(
 
         # newest-generation rows only (M7), same as the single-query path
         dm = _serving_docmap(spark, h, sup)
-        allowed = None
+        allowed = banned = None
+        semi_qidx, anti_qidx = [], []
         for qidx, p in filtered:
-            a = (dm.filter(docmap_filter_cond(p))
-                 .select(F.lit(qidx).alias("qidx"), "docid"))
-            allowed = a if allowed is None else allowed.unionByName(a)
-        f_qidx = [qidx for qidx, _ in filtered]
-        agg = (
-            agg.filter(F.col("qidx").isin(f_qidx))
-            .join(allowed, ["qidx", "docid"], "leftsemi")
-            .unionByName(agg.filter(~F.col("qidx").isin(f_qidx)))
-        )
+            if docmap_positive_filtered(p):
+                a = (dm.filter(docmap_filter_cond(p))
+                     .select(F.lit(qidx).alias("qidx"), "docid"))
+                allowed = a if allowed is None else allowed.unionByName(a)
+                semi_qidx.append(qidx)
+            else:
+                b = (dm.filter(docmap_exclusion_cond(p))
+                     .select(F.lit(qidx).alias("qidx"), "docid"))
+                banned = b if banned is None else banned.unionByName(b)
+                anti_qidx.append(qidx)
+        parts = [agg.filter(~F.col("qidx").isin(semi_qidx + anti_qidx))]
+        if semi_qidx:
+            parts.append(
+                agg.filter(F.col("qidx").isin(semi_qidx))
+                .join(allowed, ["qidx", "docid"], "leftsemi"))
+        if anti_qidx:
+            parts.append(
+                agg.filter(F.col("qidx").isin(anti_qidx))
+                .join(banned, ["qidx", "docid"], "left_anti"))
+        agg = parts[0]
+        for pdf in parts[1:]:
+            agg = agg.unionByName(pdf)
 
     # ---- per-query top-k + one docmap join ----
     w = Window.partitionBy("qidx").orderBy(F.desc("score"), F.asc("docid"))

@@ -151,3 +151,20 @@ def test_batch_labels_validation(spark, index_dir):
 
     with pytest.raises(ValueError):
         batch_topk(spark, index_dir, ["a", "b"], labels=["only-one"])
+
+
+def test_batch_exclusion_only_query_matches_topk(spark, index_dir):
+    """A minus-filter-only query must produce the same page through the
+    batch path (anti-join tier) as through topk."""
+    from open_source_search_engine_spark.operators.batch import batch_topk
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    qs = ["binary -site:org0/repo0", "binary site:org0/repo0", "search"]
+    rows = batch_topk(spark, index_dir, qs, 10, labels=qs).collect()
+    by_q: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: r["rank"]):
+        by_q.setdefault(r["qid"], []).append((r["docid"], r["score"]))
+    for q in qs:
+        single = [(r["docid"], r["score"]) for r in
+                  topk(spark, index_dir, q, 10).collect()]
+        assert by_q.get(q, []) == single, q
