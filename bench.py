@@ -123,6 +123,29 @@ def main() -> None:
         times.append(time.time() - t0)
     queries["q_bm25_proximity"] = round(statistics.median(times), 3)
 
+    # score transparency (ptr_scoreInfo analog): page + component pass
+    from open_source_search_engine_spark.operators.explain import (
+        explain_scores,
+    )
+
+    explain_scores(spark, idx, "hash table", 10, handle=handle).collect()
+    times = []
+    for _ in range(repeat):
+        t0 = time.time()
+        explain_scores(spark, idx, "hash table", 10, handle=handle).collect()
+        times.append(time.time() - t0)
+    queries["q_explain"] = round(statistics.median(times), 3)
+
+    # a minus-site exclusion query (blocklist tier on the WAND path)
+    topk(spark, idx, "hash table -site:src3", 10, handle=handle).collect()
+    times = []
+    for _ in range(repeat):
+        t0 = time.time()
+        topk(spark, idx, "hash table -site:src3", 10,
+             handle=handle).collect()
+        times.append(time.time() - t0)
+    queries["q_bm25_site_not"] = round(statistics.median(times), 3)
+
     # batch serving: the same 7 queries in ONE shared scan+decode pass
     # (operators/batch.py) — the throughput mode for query logs / offline
     # evaluation. Amortization = sum of the per-query medians / batch time.
