@@ -123,6 +123,42 @@ def main() -> None:
     if "CartesianProduct" in p:
         failures.append("dedup_against plan contains a cartesian product")
 
+    # 9: DSIR resample — model joins broadcast, selection is TakeOrdered
+    # (per-partition heaps), never a global sort or cartesian
+    from open_source_search_engine_spark.operators import dsir
+
+    model = dsir.train_dsir(
+        docs.filter(F.col("source") == "src0").select("doc_id", "text"),
+        docs.filter(F.col("source") == "src3").select("doc_id", "text"),
+        n_buckets=1024)
+    ds = dsir.dsir_resample(docs.select("doc_id", "text"), model, 50)
+    p = show("DSIR Gumbel top-k resample", ds)
+    if "TakeOrderedAndProject" not in p:
+        failures.append("dsir_resample selection is not TakeOrdered")
+    if "CartesianProduct" in p:
+        failures.append("dsir_resample plan contains a cartesian product")
+    if "BroadcastHashJoin" not in p:
+        failures.append("dsir log-ratio join is not broadcast")
+
+    # 10: exclusion-only declarative query — the banned set anti-joins
+    # (build side sized by the exclusion, never the corpus complement)
+    qn = topk(spark, idx, "hash -site:src3", 10, prune=False)
+    p = show("exclusion-only query (declarative anti-join tier)", qn)
+    if "LeftAnti" not in p:
+        failures.append("exclusion-only filter is not an anti-join")
+
+    # 11: score transparency — page & spec joins broadcast, no cartesian
+    from open_source_search_engine_spark.operators.explain import (
+        explain_scores,
+    )
+
+    ep = explain_scores(spark, idx, "hash table", 10)
+    p = show("score transparency component rows", ep)
+    if "CartesianProduct" in p:
+        failures.append("explain plan contains a cartesian product")
+    if "BroadcastHashJoin" not in p:
+        failures.append("explain page/spec joins are not broadcast")
+
     print("\n" + "=" * 72)
     if failures:
         print("PLAN AUDIT FAILURES:")
