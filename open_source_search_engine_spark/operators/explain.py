@@ -38,14 +38,38 @@ def explain_scores(
 ) -> DataFrame:
     """(rank, docid, score, repo, path, spec_id, token, weight, field, tf,
     dl, weight_idf, contrib, doc_multiplier) for the top-k page of
-    ``query``. ``contrib`` values for one docid sum to
-    ``score / doc_multiplier`` exactly."""
+    ``query``. Without ``query_lang`` the disclosure is float-exact:
+    ``Σ contrib`` in canonical (termid, field) order reproduces ``score``
+    bit-for-bit and ``doc_multiplier`` is exactly 1.0; with a qlang
+    multiplier the division re-rounds once, so reconstruction is within
+    one ulp (the 1.0 and 0.5 weights stay exact — powers of two)."""
     from .query_engine import topk
 
     plan = parse_query(query) if isinstance(query, str) else query
-    page = topk(spark, index_dir, plan, k, handle=handle, ranker=ranker)
+    _PAGE_SCHEMA = ("rank int, docid long, score double, repo string, "
+                    "path string")
+    _EMPTY = (
+        "rank int, docid long, score double, repo string, path string, "
+        "spec_id int, termid long, token string, weight double, "
+        "is_bigram boolean, excluded boolean, field int, tf long, dl long, "
+        "weight_idf double, contrib double, doc_multiplier double")
+    if not plan.required or plan.expr is None:
+        # no positive membership (e.g. a pure '-term' query): topk serves
+        # zero rows, so the transparency surface is the empty page too
+        return spark.createDataFrame([], _EMPTY)
+    # execute the page ONCE and carry the ≤k rows as a literal — the final
+    # plan then contains exactly one component pass, not a replay of the
+    # page's decode subtree per reference
+    prows = topk(spark, index_dir, plan, k, handle=handle, ranker=ranker) \
+        .select("rank", "docid", "score", "repo", "path").collect()
+    if not prows:
+        return spark.createDataFrame([], _EMPTY)
+    page = spark.createDataFrame(prows, _PAGE_SCHEMA)
+    # prune=True keeps the lossless block-range prune: page docs contain
+    # every required term, so their component rows survive pruning by
+    # construction (the WAND path is already disabled by _explain)
     comp = topk(spark, index_dir, plan, k, handle=handle, ranker=ranker,
-                prune=False, _explain=True)
+                prune=True, _explain=True)
 
     spec_meta = spark.createDataFrame(
         [(i, t.token, float(t.weight), bool(t.is_bigram), bool(t.excluded))
@@ -54,24 +78,24 @@ def explain_scores(
         "excluded boolean")
 
     joined = (
-        comp.join(F.broadcast(page.select("rank", "docid", "score",
-                                          "repo", "path")),
-                  "docid", "inner")
+        comp.join(F.broadcast(page), "docid", "inner")
         .join(F.broadcast(spec_meta), "spec_id", "inner")
     )
     # the only post-aggregation factor on this serving path is the &qlang
-    # doc-language multiplier; disclose it as score / Σ contrib (exactly
-    # 1.0 when the query carries no qlang — the sum here replays the
-    # engine's canonical (termid, field)-sorted addition order, so the
-    # division is float-exact, not within-one-ulp)
-    sums = joined.groupBy("docid").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(
-                F.struct("termid", "field", "contrib"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["contrib"],
-        ).alias("_csum"))
-    out = joined.join(F.broadcast(sums), "docid", "inner").withColumn(
+    # doc-language multiplier; disclose it as score / Σ contrib with the
+    # sum replaying the engine's canonical (termid, field)-sorted addition
+    # order. A window (not a self-join) keeps the component decode subtree
+    # referenced ONCE in the plan.
+    from pyspark.sql import Window
+
+    csum = F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct("termid", "field", "contrib"))
+            .over(Window.partitionBy("docid"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["contrib"],
+    )
+    out = joined.withColumn("_csum", csum).withColumn(
         "doc_multiplier",
         F.when(F.col("_csum") != 0.0,
                F.col("score") / F.col("_csum")).otherwise(F.lit(1.0)))

@@ -64,3 +64,30 @@ def test_explain_discloses_qlang_multiplier(spark, index_dir):
     # normalized weights: 1.0 (same lang), 10/20 (und), 1/20 (other)
     for m in mults:
         assert any(abs(m - x) < 1e-9 for x in (1.0, 0.5, 0.05))
+
+
+def test_explain_empty_plan_returns_empty(spark, index_dir):
+    from open_source_search_engine_spark.operators.explain import (
+        explain_scores,
+    )
+
+    out = explain_scores(spark, index_dir, "-binary", 10)
+    assert out.count() == 0
+    assert "contrib" in out.columns  # stable schema, not a page stub
+    out2 = explain_scores(spark, index_dir, "zzz_nonexistent_term_q", 10)
+    assert out2.count() == 0
+
+
+def test_explain_single_component_pass(spark, index_dir):
+    """The final plan must not replay the corpus-scale decode: exactly one
+    MapInPandas decode node (the component pass) after the page collect."""
+    from open_source_search_engine_spark.operators.explain import (
+        explain_scores,
+    )
+
+    import re
+
+    df = explain_scores(spark, index_dir, "binary search", 10)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
