@@ -636,10 +636,11 @@ def _q_engine_gbsortby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     idx = ensure_index(spark, sf_dir)
-    # k=20 cuts at a tie-free size boundary for the sf0.01 'hash table'
-    # match set (rank-20 size 520 is unique; rank-21 is 519) — the top-20
-    # SET is well-defined even though sizes tie inside it
-    res = topk(spark, idx, "hash gbsortby:size table", 20)
+    # k=10 cuts at a tie-free size boundary at ALL THREE test scales
+    # (verified against the sf0.001/0.01/0.1 match sets; the earlier k=20
+    # boundary was tie-free only at sf0.01) — the top-10 SET is
+    # well-defined even though sizes tie inside it
+    res = topk(spark, idx, "hash gbsortby:size table", 10)
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.length("text").alias("size"))
     return (
@@ -3051,7 +3052,7 @@ SELECT s.doc_id, length(d.text) AS size, s.score_r, s.content_sha256
 FROM ({_bm25_sql(['hash', 'table'])}) s
 JOIN documents d ON d.doc_id = s.doc_id
 ORDER BY length(d.text) DESC
-LIMIT 20
+LIMIT 10
 """,
         "engine_siterank": _siterank_sql(),
         "engine_boolean_nested": _NESTED_OR_SQL,
