@@ -45,7 +45,7 @@ from pyspark.sql.window import Window
 
 from ..plans.plan import QueryPlan, parse_query
 from ..sources import catalog
-from .index_build import load_superseded, load_tombstones, serving_segments
+from .index_build import load_superseded, load_tombstones
 from .query_engine import (
     DECODED_SCHEMA,
     _decode_udf,
@@ -94,7 +94,7 @@ def batch_topk(
     dfs = h.term_dfs(spark, all_tids)
 
     # ---- one scan, one decode, for every query ----
-    seg = serving_segments(spark, h.index_dir).drop("rankbuf")
+    seg = h.serving_segments_df(spark).drop("rankbuf")
     n_buckets = int(catalog.index_layout(h.index_dir)["n_buckets"])
     buckets = sorted({t % n_buckets for t in all_tids})
     seg = seg.filter(F.col("bucket").isin(buckets)).filter(

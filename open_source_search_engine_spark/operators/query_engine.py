@@ -89,6 +89,47 @@ class IndexHandle:
 
     def __post_init__(self) -> None:
         self._df_cache: dict[int, int] = {}
+        # memoized serving-view DataFrames (below): the dominant WARM-query
+        # driver cost was re-running spark.read.parquet per request — JVM
+        # file listing + schema inference, ~250 ms per table on this host
+        self._seg_cache: "tuple | None" = None
+        self._docmap_cache: "tuple | None" = None
+
+    def _table_version(self, tables: tuple[str, ...]) -> tuple:
+        import os
+
+        out = []
+        for t in tables:
+            try:
+                out.append(os.path.getmtime(
+                    catalog.table_path(self.index_dir, t)))
+            except OSError:
+                out.append(-1.0)
+        return tuple(out)
+
+    def serving_segments_df(self, spark: SparkSession) -> DataFrame:
+        """Memoized :func:`..operators.index_build.serving_segments` view.
+        Keyed by the (compacted, segments) directory mtimes: every mutation
+        path creates or swaps a subdirectory there (append_generation /
+        streaming batches add ``gen=``/``gen=s`` dirs, compaction atomically
+        replaces ``compacted``), so a stale file listing cannot be served.
+        Deletes don't touch segment files (tombstones are a side table read
+        per query) — unaffected by this cache."""
+        key = self._table_version(("compacted", "segments"))
+        if self._seg_cache is None or self._seg_cache[0] != key:
+            self._seg_cache = (key, serving_segments(spark, self.index_dir))
+        return self._seg_cache[1]
+
+    def docmap_df(self, spark: SparkSession) -> DataFrame:
+        """Memoized RAW docmap read (newest-generation filtering happens on
+        top, per query — it depends on the live superseded side table).
+        Keyed by the docmap directory mtime (generation appends add
+        ``gen=`` subdirs; compaction rewrites the directory)."""
+        key = self._table_version(("docmap",))
+        if self._docmap_cache is None or self._docmap_cache[0] != key:
+            self._docmap_cache = (key, spark.read.parquet(
+                catalog.table_path(self.index_dir, "docmap")))
+        return self._docmap_cache[1]
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "IndexHandle":
@@ -518,7 +559,7 @@ def topk(
     all_tids = sorted({t.termid for t in plan.terms})
     dfs = h.term_dfs(spark, all_tids)
 
-    seg = serving_segments(spark, h.index_dir)
+    seg = h.serving_segments_df(spark)
     n_buckets = int(catalog.index_layout(h.index_dir)["n_buckets"])
     buckets = sorted({t % n_buckets for t in all_tids})
     seg = seg.filter(F.col("bucket").isin(buckets)).filter(
@@ -1121,8 +1162,10 @@ def _serving_docmap(spark: SparkSession, h: "IndexHandle | str",
     every generation until compaction rewrites docmap — keep the newest.
     Accepts an IndexHandle or a bare index_dir (the WAND whitelist fetch
     has no handle)."""
-    index_dir = h if isinstance(h, str) else h.index_dir
-    docmap = spark.read.parquet(catalog.table_path(index_dir, "docmap"))
+    if isinstance(h, str):
+        docmap = spark.read.parquet(catalog.table_path(h, "docmap"))
+    else:
+        docmap = h.docmap_df(spark)
     if sup is not None:
         sup_b = F.broadcast(sup.withColumnRenamed("gen_seq", "_newest"))
         docmap = (
