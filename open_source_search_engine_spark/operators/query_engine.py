@@ -589,7 +589,7 @@ def topk(
         try:
             top = (
                 wand_topk(spark, seg, plan, dfs, h.n_docs, h.avgdl,
-                          h.index_dir, k, n_cells=wand_cells,
+                          h, k, n_cells=wand_cells,
                           decode_counters=wand_counters, cursor=cursor,
                           ranker=ranker)
                 .orderBy(F.desc("score"), F.asc("docid")).limit(k)

@@ -127,7 +127,7 @@ def load_delete_state(index_dir: str):
     return tomb_d, sup_d, sup_g
 
 
-def load_allowed_docids(spark, index_dir: str, plan: QueryPlan):
+def load_allowed_docids(spark, h, plan: QueryPlan):
     """Whitelist docid array for doc-filtered queries — the J6 site/ext/sha
     filters, the gbmin:/gbmax: numeric docmap filters and the gbdocid: pin
     applied INSIDE the intersection, as the
@@ -155,6 +155,7 @@ def load_allowed_docids(spark, index_dir: str, plan: QueryPlan):
         docmap_positive_filtered,
     )
 
+    index_dir = h if isinstance(h, str) else h.index_dir
     allowed = blocked = None
     if docmap_positive_filtered(plan):
         # newest-generation rows only (M7): a reindexed doc's stale docmap
@@ -162,7 +163,7 @@ def load_allowed_docids(spark, index_dir: str, plan: QueryPlan):
         # predicate already folds any exclusions in.
         sup = load_superseded(spark, index_dir)
         dm = (
-            _serving_docmap(spark, index_dir, sup)
+            _serving_docmap(spark, h, sup)
             .filter(docmap_filter_cond(plan))
             .select("docid")
             .limit(WAND_SIDE_TABLE_MAX + 1)
@@ -179,7 +180,7 @@ def load_allowed_docids(spark, index_dir: str, plan: QueryPlan):
         else:
             sup = load_superseded(spark, index_dir)
             dm = (
-                _serving_docmap(spark, index_dir, sup)
+                _serving_docmap(spark, h, sup)
                 .filter(docmap_exclusion_cond(plan))
                 .select("docid")
                 .limit(WAND_SIDE_TABLE_MAX + 1)
@@ -735,7 +736,7 @@ def wand_topk(
     dfs: dict[int, int],
     n_docs: int,
     avgdl: dict,
-    index_dir: str,
+    index_dir,
     k: int,
     *,
     n_cells: int | None = None,
@@ -766,7 +767,8 @@ def wand_topk(
         n_cells = max(1, min(par, (total_df + 16383) // 16384))
     meta = _build_query_meta(plan, dfs, n_docs, avgdl)
     meta["ranker"] = ranker
-    tomb, sup_d, sup_g = load_delete_state(index_dir)
+    _idir = index_dir if isinstance(index_dir, str) else index_dir.index_dir
+    tomb, sup_d, sup_g = load_delete_state(_idir)
     meta["tomb"], meta["sup_d"], meta["sup_g"] = tomb, sup_d, sup_g
     meta["allowed"], meta["blocked"] = load_allowed_docids(
         spark, index_dir, plan)
