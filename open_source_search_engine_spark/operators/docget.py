@@ -34,6 +34,7 @@ def get_doc(
     docid: int | None = None,
     url: str | None = None,
     query: str | None = None,
+    handle=None,
 ) -> dict | None:
     """Fetch one stored document by docid or url. Returns
     ``{docId, url, title, lang, content_sha256, size, content[,
@@ -56,7 +57,12 @@ def get_doc(
             "store_content=False)")
 
     from .index_build import load_superseded, load_tombstones
-    from .query_engine import _serving_docmap
+    from .query_engine import _serving_docmap, cached_handle
+
+    # a serving loop passes (or gets) the cached handle so the repeated
+    # /get requests skip per-call parquet re-listing (same mtime-keyed
+    # invalidation as the query path)
+    h = handle or cached_handle(spark, index_dir)
 
     tomb = load_tombstones(spark, index_dir)
     if tomb is not None and tomb.filter(F.col("docid") == docid).head(1):
@@ -64,7 +70,7 @@ def get_doc(
 
     sup = load_superseded(spark, index_dir)
     meta = (
-        _serving_docmap(spark, index_dir, sup)
+        _serving_docmap(spark, h, sup)
         .filter(F.col("docid") == docid)
         .head(1)
     )
@@ -73,7 +79,7 @@ def get_doc(
     m = meta[0].asDict()
 
     ds = (
-        catalog.read_table(spark, index_dir, "docstore")
+        h.docstore_df(spark)
         .filter(F.col("docid") == docid)
     )
     gen = m.get("gen_seq")

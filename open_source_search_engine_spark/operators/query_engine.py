@@ -94,6 +94,7 @@ class IndexHandle:
         # file listing + schema inference, ~250 ms per table on this host
         self._seg_cache: "tuple | None" = None
         self._docmap_cache: "tuple | None" = None
+        self._docstore_cache: "tuple | None" = None
 
     def _table_version(self, tables: tuple[str, ...]) -> tuple:
         import os
@@ -130,6 +131,15 @@ class IndexHandle:
             self._docmap_cache = (key, spark.read.parquet(
                 catalog.table_path(self.index_dir, "docmap")))
         return self._docmap_cache[1]
+
+    def docstore_df(self, spark: SparkSession) -> DataFrame:
+        """Memoized RAW docstore read for the /get point-lookup path —
+        same mtime-keyed invalidation as the docmap."""
+        key = self._table_version(("docstore",))
+        if self._docstore_cache is None or self._docstore_cache[0] != key:
+            self._docstore_cache = (key, spark.read.parquet(
+                catalog.table_path(self.index_dir, "docstore")))
+        return self._docstore_cache[1]
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "IndexHandle":
