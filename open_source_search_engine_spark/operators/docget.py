@@ -111,32 +111,36 @@ def get_doc(
     return out
 
 
-def docstore_df(spark: SparkSession, index_dir: str) -> DataFrame:
+def docstore_df(spark: SparkSession, index_dir: str,
+                handle=None) -> DataFrame:
     """The serving doc-text table (docid, content), newest generation per
     docid — the default ``doc_text`` source for snippets/summary-dedup when
     the index stores content."""
     from .index_build import load_superseded
-    from .query_engine import _serving_docmap
+    from .query_engine import _serving_docmap, cached_handle
 
-    ds = catalog.read_table(spark, index_dir, "docstore")
-    dm = (_serving_docmap(spark, index_dir,
-                          load_superseded(spark, index_dir))
+    h = handle or cached_handle(spark, index_dir)
+    ds = h.docstore_df(spark)
+    dm = (_serving_docmap(spark, h, load_superseded(spark, index_dir))
           .select("docid", "gen_seq"))
     return (ds.join(dm, ["docid", "gen_seq"], "left_semi")
             .select("docid", "content"))
 
 
-def doc_text_df(spark: SparkSession, index_dir: str) -> DataFrame:
+def doc_text_df(spark: SparkSession, index_dir: str,
+                handle=None) -> DataFrame:
     """(repo, path, content) — the ``doc_text`` shape the summary-dedup and
     snippet consumers take (operators/query_engine.py _dedup_summaries),
-    served from the index's own doc store."""
+    served from the index's own doc store. Uses the cached handle's
+    memoized frames (mtime-keyed) so per-request SERP snippet passes skip
+    parquet re-listing."""
     from .index_build import load_superseded
-    from .query_engine import _serving_docmap
+    from .query_engine import _serving_docmap, cached_handle
 
-    dm = (_serving_docmap(spark, index_dir,
-                          load_superseded(spark, index_dir))
+    h = handle or cached_handle(spark, index_dir)
+    dm = (_serving_docmap(spark, h, load_superseded(spark, index_dir))
           .select("docid", "gen_seq", "repo", "path"))
-    return (catalog.read_table(spark, index_dir, "docstore")
+    return (h.docstore_df(spark)
             .join(dm, ["docid", "gen_seq"], "inner")
             .select("repo", "path", "content"))
 
