@@ -2622,6 +2622,64 @@ def _q_engine_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_from_index(spark, idx, "vectr", 5)
 
 
+def _q_engine_spell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end "did you mean" flow (m_qbuf2 spell surface,
+    /root/reference/SearchInput.h:9): a query of two UNKNOWN words is
+    corrected word-by-word from the delete-neighbourhood dictionary
+    (df-ranked, levenshtein-verified), and the recommendation is a live
+    query. The oracle recomputes each correction with DuckDB's own
+    levenshtein over the corpus vocabulary and counts the corrected
+    query's conjunctive match set."""
+    import json as _json
+
+    from open_source_search_engine_spark.operators.searchapi import search
+    from open_source_search_engine_spark.operators.suggest import (
+        materialize_suggest,
+    )
+    from open_source_search_engine_spark.sources import catalog
+    from open_source_search_engine_spark.sources.testdata import ensure_index
+
+    idx = ensure_index(spark, sf_dir)
+    if not catalog.table_exists(idx, "suggest_index"):
+        materialize_suggest(spark, idx, _docs(spark, sf_dir))
+    page = _json.loads(search(spark, idx, "hashh tble",
+                              spell_check=True, fmt="json"))
+    dym = page.get("didYouMean", "")
+    fixed_hits = 0
+    if dym:
+        fixed = _json.loads(search(
+            spark, idx, dym, docs_wanted=1_000_000,
+            do_site_clustering=False, do_dup_content_removal=False,
+            fmt="json"))
+        fixed_hits = int(fixed["hits"])
+    return spark.createDataFrame(
+        [(dym, int(page["hits"]), fixed_hits)],
+        "did_you_mean string, hits long, fixed_hits long")
+
+
+_SPELL_SQL = f"""
+WITH{TOKS_CTE},
+vocab AS (
+  SELECT tok, count(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)
+  GROUP BY 1
+),
+miss(word) AS (VALUES ('hashh'), ('tble')),
+fix AS (
+  SELECT word, tok FROM (
+    SELECT m.word, v.tok,
+           row_number() OVER (PARTITION BY m.word
+                              ORDER BY v.df DESC, v.tok) AS rn
+    FROM miss m JOIN vocab v ON levenshtein(v.tok, m.word) <= 1
+  ) WHERE rn = 1
+)
+SELECT (SELECT tok FROM fix WHERE word = 'hashh') || ' ' ||
+       (SELECT tok FROM fix WHERE word = 'tble') AS did_you_mean,
+       0::BIGINT AS hits,
+       (SELECT count(*) FROM ({{base}}) b)::BIGINT AS fixed_hits
+"""
+
+
 def _q_engine_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7/T6 synonym expansion (/root/reference/Query.cpp:1008-1035, weight
     0.9 per /root/reference/Parms.cpp:3883-3893): parse_query with expansion
@@ -2916,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_snippets": _q_engine_snippets,
         "engine_snippets_multi": _q_engine_snippets_multi,
         "engine_suggest": _q_engine_suggest,
+        "engine_spell": _q_engine_spell,
         "engine_synonyms": _q_engine_synonyms,
         "engine_variations": _q_engine_variations,
         "engine_variations_irregular": _q_engine_variations_irregular,
@@ -3232,6 +3291,8 @@ SELECT token, df FROM vocab
 WHERE levenshtein(token, 'vectr') <= 1
 ORDER BY df DESC, token LIMIT 5
 """,
+        "engine_spell": _SPELL_SQL.format(
+            base=_bm25_sql(["hash", "table"])),
         "engine_synonyms": _bm25_sql([], or_group=[("sort", 1.0)] + [
             (s, 0.9) for s in __import__(
                 "open_source_search_engine_spark.functions.synonyms",
