@@ -642,11 +642,11 @@ def write_docstore(part: DataFrame, index_dir: str, gen: str) -> None:
     min/max stats on the sorted docid column are the Titledb key lookup).
     Rows carry gen_seq so serving can pick each docid's newest version
     before compaction rewrites the table (M7)."""
-    catalog.write_table(
+    catalog.write_gen(
         part.select("docid", "content")
         .withColumn("gen_seq", F.lit(int(gen_seq_of(gen))))
         .sortWithinPartitions("docid"),
-        index_dir, f"docstore/gen={gen}",
+        index_dir, "docstore", gen,
     )
 
 
@@ -782,12 +782,12 @@ def build_index(
         register_generation(
             spark, index_dir, part.select("docid"), gen_seq_of(str(chunk))
         )
-        catalog.write_table(
+        catalog.write_gen(
             part.select("docid", "repo", "path", "lang", "content_sha256",
                         F.length("content").alias("size"))
             .withColumn("gen_seq", F.lit(gen_seq_of(str(chunk))))
             .observe(obs_docs, F.count(F.lit(1)).alias("n")),
-            index_dir, f"docmap/gen={chunk}",
+            index_dir, "docmap", str(chunk),
         )
         n_docs = int(obs_docs.get["n"])
         if store_content:
@@ -811,7 +811,7 @@ def build_index(
             mapped.filter(F.col("kind") == SLAB_TERM_DF),
             partitions=min(partitions, n_buckets), out_cols=("termid", "df"),
         )
-        catalog.write_table(term_stats, index_dir, f"term_stats_partial/gen={chunk}")
+        catalog.write_gen(term_stats, index_dir, "term_stats_partial", str(chunk))
         # per-field (docs, sum dl) partials → avgdl at finalize (tiny: one
         # slab pair per map task — summed on the driver)
         fd: dict[int, int] = {}
@@ -825,7 +825,7 @@ def build_index(
             [(int(k), int(fd.get(k, 0)), int(fl_sums.get(k, 0))) for k in sorted(set(fd) | set(fl_sums))],
             "field int, n_docs long, sum_dl long",
         )
-        catalog.write_table(field_stats, index_dir, f"field_stats/gen={chunk}")
+        catalog.write_gen(field_stats, index_dir, "field_stats", str(chunk))
         mark("term_stats", tp)
 
         # shuffle packed slabs → merge per (termid, field, salt) → write;
@@ -835,10 +835,10 @@ def build_index(
             block_docs=block_docs,
         ).withColumn("bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
         obs_seg = Observation()
-        catalog.write_table(
+        catalog.write_gen(
             seg.observe(obs_seg, F.sum(F.length("postings")).alias("b"),
                         F.sum("n_postings").alias("np")),
-            index_dir, f"segments/gen={chunk}", partition_by=["bucket"],
+            index_dir, "segments", str(chunk), partition_by=["bucket"],
         )
         bytes_out = int(obs_seg.get["b"] or 0)
         n_postings = int(obs_seg.get["np"] or 0)

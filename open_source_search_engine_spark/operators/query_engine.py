@@ -97,23 +97,52 @@ class IndexHandle:
         self._docstore_cache: "tuple | None" = None
 
     def _table_version(self, tables: tuple[str, ...]) -> tuple:
+        """Version key for serving-frame memoization. Two layers:
+
+        * the table directory mtime (bumps on any subdir create/swap), and
+        * per ``gen=`` subdir: (name, its mtime, its ``_SUCCESS`` mtime or
+          -1 if the write hasn't committed).
+
+        Generation appends now publish via ``catalog.write_gen`` (staged +
+        renamed, so partial listings can't be observed at all); the
+        ``_SUCCESS``-aware key is defense in depth for any direct in-place
+        writer — a listing taken mid-write carries ``(gen, _, -1)`` and so
+        can never collide with the committed version's key."""
         import os
 
         out = []
         for t in tables:
+            p = catalog.table_path(self.index_dir, t)
             try:
-                out.append(os.path.getmtime(
-                    catalog.table_path(self.index_dir, t)))
+                out.append(os.path.getmtime(p))
             except OSError:
                 out.append(-1.0)
+                continue
+            try:
+                subs = sorted(d for d in os.listdir(p) if d.startswith("gen="))
+            except OSError:
+                continue
+            for d in subs:
+                gp = os.path.join(p, d)
+                try:
+                    gm = os.path.getmtime(gp)
+                except OSError:
+                    gm = -1.0
+                try:
+                    sm = os.path.getmtime(os.path.join(gp, "_SUCCESS"))
+                except OSError:
+                    sm = -1.0
+                out.append((d, gm, sm))
         return tuple(out)
 
     def serving_segments_df(self, spark: SparkSession) -> DataFrame:
         """Memoized :func:`..operators.index_build.serving_segments` view.
-        Keyed by the (compacted, segments) directory mtimes: every mutation
-        path creates or swaps a subdirectory there (append_generation /
-        streaming batches add ``gen=``/``gen=s`` dirs, compaction atomically
-        replaces ``compacted``), so a stale file listing cannot be served.
+        Keyed by :meth:`_table_version` over (compacted, segments): every
+        mutation path publishes atomically (append_generation / streaming
+        batches stage + rename ``gen=`` dirs via ``catalog.write_gen``,
+        compaction atomically replaces ``compacted``) and the key also
+        folds in per-generation ``_SUCCESS`` markers, so a partial file
+        listing can neither be observed nor cached under a final key.
         Deletes don't touch segment files (tombstones are a side table read
         per query) — unaffected by this cache."""
         key = self._table_version(("compacted", "segments"))
@@ -1066,6 +1095,11 @@ def _docmap_num_col(name: str) -> F.Column:
         # compaction rewrites docmap keeping each doc's newest row, so the
         # value survives as the doc's last index epoch
         return F.col("gen_seq")
+    # NOTE: every docmap numeric column today (size, gen_seq) is always
+    # populated. If a NULLABLE numeric column is ever added, negated num
+    # filters must become null-safe — the strict complement of `c >= v` is
+    # `(c < v) | c.isNull()`, and the DuckDB oracles must change with it
+    # (fieldmatch excludes already use eqNullSafe for this reason).
     return F.col(name)
 
 

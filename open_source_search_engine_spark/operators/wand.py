@@ -145,8 +145,11 @@ def load_allowed_docids(spark, h, plan: QueryPlan):
     ``WAND_SIDE_TABLE_MAX`` docids raises :class:`SideTableTooLarge` and
     serving falls back to the declarative semi-join path (which handles any
     cardinality). Returns ``(allowed, blocked)`` — SORTED unique int64
-    arrays or None; at most one is not None. An empty ``allowed`` = the
-    filter matches nothing."""
+    arrays or None. Usually only one is set, but a ``gbdocid:`` pin
+    combined with exclusion-only docmap filters (``gbdocid:5 -site:x``)
+    returns BOTH: the pin as ``allowed`` plus the exclusion set as
+    ``blocked`` — the cell scorer applies both (allowed ∧ ¬blocked). An
+    empty ``allowed`` = the filter matches nothing."""
     import numpy as np
 
     from .index_build import load_superseded

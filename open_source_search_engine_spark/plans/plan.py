@@ -280,7 +280,10 @@ def _lex(q: str) -> list[str]:
         tok = m.group(0)
         # -(...) negates the group (same as NOT (...)): split the sign off
         # so it can't glue to the paren and silently drop the negation
-        while tok.startswith("-(") and len(tok) > 2:
+        # len >= 2 so a bare "-(" (spaced form: `x -( foo bar )`) still
+        # emits NOT + "(" instead of surviving as a bogus term and
+        # silently turning the group's members into REQUIRED terms
+        while tok.startswith("-(") and len(tok) >= 2:
             out.append("NOT")
             tok = tok[1:]
         # split word-adjacent parens: foo) / (foo

@@ -100,6 +100,43 @@ def write_table(df: DataFrame, index_dir: str, name: str, *,
     w.parquet(table_path(index_dir, name))
 
 
+def write_gen(df: DataFrame, index_dir: str, table: str, gen: str, *,
+              partition_by: list[str] | None = None) -> None:
+    """Atomically publish one generation subdir ``<table>/gen=<gen>``.
+
+    Generations used to be written in place, which bumps the table
+    directory's mtime when the ``gen=`` dir is CREATED — before the data
+    commits. A serving process whose DataFrame cache is keyed on that mtime
+    could list the table mid-write and cache a partial file set under the
+    table's FINAL version key (durable staleness; transient staleness is
+    fine, durable is not). Staging the write under ``_staging/`` and
+    ``os.rename``-ing the finished directory in makes publication atomic:
+    a concurrent reader sees either no generation or all of it, and the
+    table mtime only changes once the data is complete. The reference has
+    the same discipline: RdbDump writes file Fn fully before RdbBase
+    registers it (/root/reference/RdbDump.cpp)."""
+    import shutil
+
+    stage = os.path.join(
+        index_dir, "_staging", f"{table}__gen_{gen}".replace("/", "_"))
+    shutil.rmtree(stage, ignore_errors=True)
+    spark = df.sparkSession
+    spark.sparkContext._jsc.hadoopConfiguration().set(  # noqa: SLF001
+        "mapreduce.fileoutputcommitter.algorithm.version", "2"
+    )
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(stage)
+    dest_dir = table_path(index_dir, table)
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, f"gen={gen}")
+    # a resumed chunk re-run replaces its own (possibly partial) generation
+    shutil.rmtree(dest, ignore_errors=True)
+    os.rename(stage, dest)
+    spark.catalog.refreshByPath(dest_dir)
+
+
 def read_table(spark: SparkSession, index_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(index_dir, name))
 

@@ -193,11 +193,11 @@ def append_generation(
     # newest-generation-wins bookkeeping (M7): re-added docids get a
     # superseded row pointing here; pending tombstones on them clear
     register_generation(spark, index_dir, part.select("docid"), gen_seq_of(gen))
-    catalog.write_table(
+    catalog.write_gen(
         part.select("docid", "repo", "path", "lang", "content_sha256",
                     F.length("content").alias("size"))
         .withColumn("gen_seq", F.lit(int(gen_seq_of(gen)))),
-        index_dir, f"docmap/gen={gen}",
+        index_dir, "docmap", gen,
     )
     # stored-doc table (Titledb analog) — only if the base build wrote one,
     # so a content-less index stays content-less across streaming appends
@@ -205,11 +205,11 @@ def append_generation(
         write_docstore(part, index_dir, gen)
     mapped = map_encode(part, n_buckets=n_buckets).persist()
     mapped.count()
-    catalog.write_table(
+    catalog.write_gen(
         sum_count_slabs(mapped.filter(F.col("kind") == SLAB_TERM_DF),
                         partitions=min(nparts, n_buckets),
                         out_cols=("termid", "df")),
-        index_dir, f"term_stats_partial/gen={gen}",
+        index_dir, "term_stats_partial", gen,
     )
     fd, fdl = {}, {}
     for r in mapped.filter(F.col("kind").isin(SLAB_FIELD_DOCS, SLAB_FIELD_DL)).collect():
@@ -217,13 +217,13 @@ def append_generation(
         tgt = fd if r["kind"] == SLAB_FIELD_DOCS else fdl
         for k, c in zip(keys, counts):
             tgt[int(k)] = tgt.get(int(k), 0) + int(c)
-    catalog.write_table(
+    catalog.write_gen(
         spark.createDataFrame(
             [(int(k), int(fd.get(k, 0)), int(fdl.get(k, 0)))
              for k in sorted(set(fd) | set(fdl))],
             "field int, n_docs long, sum_dl long",
         ),
-        index_dir, f"field_stats/gen={gen}",
+        index_dir, "field_stats", gen,
     )
     seg = merge_partial_segments(
         mapped.filter(F.col("kind") == SLAB_BLOCKS), partitions=nparts
@@ -231,9 +231,9 @@ def append_generation(
     from pyspark.sql import Observation
 
     obs = Observation()
-    catalog.write_table(
+    catalog.write_gen(
         seg.observe(obs, F.sum("n_postings").alias("np")),
-        index_dir, f"segments/gen={gen}", partition_by=["bucket"],
+        index_dir, "segments", gen, partition_by=["bucket"],
     )
     n_post = int(obs.get["np"] or 0)
     elapsed = time.time() - t0

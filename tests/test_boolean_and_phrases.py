@@ -102,6 +102,26 @@ def test_engine_matches_oracle(spark, mini, q):
     _match(spark, mini, q)
 
 
+def test_spaced_group_negation_lexes_as_not(spark, mini):
+    """`x -( foo bar )` — the bare '-(' token (spaced form) must lex to
+    NOT + '(' exactly like the glued '-(foo bar)' form; the old len>2
+    guard skipped it and the group members silently became REQUIRED."""
+    from open_source_search_engine_spark.plans.plan import _lex
+
+    assert _lex("x -( foo bar )") == ["x", "NOT", "(", "foo", "bar", ")"]
+    assert _lex("x -(foo bar)") == ["x", "NOT", "(", "foo", "bar", ")"]
+    # end-to-end: spaced form ≡ NOT (...) ≡ glued form
+    idx, _ = mini
+    spaced = _run(spark, idx, "sort -( alpha beta )")
+    glued = _run(spark, idx, "sort -(alpha beta)")
+    kw = _run(spark, idx, "sort NOT (alpha beta)")
+    assert spaced == glued == kw
+    # and the negation actually excludes: docs matching (alpha AND beta)
+    # are gone from the result
+    both = {d for d, _, _ in _run(spark, idx, "sort alpha beta")}
+    assert both and both.isdisjoint({d for d, _, _ in spaced})
+
+
 def test_phrase3_positional_not_bigram_chain(spark, mini):
     """doc0 contains 'alpha beta' AND 'beta gamma' on different lines — the
     old bigram-chain encoding wrongly matched it for the 3-word phrase; the
