@@ -83,6 +83,43 @@ def main() -> None:
     idx = build_trial()
     m, cm = build_trial.m, build_trial.cm
 
+    # ---- UTF-8 batch tokenizer on a non-ASCII-heavy corpus -------------
+    # The batch scanner used to route any non-ASCII doc through the
+    # per-doc scalar Python tokenizer; it now rides the same numpy byte
+    # scan. Fixed deterministic workload: 2000 mixed-script docs (~50%
+    # non-ASCII bytes), timed through index_batch directly (the exact
+    # kernel map_encode runs per Arrow batch).
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+    from open_source_search_engine_spark.functions.tokenizer_batch import (
+        index_batch,
+    )
+
+    _snips = [
+        "αναζήτηση μηχανή ευρετήριο κείμενο βαθμολογία όρος",
+        "поиск индекс документ запрос частота слово",
+        "検索エンジン 転置索引 形態素 解析 単語 頻度",
+        "搜索引擎 倒排索引 分词 查询 评分 词频",
+        "öffnen straße größe naïve café résumé déjà",
+        "def tokenize(text): return [t.lower() for t in text.split()]",
+        "while (count < limit) { total += weights[i]; i++; }",
+    ]
+    _docs = []
+    for i in range(2000):
+        parts = [_snips[(i + j) % len(_snips)] for j in range(12)]
+        _docs.append((" ".join(parts[:3]) + "\n" + "\n".join(parts[3:])))
+    _repos = [f"org{i % 7}/repo{i % 13}" for i in range(2000)]
+    _paths = [f"src/m{i}.py" for i in range(2000)]
+    _langs = ["py"] * 2000
+    _dids = [docid_for_url(r + "/" + p) for r, p in zip(_repos, _paths)]
+    index_batch(_repos[:64], _paths[:64], _langs[:64], _docs[:64], _dids[:64])
+    _tok_ts = []
+    for _ in range(repeat):
+        t0 = time.time()
+        out_tok = index_batch(_repos, _paths, _langs, _docs, _dids)
+        _tok_ts.append(time.time() - t0)
+    queries["q_tokenize_nonascii"] = round(min(_tok_ts), 3)
+    tok_postings_per_s = int(len(out_tok["termid"]) / max(min(_tok_ts), 1e-9))
+
     # ---- BM25 query latencies (warm stats handle) ----------------------
     # Let the JVM digest the build first (GC of the build's shuffle/cache
     # churn otherwise bleeds several seconds into the first timed queries).
@@ -452,6 +489,9 @@ def main() -> None:
         "methodology": "steady-state: tiny warm-up build, build+compaction best-of-2, per-query warm-up + median-of-3, ops best-of-2 (BASELINE.md)",
         "bm25_p50_ms": round(statistics.median(lat_ms), 1),
         "batch_amortization_x": batch_amort,
+        # UTF-8 batch tokenizer throughput on the mixed-script workload
+        # (no scalar fallback rows — the path no longer exists)
+        "tokenize_nonascii_postings_per_s": tok_postings_per_s,
     }
     shutil.rmtree(idx, ignore_errors=True)
     spark.stop()

@@ -21,9 +21,16 @@ but with no per-token Python:
   second token's bytes at the continued position offset
   (/root/reference/Phrases.cpp:109-263), stop-stop pairs XOR-salted.
 
-Non-ASCII documents (where byte-domain and str-domain \\s classes can
-disagree) fall back to the scalar reference tokenizer per document — the
-fast path covers the overwhelmingly-ASCII source-code corpus.
+Non-ASCII documents ride the SAME batch path (no per-doc scalar fallback):
+token characters are ASCII-only after ``str.lower()`` (the reference's
+tokenizer is likewise an ASCII-class scan over UTF-8 bytes,
+/root/reference/utf8_fast.cpp), and UTF-8 multi-byte sequences never
+contain ASCII bytes, so the span scanner / cursor math / hash gathers are
+already byte-exact — the ONLY str-vs-byte divergence is the ``\\s``
+character class. :func:`_norm_for_bytes` closes it str-side at C speed
+(translate the 19 non-ASCII Unicode whitespace chars to ``' '``; remap NUL
+away from the pad byte), after which every remaining non-ASCII byte is
+correctly classified as punctuation by the 256-entry tables.
 
 The scalar ``tokenize_text``/``index_document`` remain the semantic
 reference (and the oracle's tokenizer); this module is the build's hot path.
@@ -38,8 +45,7 @@ from .hashing import HASHTAB, STOPWORD_BIGRAM_SALT, _START_HASH, termid_for_toke
 from ..import TERMID_MASK
 from .tokenizer import (
     FIELD_GAP, KIND_BIGRAM, KIND_SYNONYM, KIND_UNIGRAM, LINE_UNITS,
-    MAX_WORDPOS, PUNCT_UNITS, STOP_WORDS, _basename, index_document,
-    link_targets,
+    MAX_WORDPOS, PUNCT_UNITS, STOP_WORDS, _basename, link_targets,
 )
 
 _U64 = np.uint64
@@ -57,10 +63,32 @@ for _c in b"0123456789":
 _BREAK = np.zeros(256, dtype=bool)
 _BREAK[ord("\n")] = _BREAK[ord(";")] = True
 _SPACE = np.zeros(256, dtype=bool)
-for _c in b" \t\n\r\x0b\x0c":
+# \x1c-\x1f (FS/GS/RS/US) are whitespace for Python's str-domain \s (the
+# scalar tokenizer's gap class) — include them so the byte class agrees
+for _c in b" \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f":
     _SPACE[_c] = True
 _PUNCT = ~_SPACE & ~_IDENTC
 _PUNCT[0] = False  # padding byte, never counted
+
+# str-side normalization closing the only str-vs-byte class divergence:
+# the 19 non-ASCII Unicode whitespace chars (NBSP, U+2000-200A, U+2028/29,
+# U+3000, ...; all ≤ U+3000) are \s for the scalar tokenizer but their
+# UTF-8 bytes would classify as punctuation — map them to ' '. NUL is
+# punctuation scalar-side but is the batch pad byte — remap to \x01
+# (also punctuation) so a NUL-only gap still advances the cursor.
+_UNIWS_TRANS = {cp: 0x20 for cp in range(0x80, 0x3001) if chr(cp).isspace()}
+_UNIWS_TRANS[0x00] = 0x01
+
+
+def _norm_for_bytes(txt: str) -> str:
+    """Make the UTF-8 encoding of ``txt`` classify byte-exactly under the
+    256-entry tables (see ``_UNIWS_TRANS``). C-speed: two scans, no
+    per-token Python."""
+    if not txt.isascii():
+        txt = txt.translate(_UNIWS_TRANS)
+    if "\x00" in txt:
+        txt = txt.replace("\x00", "\x01")
+    return txt
 
 _STOP_TIDS = np.array(sorted(termid_for_token(w) for w in STOP_WORDS),
                       dtype=np.int64)
@@ -222,24 +250,18 @@ def index_batch(repos, paths, langs, contents, docids) -> dict:
     seg_texts: list[bytes] = []
     seg_field: list[int] = []
     seg_doc: list[int] = []
-    link_docs: list[tuple[int, list[str]]] = []  # fast-row LINK terms
-    slow_rows = []  # non-ascii docs → scalar reference path
+    link_docs: list[tuple[int, list[str]]] = []  # LINK-field terms
     for i in range(len(repos)):
-        body = contents[i].lower()
-        title = _basename(paths[i]).lower()
-        url = (repos[i] + "/" + paths[i]).lower()
-        lang = langs[i].lower()
-        if not (body.isascii() and title.isascii() and url.isascii()
-                and lang.isascii()):
-            slow_rows.append(i)
-            continue
+        body = _norm_for_bytes(contents[i].lower())
+        title = _norm_for_bytes(_basename(paths[i]).lower())
+        url = _norm_for_bytes((repos[i] + "/" + paths[i]).lower())
+        lang = _norm_for_bytes(langs[i].lower())
         for fcode, txt in ((FIELD_BODY, body), (FIELD_TITLE, title),
                            (FIELD_URL, url), (FIELD_LANG, lang)):
-            seg_texts.append(txt.encode("ascii"))
+            seg_texts.append(txt.encode("utf-8"))
             seg_field.append(fcode)
             seg_doc.append(int(docids[i]))
-        # LINK-field postings for fast rows (slow rows get theirs from
-        # index_document); whole-string terms, field-local positions —
+        # LINK-field postings: whole-string terms, field-local positions —
         # must stay byte-identical to the scalar path
         links = link_targets(contents[i])
         if links:
@@ -275,25 +297,6 @@ def index_batch(repos, paths, langs, contents, docids) -> dict:
     if seg_texts:
         outs.append(_index_segments(seg_texts, np.asarray(seg_field),
                                     np.asarray(seg_doc, dtype=np.int64), stats))
-    if slow_rows:
-        from .hashing import TokenHasher
-
-        hasher = TokenHasher()
-        for i in slow_rows:
-            arrs = index_document(repos[i], paths[i], langs[i], contents[i], hasher)
-            n = len(arrs["termid"])
-            outs.append({
-                "termid": arrs["termid"].astype(np.int64),
-                "docid": np.full(n, int(docids[i]), dtype=np.int64),
-                "wordpos": arrs["wordpos"].astype(np.int64),
-                "field": arrs["field"].astype(np.int64),
-                "kind": arrs["kind"].astype(np.int64),
-                "dl": arrs["dl"].astype(np.int64),
-                "rank": arrs["rank"].astype(np.int64),
-            })
-            for fc, key in ((FIELD_BODY, "dl_body"), (FIELD_TITLE, "dl_title"),
-                            (FIELD_URL, "dl_url")):
-                stats.append((int(docids[i]), fc, int(arrs[key])))
     if not outs:
         res = dict(_EMPTY)
     else:

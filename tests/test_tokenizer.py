@@ -134,6 +134,37 @@ def test_batch_tokenizer_edge_cases():
     ])
 
 
+def test_batch_tokenizer_non_ascii_edge_cases():
+    """UTF-8 batch path (no scalar fallback) ≡ scalar on the exact
+    divergence candidates: Unicode whitespace gaps, lowercase mappings
+    that produce ASCII token chars (K U+212A → k, İ U+0130 → i + U+0307),
+    CJK/emoji punctuation runs, ASCII control whitespace, NUL."""
+    _batch_vs_scalar([
+        {"repo": "r", "path": "ws.py", "lang": "py", "content":
+         "one two three four　five six seven"},
+        {"repo": "r", "path": "low.py", "lang": "py", "content":
+         "Kelvin and İstanbul MIXED Case ÉTÉ STRASSE"},
+        {"repo": "r", "path": "cjk.py", "lang": "py", "content":
+         "中文 seg 日本語;test 😀 emoji—dash«quote»done"},
+        {"repo": "r", "path": "ctl.py", "lang": "py", "content":
+         "a\x1cb\x1dc\x1ed\x1fe f\x00g\x85h"},
+        {"repo": "r", "path": "mix.py", "lang": "py", "content":
+         "naïve's café++ 3,14 ß π≈3.14159 ; \nend"},
+    ])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.text(alphabet="abc_9 +#'.,;\n\t()é中  ßKKİ\x1c\x00😀À",
+            min_size=0, max_size=120),
+    min_size=1, max_size=6,
+))
+def test_batch_tokenizer_property_mixed_script(texts):
+    rows = [{"repo": "r", "path": f"p{i}.py", "lang": "py", "content": t}
+            for i, t in enumerate(texts)]
+    _batch_vs_scalar(rows)
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.lists(
     st.text(alphabet="abc_9 +#'.,;\n\t()", min_size=0, max_size=120),
