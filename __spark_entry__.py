@@ -1200,6 +1200,129 @@ rrm AS (SELECT rnk.repo,
     )
 
 
+def _linktext_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived corpus for the INLINKTEXT gate. The testdata text plants no
+    ``import org/name`` references, so the gate derives a corpus where they
+    exist — deterministically, so DuckDB replays the same derivation:
+
+    - repo = 'lib/' || source (import targets need a '/');
+    - docs with doc_id % 7 == 3 get one appended import line
+      ``import lib/src<(doc_id*3) % 20> zzanchor<doc_id % 4>``.
+
+    The injected line adds 4 engine tokens (import, lib, src<k>,
+    zzanchor<j>) but only 3 whitespace tokens ('lib/src<k>' splits on '/'),
+    so the oracle adds +1 to those docs' dl."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inj = F.when(
+        F.col("doc_id") % 7 == 3,
+        F.concat(
+            F.lit("\nimport lib/src"),
+            ((F.col("doc_id") * 3) % 20).cast("string"),
+            F.lit(" zzanchor"), (F.col("doc_id") % 4).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        F.concat(F.lit("lib/"), F.col("source")).alias("repo"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.concat(F.col("text"), inj).alias("content"),
+    )
+
+
+def _ensure_linktext_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+    from open_source_search_engine_spark.operators.linktext import (
+        append_linktext,
+    )
+    from open_source_search_engine_spark.sources.testdata import (
+        index_cache_dir,
+    )
+
+    idx = index_cache_dir(sf_dir) + "_lt"
+    marker = os.path.join(idx, "_lt_done")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        corpus = _linktext_corpus(spark, sf_dir)
+        build_index(spark, corpus, idx, n_chunks=1)
+        append_linktext(spark, idx, corpus)
+        open(marker, "w").close()
+    return idx
+
+
+def _q_engine_linktext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INLINKTEXT anchor-text gate (operators/linktext.py): on the derived
+    corpus, 'zzanchor2' matches linker docs via BODY (weight 1) and every
+    doc of the imported repos via ANCHOR TEXT at hashgroup weight 16
+    (/root/reference/Parms.cpp:3734-3905). Anchor legs contribute exactly
+    16·idf (tf=1, dl=1 ⇒ tfnorm ≡ 1) and never touch df — both replayed by
+    the oracle. Full match set (no top-k cut: whole repos tie at 16·idf,
+    and ties are docid-hash-ordered, which SQL can't reproduce)."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path,
+    )
+
+    idx = _ensure_linktext_index(spark, sf_dir)
+    res = topk(spark, idx, "zzanchor2", 1_000_000)
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
+def _linktext_sql() -> str:
+    idf = _IDF.format(n="b.n", df="x.df")
+    tfn = _TFNORM.format(tf="f.tf", dl="d.dl", avgdl="b.avgdl")
+    return f"""
+WITH inj AS (
+  SELECT doc_id, source,
+         text || CASE WHEN doc_id % 7 = 3
+           THEN chr(10) || 'import lib/src' || ((doc_id * 3) % 20)::VARCHAR
+                || ' zzanchor' || (doc_id % 4)::VARCHAR
+           ELSE '' END AS text,
+         CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS extra_tok
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, text, extra_tok,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM inj
+),
+dl AS (SELECT doc_id, text, len(t) + extra_tok AS dl FROM toks),
+base AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, len(list_filter(t, x -> x = 'zzanchor2')) AS tf FROM toks),
+dfs AS (SELECT count(*) AS df FROM tf WHERE tf > 0),
+tgt AS (
+  SELECT DISTINCT 'src' || ((doc_id * 3) % 20)::VARCHAR AS src
+  FROM documents
+  WHERE doc_id % 7 = 3 AND doc_id % 4 = 2
+    AND source <> 'src' || ((doc_id * 3) % 20)::VARCHAR
+),
+lt AS (SELECT d2.doc_id FROM documents d2 JOIN tgt ON d2.source = tgt.src),
+m AS (
+  SELECT doc_id FROM tf WHERE tf > 0
+  UNION SELECT doc_id FROM lt
+)
+SELECT m.doc_id,
+       round((CASE WHEN f.tf > 0 THEN {idf} * {tfn} ELSE 0.0 END)
+             + (CASE WHEN l.doc_id IS NOT NULL THEN 16.0 * ({idf}) ELSE 0.0 END),
+             4) AS score_r,
+       sha256(d.text) AS content_sha256
+FROM m
+JOIN dl d ON d.doc_id = m.doc_id
+JOIN tf f ON f.doc_id = m.doc_id
+LEFT JOIN lt l ON l.doc_id = m.doc_id
+CROSS JOIN base b
+CROSS JOIN dfs x
+"""
+
+
 def _q_engine_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet counts (operators/facets.py, the gbfacetstr:/gbfacetint:
     analog): top repo ("source") and lang values among docs matching the
@@ -2983,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_pagination": _q_engine_pagination,
         "engine_batch": _q_engine_batch,
         "engine_siterank": _q_engine_siterank,
+        "engine_linktext": _q_engine_linktext,
         # --- tokenize/stats primitives ---
         "doc_term_df": _q_doc_term_df,
         # --- dedup family ---
@@ -3046,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # compare). Surface them FIRST so a prefix-sampling driver sweep
     # covers the tail of the set this round; no entry is renamed.
     never_driver_checked = [
+        "engine_linktext",  # new this round
         "dedup_clusters", "dedup_apply", "semdedup_pairs_exact",
         "semdedup_apply", "matchlist_block", "pii_redact", "lm_perplexity",
         "engine_result_override", "text_chunking", "text_gopher_rep",
@@ -3134,6 +3259,7 @@ ORDER BY length(d.text) DESC
 LIMIT 10
 """,
         "engine_siterank": _siterank_sql(),
+        "engine_linktext": _linktext_sql(),
         "engine_boolean_nested": _NESTED_OR_SQL,
         "engine_boolean_not_kw": _bm25_sql(["sort"], exclude=["hash", "merge"]),
         "engine_phrase3": _phrase3_sql(),

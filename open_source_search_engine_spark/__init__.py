@@ -46,6 +46,10 @@ FIELD_TITLE = 1
 FIELD_URL = 9
 FIELD_LANG = 4
 FIELD_LINK = 5
+# anchor text from REFERRING docs indexed into the referred repo's docs —
+# the INLINKTEXT hashgroup (weight 16, /root/reference/Posdb.h:75-88,
+# Parms.cpp:3734-3905); produced by operators/linktext.py
+FIELD_LINKTEXT = 6
 
 FIELD_NAMES = {
     FIELD_BODY: "body",
@@ -53,6 +57,7 @@ FIELD_NAMES = {
     FIELD_URL: "url",
     FIELD_LANG: "lang",
     FIELD_LINK: "link",
+    FIELD_LINKTEXT: "linktext",
 }
 
 # BM25 parameters (the rebuild's ranking function per BASELINE.json north_rule;

@@ -1375,6 +1375,13 @@ def rebuild_stats(spark: SparkSession, index_dir: str, *,
     decoded = seg.mapInPandas(
         gen, "termid long, field long, docid long, dl long"
     )
+    # FIELD_LINKTEXT postings are anchor text from OTHER documents
+    # (operators/linktext.py) and by design contribute neither df nor
+    # avgdl: IDF stays the "docs containing the term in their own fields"
+    # statistic the oracles define
+    from .. import FIELD_LINKTEXT as _FLT
+
+    decoded = decoded.filter(F.col("field") != _FLT)
     term_stats = (
         decoded.select("termid", "docid").distinct()
         .groupBy("termid").agg(F.count("*").alias("df"))

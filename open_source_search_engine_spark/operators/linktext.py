@@ -1,0 +1,264 @@
+"""Inlink/anchor-text indexing — the INLINKTEXT hashgroup analog.
+
+The reference's strongest ranking signal is text from REFERRING pages
+indexed into the REFERRED document under the INLINKTEXT hashgroup at
+weight 16 (/root/reference/XmlDoc_Indexing.cpp:222-462 field fan-out;
+/root/reference/Parms.cpp:3734-3905 hashgroup weights: linktext=16;
+link info gathered asynchronously via /root/reference/Msg25.cpp and
+merged into the doc's termlists by a later metalist add). The
+wordSpamRank nibble of an INLINKTEXT key holds the LINKER's siterank
+(/root/reference/Posdb.h:38-39).
+
+Corpus mapping: a document links to a repo via ``import org/name`` lines
+(the same edge source as the link graph, ``operators/linkrank.py``; the
+``link:`` termlists of ``functions/tokenizer.py::link_targets``). The
+anchor text of one link = the tokens of the line containing the import
+statement. Because the link target is a REPO (not a single document),
+anchor terms attach to every document of the target repo — the faithful
+projection of "anchor text indexes into the linked page" onto
+repo-granular links.
+
+Scale shape (100 TB): anchor extraction is one JVM-side regexp map over
+the corpus (no Python); aggregation shuffles only the anchor vocabulary
+(≤ corpus line tokens at import sites, then capped at ``top_k`` tokens
+per target repo by vote count — the Msg25 inlinker cap analog, so the
+attach join fans out at most ``top_k × docs(repo)`` postings); the
+posting encode is one repartition by termid bucket. The corpus itself is
+scanned once and never reshuffled.
+
+Scoring: LINKTEXT is a first-class posting field scored by the same
+per-(term, field) BM25 as body/title at FIELD_WEIGHTS weight 16. Anchor
+postings carry tf=1, dl=1 (presence-per-doc with unit length: tfnorm(1,
+1, avgdl=1) == 1.0, so one matching anchor term contributes exactly
+16·idf — the declared weight curve, trivially oracle-replayable).
+WHICH tokens survive per repo is vote-ranked (distinct linker repos,
+ties by token asc). The rank sidecar packs the max linker siterank into
+the word-spam nibble when a siterank table is supplied (Posdb.h:38-39).
+
+Stats discipline: anchor postings contribute NEITHER df nor avgdl —
+IDF stays the "documents containing the term in their own fields"
+statistic the DuckDB oracles define (the reference's df estimate is a
+termlist-size guess that would include link text; our gates pin the
+exact-df definition instead). ``rebuild_stats`` excludes FIELD_LINKTEXT
+for the same reason.
+
+Newest-wins interaction: the linktext generation (``gen=s2000000``) is
+filtered per-doc by the M7 equality rule, so a doc reindexed AFTER
+append_linktext serves without its anchor postings until the next
+``append_linktext`` run (which atomically replaces the generation) —
+the reference has the same refresh-lag for Msg25 link info.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .. import FIELD_LINKTEXT
+from ..sources import catalog
+
+ANCHOR_TOP_K = 64
+
+# generation label for anchor postings: the s-namespace sorts after every
+# batch chunk; 2_000_000 keeps clear of streaming batches (s0..) and the
+# query-reindex ids (s1000000..)
+LINKTEXT_GEN = "s2000000"
+
+# the scalar token regex of functions/tokenizer.py::_TOKEN_RE (same
+# pattern text, passed as a Column literal so no SQL-string escaping)
+_TOKEN_RE_SQL = r"[a-z_][a-z0-9_]*(?:\+\+|\+|#)?(?:'s)?|[0-9]+(?:[.,][0-9]+)*"
+
+
+def anchor_terms(corpus: DataFrame, *, top_k: int = ANCHOR_TOP_K,
+                 siteranks: DataFrame | None = None) -> DataFrame:
+    """(target repo, token, votes, pos, spam) — the vote-ranked anchor
+    vocabulary.
+
+    votes = count of DISTINCT linker repos whose import lines for this
+    target contain the token (self-imports excluded: a repo's own docs are
+    not anchor sources for itself — the reference likewise separates
+    internal link text into its own lower-weight hashgroup and we skip it);
+    pos = dense 0-based vote rank (the posting wordpos); spam = the MAX
+    linker siterank over voters when ``siteranks`` (``(repo, rank)``, e.g.
+    ``linkrank.repo_rank`` output) is given — the Posdb.h:38-39 rule that
+    an INLINKTEXT key's word-spam nibble holds the linker's siterank —
+    else the clean-spam constant. Entirely JVM-side: line split,
+    import-target extraction and tokenization are regexp_extract_all over
+    lowered lines.
+    """
+    from ..functions.ranks import CLEAN_SPAM
+    from ..functions.tokenizer import IMPORT_RE
+
+    lines = corpus.select(
+        F.col("repo").alias("linker_repo"),
+        F.explode(F.split(F.lower(F.col("content")), "\n")).alias("line"),
+    ).filter(F.col("line").rlike(IMPORT_RE.lower()))
+    tgt = lines.select(
+        "linker_repo", "line",
+        F.explode(F.regexp_extract_all(
+            "line", F.lit(IMPORT_RE.lower()), F.lit(1))).alias("target"),
+    ).filter(F.col("target") != F.col("linker_repo"))
+    toks = tgt.select(
+        "linker_repo", "target",
+        F.explode(F.regexp_extract_all(
+            "line", F.lit(_TOKEN_RE_SQL), F.lit(0))).alias("token"),
+    )
+    if siteranks is not None:
+        sr = siteranks.select(F.col("repo").alias("linker_repo"),
+                              F.col("rank").cast("long").alias("_lsr"))
+        toks = toks.join(F.broadcast(sr), "linker_repo", "left")
+        spam_agg = F.max(F.coalesce(F.col("_lsr"), F.lit(0))).alias("spam")
+    else:
+        spam_agg = F.max(F.lit(int(CLEAN_SPAM))).alias("spam")
+    votes = toks.groupBy("target", "token").agg(
+        F.countDistinct("linker_repo").alias("votes"), spam_agg)
+    w = Window.partitionBy("target").orderBy(F.desc("votes"), F.asc("token"))
+    return (
+        votes.withColumn("pos", F.row_number().over(w) - 1)
+        .filter(F.col("pos") < top_k)
+    )
+
+
+def _termid_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def termids(tokens: pd.Series) -> pd.Series:
+        from ..functions.hashing import TokenHasher
+
+        return pd.Series(TokenHasher().termids(tokens.tolist()))
+
+    return termids
+
+
+def append_linktext(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    *,
+    top_k: int = ANCHOR_TOP_K,
+    siteranks: DataFrame | None = None,
+    partitions: int | None = None,
+) -> dict:
+    """Compute anchor terms from ``corpus`` and publish them as the
+    LINKTEXT posting generation of ``index_dir`` (atomic replace — rerun
+    to refresh after appends/reindex). ``siteranks``: optional
+    ``(repo, rank)`` — e.g. ``linkrank.repo_rank`` output — joined to the
+    LINKER side before aggregation so each anchor token carries the max
+    linker siterank in its word-spam nibble (Posdb.h:38-39). Returns
+    build metrics.
+
+    Idempotence across compactions: if a previous compaction absorbed a
+    linktext generation, the compacted set is first rewritten without
+    FIELD_LINKTEXT rows (pruned scan + write-new → swap), so re-running
+    never double-indexes anchors.
+    """
+    import time
+
+    from ..functions.ranks import CLEAN_DIV, pack_rank
+    from ..functions.tokenizer import MAX_DENSITY
+    from .index_build import BLOCK_DOCS_DEFAULT, SEGMENT_SCHEMA, _runs_frame
+
+    t0 = time.time()
+    layout = catalog.index_layout(index_dir)
+    n_buckets = int(layout["n_buckets"])
+    nparts = partitions or spark.sparkContext.defaultParallelism
+
+    _drop_linktext_from_compacted(spark, index_dir)
+
+    anchors = anchor_terms(corpus, top_k=top_k, siteranks=siteranks)
+
+    docs = (
+        spark.read.parquet(catalog.table_path(index_dir, "docmap"))
+        .select("docid", "repo").distinct()
+    )
+    postings = (
+        anchors.join(docs, anchors.target == docs.repo)
+        .select(
+            "docid",
+            _termid_udf()(F.col("token")).alias("termid"),
+            F.col("pos").cast("long").alias("wordpos"),
+            F.col("spam").cast("long").alias("spam"),
+        )
+        .withColumn("bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
+    )
+
+    dens = int(MAX_DENSITY)
+    div = int(CLEAN_DIV)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.varint import encode_rank_streams, encode_runs
+
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        t = pdf["termid"].values.astype(np.int64)
+        d = pdf["docid"].values.astype(np.int64)
+        p = pdf["wordpos"].values.astype(np.int64)
+        spam = pdf["spam"].values.astype(np.int64)
+        o = np.lexsort(((d << np.int64(18)) | p, t))
+        t, d, p, spam = t[o], d[o], p[o], spam[o]
+        f = np.full(len(t), FIELD_LINKTEXT, dtype=np.int64)
+        s = np.zeros(len(t), dtype=np.int64)
+        dl = np.ones(len(t), dtype=np.int64)  # unit-length field (see module doc)
+        res = encode_runs(t, f, s, d, p, dl, BLOCK_DOCS_DEFAULT)
+        r = pack_rank(np.full(len(t), dens, dtype=np.int64),
+                      np.full(len(t), div, dtype=np.int64), spam)
+        yield _runs_frame(res, encode_rank_streams(np.asarray(r), res[7]))
+
+    seg = (
+        postings.repartition(min(nparts, n_buckets), "bucket")
+        .mapInPandas(gen, SEGMENT_SCHEMA)
+        .withColumn("bucket", F.pmod("termid", F.lit(n_buckets)).cast("int"))
+    )
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    catalog.write_gen(
+        seg.observe(obs, F.sum("n_postings").alias("np"),
+                    F.count(F.lit(1)).alias("nb")),
+        index_dir, "segments", LINKTEXT_GEN, partition_by=["bucket"],
+    )
+    n_post = int(obs.get["np"] or 0)
+    elapsed = time.time() - t0
+    row = spark.createDataFrame(
+        [(2_000_000, "linktext anchors", 0, int(n_post), 0,
+          float(n_post / elapsed if elapsed else 0.0), "done", 1,
+          float(time.time()))],
+        "chunk int, lineage string, rows_in long, postings_out long, "
+        "bytes_out long, terms_per_sec double, status string, attempt int, ts double",
+    )
+    row.write.mode("append").parquet(catalog.table_path(index_dir, "manifest"))
+    return {"postings": n_post, "blocks": int(obs.get["nb"] or 0),
+            "elapsed": elapsed}
+
+
+def _drop_linktext_from_compacted(spark: SparkSession, index_dir: str) -> None:
+    """Rewrite ``compacted/`` without FIELD_LINKTEXT rows if any are
+    present (write-new → swap, same as the compaction cutover). A pruned
+    count probe decides; the common path (no absorbed linktext) costs one
+    metadata-only scan."""
+    import os
+    import shutil
+
+    if not catalog.table_exists(index_dir, "compacted"):
+        return
+    path = catalog.table_path(index_dir, "compacted")
+    comp = spark.read.parquet(path)
+    if comp.filter(F.col("field") == FIELD_LINKTEXT).limit(1).count() == 0:
+        return
+    new = path + "_ltdrop"
+    (
+        comp.filter(F.col("field") != FIELD_LINKTEXT)
+        .write.mode("overwrite").partitionBy("bucket").parquet(new)
+    )
+    old = path + "_ltold"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(new, path)
+    shutil.rmtree(old, ignore_errors=True)
+    spark.catalog.refreshByPath(path)

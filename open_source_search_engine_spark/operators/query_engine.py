@@ -283,13 +283,14 @@ def _spec_rows(plan: QueryPlan, dfs: dict[int, int], n_docs: int) -> list[tuple]
     """One row per (spec, concrete field) with the driver-precomputed
     weight*idf product — identical floats to the oracle. ``spec_id`` = index
     into ``plan.terms``; the membership expression references these ids."""
-    from .. import FIELD_LANG
+    from .. import FIELD_LANG, FIELD_LINKTEXT
 
     rows = []
     for spec_id, t in enumerate(plan.terms):
         idf = float(bm25_idf(dfs.get(t.termid, 0), n_docs))
         fields = ([t.field] if t.field is not None
-                  else [FIELD_BODY, FIELD_TITLE, FIELD_LANG, FIELD_URL])
+                  else [FIELD_BODY, FIELD_TITLE, FIELD_LANG, FIELD_URL,
+                        FIELD_LINKTEXT])
         w_term = 0.0 if t.excluded else t.weight
         for f in fields:
             w = w_term * FIELD_WEIGHTS.get(f, 0.0)

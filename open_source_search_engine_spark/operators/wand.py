@@ -46,7 +46,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .. import DOCID_MASK, FIELD_BODY, FIELD_LANG, FIELD_TITLE, FIELD_URL
+from .. import (
+    DOCID_MASK, FIELD_BODY, FIELD_LANG, FIELD_LINKTEXT, FIELD_TITLE,
+    FIELD_URL,
+)
 from ..functions.bm25 import bm25_idf, bm25_tfnorm
 from ..plans.plan import FIELD_WEIGHTS, QueryPlan
 from ..sources import catalog
@@ -264,7 +267,8 @@ def _build_query_meta(plan: QueryPlan, dfs: dict[int, int], n_docs: int,
       keys (group matched when any member list contains the doc);
     - ``excluded``: excluded specs' (termid, field) keys.
     """
-    all_fields = [FIELD_BODY, FIELD_TITLE, FIELD_LANG, FIELD_URL]
+    all_fields = [FIELD_BODY, FIELD_TITLE, FIELD_LANG, FIELD_URL,
+                  FIELD_LINKTEXT]
     lists: dict = {}
     spec_lists: list[list] = []
     for t in plan.terms:

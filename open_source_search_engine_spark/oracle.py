@@ -20,7 +20,7 @@ from __future__ import annotations
 import hashlib
 from dataclasses import dataclass
 
-from . import FIELD_BODY, FIELD_LANG, FIELD_TITLE, FIELD_URL
+from . import FIELD_BODY, FIELD_LANG, FIELD_LINKTEXT, FIELD_TITLE, FIELD_URL
 from .functions.bm25 import bm25_idf, bm25_tfnorm
 from .functions.hashing import TokenHasher, docid_for_url
 from .functions.tokenizer import index_document
@@ -89,6 +89,64 @@ class OracleIndex:
             tot = sum(d.dl[f] for d in ix.docs.values())
             ix.avgdl[f] = tot / max(ix.n_docs, 1)
         return ix
+
+    def add_linktext(self, rows: list[dict], top_k: int = 64,
+                     siteranks: dict[str, int] | None = None) -> None:
+        """Scalar mirror of ``operators/linktext.py`` anchor indexing, for
+        engine-parity tests: per import line, every token of the line votes
+        for the imported repo (distinct linker repos; self-imports
+        excluded); top-``top_k`` tokens by (votes desc, token asc) attach
+        to every doc of the target repo as FIELD_LINKTEXT postings with
+        tf=1, dl=1 at wordpos = vote rank. Anchor postings contribute
+        NEITHER df_any nor avgdl — exactly the engine's stats discipline.
+        ``siteranks``: optional repo → siterank ints; the max over voters
+        lands in the word-spam nibble (Posdb.h:38-39)."""
+        import re
+
+        from .functions.ranks import (
+            CLEAN_DIV, CLEAN_SPAM, occurrence_weight, pack_rank,
+        )
+        from .functions.tokenizer import _TOKEN_RE, IMPORT_RE, MAX_DENSITY
+
+        imp = re.compile(IMPORT_RE.lower())
+        voters: dict[tuple[str, str], set[str]] = {}
+        for row in rows:
+            linker = row["repo"]
+            for line in row["content"].lower().split("\n"):
+                targets = {m for m in imp.findall(line) if m != linker}
+                if not targets:
+                    continue
+                toks = _TOKEN_RE.findall(line)
+                for tgt in targets:
+                    for tok in toks:
+                        voters.setdefault((tgt, tok), set()).add(linker)
+        per_target: dict[str, list[tuple[int, str, int]]] = {}
+        for (tgt, tok), linkers in voters.items():
+            spam = (max(siteranks.get(ln, 0) for ln in linkers)
+                    if siteranks is not None else int(CLEAN_SPAM))
+            per_target.setdefault(tgt, []).append((len(linkers), tok, spam))
+        hasher = TokenHasher()
+        for tgt, entries in per_target.items():
+            entries.sort(key=lambda e: (-e[0], e[1]))
+            kept = entries[:top_k]
+            docids = [d for d, doc in self.docs.items() if doc.repo == tgt]
+            if not docids or not kept:
+                continue
+            tids = hasher.termids([tok for _, tok, _ in kept])
+            import numpy as np
+
+            for pos, ((_votes, _tok, spam), tid) in enumerate(zip(kept, tids)):
+                w = float(occurrence_weight(int(pack_rank(
+                    np.int64(MAX_DENSITY), np.int64(CLEAN_DIV),
+                    np.int64(spam)))))
+                for d in docids:
+                    self.postings.setdefault(int(tid), {}).setdefault(
+                        FIELD_LINKTEXT, {})[d] = 1
+                    self.positions.setdefault(int(tid), {}).setdefault(
+                        FIELD_LINKTEXT, {}).setdefault(d, []).append(pos)
+                    self.wtf.setdefault(int(tid), {}).setdefault(
+                        FIELD_LINKTEXT, {})[d] = w
+                    self.docs[d].dl[FIELD_LINKTEXT] = 1
 
     def apply_shortcuts(self, df_threshold: int, cap: int) -> None:
         """Mirror of operators/shortcuts.py: truncate every termid with

@@ -46,7 +46,10 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field as dc_field
 
-from .. import FIELD_BODY, FIELD_LANG, FIELD_LINK, FIELD_TITLE, FIELD_URL
+from .. import (
+    FIELD_BODY, FIELD_LANG, FIELD_LINK, FIELD_LINKTEXT, FIELD_TITLE,
+    FIELD_URL,
+)
 from ..functions.hashing import TokenHasher
 from ..functions.synonyms import SYNONYM_WEIGHT, synonyms_for
 from ..functions.variations import VARIATION_WEIGHT, variants_for
@@ -59,7 +62,10 @@ from ..functions.tokenizer import (
 # are filter-only). Scoring is per-(term, field) BM25 summed with these
 # weights; see operators/query_engine.py.
 FIELD_WEIGHTS = {FIELD_BODY: 1.0, FIELD_TITLE: 8.0, FIELD_URL: 1.0,
-                 FIELD_LANG: 0.0, FIELD_LINK: 0.0}
+                 FIELD_LANG: 0.0, FIELD_LINK: 0.0,
+                 # INLINKTEXT hashgroup weight (Parms.cpp:3734-3905:
+                 # linktext=16 — the reference's strongest field)
+                 FIELD_LINKTEXT: 16.0}
 BIGRAM_WEIGHT = 5.0
 DOMAIN_URL_WEIGHT = 10.0  # looksLikeADomain INURL boost, Query.cpp:2473+
 
@@ -70,7 +76,11 @@ _FIELD_OPS = {"title": FIELD_TITLE, "inurl": FIELD_URL, "lang": FIELD_LANG,
               # the reference maps intitle: onto title: and suburl: onto
               # inurl: (/root/reference/Query.cpp:1668-1673)
               "intitle": FIELD_TITLE,
-              "suburl": FIELD_URL}
+              "suburl": FIELD_URL,
+              # anchor-text hashgroup restrict (operators/linktext.py; the
+              # reference's gbinlinktext-ish field family, Query.h:35-104)
+              "linktext": FIELD_LINKTEXT,
+              "inlinktext": FIELD_LINKTEXT}
 # document-filtering field operators (J6 whitelist family)
 _SITE_OPS = {"site", "repo"}
 _EXT_OPS = {"ext", "filetype", "type"}

