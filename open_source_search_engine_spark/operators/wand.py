@@ -130,10 +130,63 @@ def load_delete_state(index_dir: str):
     return tomb_d, sup_d, sup_g
 
 
+def filter_mask_df(spark, h, plan: QueryPlan):
+    """Docmap-filter mask as a DATAFRAME — the executor-side successor of
+    :func:`load_allowed_docids` (which is kept for the oracle/tests): the
+    J6 site/ext/sha whitelist, gbmin:/gbmax: numeric filters and the
+    minus-signed exclusions applied INSIDE the cell decode, as the
+    reference does per candidate (/root/reference/PosdbTable.cpp:4297-4372)
+    — but shipped to the cells by a shuffle co-partitioned with the posting
+    blocks (cogrouped applyInPandas) instead of a per-query driver fetch.
+    No row ever lands on the driver and no cardinality budget applies: a
+    site: filter over half the corpus just shuffles that many int64s
+    straight to their cells.
+
+    Returns ``(mask_df | None, kind)``:
+
+    - positive filters → (docids passing :func:`docmap_filter_cond` —
+      exclusions already folded in — , 'allow');
+    - exclusion-only plans with docmap-level conditions → (docids matching
+      :func:`docmap_exclusion_cond`, 'block') — size ∝ what is excluded;
+    - pure ``-gbdocid:``/url excludes or no docmap filter → (None, None):
+      the tiny driver-side arrays in the query meta cover those with no
+      Spark job at all (the gbdocid: PIN likewise stays in the meta and is
+      intersected per cell).
+    """
+    from .index_build import load_superseded
+    from .query_engine import (
+        _serving_docmap, docmap_exclusion_cond, docmap_filter_cond,
+        docmap_positive_filtered,
+    )
+
+    index_dir = h if isinstance(h, str) else h.index_dir
+    if docmap_positive_filtered(plan):
+        sup = load_superseded(spark, index_dir)
+        return (
+            _serving_docmap(spark, h, sup)
+            .filter(docmap_filter_cond(plan)).select("docid"),
+            "allow",
+        )
+    if docmap_exclusion_cond(plan) is not None and (
+            plan.site_excludes or plan.ext_excludes or plan.sha_excludes
+            or plan.fieldmatch_excludes):
+        sup = load_superseded(spark, index_dir)
+        return (
+            _serving_docmap(spark, h, sup)
+            .filter(docmap_exclusion_cond(plan)).select("docid"),
+            "block",
+        )
+    return None, None
+
+
 def load_allowed_docids(spark, h, plan: QueryPlan):
-    """Whitelist docid array for doc-filtered queries — the J6 site/ext/sha
-    filters, the gbmin:/gbmax: numeric docmap filters and the gbdocid: pin
-    applied INSIDE the intersection, as the
+    """DRIVER-side whitelist docid arrays — since round 4 this is NOT on
+    the serving path (WAND ships the mask executor-side via
+    :func:`filter_mask_df`); kept as the small-scale mirror for tests and
+    tooling that want the arrays in hand.
+
+    The J6 site/ext/sha filters, the gbmin:/gbmax: numeric docmap filters
+    and the gbdocid: pin applied INSIDE the intersection, as the
     reference does (/root/reference/PosdbTable.cpp:4297-4372 consults the
     whitelist per candidate rather than post-filtering), so a hot-term
     ``site:`` query keeps block-max pruning instead of falling back to a
@@ -411,8 +464,10 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
     tomb = meta.get("tomb")
     sup_d = meta.get("sup_d")
     sup_g = meta.get("sup_g")
-    allowed = meta.get("allowed")  # sorted whitelist docids (None = all)
-    blocked = meta.get("blocked")  # sorted blocklist docids (None = none)
+    # per-cell filter state: set by the outer wrappers before run_cell —
+    # from the driver-trivial meta arrays (pin / raw docid excludes) on the
+    # mapInPandas path, or from the cogrouped mask rows per cell
+    cur = {"allowed": meta.get("allowed"), "blocked": meta.get("blocked")}
     cell_w = (DOCID_MASK + n_cells) // n_cells
 
     # quoted-phrase member lists keep word positions through decode
@@ -428,6 +483,7 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
     def filt(d, gen_seq):
         """Whitelist + tombstone + newest-generation keep MASK for one
         decoded run (None = keep all)."""
+        allowed, blocked = cur["allowed"], cur["blocked"]
         if (tomb is None and sup_d is None and allowed is None
                 and blocked is None) or not len(d):
             return None
@@ -733,6 +789,31 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
             if rows:
                 yield pd.DataFrame(rows, columns=["docid", "score"])
 
+    def cogen(pdf: pd.DataFrame, mask: pd.DataFrame) -> pd.DataFrame:
+        """Cogrouped variant: one (posting-blocks, mask-docids) pair per
+        cell. The docmap-filter mask arrives co-partitioned by the SAME
+        cell id (filter_mask_df — executor-side, never on the driver);
+        the tiny driver-held pin/exclude arrays compose on top."""
+        empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if not len(pdf):
+            return empty
+        m = (np.unique(mask["docid"].values.astype(np.int64))
+             if len(mask) else np.empty(0, dtype=np.int64))
+        pin = meta.get("pin")
+        if meta.get("mask_kind") == "allow":
+            cur["allowed"] = m if pin is None else np.intersect1d(m, pin)
+            cur["blocked"] = None
+        else:
+            cur["allowed"] = pin
+            cur["blocked"] = m if len(m) else None
+        cell = int(pdf["cell"].iloc[0])
+        lo = cell * cell_w
+        hi = lo + cell_w
+        rows = run_cell(pdf, lo, hi)
+        return pd.DataFrame(rows, columns=["docid", "score"]) if rows else empty
+
+    gen.cogroup = cogen
     return gen
 
 
@@ -777,10 +858,24 @@ def wand_topk(
     _idir = index_dir if isinstance(index_dir, str) else index_dir.index_dir
     tomb, sup_d, sup_g = load_delete_state(_idir)
     meta["tomb"], meta["sup_d"], meta["sup_g"] = tomb, sup_d, sup_g
-    meta["allowed"], meta["blocked"] = load_allowed_docids(
-        spark, index_dir, plan)
     meta["cursor"] = ((float(cursor[0]), int(cursor[1]))
                       if cursor is not None else None)
+    # docmap filters: executor-side mask DataFrame cogrouped with the
+    # posting cells — no per-query driver fetch, no cardinality budget
+    # (the round-3 "WAND driver-side side-table" scale caveat). Only the
+    # gbdocid: pin and bare docid/url excludes stay driver-side (they come
+    # from the query string — no Spark job either way).
+    mask_df, mask_kind = filter_mask_df(spark, index_dir, plan)
+    meta["mask_kind"] = mask_kind
+    meta["pin"] = (np.array([int(plan.docid_filter)], dtype=np.int64)
+                   if plan.docid_filter is not None else None)
+    if mask_df is None:
+        meta["allowed"] = meta["pin"]
+        meta["blocked"] = (
+            np.unique(np.asarray(plan.docid_excludes, np.int64))
+            if plan.docid_excludes else None)
+    else:
+        meta["allowed"] = meta["blocked"] = None
 
     cell_w = (DOCID_MASK + n_cells) // n_cells
     cells = F.sequence(
@@ -795,4 +890,12 @@ def wand_topk(
         .repartition(n_cells, "cell")
     )
     scorer = _cell_scorer(meta, k, n_cells, decode_counters)
-    return part.mapInPandas(scorer, "docid long, score double")
+    if mask_df is None:
+        return part.mapInPandas(scorer, "docid long, score double")
+    mask_cells = mask_df.withColumn(
+        "cell", (F.col("docid") / F.lit(cell_w)).cast("long"))
+    return (
+        part.groupBy("cell")
+        .cogroup(mask_cells.groupBy("cell"))
+        .applyInPandas(scorer.cogroup, "docid long, score double")
+    )

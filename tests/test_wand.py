@@ -212,8 +212,10 @@ def test_qlang_queries_take_wand_path_and_stay_exact(spark, fine_index):
 
 def test_filtered_queries_take_wand_path_and_stay_exact(spark, fine_index):
     """r3: site:/ext:/gbdocid: queries are WAND-eligible — the whitelist is
-    a budgeted docid mask inside the decode (load_allowed_docids), so block
-    bounds stay valid upper bounds. Bit-equal to the declarative semi-join."""
+    a docid mask applied inside the decode; since r4 it ships executor-side
+    as a cogrouped mask DataFrame (filter_mask_df — no driver fetch, no
+    budget), so block bounds stay valid upper bounds. Bit-equal to the
+    declarative semi-join."""
     from open_source_search_engine_spark.operators.query_engine import topk
     from open_source_search_engine_spark.operators.wand import wand_eligible
     from open_source_search_engine_spark.plans.plan import parse_query

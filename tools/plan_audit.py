@@ -76,6 +76,18 @@ def main() -> None:
     if "TakeOrderedAndProject" not in p:
         failures.append("WAND top-k is not TakeOrderedAndProject")
 
+    # WAND + docmap filter: the whitelist is an EXECUTOR-SIDE mask
+    # cogrouped with the posting cells (FlatMapCoGroupsInPandas) — never a
+    # per-query driver fetch (round-3 scale caveat #2). The docmap scan
+    # must also stay pruned to the filter column + docid.
+    qs = topk(spark, idx, "hash table site:src3", 10, prune=True)
+    p = show("WAND top-k with site: filter (cogrouped mask)", qs)
+    if "FlatMapCoGroupsInPandas" not in p:
+        failures.append("site-filtered WAND plan has no cogrouped mask "
+                        "(driver-side whitelist regression)")
+    if "TakeOrderedAndProject" not in p:
+        failures.append("filtered WAND top-k is not TakeOrderedAndProject")
+
     # 6: facets — partial (map-side) aggregation before the facet shuffle,
     # and NO document-scale global sort/limit anywhere in the plan (the
     # match set feeds groupBy unordered; only facet×value aggregates are
