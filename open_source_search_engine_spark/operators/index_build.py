@@ -881,20 +881,30 @@ def build_index(
 
 
 def finalize_stats(spark: SparkSession, index_dir: str) -> None:
-    """Merge chunk-partial stats into the serving stats tables."""
+    """Merge chunk-partial stats into the serving stats tables.
+
+    Partials may be NEGATIVE (delete / re-add deltas,
+    :func:`write_negative_stats_partials`), so the sums — and the live
+    n_docs below — are exact for the serving view whenever every mutation
+    ran with ``update_stats=True``; terms whose df netted to zero are
+    dropped (absent == df 0 to the query path)."""
     term_stats = (
         spark.read.parquet(catalog.table_path(index_dir, "term_stats_partial"))
         .groupBy("termid").agg(F.sum("df").alias("df"))
+        .filter(F.col("df") > 0)
     )
     catalog.write_table(term_stats, index_dir, "term_stats")
 
     field_stats = spark.read.parquet(catalog.table_path(index_dir, "field_stats"))
     docmap = spark.read.parquet(catalog.table_path(index_dir, "docmap"))
-    # distinct: a reindexed doc has one docmap row per generation until the
-    # next compaction rewrites docmap (df/avgdl partials stay additive-stale
-    # until rebuild_stats — the same staleness the reference accepts with its
-    # RdbMap df estimates, /root/reference/Posdb.cpp:257-302)
-    n_docs = docmap.select("docid").distinct().count()
+    # distinct minus pending tombstones = LIVE doc count (a reindexed doc
+    # has one docmap row per generation until compaction rewrites docmap;
+    # a deleted doc keeps its rows until compaction drops them)
+    live = docmap.select("docid").distinct()
+    tomb = load_tombstones(spark, index_dir)
+    if tomb is not None:
+        live = live.join(tomb, "docid", "left_anti")
+    n_docs = live.count()
     sums = {
         r["field"]: int(r["s"])
         for r in field_stats.groupBy("field").agg(F.sum("sum_dl").alias("s")).collect()
@@ -916,17 +926,141 @@ def finalize_stats(spark: SparkSession, index_dir: str) -> None:
 # deletes (M10 analog: negative keys → tombstones annihilated at merge)
 # --------------------------------------------------------------------------
 
-def delete_docs(spark: SparkSession, index_dir: str, docids: list[int]) -> None:
+def _decode_stats_rows(spark: SparkSession, index_dir: str,
+                       ids: DataFrame) -> DataFrame:
+    """Decoded ``(termid, field, docid, dl, gen_seq)`` posting-doc rows of
+    the given docids, from the index's OWN segments — the reference's
+    DocDelete discipline (rebuild the doc's metalist from what the index
+    holds, /root/reference/DocDelete.cpp) applied to statistics. Blocks are
+    pruned by a broadcast docid-range semi-join before any payload decode,
+    so the cost is ∝ the affected docids' termlists, not the corpus."""
+    ids_b = F.broadcast(ids.select(F.col("docid").alias("_d")).distinct())
+    seg = (
+        serving_segments(spark, index_dir)
+        .join(ids_b, (F.col("min_docid") <= F.col("_d"))
+              & (F.col("max_docid") >= F.col("_d")), "leftsemi")
+        .select("termid", "field", "n_docs", "n_postings", "postings",
+                "gen_seq")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nd = pdf["n_docs"].values.astype(np.int64)
+            nposts = pdf["n_postings"].values.astype(np.int64)
+            bufs = [bytes(b) for b in pdf["postings"].values]
+            docids, _tfs, dls, _ = decode_blocks_concat(bufs, nd, nposts)
+            yield pd.DataFrame({
+                "termid": np.repeat(pdf["termid"].values.astype(np.int64), nd),
+                "field": np.repeat(pdf["field"].values.astype(np.int64), nd),
+                "docid": docids,
+                "dl": dls,
+                "gen_seq": np.repeat(
+                    pdf["gen_seq"].values.astype(np.int64), nd),
+            })
+
+    decoded = seg.mapInPandas(
+        gen, "termid long, field long, docid long, dl long, gen_seq long")
+    return decoded.join(F.broadcast(ids.select("docid").distinct()),
+                        "docid", "leftsemi")
+
+
+def _next_stats_delta_gen(index_dir: str, prefix: str) -> str:
+    top = -1
+    p = catalog.table_path(index_dir, "term_stats_partial")
+    if os.path.isdir(p):
+        for name in os.listdir(p):
+            if name.startswith(f"gen={prefix}"):
+                try:
+                    top = max(top, int(name[len(f"gen={prefix}"):]))
+                except ValueError:
+                    continue
+    return f"{prefix}{top + 1}"
+
+
+def write_negative_stats_partials(spark: SparkSession, index_dir: str,
+                                  ids: DataFrame, *,
+                                  newest_only: bool = True,
+                                  label_prefix: str = "del") -> None:
+    """Publish NEGATIVE df / field-length partials for the given docids'
+    current serving postings, keeping the additive-partials invariant
+    ``Σ term_stats_partial == distinct (termid, docid) over the LIVE
+    view`` across deletes and re-adds — so ``finalize_stats`` always
+    yields exact BM25 statistics and served IDF is never stale between a
+    bulk delete and the next compaction (the round-3 verdict's strict-
+    stats window; the reference instead accepts a 500 s df-estimate
+    staleness, /root/reference/Posdb.cpp:257-302).
+
+    ``newest_only``: subtract only each docid's newest-generation rows —
+    the one version the partials currently count live (older generations
+    were already netted out when they were superseded)."""
+    rows = _decode_stats_rows(spark, index_dir, ids)
+    # anchor-text postings never entered the stats (operators/linktext.py)
+    from .. import FIELD_LINKTEXT as _FLT
+
+    rows = rows.filter(F.col("field") != _FLT)
+    if newest_only:
+        newest = rows.groupBy("docid").agg(F.max("gen_seq").alias("_ng"))
+        rows = rows.join(F.broadcast(newest), "docid").filter(
+            F.col("gen_seq") == F.col("_ng"))
+    rows = rows.persist(StorageLevel.DISK_ONLY)
+    try:
+        gen_label = _next_stats_delta_gen(index_dir, label_prefix)
+        df_neg = (
+            rows.select("termid", "docid").distinct()
+            .groupBy("termid").agg((-F.count(F.lit(1))).alias("df"))
+        )
+        catalog.write_gen(df_neg, index_dir, "term_stats_partial", gen_label)
+        fs_neg = (
+            rows.filter(F.col("field").isin(
+                [FIELD_BODY, FIELD_TITLE, FIELD_URL]))
+            .select("field", "docid", "dl").distinct()
+            .groupBy("field").agg((-F.count(F.lit(1))).alias("n_docs"),
+                                  (-F.sum("dl")).alias("sum_dl"))
+            .select(F.col("field").cast("int"), "n_docs", "sum_dl")
+        )
+        catalog.write_gen(fs_neg, index_dir, "field_stats", gen_label)
+    finally:
+        rows.unpersist()
+
+
+def delete_docs(spark: SparkSession, index_dir: str, docids: list[int], *,
+                update_stats: bool = True) -> None:
     """Mark documents deleted. The reference writes negative posdb keys that
     annihilate positive ones at memtable-add or merge time
     (/root/reference/Rdb.h:73-87, /root/reference/DocDelete.cpp); here a
     tombstone table filters the query path immediately and the next
     compaction drops the postings physically (annihilation-at-merge).
 
-    BM25 corpus stats (df, avgdl, N) stay as-built until a stats rebuild —
-    the same staleness the reference accepts with its RdbMap df estimates
-    and 500 s term-freq cache (/root/reference/Posdb.cpp:257-302)."""
+    ``update_stats=True`` (default) additionally nets the deleted docs out
+    of the BM25 statistics (negative df/length partials decoded from the
+    index's own postings + a finalize), so served IDF reflects the live
+    corpus immediately — ``verify_index(strict_stats=True)`` stays green
+    with no stats rebuild. Pass ``False`` for the reference's cheaper
+    parity behavior (stats stay as-built until rebuild_stats — its RdbMap
+    df-estimate / 500 s term-freq-cache staleness,
+    /root/reference/Posdb.cpp:257-302)."""
     df = spark.createDataFrame([(int(d),) for d in docids], "docid long")
+    if update_stats:
+        # restrict to docids that are actually LIVE (present in docmap and
+        # not already tombstoned) — a double delete must not subtract twice
+        dm = (
+            spark.read.parquet(catalog.table_path(index_dir, "docmap"))
+            .select("docid").distinct().join(df, "docid", "leftsemi")
+        )
+        tomb = load_tombstones(spark, index_dir)
+        live = dm if tomb is None else dm.join(tomb, "docid", "left_anti")
+        live = live.persist()
+        try:
+            if live.count() > 0:
+                write_negative_stats_partials(spark, index_dir, live)
+                df.write.mode("append").parquet(
+                    catalog.table_path(index_dir, "tombstones"))
+                finalize_stats(spark, index_dir)
+                return
+        finally:
+            live.unpersist()
     df.write.mode("append").parquet(catalog.table_path(index_dir, "tombstones"))
 
 
@@ -1382,6 +1516,7 @@ def rebuild_stats(spark: SparkSession, index_dir: str, *,
     from .. import FIELD_LINKTEXT as _FLT
 
     decoded = decoded.filter(F.col("field") != _FLT)
+    decoded = decoded.persist(StorageLevel.DISK_ONLY)
     term_stats = (
         decoded.select("termid", "docid").distinct()
         .groupBy("termid").agg(F.count("*").alias("df"))
@@ -1395,14 +1530,20 @@ def rebuild_stats(spark: SparkSession, index_dir: str, *,
     spark.catalog.refreshByPath(ts_path)
 
     docmap = spark.read.parquet(catalog.table_path(index_dir, "docmap"))
-    n_docs = docmap.select("docid").distinct().count()
+    live = docmap.select("docid").distinct()
+    tomb = load_tombstones(spark, index_dir)
+    if tomb is not None:
+        live = live.join(tomb, "docid", "left_anti")
+    n_docs = live.count()
     # dl is inlined per (docid, field) in every block — distinct gives the
     # exact per-field length sums without a doc-side pass
-    sums = {
-        int(r["field"]): int(r["s"])
-        for r in decoded.select("field", "docid", "dl").distinct()
-        .groupBy("field").agg(F.sum("dl").alias("s")).collect()
-    }
+    per_field = (
+        decoded.select("field", "docid", "dl").distinct()
+        .groupBy("field").agg(F.sum("dl").alias("s"),
+                              F.count(F.lit(1)).alias("nd"))
+        .collect()
+    )
+    sums = {int(r["field"]): int(r["s"]) for r in per_field}
 
     def avgdl(field: int) -> float:
         return sums.get(field, 0) / max(n_docs, 1)
@@ -1412,3 +1553,22 @@ def rebuild_stats(spark: SparkSession, index_dir: str, *,
         "n_docs long, avgdl_body double, avgdl_title double, avgdl_url double",
     )
     catalog.write_table(globals_df, index_dir, "globals")
+
+    # RESYNC the additive partials to the rebuilt truth: replace the
+    # accumulated per-generation partial trees with one consolidated
+    # generation each, so a later append's finalize_stats (which sums the
+    # partials) starts from the same exact state this rebuild computed —
+    # without this a rebuild would fix term_stats but leave drifted
+    # partials to resurface at the next finalize
+    for t in ("term_stats_partial", "field_stats"):
+        p = catalog.table_path(index_dir, t)
+        _shutil.rmtree(p, ignore_errors=True)
+    catalog.write_gen(
+        spark.read.parquet(ts_path).select("termid", "df"),
+        index_dir, "term_stats_partial", "rebuilt")
+    catalog.write_gen(
+        spark.createDataFrame(
+            [(int(r["field"]), int(r["nd"]), int(r["s"])) for r in per_field],
+            "field int, n_docs long, sum_dl long"),
+        index_dir, "field_stats", "rebuilt")
+    decoded.unpersist()

@@ -142,14 +142,18 @@ def verify_index(spark: SparkSession, index_dir: str, *,
     docmap uniqueness) are broken for those blocks.
 
     ``strict_stats=True`` additionally requires the BM25 statistics tables
-    to be EXACT against the postings: term_stats.df == distinct (termid,
-    docid) and globals.n_docs == docmap distinct docids. That equality only
-    holds in a stats-exact state — right after ``build_index`` or
-    ``rebuild_stats`` — because deletes/reindexes/appends stale the additive
-    partials by design until the next rebuild (delete_docs docstring; the
-    same staleness the reference accepts with its RdbMap df estimates,
-    /root/reference/Posdb.cpp:257-302). The default verifies structure
-    only, which is sound in every legitimate index state.
+    to be EXACT against the LIVE serving view: term_stats.df == distinct
+    (termid, docid) over postings minus tombstoned docids and superseded
+    generations (anchor-text FIELD_LINKTEXT excluded — it never enters the
+    stats, operators/linktext.py), and globals.n_docs == live docmap
+    docids. Since round 4 every mutation maintains this invariant when run
+    with ``update_stats=True`` (delete_docs / append_generation write
+    negative delta partials), so strict verification holds immediately
+    after delete → append with NO stats rebuild; a mutation run with
+    ``update_stats=False`` (the reference's RdbMap-estimate staleness,
+    /root/reference/Posdb.cpp:257-302) breaks it until ``rebuild_stats``.
+    The default verifies structure only, which is sound in every
+    legitimate index state.
     """
     seg = serving_segments(spark, index_dir)
     per_block = seg.mapInPandas(_verify_blocks, _VERIFY_SCHEMA)
@@ -164,8 +168,25 @@ def verify_index(spark: SparkSession, index_dir: str, *,
 
     stats: dict = {"strict_stats": bool(strict_stats)}
     if strict_stats:
-        # term_stats.df == distinct (termid, docid) over the raw postings
-        decoded = _decode_doc_rows(seg)
+        # term_stats.df == distinct (termid, docid) over the LIVE view:
+        # drop tombstoned docids, non-newest generations of superseded
+        # docids, and the anchor-text field (stats-exempt by design)
+        from .. import FIELD_LINKTEXT as _FLT
+        from .index_build import load_superseded, load_tombstones
+
+        decoded = _decode_doc_rows(seg).filter(F.col("field") != _FLT)
+        tomb = load_tombstones(spark, index_dir)
+        if tomb is not None:
+            decoded = decoded.join(tomb, "docid", "left_anti")
+        sup = load_superseded(spark, index_dir)
+        if sup is not None:
+            sup_b = F.broadcast(sup.withColumnRenamed("gen_seq", "_newest"))
+            decoded = (
+                decoded.join(sup_b, "docid", "left")
+                .filter(F.col("_newest").isNull()
+                        | (F.col("gen_seq") == F.col("_newest")))
+                .drop("_newest")
+            )
         true_df = decoded.groupBy("termid").agg(
             F.countDistinct("docid").alias("df_true"))
         ts = catalog.read_table(spark, index_dir, "term_stats")
@@ -190,8 +211,14 @@ def verify_index(spark: SparkSession, index_dir: str, *,
         if dup:
             violations["docmap_dup_newest"] = int(dup)
         if strict_stats:
+            from .index_build import load_tombstones as _lt
+
             g = catalog.read_table(spark, index_dir, "globals").collect()[0]
-            live = newest.count()
+            live_df = newest.select("docid")
+            tomb2 = _lt(spark, index_dir)
+            if tomb2 is not None:
+                live_df = live_df.join(tomb2, "docid", "left_anti")
+            live = live_df.count()
             stats["n_docs_globals"] = int(g["n_docs"])
             stats["n_docs_docmap"] = int(live)
             if int(g["n_docs"]) != int(live):

@@ -62,6 +62,7 @@ def reindex_query(
     start: int = 0,
     end: int = 1000,
     force_del: bool = False,
+    update_stats: bool = False,
 ) -> dict:
     """Run ``query``, take the ranked docid slice ``[start, end)``, and
     either delete those docs (``force_del=True``) or re-index them from
@@ -71,6 +72,13 @@ def reindex_query(
     table (exactly the reference: DocReindex loads each doc's titlerec, it
     never refetches) — pass a corpus DataFrame only to re-index from newer
     external content or when the index was built ``store_content=False``.
+
+    ``update_stats=False`` (default) keeps BM25 stats as-built across the
+    operation — PageReindex parity (the reference's reindex never touches
+    its df estimates; staleness bounded by the 500 s term-freq cache,
+    /root/reference/Posdb.cpp:257-302) and what the engine_reindex_delete
+    oracle models. Pass ``True`` for live-exact stats maintained through
+    the delete/re-add (delete_docs/append_generation delta partials).
 
     Returns ``{"num_docids": ranked results fetched, "num_selected": slice
     size, "num_added": docs deleted or re-added}`` mirroring Msg1c's
@@ -103,7 +111,7 @@ def reindex_query(
         return out
 
     if force_del:
-        delete_docs(spark, index_dir, docids)
+        delete_docs(spark, index_dir, docids, update_stats=update_stats)
         out["num_added"] = len(docids)
         return out
 
@@ -121,6 +129,7 @@ def reindex_query(
     stats = append_generation(
         spark, selected, index_dir, _next_reindex_batch_id(index_dir),
         lineage=f"reindex query={query!r} slice=[{start},{end})",
+        update_stats=update_stats,
     )
     finalize_stats(spark, index_dir)
     out["num_added"] = stats["docs"]

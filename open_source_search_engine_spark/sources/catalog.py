@@ -134,7 +134,12 @@ def write_gen(df: DataFrame, index_dir: str, table: str, gen: str, *,
     # a resumed chunk re-run replaces its own (possibly partial) generation
     shutil.rmtree(dest, ignore_errors=True)
     os.rename(stage, dest)
-    spark.catalog.refreshByPath(dest_dir)
+    # NO refreshByPath here: fresh spark.read.parquet calls list the
+    # directory anew (they see this generation), while plans ALREADY built
+    # on the pre-publish snapshot must keep reading that snapshot — a
+    # mid-flight refresh would re-list under their inferred partition
+    # schema (e.g. int `gen` meeting a new `gen=s...` string value →
+    # ClassCastException) and break snapshot isolation for in-flight jobs
 
 
 def read_table(spark: SparkSession, index_dir: str, name: str) -> DataFrame:

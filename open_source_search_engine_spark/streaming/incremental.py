@@ -159,6 +159,7 @@ def append_generation(
     *,
     partitions: int | None = None,
     lineage: str | None = None,
+    update_stats: bool = True,
 ) -> dict:
     """Append one corpus DataFrame as index generation ``gen=s<batch_id>``
     — segments + docmap + doc/field/term stats partials + a manifest row,
@@ -190,6 +191,28 @@ def append_generation(
         part.unpersist()
         return {"docs": 0, "postings": 0}
     t0 = time.time()
+    if update_stats and catalog.table_exists(index_dir, "docmap"):
+        # additive-partials invariant across RE-ADDS: a re-ingested doc's
+        # OLD (about-to-be-superseded) version was counted by earlier
+        # partials — net it out now, BEFORE this generation's positive
+        # partials land, so Σ partials stays == the live view and
+        # finalize_stats yields exact df/avgdl with no rebuild. Only LIVE
+        # old versions subtract (a tombstoned doc was netted at delete).
+        from ..operators.index_build import (
+            load_tombstones, write_negative_stats_partials,
+        )
+
+        old = (
+            spark.read.parquet(catalog.table_path(index_dir, "docmap"))
+            .select("docid").distinct()
+            .join(part.select("docid"), "docid", "leftsemi")
+        )
+        tomb = load_tombstones(spark, index_dir)
+        if tomb is not None:
+            old = old.join(tomb, "docid", "left_anti")
+        if old.limit(1).count() > 0:
+            write_negative_stats_partials(spark, index_dir, old,
+                                          label_prefix="sup")
     # newest-generation-wins bookkeeping (M7): re-added docids get a
     # superseded row pointing here; pending tombstones on them clear
     register_generation(spark, index_dir, part.select("docid"), gen_seq_of(gen))

@@ -37,7 +37,10 @@ def test_delete_filters_queries_and_compaction_annihilates(spark, del_index):
     delete_docs(spark, del_index, victims)
 
     after = _ids(spark, del_index, q)
-    assert after == [d for d in before if d not in victims]
+    # set equality, not order: delete_docs maintains LIVE BM25 stats by
+    # default now (negative delta partials + finalize), so df/avgdl/N — and
+    # with them the ranking order — legitimately change with the corpus
+    assert set(after) == set(before) - set(victims)
     # unrelated query also never returns the victims
     assert not set(victims) & set(_ids(spark, del_index, "value"))
 
@@ -52,6 +55,64 @@ def test_delete_filters_queries_and_compaction_annihilates(spark, del_index):
     # tombstones cleared after compaction
     tomb = spark.read.parquet(f"{del_index}/tombstones")
     assert tomb.count() == 0
+
+
+def test_strict_stats_hold_through_delete_then_append(spark, tmp_path):
+    """Round-4 incremental stats: delete → append (with re-adds) keeps
+    term_stats/globals EXACT against the live view with NO rebuild_stats —
+    verify_index(strict_stats=True) green at every step, and the served
+    IDF equals a from-scratch build of the same live corpus."""
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index, delete_docs, finalize_stats, with_doc_identity,
+    )
+    from open_source_search_engine_spark.operators.inspect import verify_index
+    from open_source_search_engine_spark.operators.query_engine import (
+        cached_handle, topk,
+    )
+    from open_source_search_engine_spark.streaming.incremental import (
+        append_generation,
+    )
+
+    idx = str(tmp_path / "sidx")
+    corpus = corpus_df(spark, 90, partitions=4)
+    build_index(spark, corpus, idx, n_chunks=1)
+    assert verify_index(spark, idx, strict_stats=True)["ok"]
+
+    ids = [r["docid"] for r in
+           with_doc_identity(corpus).select("docid").limit(7).collect()]
+    delete_docs(spark, idx, ids[:5])
+    rep = verify_index(spark, idx, strict_stats=True)
+    assert rep["ok"], rep
+
+    # double delete of the same docids must not subtract twice
+    delete_docs(spark, idx, ids[:3])
+    rep = verify_index(spark, idx, strict_stats=True)
+    assert rep["ok"], rep
+
+    # append a generation that RE-ADDS two deleted docs and two live docs
+    readd = with_doc_identity(corpus).filter(
+        F.col("docid").isin([int(d) for d in ids[3:7]])
+    ).select("repo", "path", "commit", "lang", "content")
+    append_generation(spark, readd, idx, batch_id=1)
+    finalize_stats(spark, idx)
+    rep = verify_index(spark, idx, strict_stats=True)
+    assert rep["ok"], rep
+
+    # served stats equal a from-scratch build of the live corpus
+    live_corpus = with_doc_identity(corpus).filter(
+        ~F.col("docid").isin([int(d) for d in ids[:3]])
+    ).select("repo", "path", "commit", "lang", "content")
+    ref = str(tmp_path / "refidx")
+    build_index(spark, live_corpus, ref, n_chunks=1)
+    h_inc, h_ref = cached_handle(spark, idx), cached_handle(spark, ref)
+    assert h_inc.n_docs == h_ref.n_docs
+    assert h_inc.avgdl == h_ref.avgdl
+    a = [(r["docid"], r["score"]) for r in
+         topk(spark, idx, "binary search", 20).collect()]
+    b = [(r["docid"], r["score"]) for r in
+         topk(spark, ref, "binary search", 20).collect()]
+    assert a == b
 
 
 def test_reindex_after_delete(spark, tmp_path):
@@ -184,7 +245,12 @@ def test_wand_falls_back_when_side_table_huge(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(wand, "WAND_SIDE_TABLE_MAX", 0)
     got = [r["docid"] for r in topk(spark, idx, q, 1000).collect()]
-    assert got == [d for d in before if d not in victims]
+    # set equality (delete_docs now maintains live stats, so ranking order
+    # may change); exact order must still agree with the declarative path
+    assert set(got) == set(before) - set(victims)
+    noprune = [r["docid"] for r in
+               topk(spark, idx, q, 1000, prune=False).collect()]
+    assert got == noprune
 
 
 def test_compaction_backfills_missing_docmap_columns(spark, tmp_path):

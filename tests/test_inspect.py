@@ -132,11 +132,14 @@ def test_verify_detects_injected_corruption(spark, small_index, tmp_path):
 
 
 def test_strict_stats_staleness_window(spark, small_index):
-    """delete → strict still exact (postings untouched) → compact stales df
-    until rebuild_stats restores exactness; structural verify is green
-    throughout (the legit-state soundness of the default mode)."""
+    """Round 4: delete_docs maintains live stats by default, so strict
+    verification (now against the LIVE view) holds at EVERY step — delete,
+    compaction — with no rebuild. The reference-parity mode
+    (update_stats=False) still opens the staleness window, and
+    rebuild_stats still repairs it (and resyncs the partials, so a later
+    finalize doesn't resurface the drift)."""
     from open_source_search_engine_spark.operators.index_build import (
-        compact_segments, delete_docs, rebuild_stats,
+        compact_segments, delete_docs, finalize_stats, rebuild_stats,
     )
     from open_source_search_engine_spark.operators.inspect import verify_index
     from open_source_search_engine_spark.operators.query_engine import topk
@@ -148,10 +151,22 @@ def test_strict_stats_staleness_window(spark, small_index):
     compact_segments(spark, small_index)
     rep = verify_index(spark, small_index)
     assert rep["ok"]  # structure stays valid
+    assert verify_index(spark, small_index, strict_stats=True)["ok"]
+
+    # reference-parity mode: stats stay as-built -> strict breaks...
+    more = [r["docid"] for r in topk(spark, small_index, "search", 2).collect()]
+    more = [d for d in more if d not in victims][:1]
+    assert more
+    delete_docs(spark, small_index, more, update_stats=False)
     strict = verify_index(spark, small_index, strict_stats=True)
     assert not strict["ok"]
     assert strict["violations"].get("term_stats_df") or \
         strict["violations"].get("globals_n_docs")
 
+    # ...until rebuild_stats repairs AND resyncs the partials: a later
+    # finalize_stats (pure partial re-sum) must not resurface the drift
+    compact_segments(spark, small_index)
     rebuild_stats(spark, small_index)
+    assert verify_index(spark, small_index, strict_stats=True)["ok"]
+    finalize_stats(spark, small_index)
     assert verify_index(spark, small_index, strict_stats=True)["ok"]
