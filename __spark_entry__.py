@@ -2763,8 +2763,7 @@ def _q_engine_spell(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_source_search_engine_spark.sources.testdata import ensure_index
 
     idx = ensure_index(spark, sf_dir)
-    if not catalog.table_exists(idx, "suggest_index"):
-        materialize_suggest(spark, idx, _docs(spark, sf_dir))
+    _ensure_suggest_tables(spark, idx, sf_dir)
     page = _json.loads(search(spark, idx, "hashh tble",
                               spell_check=True, fmt="json"))
     dym = page.get("didYouMean", "")
@@ -2778,6 +2777,87 @@ def _q_engine_spell(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(dym, int(page["hits"]), fixed_hits)],
         "did_you_mean string, hits long, fixed_hits long")
+
+
+def _ensure_suggest_tables(spark: SparkSession, idx: str, sf_dir: str) -> None:
+    from open_source_search_engine_spark.operators.suggest import (
+        materialize_suggest,
+    )
+    from open_source_search_engine_spark.sources import catalog
+
+    if not (catalog.table_exists(idx, "suggest_index")
+            and catalog.table_exists(idx, "suggest_bigrams")):
+        materialize_suggest(spark, idx, _docs(spark, sf_dir))
+
+
+def _q_engine_spell_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-aware did-you-mean (the Speller's phrase-popularity scoring,
+    /root/reference/Speller.cpp getPhrasePopularity): in 'batch sow' the
+    unknown word's candidate pool {row, slow, ...} is rescored by
+    adjacency counts with the KNOWN neighbor 'batch' — the top correction
+    ('row': corpus writes 'batch row' more often) DIFFERS from the
+    per-word df argmax ('slow'), which is what the oracle asserts. The
+    pool is the top-CONTEXT_POOL df-ranked unigram candidates; the oracle
+    replays the same window, rescoring, and tie-breaks."""
+    import json as _json
+
+    from open_source_search_engine_spark.operators.searchapi import search
+    from open_source_search_engine_spark.sources.testdata import ensure_index
+
+    idx = ensure_index(spark, sf_dir)
+    _ensure_suggest_tables(spark, idx, sf_dir)
+    page = _json.loads(search(spark, idx, "batch sow",
+                              spell_check=True, fmt="json"))
+    dym = page.get("didYouMean", "")
+    fixed_hits = 0
+    if dym:
+        fixed = _json.loads(search(
+            spark, idx, dym, docs_wanted=1_000_000,
+            do_site_clustering=False, do_dup_content_removal=False,
+            fmt="json"))
+        fixed_hits = int(fixed["hits"])
+    return spark.createDataFrame(
+        [(dym, int(page["hits"]), fixed_hits)],
+        "did_you_mean string, hits long, fixed_hits long")
+
+
+_SPELL_CONTEXT_SQL = f"""
+WITH{TOKS_CTE},
+vocab AS (
+  SELECT tok, count(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT t[i] AS a, t[i+1] AS b, count(*) AS n
+  FROM toks, unnest(range(1, len(t))) AS u(i) GROUP BY 1, 2
+),
+pool AS (
+  SELECT tok, df FROM (
+    SELECT v.tok, v.df,
+           row_number() OVER (ORDER BY v.df DESC, v.tok) AS rn
+    FROM vocab v WHERE levenshtein(v.tok, 'sow') <= 1
+  ) WHERE rn <= 8
+),
+scored AS (
+  SELECT p.tok, p.df, coalesce(pr.n, 0) AS ctx
+  FROM pool p LEFT JOIN pairs pr ON pr.a = 'batch' AND pr.b = p.tok
+),
+best AS (
+  SELECT tok FROM (
+    SELECT tok,
+           CASE WHEN (SELECT max(ctx) FROM scored) > 0
+                THEN row_number() OVER (ORDER BY ctx DESC, df DESC, tok)
+                ELSE row_number() OVER (ORDER BY df DESC, tok) END AS rn2
+    FROM scored
+  ) WHERE rn2 = 1
+)
+SELECT 'batch ' || (SELECT tok FROM best) AS did_you_mean,
+       0::BIGINT AS hits,
+       (SELECT count(*) FROM toks
+        WHERE list_contains(t, 'batch')
+          AND list_contains(t, (SELECT tok FROM best)))::BIGINT AS fixed_hits
+"""
 
 
 _SPELL_SQL = f"""
@@ -3098,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_snippets_multi": _q_engine_snippets_multi,
         "engine_suggest": _q_engine_suggest,
         "engine_spell": _q_engine_spell,
+        "engine_spell_context": _q_engine_spell_context,
         "engine_synonyms": _q_engine_synonyms,
         "engine_variations": _q_engine_variations,
         "engine_variations_irregular": _q_engine_variations_irregular,
@@ -3170,7 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # compare). Surface them FIRST so a prefix-sampling driver sweep
     # covers the tail of the set this round; no entry is renamed.
     never_driver_checked = [
-        "engine_linktext",  # new this round
+        "engine_linktext", "engine_spell_context",  # new this round
         "dedup_clusters", "dedup_apply", "semdedup_pairs_exact",
         "semdedup_apply", "matchlist_block", "pii_redact", "lm_perplexity",
         "engine_result_override", "text_chunking", "text_gopher_rep",
@@ -3439,6 +3520,7 @@ ORDER BY df DESC, token LIMIT 5
 """,
         "engine_spell": _SPELL_SQL.format(
             base=_bm25_sql(["hash", "table"])),
+        "engine_spell_context": _SPELL_CONTEXT_SQL,
         "engine_synonyms": _bm25_sql([], or_group=[("sort", 1.0)] + [
             (s, 0.9) for s in __import__(
                 "open_source_search_engine_spark.functions.synonyms",

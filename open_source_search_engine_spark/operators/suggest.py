@@ -47,6 +47,51 @@ def suggest_index(vocab: DataFrame) -> DataFrame:
     )
 
 
+def bigram_counts(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(tok1, tok2, n) adjacent whitespace-pair counts — the context model
+    for phrase-aware corrections. The reference's speller scores candidate
+    PHRASES against its dictionary, not words in isolation
+    (/root/reference/Speller.cpp getPhrasePopularity); here the phrase
+    popularity table is the corpus's own adjacency counts. One JVM-side
+    aggregation; size = distinct adjacent pairs."""
+    toks = F.filter(F.split(F.lower(F.col(text)), r"\s+"), lambda x: x != "")
+    pairs = docs.select(toks.alias("t")).select(
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))),
+            lambda i: F.struct(F.col("t")[i - 1].alias("tok1"),
+                               F.col("t")[i].alias("tok2")),
+        )).alias("p")
+    )
+    return (
+        pairs.select("p.tok1", "p.tok2")
+        .groupBy("tok1", "tok2").agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def pair_counts(spark, index_dir: str, lefts: list[str],
+                rights: list[str]) -> dict:
+    """{(tok1, tok2): n} for the cross product of interest, from the
+    materialized ``suggest_bigrams`` table — partition-pruned by tok1
+    prefix, so a correction lookup reads only the context word's and the
+    candidates' partitions. Empty when the table was never materialized."""
+    import os
+
+    from ..sources import catalog
+
+    path = catalog.table_path(index_dir, "suggest_bigrams")
+    if not os.path.isdir(path) or not lefts or not rights:
+        return {}
+    pfxs = sorted({w[:2] for w in lefts if w})
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col("pfx").isin(pfxs)
+                & F.col("tok1").isin(list(lefts))
+                & F.col("tok2").isin(list(rights)))
+        .collect()
+    )
+    return {(r["tok1"], r["tok2"]): int(r["n"]) for r in rows}
+
+
 def materialize_suggest(spark, index_dir: str, docs: DataFrame,
                         text: str = "text") -> None:
     """OFFLINE (build/DailyMerge cadence): write the delete-neighbourhood
@@ -66,6 +111,12 @@ def materialize_suggest(spark, index_dir: str, docs: DataFrame,
         "pfx", F.when(F.length("delete_key") == 0, F.lit("~"))
                 .otherwise(F.substring("delete_key", 1, 2)))
     catalog.write_table(idx, index_dir, "suggest_index", partition_by=["pfx"])
+    # adjacency counts for context-aware (phrase-scored) corrections —
+    # partitioned by tok1 prefix for the same pruned-lookup shape
+    catalog.write_table(
+        bigram_counts(docs, text=text).withColumn(
+            "pfx", F.substring("tok1", 1, 2)),
+        index_dir, "suggest_bigrams", partition_by=["pfx"])
 
 
 def suggest_from_index(spark, index_dir: str, word: str, k: int = 5) -> DataFrame:
@@ -107,6 +158,11 @@ def suggest(vocab: DataFrame, word: str, k: int = 5) -> DataFrame:
     )
 
 
+# unigram candidates entering context rescoring: top-N by df (the pool cut
+# is part of the contract — the DuckDB oracle replays the same window)
+CONTEXT_POOL = 8
+
+
 def did_you_mean(spark, index_dir: str, plan, query: str,
                  *, max_terms: int = 8) -> str | None:
     """Spell recommendation for one parsed query — the "did you mean"
@@ -135,13 +191,45 @@ def did_you_mean(spark, index_dir: str, plan, query: str,
         return None
     dfs = cached_handle(spark, index_dir).term_dfs(
         spark, [tid for tid, _ in words])
+    known = [dfs.get(tid, 0) > 0 for tid, _ in words]
     fixes: dict[str, str] = {}
-    for tid, tok in words:
-        if dfs.get(tid, 0) > 0:
+    for i, (tid, tok) in enumerate(words):
+        if known[i]:
             continue
-        top = suggest_from_index(spark, index_dir, tok, 1).collect()
-        if top and top[0]["token"] != tok:
-            fixes[tok] = top[0]["token"]
+        # candidate pool by df (the unigram ranking), then CONTEXT
+        # rescoring by adjacency counts with neighboring KNOWN query words
+        # — the reference's phrase-popularity scoring
+        # (/root/reference/Speller.cpp getPhrasePopularity): the best
+        # correction of 'sow' after 'batch' is the token the corpus
+        # actually writes after 'batch', not the globally-commonest one.
+        # Only ORIGINALLY-known neighbors provide context (corrections
+        # never chain as evidence), so isolated/multi-typo queries keep
+        # the plain df argmax.
+        pool = suggest_from_index(
+            spark, index_dir, tok, CONTEXT_POOL).collect()
+        if not pool:
+            continue
+        prev_w = words[i - 1][1] if i > 0 and known[i - 1] else None
+        next_w = (words[i + 1][1]
+                  if i + 1 < len(words) and known[i + 1] else None)
+        best = pool[0]["token"]
+        if prev_w is not None or next_w is not None:
+            cands = [r["token"] for r in pool]
+            pc = pair_counts(
+                spark, index_dir,
+                [w for w in (prev_w,) if w] + cands,
+                cands + [w for w in (next_w,) if w])
+            ctx = {
+                c: (pc.get((prev_w, c), 0) if prev_w else 0)
+                + (pc.get((c, next_w), 0) if next_w else 0)
+                for c in cands
+            }
+            if any(ctx.values()):
+                dfm = {r["token"]: int(r["df"]) for r in pool}
+                # (context desc, df desc, token asc)
+                best = min(cands, key=lambda c: (-ctx[c], -dfm[c], c))
+        if best != tok:
+            fixes[tok] = best
     if not fixes:
         return None
     # rewrite only BARE segments: quoted phrases pass through verbatim, and

@@ -175,6 +175,48 @@ def test_did_you_mean_corrects_unknown_word(spark, suggest_ready_index):
     assert fixed["hits"] > 0
 
 
+def test_did_you_mean_context_rescoring(spark, tmp_path):
+    """Phrase-aware correction (Speller.cpp getPhrasePopularity analog): a
+    typo with two edit-1 candidates resolves to the one the corpus writes
+    AFTER the known neighbor — not the globally-commonest — while the same
+    typo in isolation keeps the df argmax. Deterministic custom corpus:
+    df('grape') > df('grade'), but 'best grade' is the common phrase."""
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+    from open_source_search_engine_spark.operators.index_build import build_index
+    from open_source_search_engine_spark.operators.suggest import (
+        did_you_mean, materialize_suggest,
+    )
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    rows = []
+    # grape: 12 docs (higher df); grade: 8 docs, but 6 of them say
+    # "best grade"; "best grape" never occurs adjacently
+    for i in range(12):
+        rows.append({"repo": "r/a", "path": f"g{i}.txt", "commit": "c",
+                     "lang": "en", "content": f"grape juice press {i}\nbest vintage"})
+    for i in range(8):
+        ctx = "best grade result" if i < 6 else "low grade metal"
+        rows.append({"repo": "r/b", "path": f"d{i}.txt", "commit": "c",
+                     "lang": "en", "content": f"{ctx} item {i}"})
+    idx = str(tmp_path / "ctxidx")
+    corpus = spark.createDataFrame(rows, CORPUS_SCHEMA_DDL)
+    build_index(spark, corpus, idx, n_chunks=1)
+    docs = corpus.selectExpr("content as text")
+    materialize_suggest(spark, idx, docs)
+
+    # isolated typo -> unigram df argmax
+    assert did_you_mean(spark, idx, parse_query("grabe"), "grabe") == "grape"
+    # known neighbor 'best' -> adjacency rescoring flips to 'grade'
+    q = "best grabe"
+    assert did_you_mean(spark, idx, parse_query(q), q) == "best grade"
+    # neighbor on the RIGHT works too ('grabe result' -> 'grade result')
+    q = "grabe result"
+    assert did_you_mean(spark, idx, parse_query(q), q) == "grade result"
+    # a neighbor with no adjacency evidence falls back to df argmax
+    q = "vintage grabe"
+    assert did_you_mean(spark, idx, parse_query(q), q) == "vintage grape"
+
+
 def test_did_you_mean_absent_when_spelled_right(spark, suggest_ready_index):
     from open_source_search_engine_spark.operators.searchapi import search
 
