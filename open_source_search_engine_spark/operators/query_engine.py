@@ -406,6 +406,41 @@ def _min_window_spans(decoded: DataFrame, member_tids: list[int]) -> DataFrame:
     return mem.mapInPandas(gen, "docid long, field int, span long")
 
 
+def proximity_config(plan: QueryPlan, ranker: str):
+    """(members, ideal, amplitude) for the SC4 proximity ranker — shared by
+    the declarative scorer and the WAND cell scorer so both compute the
+    identical window target.
+
+    Members: required non-bigram full-weight terms (weight < 1.0 excludes
+    attached variation alternates — a 0.9-form must not be REQUIRED inside
+    the covering window), unfielded or BODY-fielded. Wiki-phrase rule
+    (Wiki.cpp / PosdbTable.cpp:816-842 analog): when ONE detected phrase
+    group covers every member, the window targets the query's own member
+    spacing at WIKI_WEIGHT amplitude; partial coverage keeps the default
+    (ideal = adjacency, amplitude 1.0)."""
+    if ranker != "bm25_proximity":
+        return [], None, 1.0
+    members = sorted({
+        int(t.termid) for t in plan.required
+        if not t.is_bigram and t.weight == 1.0
+        and (t.field is None or t.field == FIELD_BODY)
+    })
+    ideal: int | None = None
+    ampl = 1.0
+    if len(members) >= 2 and plan.wiki_groups:
+        pset = set(members)
+        covering = [g for g in plan.wiki_groups
+                    if pset <= {int(t) for t in g.termids}]
+        if len(covering) == 1:
+            offs = [o for t, o in zip(covering[0].termids,
+                                      covering[0].offsets)
+                    if int(t) in pset]
+            if len(offs) >= 2:
+                ideal = int(max(offs) - min(offs))
+                ampl = WIKI_WEIGHT
+    return members, ideal, ampl
+
+
 def proximity_factor(span: F.Column, n_terms: int, *,
                      ideal: int | None = None,
                      amplitude: float = 1.0) -> F.Column:
@@ -570,7 +605,10 @@ def topk(
       absent rank 0. Forces the declarative path like ``temperature``;
     - ``ranker="bm25_proximity"``: multiplies BM25 by a proximity factor
       from the minimal window covering all required terms (SC4
-      sliding-window analog; declarative path only);
+      sliding-window analog). WAND-served since round 4: the ≤
+      (1+amplitude) factor folds into the block bounds (still true upper
+      bounds — pruning stays lossless) and surviving candidates pay the
+      exact window factor from positions decoded in-cell;
     - ``ranker="bm25_ranks"``: BM25 over the rank-weighted tf — each
       occurrence contributes its densityWeight·spamWeight from the stored
       posting ranks (R2/R4, /root/reference/PosdbTable.cpp:257-258 via
@@ -620,9 +658,11 @@ def topk(
     from .index_build import load_superseded
     from .wand import wand_eligible, wand_topk
 
+    prox_members, prox_ideal, prox_ampl = proximity_config(plan, ranker)
+
     if (prune and not _match_set and not _explain and temperature is None
             and repo_rank is None
-            and ranker in ("bm25", "bm25_ranks")
+            and ranker in ("bm25", "bm25_ranks", "bm25_proximity")
             and wand_eligible(plan, k, cursor)):
         from .wand import SideTableTooLarge
 
@@ -631,7 +671,10 @@ def topk(
                 wand_topk(spark, seg, plan, dfs, h.n_docs, h.avgdl,
                           h, k, n_cells=wand_cells,
                           decode_counters=wand_counters, cursor=cursor,
-                          ranker=ranker)
+                          ranker="bm25" if ranker == "bm25_proximity"
+                          else ranker,
+                          prox=((prox_members, prox_ideal, prox_ampl)
+                                if len(prox_members) >= 2 else None))
                 .orderBy(F.desc("score"), F.asc("docid")).limit(k)
             )
             sup = load_superseded(spark, h.index_dir)
@@ -646,36 +689,8 @@ def topk(
         seg = _block_range_prune(spark, seg, plan, dfs)
 
     pos_tids = sorted({int(t) for ph in plan.phrases for t in ph.termids})
-    prox_members: list[int] = []
-    if ranker == "bm25_proximity":
-        # weight < 1.0 excludes attached variation alternates — a 0.9-form
-        # must not be REQUIRED inside the covering window
-        prox_members = sorted({
-            int(t.termid) for t in plan.required
-            if not t.is_bigram and t.weight == 1.0
-            and (t.field is None or t.field == FIELD_BODY)
-        })
-        if len(prox_members) >= 2:
-            pos_tids = sorted(set(pos_tids) | set(prox_members))
-    # wiki-phrase rule (Wiki.cpp / PosdbTable.cpp:816-842 analog): when ONE
-    # detected phrase group covers every proximity member, the window
-    # targets the query's own member spacing at WIKI_WEIGHT amplitude.
-    # Partial coverage keeps the default rule — the set-level narrowing of
-    # the reference's per-pair qdist, consistent with this scorer's
-    # covering-window generalization of the pair matrix (SC3/SC4).
-    prox_ideal: int | None = None
-    prox_ampl = 1.0
-    if len(prox_members) >= 2 and plan.wiki_groups:
-        pset = set(prox_members)
-        covering = [g for g in plan.wiki_groups
-                    if pset <= {int(t) for t in g.termids}]
-        if len(covering) == 1:
-            offs = [o for t, o in zip(covering[0].termids,
-                                      covering[0].offsets)
-                    if int(t) in pset]
-            if len(offs) >= 2:
-                prox_ideal = int(max(offs) - min(offs))
-                prox_ampl = WIKI_WEIGHT
+    if len(prox_members) >= 2:
+        pos_tids = sorted(set(pos_tids) | set(prox_members))
     with_wtf = ranker == "bm25_ranks"
     if not with_wtf:
         # keep the rank sidecar column out of the scan entirely

@@ -447,6 +447,33 @@ class _Run:
         return got
 
 
+def _min_cover_span(plists: list) -> int | None:
+    """Minimal covering span of m nonempty sorted position lists — the
+    per-candidate mirror of the declarative _min_window_spans scan
+    (query_engine.py): for every start index i of the merged stream the
+    smallest covering window ends at max over tags of nextOccurrence(i);
+    answer = min over i of pos[end(i)] - pos[i]. Integer result, so both
+    paths agree exactly."""
+    m = len(plists)
+    tags = np.concatenate(
+        [np.full(len(p), j, dtype=np.int64) for j, p in enumerate(plists)])
+    pos = np.concatenate(plists)
+    o = np.argsort(pos, kind="stable")
+    pos, tags = pos[o], tags[o]
+    n = len(pos)
+    ar = np.arange(n, dtype=np.int64)
+    emax = np.zeros(n, dtype=np.int64)
+    for tg in range(m):
+        idx = np.where(tags == tg, ar, n)
+        nxt = np.minimum.accumulate(idx[::-1])[::-1]
+        np.maximum(emax, nxt, out=emax)
+    valid = emax < n
+    if not valid.any():
+        return None
+    span = pos[np.minimum(emax, n - 1)] - pos
+    return int(span[valid].min())
+
+
 def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
     """mapInPandas factory: block rows (with a `cell` column) → per-cell
     top-k (docid, score) rows."""
@@ -474,6 +501,22 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
     phrases = meta.get("phrases", [])
     pos_keys = {(int(t), int(fld)) for tids, _offs, fld in phrases
                 for t in tids}
+    # SC4 proximity (round-4 WAND eligibility): the ≤ (1+amplitude)
+    # score multiplier folds into the block bounds — amplitude-inflated
+    # bounds are still TRUE upper bounds, so pruning stays lossless; the
+    # exact factor is computed per surviving candidate from the member
+    # positions the decode already carries (the same covering-window
+    # arithmetic as the declarative _min_window_spans kernel)
+    prox = meta.get("prox")
+    if prox is not None:
+        prox_members, prox_ideal, prox_ampl = prox
+        prox_tgt = (float(len(prox_members) - 1) if prox_ideal is None
+                    else float(prox_ideal))
+        bound_mult = 1.0 + float(prox_ampl)
+        pos_keys |= {(int(t), int(fld)) for t in prox_members
+                     for fld in (FIELD_BODY, FIELD_TITLE, FIELD_URL)}
+    else:
+        bound_mult = 1.0
     # bm25_ranks: score from the rank-weighted tf (SC2 occurrence weights)
     # decoded from each block's rank sidecar; the block upper bounds stay
     # valid unchanged because every occurrence weight is ≤ 1, so
@@ -632,6 +675,9 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
                 cov_ix.append(ci)
             covers[key] = (cov_any, cov_ix)
             bound += ub
+        if bound_mult != 1.0:
+            # proximity inflation: true score ≤ bm25_bound × (1+amplitude)
+            bound *= bound_mult
 
         # membership: every required group must be coverable
         keep = np.ones(nc, dtype=bool)
@@ -768,6 +814,33 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
                     s = s * m_und
                 else:
                     s = s * m_other
+            if prox is not None:
+                # SC4 covering-window factor: per field holding ALL
+                # members, 1 + ampl/max(1, 1 + (span - target)); doc
+                # factor = max over fields, 1.0 when no field covers —
+                # the same floats (and the same integer spans) as the
+                # declarative _min_window_spans + proximity_factor pair,
+                # so prune on/off stays bit-equal
+                factor = 1.0
+                for fld in (FIELD_BODY, FIELD_TITLE, FIELD_URL):
+                    pls = []
+                    for t in prox_members:
+                        p = member_positions(int(t), int(fld))
+                        if p is None or not len(p):
+                            pls = None
+                            break
+                        pls.append(np.asarray(p, dtype=np.int64))
+                    if pls is None:
+                        continue
+                    span = _min_cover_span(pls)
+                    if span is None:
+                        continue
+                    f = 1.0 + prox_ampl / max(
+                        1.0, 1.0 + (float(span) - prox_tgt))
+                    if f > factor:
+                        factor = f
+                if factor != 1.0:
+                    s = s * factor
             item = (s, -d)
             if cursor_item is not None and not (item < cursor_item):
                 continue
@@ -831,6 +904,7 @@ def wand_topk(
     decode_counters: dict | None = None,
     cursor: tuple[float, int] | None = None,
     ranker: str = "bm25",
+    prox: tuple | None = None,
 ) -> DataFrame:
     """Block-max WAND plan: cell-assign → shuffle → per-cell DAAT top-k →
     (docid, score) rows for the global merge. ``decode_counters`` may be a
@@ -855,6 +929,9 @@ def wand_topk(
         n_cells = max(1, min(par, (total_df + 16383) // 16384))
     meta = _build_query_meta(plan, dfs, n_docs, avgdl)
     meta["ranker"] = ranker
+    # SC4 proximity: (members, ideal, amplitude) — bounds inflate by
+    # (1+amplitude) and surviving candidates pay the exact window factor
+    meta["prox"] = prox
     _idir = index_dir if isinstance(index_dir, str) else index_dir.index_dir
     tomb, sup_d, sup_g = load_delete_state(_idir)
     meta["tomb"], meta["sup_d"], meta["sup_g"] = tomb, sup_d, sup_g

@@ -314,3 +314,44 @@ def test_ranks_ranker_still_skips_hot_blocks(spark, fine_index):
     total = _block_count(spark, fine_index, hot)
     frac = counters[hot].value / total
     assert frac < 0.25, f"decoded {counters[hot].value}/{total} = {frac:.0%}"
+
+
+def test_proximity_ranker_wand_bit_equal(spark, fine_index):
+    """r4: bm25_proximity rides WAND — the ≤(1+amplitude) window factor
+    folds into the block bounds (still true upper bounds), positions of
+    the member lists decode in-cell, and prune on/off is bit-equal,
+    including the wiki-phrase damped-amplitude variant."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    for q in ("scan value", "hash value table", "scan if", "sort the table"):
+        a = [(r["docid"], r["score"]) for r in
+             topk(spark, fine_index, q, 10, ranker="bm25_proximity",
+                  prune=True).collect()]
+        b = [(r["docid"], r["score"]) for r in
+             topk(spark, fine_index, q, 10, ranker="bm25_proximity",
+                  prune=False).collect()]
+        assert a == b, f"proximity prune on/off diverged for {q!r}"
+        assert a, q
+        # the factor really applied: proximity reorders or rescales vs
+        # plain bm25 for at least one multi-member query
+    plain = [(r["docid"], r["score"]) for r in
+             topk(spark, fine_index, "scan value", 10, prune=True).collect()]
+    prox = [(r["docid"], r["score"]) for r in
+            topk(spark, fine_index, "scan value", 10,
+                 ranker="bm25_proximity", prune=True).collect()]
+    assert plain != prox
+
+
+def test_proximity_ranker_still_skips_hot_blocks(spark, fine_index):
+    """Amplitude-inflated bounds keep pruning effective: a hot-term
+    proximity query still decodes only a fraction of the hot termlist."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    hot = _tid("if")
+    counters = {hot: spark.sparkContext.accumulator(0)}
+    rows = topk(spark, fine_index, "scan if", 10, wand_cells=1,
+                wand_counters=counters, ranker="bm25_proximity").collect()
+    assert rows
+    total = _block_count(spark, fine_index, hot)
+    frac = counters[hot].value / total
+    assert frac < 0.5, f"decoded {counters[hot].value}/{total} = {frac:.0%}"
