@@ -1323,6 +1323,94 @@ CROSS JOIN dfs x
 """
 
 
+def _q_engine_gigablast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gigablast-mode exact scorer (SC2 single-term min-sum + SC3/SC4 pair
+    pass, /root/reference/PosdbTable.cpp:273-1374 with the reference's
+    default weight tables — functions/gigablast.py): full match set of
+    'hash table' scored by min(single_hash, single_table, best-pair-sum).
+    On this corpus every occurrence is BODY (single line): density weight
+    is the per-doc quadratic of clamp(31-(dl-1)), spam weight the 5-gram
+    repeat-window linear curve (the engine_ranks machinery), tfw the
+    scale_linear(df/N, 0, 0.5, 1.0, 0.5) term-frequency weight, and the
+    body pair distance is max(|Δpos|,2)-2 in order / -1 out of order."""
+    from open_source_search_engine_spark.operators.gigablast import (
+        gigablast_topk,
+    )
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    res = gigablast_topk(spark, idx, "hash table", 1_000_000)
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
+def _gigablast_sql(w1: str = "hash", w2: str = "table") -> str:
+    # shared occurrence machinery with _ranks_sql: dw (per-doc density
+    # weight), sw (per-occurrence spam weight from 5-gram repeat windows)
+    tfw = ("(1.0 + least((({df})::DOUBLE / b.n) / 0.5, 1.0) * (0.5 - 1.0))")
+    return f"""
+WITH{TOKS_CTE},
+base AS (SELECT count(*) AS n FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl, text FROM toks),
+dw AS (SELECT doc_id,
+              (((greatest(least(31 - (dl - 1), 31), 1) / 31.0 + 1.0)
+                * (greatest(least(31 - (dl - 1), 31), 1) / 31.0 + 1.0) - 1.0)
+               / 3.0 * (1.0 - 0.35) + 0.35) AS wd
+       FROM dl),
+win AS (SELECT doc_id,
+               unnest(range(1, len(t) - 3)) AS s,
+               unnest(list_transform(range(1, len(t) - 3),
+                      i -> array_to_string(t[i:i+4], ' '))) AS key
+        FROM toks WHERE len(t) >= 5),
+wc AS (SELECT doc_id, key, count(*) AS c FROM win GROUP BY 1, 2),
+winc AS (SELECT w.doc_id, w.s, wc.c
+         FROM win w JOIN wc ON wc.doc_id = w.doc_id AND wc.key = w.key),
+qocc AS (SELECT tk.doc_id, u.i, tk.t[u.i] AS tok
+         FROM (SELECT doc_id,
+                      unnest(list_filter(range(1, len(t) + 1),
+                             i -> t[i] IN ('{w1}', '{w2}'))) AS i
+               FROM toks) u
+         JOIN toks tk ON tk.doc_id = u.doc_id),
+sw AS (SELECT o.doc_id, o.i, o.tok,
+              (15.0 + 14.0 * (15 // greatest(coalesce(max(w.c), 1), 1))) / 225.0 AS ws
+       FROM qocc o
+       LEFT JOIN winc w ON w.doc_id = o.doc_id AND w.s BETWEEN o.i - 4 AND o.i
+       GROUP BY 1, 2, 3),
+dfs AS (SELECT tok, count(DISTINCT doc_id) AS df FROM qocc GROUP BY 1),
+sbest AS (SELECT doc_id, tok, max(ws) AS wsmax FROM sw GROUP BY 1, 2),
+pairbest AS (
+  SELECT a.doc_id,
+         max((a.ws * b.ws) /
+             ((CASE WHEN b.i > a.i THEN greatest(b.i - a.i, 2) - 2
+                    ELSE greatest(a.i - b.i, 2) - 1 END) + 1.0)) AS pb
+  FROM sw a
+  JOIN sw b ON b.doc_id = a.doc_id AND b.tok = '{w2}'
+  WHERE a.tok = '{w1}'
+  GROUP BY 1)
+SELECT d.doc_id,
+       round(least(
+         100.0 * dd.wd * dd.wd * s1.wsmax * s1.wsmax
+               * {tfw.format(df='x1.df')} * {tfw.format(df='x1.df')},
+         100.0 * dd.wd * dd.wd * s2.wsmax * s2.wsmax
+               * {tfw.format(df='x2.df')} * {tfw.format(df='x2.df')},
+         100.0 * dd.wd * dd.wd * pb.pb
+               * {tfw.format(df='x1.df')} * {tfw.format(df='x2.df')}
+       ), 4) AS score_r,
+       sha256(d.text) AS content_sha256
+FROM dl d
+JOIN dw dd ON dd.doc_id = d.doc_id
+JOIN sbest s1 ON s1.doc_id = d.doc_id AND s1.tok = '{w1}'
+JOIN sbest s2 ON s2.doc_id = d.doc_id AND s2.tok = '{w2}'
+JOIN pairbest pb ON pb.doc_id = d.doc_id
+CROSS JOIN base b
+CROSS JOIN (SELECT df FROM dfs WHERE tok = '{w1}') x1
+CROSS JOIN (SELECT df FROM dfs WHERE tok = '{w2}') x2
+"""
+
+
 def _q_engine_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet counts (operators/facets.py, the gbfacetstr:/gbfacetint:
     analog): top repo ("source") and lang values among docs matching the
@@ -3188,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_batch": _q_engine_batch,
         "engine_siterank": _q_engine_siterank,
         "engine_linktext": _q_engine_linktext,
+        "engine_gigablast": _q_engine_gigablast,
         # --- tokenize/stats primitives ---
         "doc_term_df": _q_doc_term_df,
         # --- dedup family ---
@@ -3252,6 +3341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # covers the tail of the set this round; no entry is renamed.
     never_driver_checked = [
         "engine_linktext", "engine_spell_context",  # new this round
+        "engine_gigablast",
         "dedup_clusters", "dedup_apply", "semdedup_pairs_exact",
         "semdedup_apply", "matchlist_block", "pii_redact", "lm_perplexity",
         "engine_result_override", "text_chunking", "text_gopher_rep",
@@ -3341,6 +3431,7 @@ LIMIT 10
 """,
         "engine_siterank": _siterank_sql(),
         "engine_linktext": _linktext_sql(),
+        "engine_gigablast": _gigablast_sql(),
         "engine_boolean_nested": _NESTED_OR_SQL,
         "engine_boolean_not_kw": _bm25_sql(["sort"], exclude=["hash", "merge"]),
         "engine_phrase3": _phrase3_sql(),

@@ -1,0 +1,229 @@
+"""Gigablast-mode exact scorer — the reference's OWN ranking formula
+(SC2 single-term min-sum, SC3 non-body pair matrix, SC4 body pair pass) as
+an opt-in ranker beside the charter's BM25.
+
+Formula sources (re-expressed, not transliterated):
+
+- per-occurrence decode + weight curves:
+  /root/reference/PosdbTable.cpp:234-261 (PosdbDecodeHelper),
+  /root/reference/ScoringWeights.cpp:6-57 (density quadratic 0.35→1.0,
+  word-spam linear 1/15→1, linker sqrt(1+rank), hashgroup table),
+  /root/reference/ScalingFunctions.cpp:4-40 (scale_linear/quadratic);
+- single-term: score = 100·hgw(mhg)²·denw²·spamw²·userW·tfw²·termW²,
+  best-per-merged-hashgroup slots (INLINKTEXT may hold several), top
+  MAX_TOP=10 summed; doc single-score = MIN over required terms
+  (/root/reference/PosdbTable.cpp:273-545, min loop 2989-3064);
+- term pairs: pairScore = 100·denw_i·denw_j·hgw_i·hgw_j·userW_i·userW_j·
+  tfw_i·tfw_j·termW_i·termW_j·spamw_i·spamw_j / (dist+1) with the dist
+  rules dist≥2; non-body cross-group or linktext-linktext ≥50 →
+  FIXED_DISTANCE=400; −qdist when ≥qdist (default qdist 2); +1 when out
+  of query order (/root/reference/PosdbTable.cpp:551-732 non-body matrix,
+  810-1374 any-pair pass); top MAX_TOP slots keyed by merged-hashgroup
+  pairing; doc pair-score = MIN over pairs;
+- final: min(minSingleScore, minPairScore)
+  (/root/reference/PosdbTable.cpp:3868-3875).
+
+Default weights are the reference's Parms defaults
+(/root/reference/Parms.cpp:3734-3905): body 1, title 8, inurl 1,
+inmetatag 0.1 (→ our LANG field), inlist 0.3 (→ LINK field), linktext 16;
+termFreqWeight = scale_linear(df/N, 0, 0.5, 1.0, 0.5)
+(/root/reference/Msg3a.cpp:967-997).
+
+DOCUMENTED DEVIATIONS (each a consequence of index/shape differences, not
+shortcuts in the arithmetic):
+
+1. body placements are NOT restricted to the single winning sliding
+   window (/root/reference/PosdbTable.cpp:3285-3441): every placement
+   competes for the top-10 merged-hashgroup pair slots. A monotone
+   relaxation that coincides with the reference whenever the best
+   placement per slot lies in the winning window — the case the window
+   search exists to find;
+2. no wiki-half-stop-bigram bit exists in our posting keys, so the
+   WIKI_BIGRAM_WEIGHT boosts are identity; pair qdist is the default 2
+   (the wiki/quote qdist targeting hooks exist on doc_score but the
+   serving operator does not wire plan phrase groups into them yet);
+3. diversity weights are flat 1.0 — exactly the reference's default
+   (diversityWeightMin = diversityWeightMax = 1.0, and its own scorer
+   comments the diversity multiply out, PosdbTable.cpp:309-311).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import (
+    FIELD_BODY, FIELD_LANG, FIELD_LINK, FIELD_LINKTEXT, FIELD_TITLE,
+    FIELD_URL,
+)
+
+MAX_TOP = 10
+FIXED_DISTANCE = 400.0
+
+# hashgroup weights (Parms.cpp defaults mapped onto our fields)
+HASHGROUP_WEIGHTS = {
+    FIELD_BODY: 1.0,
+    FIELD_TITLE: 8.0,
+    FIELD_URL: 1.0,        # hashGroupWeightInUrl
+    FIELD_LANG: 0.1,       # hashGroupWeightInMetaTag (lang is a meta tag)
+    FIELD_LINK: 0.3,       # hashGroupWeightInlist (link refs are list-ish)
+    FIELD_LINKTEXT: 16.0,  # hashGroupWeightInLinkText
+}
+
+# merged hashgroup (PosdbDecodeHelper: s_inBody groups fold to BODY; our
+# body-ish groups are BODY itself only — title/url/meta are distinct)
+MERGED_GROUP = {f: f for f in HASHGROUP_WEIGHTS}
+
+MAX_DENSITY_RANK = 31
+MAX_SPAM_RANK = 15
+
+
+def scale_linear(x: float, min_x: float, max_x: float,
+                 min_y: float, max_y: float) -> float:
+    """ScalingFunctions.cpp:4-14 (float64 here; the curve, not the bits)."""
+    x = min(max(x, min_x), max_x)
+    if max_x == min_x:
+        return min_y
+    r = (x - min_x) / (max_x - min_x)
+    return min_y + r * (max_y - min_y)
+
+
+def scale_quadratic(x: float, min_x: float, max_x: float,
+                    min_y: float, max_y: float) -> float:
+    """ScalingFunctions.cpp:29-40 (incl. its 'Friday afternoon' shape)."""
+    x = min(max(x, min_x), max_x)
+    if max_x == min_x:
+        return min_y
+    r = (x - min_x) / (max_x - min_x)
+    return ((r + 1.0) * (r + 1.0) - 1.0) / 3.0 * (max_y - min_y) + min_y
+
+# weight tables, index = rank (ScoringWeights.cpp:20-39) — built from the
+# SAME float forms functions/ranks.py uses (its spam curve is the
+# integer-exact (15+14w)/225 so wsr=15 is exactly 1.0), keeping this
+# scorer, the bm25_ranks ranker and the DuckDB oracles on identical bits
+from .ranks import density_weight as _dw, spam_weight as _sw  # noqa: E402
+
+DENSITY_W = np.asarray(_dw(np.arange(MAX_DENSITY_RANK + 1)))
+SPAM_W = np.asarray(_sw(np.arange(MAX_SPAM_RANK + 1)))
+LINKER_W = np.array([np.sqrt(1.0 + i) for i in range(MAX_SPAM_RANK + 1)])
+
+
+def term_freq_weight(df: int, n_docs: int) -> float:
+    """Msg3a.cpp:967-973: scale_linear(df/N, 0, 0.5, weightMax=1.0,
+    weightMin=0.5) — rare terms 1.0, df ≥ N/2 floor 0.5."""
+    if n_docs <= 0:
+        return 1.0
+    return scale_linear(df / float(n_docs), 0.0, 0.5, 1.0, 0.5)
+
+
+def _occ_weights(field: int, dens: np.ndarray, spam: np.ndarray):
+    """(denw, spamw) arrays for one (term, field) occurrence run."""
+    denw = DENSITY_W[np.clip(dens, 0, MAX_DENSITY_RANK)]
+    table = LINKER_W if field == FIELD_LINKTEXT else SPAM_W
+    spamw = table[np.clip(spam, 0, MAX_SPAM_RANK)]
+    return denw, spamw
+
+
+def single_term_sum(occs: list, tfw: float, term_w: float,
+                    user_w: float = 1.0) -> float:
+    """SC2: best occurrence score per merged hashgroup (INLINKTEXT keeps
+    every slot), top MAX_TOP summed. ``occs``: [(field, dens, spam)] with
+    numpy rank arrays."""
+    slot_best: dict[int, float] = {}
+    link_scores: list[float] = []
+    base = 100.0 * user_w * tfw * tfw * term_w * term_w
+    for field, dens, spam in occs:
+        hgw = HASHGROUP_WEIGHTS.get(int(field), 1.0)
+        denw, spamw = _occ_weights(int(field), dens, spam)
+        sc = base * hgw * hgw * denw * denw * spamw * spamw
+        if not len(sc):
+            continue
+        if int(field) == FIELD_LINKTEXT:
+            link_scores.extend(sc.tolist())
+        else:
+            mhg = MERGED_GROUP.get(int(field), int(field))
+            top = float(sc.max())
+            if top > slot_best.get(mhg, -1.0):
+                slot_best[mhg] = top
+    scores = sorted(list(slot_best.values()) + link_scores, reverse=True)
+    return float(sum(scores[:MAX_TOP]))
+
+
+def pair_sum(occs_i: list, occs_j: list, tfw_i: float, tfw_j: float,
+             term_w_i: float, term_w_j: float, qdist: int = 2,
+             user_w: float = 1.0) -> float:
+    """SC3/SC4 pair pass: best pair score per merged-hashgroup pairing
+    (INLINKTEXT exempt from the one-slot rule), top MAX_TOP summed.
+    Every placement competes (deviation #1 in the module doc)."""
+    base = (100.0 * user_w * user_w * tfw_i * tfw_j * term_w_i * term_w_j)
+    slot_best: dict[tuple, float] = {}
+    link_scores: list[float] = []
+    for fi, pi, di, si in occs_i:
+        hgw_i = HASHGROUP_WEIGHTS.get(int(fi), 1.0)
+        denw_i, spamw_i = _occ_weights(int(fi), di, si)
+        for fj, pj, dj, sj in occs_j:
+            hgw_j = HASHGROUP_WEIGHTS.get(int(fj), 1.0)
+            denw_j, spamw_j = _occ_weights(int(fj), dj, sj)
+            # all position pairs of this field pair (vectorized outer)
+            dist = (pj[None, :] - pi[:, None]).astype(np.float64)
+            out_of_order = dist < 0
+            dist = np.abs(dist)
+            np.maximum(dist, 2.0, out=dist)
+            cross = (int(fi) != int(fj)) or (int(fi) == FIELD_LINKTEXT)
+            if cross:
+                dist = np.where(dist > 50.0, FIXED_DISTANCE, dist)
+            # qdist subtraction + out-of-order penalty
+            # (PosdbTable.cpp:663-678: in-order dist-qdist; out-of-order
+            # dist-qdist+qdist-1 = dist-1 when ≥ qdist, else dist+1)
+            ge = dist >= float(qdist)
+            dist = np.where(
+                out_of_order,
+                np.where(ge, dist - 1.0, dist + 1.0),
+                np.where(ge, dist - float(qdist), dist),
+            )
+            sc = (base * hgw_i * hgw_j
+                  * (denw_i[:, None] * denw_j[None, :])
+                  * (spamw_i[:, None] * spamw_j[None, :])
+                  / (dist + 1.0))
+            if not sc.size:
+                continue
+            if int(fi) == FIELD_LINKTEXT or int(fj) == FIELD_LINKTEXT:
+                link_scores.append(float(sc.max()))
+            else:
+                key = (MERGED_GROUP.get(int(fi), int(fi)),
+                       MERGED_GROUP.get(int(fj), int(fj)))
+                top = float(sc.max())
+                if top > slot_best.get(key, -1.0):
+                    slot_best[key] = top
+    scores = sorted(list(slot_best.values()) + link_scores, reverse=True)
+    return float(sum(scores[:MAX_TOP]))
+
+
+def doc_score(terms: list, qdists: dict | None = None) -> float:
+    """Final Gigablast-mode doc score.
+
+    ``terms``: one entry per REQUIRED query term:
+      (occs, tfw, term_w) with occs = [(field, positions, dens, spam)].
+    ``qdists``: optional {(i, j): qdist} query-position distances for
+    wiki/quote phrase targeting (default 2 — PosdbTable.cpp:833-837).
+
+    score = min(min over terms of single sums,
+                min over pairs of pair sums)  [PosdbTable.cpp:3868-3875]
+    """
+    singles = []
+    for occs, tfw, term_w in terms:
+        s_occs = [(f, d, s) for f, _p, d, s in occs]
+        singles.append(single_term_sum(s_occs, tfw, term_w))
+    best = min(singles) if singles else 0.0
+    n = len(terms)
+    if n >= 2:
+        pair_min = None
+        for i in range(n):
+            for j in range(i + 1, n):
+                qd = (qdists or {}).get((i, j), 2)
+                ps = pair_sum(terms[i][0], terms[j][0],
+                              terms[i][1], terms[j][1],
+                              terms[i][2], terms[j][2], qdist=qd)
+                pair_min = ps if pair_min is None else min(pair_min, ps)
+        if pair_min is not None:
+            best = min(best, pair_min)
+    return best

@@ -1,0 +1,157 @@
+"""Gigablast-mode serving: top-k under the reference's own ranking formula
+(functions/gigablast.py) — the opt-in exact scorer beside the charter's
+BM25 (SC2-SC4, /root/reference/PosdbTable.cpp:273-1374; the survey's
+"later/optional" §2.7 semantic).
+
+Spark shape: the same pruned segment scan as the BM25 path (termid
+pushdown + bucket pruning), one decode pass that materializes positions
+AND per-occurrence density/spam ranks from the sidecar, conjunctive
+candidates via the membership aggregation, then a per-candidate numpy
+kernel (the reference's per-docid mini-merge scoring loop,
+PosdbTable.cpp:2663-3064, is likewise per-candidate work). Scores ride
+the usual (score desc, docid asc) top-k + docmap join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import FIELD_LINKTEXT
+from ..sources import catalog
+
+_GB_DECODED = (
+    "termid long, field int, docid long, tf long, dl long, gen_seq long, "
+    "positions array<long>, dens array<long>, spam array<long>"
+)
+
+
+def _decode_gb(include_tids: list[int]):
+    """Decoder emitting positions + per-occurrence (density, spam) ranks —
+    the PosdbDecodeHelper fields (/root/reference/PosdbTable.cpp:234-261)
+    recovered from the posting payload + rank sidecar."""
+    tid_arr = np.array(sorted(int(t) for t in include_tids), dtype=np.int64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.ranks import density_of, spam_of
+        from ..functions.varint import decode_blocks_concat, decode_rank_streams
+
+        for pdf in batches:
+            tids = pdf["termid"].values.astype(np.int64)
+            keep = np.isin(tids, tid_arr)
+            if not keep.any():
+                continue
+            pdf = pdf.iloc[np.nonzero(keep)[0]]
+            tids = pdf["termid"].values.astype(np.int64)
+            fields = pdf["field"].values.astype(np.int64)
+            nd = pdf["n_docs"].values.astype(np.int64)
+            nposts = pdf["n_postings"].values.astype(np.int64)
+            bufs = [bytes(b) for b in pdf["postings"].values]
+            docids, tfs, dls, positions = decode_blocks_concat(bufs, nd, nposts)
+            ranks = decode_rank_streams(list(pdf["rankbuf"].values))
+            dens = np.asarray(density_of(ranks), dtype=np.int64)
+            spam = np.asarray(spam_of(ranks), dtype=np.int64)
+            ends = np.cumsum(tfs)
+            starts = ends - tfs
+            yield pd.DataFrame({
+                "termid": np.repeat(tids, nd),
+                "field": np.repeat(fields, nd).astype(np.int32),
+                "docid": docids, "tf": tfs, "dl": dls,
+                "gen_seq": np.repeat(
+                    pdf["gen_seq"].values.astype(np.int64), nd),
+                "positions": [positions[a:b] for a, b in zip(starts, ends)],
+                "dens": [dens[a:b] for a, b in zip(starts, ends)],
+                "spam": [spam[a:b] for a, b in zip(starts, ends)],
+            })
+
+    return gen
+
+
+def gigablast_topk(spark: SparkSession, index_dir: str, query,
+                   k: int = 10, *, handle=None) -> DataFrame:
+    """Top-k under the Gigablast formula for a CONJUNCTIVE bare-term query
+    (field ops / booleans / phrases keep the BM25 engine — the reference's
+    non-default scoring modes are similarly narrower than its full query
+    surface). Term weights: regular 1.0 / synonym-attached forms keep
+    their plan weight (the m_termWeight analog); tfw from exact df."""
+    from ..functions.gigablast import doc_score, term_freq_weight
+    from ..plans.plan import parse_query
+    from .index_build import load_superseded, load_tombstones
+    from .query_engine import _join_docmap, cached_handle
+
+    plan = parse_query(query) if isinstance(query, str) else query
+    terms = [t for t in plan.required if not t.is_bigram]
+    if not terms:
+        return spark.createDataFrame(
+            [], "rank int, docid long, score double, repo string, "
+                "path string, content_sha256 string")
+    h = handle or cached_handle(spark, index_dir)
+    tids = sorted({int(t.termid) for t in terms})
+    dfs = h.term_dfs(spark, tids)
+    tfw = {int(t.termid): float(term_freq_weight(dfs.get(int(t.termid), 0),
+                                                 h.n_docs))
+           for t in terms}
+    term_w = {int(t.termid): float(t.weight) for t in terms}
+    n_req = len({int(t.termid) for t in terms})
+
+    seg = h.serving_segments_df(spark)
+    n_buckets = int(catalog.index_layout(h.index_dir)["n_buckets"])
+    buckets = sorted({t % n_buckets for t in tids})
+    seg = seg.filter(F.col("bucket").isin(buckets)).filter(
+        F.col("termid").isin([int(t) for t in tids]))
+    decoded = seg.mapInPandas(_decode_gb(tids), _GB_DECODED)
+
+    tomb = load_tombstones(spark, h.index_dir)
+    if tomb is not None:
+        decoded = decoded.join(tomb, "docid", "left_anti")
+    sup = load_superseded(spark, h.index_dir)
+    if sup is not None:
+        sup_b = sup.withColumnRenamed("gen_seq", "_newest")
+        decoded = (
+            decoded.join(sup_b, "docid", "left")
+            .filter(F.col("_newest").isNull()
+                    | (F.col("gen_seq") == F.col("_newest")))
+            .drop("_newest")
+        )
+
+    grouped = (
+        decoded.groupBy("docid")
+        .agg(
+            F.size(F.array_distinct(F.collect_list("termid"))).alias("_nt"),
+            F.collect_list(F.struct(
+                "termid", "field", "positions", "dens", "spam")).alias("occ"),
+        )
+        .filter(F.col("_nt") == n_req)  # conjunctive candidates (J3)
+    )
+
+    tid_order = tids
+
+    def score_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_d, out_s = [], []
+            for docid, occ in zip(pdf["docid"].values, pdf["occ"].values):
+                per_term: dict[int, list] = {t: [] for t in tid_order}
+                for row in occ:
+                    t = int(row["termid"])
+                    per_term[t].append((
+                        int(row["field"]),
+                        np.asarray(row["positions"], dtype=np.int64),
+                        np.asarray(row["dens"], dtype=np.int64),
+                        np.asarray(row["spam"], dtype=np.int64),
+                    ))
+                entries = [(per_term[t], tfw[t], term_w[t])
+                           for t in tid_order]
+                out_d.append(int(docid))
+                out_s.append(doc_score(entries))
+            yield pd.DataFrame({"docid": out_d, "score": out_s})
+
+    top = (
+        grouped.mapInPandas(score_gen, "docid long, score double")
+        .orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    )
+    return _join_docmap(spark, h, top, sup)

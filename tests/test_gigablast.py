@@ -1,0 +1,135 @@
+"""Gigablast-mode scorer (functions/gigablast.py + operators/gigablast.py):
+the reference's SC2/SC3/SC4 formula with its default weight tables
+(/root/reference/PosdbTable.cpp:273-1374, ScoringWeights.cpp:6-57,
+Parms.cpp:3734-3905). Kernel arithmetic is hand-verified on fixtures; the
+serving operator is exercised end-to-end (DuckDB parity is the
+engine_gigablast gate)."""
+
+import numpy as np
+import pytest
+
+from open_source_search_engine_spark import (
+    FIELD_BODY, FIELD_LINKTEXT, FIELD_TITLE,
+)
+from open_source_search_engine_spark.functions.gigablast import (
+    DENSITY_W, FIXED_DISTANCE, LINKER_W, SPAM_W, doc_score, pair_sum,
+    single_term_sum, term_freq_weight,
+)
+
+
+def _occ(field, positions, dens, spam):
+    return (field, np.asarray(positions, np.int64),
+            np.asarray(dens, np.int64), np.asarray(spam, np.int64))
+
+
+def test_weight_tables():
+    # density quadratic 0.35 -> 1.0; spam linear with exact endpoints
+    assert DENSITY_W[0] == pytest.approx(0.35)
+    assert DENSITY_W[31] == pytest.approx(1.0)
+    assert SPAM_W[15] == 1.0
+    assert SPAM_W[0] == pytest.approx(1.0 / 15.0, rel=1e-9)
+    assert LINKER_W[3] == pytest.approx(2.0)
+    # termfreq: rare 1.0, df >= N/2 floors at 0.5
+    assert term_freq_weight(0, 1000) == 1.0
+    assert term_freq_weight(500, 1000) == 0.5
+    assert term_freq_weight(250, 1000) == pytest.approx(0.75)
+
+
+def test_single_term_best_per_hashgroup():
+    """One slot per merged hashgroup: two BODY occurrences keep only the
+    best; a TITLE occurrence adds its own slot (hgw 8 squared)."""
+    occs = [
+        (FIELD_BODY, np.array([31, 20]), np.array([15, 15])),
+        (FIELD_TITLE, np.array([31]), np.array([15])),
+    ]
+    s = single_term_sum(occs, tfw=1.0, term_w=1.0)
+    body_best = 100.0 * 1.0 * DENSITY_W[31] ** 2 * 1.0
+    title = 100.0 * 64.0 * DENSITY_W[31] ** 2 * 1.0
+    assert s == pytest.approx(body_best + title, rel=1e-12)
+
+
+def test_single_term_linktext_multi_slot():
+    """INLINKTEXT occurrences each keep a slot (PosdbTable.cpp:356-360) —
+    two anchor occurrences both count, body still one slot."""
+    occs = [
+        (FIELD_LINKTEXT, np.array([31, 31]), np.array([4, 2])),
+        (FIELD_BODY, np.array([31]), np.array([15])),
+    ]
+    s = single_term_sum(occs, tfw=1.0, term_w=1.0)
+    lt = 100.0 * 256.0 * DENSITY_W[31] ** 2
+    expect = lt * LINKER_W[4] ** 2 + lt * LINKER_W[2] ** 2 + 100.0 * DENSITY_W[31] ** 2
+    assert s == pytest.approx(expect, rel=1e-12)
+
+
+def test_pair_distance_rules():
+    """Body pair: dist = max(|Δ|,2) - qdist in order, -1 out of order;
+    same positions clamp at 2."""
+    clean = ([31], [15])
+    base = 100.0 * DENSITY_W[31] ** 2  # spamw=1, hgw=1, tfw=1
+
+    def pair_at(p1, p2):
+        return pair_sum([_occ(FIELD_BODY, [p1], *clean)],
+                        [_occ(FIELD_BODY, [p2], *clean)],
+                        1.0, 1.0, 1.0, 1.0)
+
+    # adjacent in order: dist=max(1,2)-2=0 -> /1
+    assert pair_at(10, 11) == pytest.approx(base, rel=1e-12)
+    # gap 5 in order: dist=5-2=3 -> /4
+    assert pair_at(10, 15) == pytest.approx(base / 4.0, rel=1e-12)
+    # adjacent out of order: dist=max(1,2)-1=1 -> /2
+    assert pair_at(11, 10) == pytest.approx(base / 2.0, rel=1e-12)
+
+
+def test_pair_fixed_distance_cross_group():
+    """Cross-hashgroup pairs beyond 50 units collapse to FIXED_DISTANCE
+    (PosdbTable.cpp:925-940); within 50 the real distance survives."""
+    clean = ([31], [15])
+    near = pair_sum([_occ(FIELD_BODY, [10], *clean)],
+                    [_occ(FIELD_TITLE, [40], *clean)],
+                    1.0, 1.0, 1.0, 1.0)
+    far = pair_sum([_occ(FIELD_BODY, [10], *clean)],
+                   [_occ(FIELD_TITLE, [500], *clean)],
+                   1.0, 1.0, 1.0, 1.0)
+    hg = 8.0
+    assert near == pytest.approx(100.0 * hg * DENSITY_W[31] ** 2 / 29.0,
+                                 rel=1e-12)
+    assert far == pytest.approx(
+        100.0 * hg * DENSITY_W[31] ** 2 / (FIXED_DISTANCE - 2 + 1.0),
+        rel=1e-12)
+
+
+def test_doc_score_is_min_of_singles_and_pairs():
+    t1 = ([_occ(FIELD_BODY, [10], [31], [15])], 1.0, 1.0)
+    t2 = ([_occ(FIELD_BODY, [11], [31], [15])], 0.5, 1.0)
+    s = doc_score([t1, t2])
+    s1 = 100.0 * DENSITY_W[31] ** 2
+    s2 = s1 * 0.25          # tfw^2
+    pair = s1 * 0.5         # tfw1*tfw2, dist 0
+    assert s == pytest.approx(min(s1, s2, pair), rel=1e-12)
+    # single-term doc score: just that term's sum
+    assert doc_score([t1]) == pytest.approx(s1, rel=1e-12)
+
+
+def test_gigablast_topk_end_to_end(spark, tmp_path):
+    """Serving operator: conjunctive candidates, deterministic ordering,
+    scores positive, docid tie-break; single-term queries work; unknown
+    terms empty."""
+    import shutil
+
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.gigablast import (
+        gigablast_topk,
+    )
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+
+    idx = str(tmp_path / "gb")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(spark, corpus_df(spark, 120, partitions=4), idx, n_chunks=1)
+    r = gigablast_topk(spark, idx, "binary search", 10).collect()
+    assert r and all(x["score"] > 0 for x in r)
+    scores = [(x["score"], x["docid"]) for x in r]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    assert gigablast_topk(spark, idx, "zzznope", 10).count() == 0
+    assert gigablast_topk(spark, idx, "search", 5).count() == 5

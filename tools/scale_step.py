@@ -1,0 +1,130 @@
+"""Scale-step benchmark — one order of magnitude above the scaling corpus
+(round-3 verdict item #7): build + compact + serve at ~1.31M synthetic docs
+(10x the 131k scaling corpus) on local[CPUS], with the same steady-state
+methodology as bench.py (untimed warm-up, medians-of-3 for queries), to
+evidence that the engine's CONSTANTS hold off the sf0.1 toy scale:
+driver-side plan cost, serving side tables, block metadata volume, suggest
+index, compaction phases.
+
+Reports one JSON line:
+  build: docs/s, postings/s, bytes, elapsed, per-phase breakdown
+  compaction: elapsed + phases + fan-in
+  queries: warm medians for the core BM25 family + proximity + site filter
+  bm25_p50_ms over the query set
+
+Usage: python tools/scale_step.py [n_docs] [cpus]   (defaults 1310720, 32)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_310_720
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .appName("osse-scale-step").getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from open_source_search_engine_spark.corpus import (
+        corpus_df, corpus_df_distributed,
+    )
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index, compact_segments,
+    )
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    corpus = corpus_df_distributed(spark, n_docs, partitions=cpus * 4).cache()
+    corpus.count()
+
+    # steady-state warm-up (python worker pool, JVM JIT)
+    warm = tempfile.mkdtemp(prefix="osse_step_warm_")
+    shutil.rmtree(warm, ignore_errors=True)
+    build_index(spark, corpus_df(spark, 640, partitions=cpus), warm,
+                n_chunks=1, partitions=cpus)
+    shutil.rmtree(warm, ignore_errors=True)
+
+    idx = tempfile.mkdtemp(prefix="osse_step_idx_")
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    m = build_index(spark, corpus, idx, n_chunks=1, partitions=cpus)
+    build_s = time.time() - t0
+    corpus.unpersist()
+
+    t0 = time.time()
+    cm = compact_segments(spark, idx, partitions=cpus)
+    compact_s = time.time() - t0
+
+    queries = {
+        "q_bm25_topk": "hash table",
+        "q_bm25_and3": "hash lang:en table",
+        "q_bm25_phrase": '"hash table"',
+        "q_bm25_not": "hash -merge",
+        "q_bm25_site": "site:org0/repo0 hash table",
+        "q_bm25_proximity": ("hash table", "bm25_proximity"),
+        "q_bm25_hot": "scan if",
+    }
+    # warm the serving caches once
+    topk(spark, idx, "hash table", 10).collect()
+    out_q = {}
+    lat = []
+    for name, q in queries.items():
+        ranker = "bm25"
+        if isinstance(q, tuple):
+            q, ranker = q
+        ts = []
+        topk(spark, idx, q, 10, ranker=ranker).collect()  # per-query warm
+        for _ in range(3):
+            t0 = time.time()
+            topk(spark, idx, q, 10, ranker=ranker).collect()
+            ts.append(time.time() - t0)
+        med = statistics.median(ts)
+        out_q[name] = round(med, 3)
+        lat.append(med * 1000)
+
+    out = {
+        "metric": "scale_step_1p3M",
+        "n_docs": int(m["docs"]),
+        "cpus": cpus,
+        "build": {
+            "elapsed_s": round(build_s, 2),
+            "docs_per_sec": round(m["docs"] / build_s, 1),
+            "postings": int(m["postings"]),
+            "postings_per_sec": round(m["postings"] / build_s, 1),
+            "bytes": int(m["bytes"]),
+            "phases": m["chunks"][0]["phases"] if m.get("chunks") else {},
+        },
+        "compaction": {
+            "elapsed_s": round(compact_s, 2),
+            "avg_fanin": cm.get("avg_fanin"),
+            "phases": cm.get("phases", {}),
+        },
+        "queries": out_q,
+        "bm25_p50_ms": round(statistics.median(lat), 1),
+    }
+    shutil.rmtree(idx, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
