@@ -20,7 +20,7 @@ Reported per pair:
 
 Usage: python tools/scaling_clean.py [n_docs] [N] [trials] [mult]
          [max_steal_frac] [rounds]
-Defaults: 131072 docs, N=2 (the historically clean 2->8 pair), 2 trials,
+Defaults: 131072 docs, N=2 (the historically clean 2->8 pair), 4 trials,
 mult=1, steal <= 5%% of cpu, up to 4 rounds.
 """
 
@@ -52,7 +52,7 @@ def main() -> None:
     a = sys.argv[1:]
     n_docs = int(a[0]) if len(a) > 0 else 131072
     n = int(a[1]) if len(a) > 1 else 2
-    trials = int(a[2]) if len(a) > 2 else 2
+    trials = int(a[2]) if len(a) > 2 else 4
     mult = int(a[3]) if len(a) > 3 else 1
     max_steal = float(a[4]) if len(a) > 4 else 0.05
     rounds = int(a[5]) if len(a) > 5 else 4
