@@ -15,11 +15,15 @@ Formula sources (re-expressed, not transliterated):
   (/root/reference/PosdbTable.cpp:273-545, min loop 2989-3064);
 - term pairs: pairScore = 100·denw_i·denw_j·hgw_i·hgw_j·userW_i·userW_j·
   tfw_i·tfw_j·termW_i·termW_j·spamw_i·spamw_j / (dist+1) with the dist
-  rules dist≥2; non-body cross-group or linktext-linktext ≥50 →
-  FIXED_DISTANCE=400; −qdist when ≥qdist (default qdist 2); +1 when out
-  of query order (/root/reference/PosdbTable.cpp:551-732 non-body matrix,
-  810-1374 any-pair pass); top MAX_TOP slots keyed by merged-hashgroup
-  pairing; doc pair-score = MIN over pairs;
+  rules dist≥2; cross-group or linktext-linktext distances collapse to
+  FIXED_DISTANCE=400 when > 50 — the non-body matrix's rule
+  (PosdbTable.cpp:636 `dist > 50`; the any-pair pass uses `dist < 50`
+  i.e. ≥50 at PosdbTable.cpp:925 — the reference's two pair functions
+  disagree by one unit and we follow the matrix); −qdist when ≥qdist
+  (default qdist 2); +1 when out of query order
+  (/root/reference/PosdbTable.cpp:551-732 non-body matrix, 810-1374
+  any-pair pass); top MAX_TOP slots keyed by merged-hashgroup pairing;
+  doc pair-score = MIN over pairs;
 - final: min(minSingleScore, minPairScore)
   (/root/reference/PosdbTable.cpp:3868-3875).
 

@@ -75,15 +75,20 @@ def gigablast_topk(spark: SparkSession, index_dir: str, query,
     """Top-k under the Gigablast formula for a CONJUNCTIVE bare-term query
     (field ops / booleans / phrases keep the BM25 engine — the reference's
     non-default scoring modes are similarly narrower than its full query
-    surface). Term weights: regular 1.0 / synonym-attached forms keep
-    their plan weight (the m_termWeight analog); tfw from exact df."""
+    surface). Only FULL-WEIGHT terms participate: synonym/variation
+    alternates attached by an expanded plan (weight < 1.0, OR-group
+    membership) are dropped here — treating them as independently
+    required would demand every inflected form in every candidate and
+    empty the result; the reference's scorer walks its termlist GROUPS
+    instead, which this ranker does not model. tfw from exact df."""
     from ..functions.gigablast import doc_score, term_freq_weight
     from ..plans.plan import parse_query
     from .index_build import load_superseded, load_tombstones
     from .query_engine import _join_docmap, cached_handle
 
     plan = parse_query(query) if isinstance(query, str) else query
-    terms = [t for t in plan.required if not t.is_bigram]
+    terms = [t for t in plan.required if not t.is_bigram
+             and t.weight == 1.0]
     if not terms:
         return spark.createDataFrame(
             [], "rank int, docid long, score double, repo string, "
@@ -109,11 +114,14 @@ def gigablast_topk(spark: SparkSession, index_dir: str, query,
         decoded = decoded.join(tomb, "docid", "left_anti")
     sup = load_superseded(spark, h.index_dir)
     if sup is not None:
+        # FIELD_LINKTEXT exempt from newest-wins (anchors are not content
+        # generations — see operators/linktext.py / query_engine)
         sup_b = sup.withColumnRenamed("gen_seq", "_newest")
         decoded = (
             decoded.join(sup_b, "docid", "left")
             .filter(F.col("_newest").isNull()
-                    | (F.col("gen_seq") == F.col("_newest")))
+                    | (F.col("gen_seq") == F.col("_newest"))
+                    | (F.col("field") == FIELD_LINKTEXT))
             .drop("_newest")
         )
 

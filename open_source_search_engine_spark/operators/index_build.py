@@ -434,7 +434,13 @@ def _merge_gen(block_docs: int, collapse_salt: bool,
                 ix = np.searchsorted(sup_docids, docids)
                 ix_c = np.minimum(ix, len(sup_docids) - 1)
                 is_sup = sup_docids[ix_c] == docids
-                keep &= ~(is_sup & (gdoc != sup_gens[ix_c]))
+                # FIELD_LINKTEXT rows are exempt from newest-wins
+                # annihilation (anchor text is not a content generation —
+                # operators/linktext.py); tombstone `drop` still applies
+                from .. import FIELD_LINKTEXT as _FLT_
+
+                keep &= ~(is_sup & (gdoc != sup_gens[ix_c])
+                          & (np.repeat(f, ndocs) != _FLT_))
             if not keep.all():
                 pkeep = np.repeat(keep, tfs)
                 positions = positions[pkeep]
@@ -966,17 +972,23 @@ def _decode_stats_rows(spark: SparkSession, index_dir: str,
                         "docid", "leftsemi")
 
 
-def _next_stats_delta_gen(index_dir: str, prefix: str) -> str:
-    top = -1
-    p = catalog.table_path(index_dir, "term_stats_partial")
-    if os.path.isdir(p):
-        for name in os.listdir(p):
-            if name.startswith(f"gen={prefix}"):
-                try:
-                    top = max(top, int(name[len(f"gen={prefix}"):]))
-                except ValueError:
-                    continue
-    return f"{prefix}{top + 1}"
+def _delta_gen_label(prefix: str, keyed: DataFrame) -> str:
+    """Content-addressed delta-generation label: prefix + hash of the
+    sorted (docid, gen_seq) pairs the delta actually subtracts. A
+    crashed-and-rerun delete/append REPLACES its own delta
+    (catalog.write_gen swaps same-label generations) instead of stacking
+    a second subtraction — the resume idempotence the positive partials
+    already have. The gen_seq in the key makes delete → re-add → delete
+    safe: the second delete subtracts the re-added GENERATION's content,
+    so it hashes to a different label than the first."""
+    import hashlib
+
+    tbl = keyed.select("docid", "gen_seq").distinct().toArrow()
+    d = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    g = tbl.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.lexsort((g, d))
+    return prefix + hashlib.sha1(
+        d[o].tobytes() + g[o].tobytes()).hexdigest()[:12]
 
 
 def write_negative_stats_partials(spark: SparkSession, index_dir: str,
@@ -1006,7 +1018,7 @@ def write_negative_stats_partials(spark: SparkSession, index_dir: str,
             F.col("gen_seq") == F.col("_ng"))
     rows = rows.persist(StorageLevel.DISK_ONLY)
     try:
-        gen_label = _next_stats_delta_gen(index_dir, label_prefix)
+        gen_label = _delta_gen_label(label_prefix, rows)
         df_neg = (
             rows.select("termid", "docid").distinct()
             .groupBy("termid").agg((-F.count(F.lit(1))).alias("df"))
@@ -1342,11 +1354,14 @@ def compact_segments(spark: SparkSession, index_dir: str, *,
         if tomb is not None:
             rows = rows.join(tomb, "docid", "left_anti")
         if sup is not None:
+            from .. import FIELD_LINKTEXT as _FLT2
+
             rows = (
                 rows.join(sup.withColumnRenamed("gen_seq", "_newest"),
                           "docid", "left")
                 .filter(F.col("_newest").isNull()
-                        | (F.col("gen_seq") == F.col("_newest")))
+                        | (F.col("gen_seq") == F.col("_newest"))
+                        | (F.col("field") == _FLT2))
                 .drop("_newest")
             )
         compacted = (
@@ -1490,7 +1505,7 @@ def rebuild_stats(spark: SparkSession, index_dir: str, *,
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
     seg = serving_segments(spark, index_dir).select(
-        "termid", "field", "n_docs", "n_postings", "postings")
+        "termid", "field", "n_docs", "n_postings", "postings", "gen_seq")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1504,10 +1519,12 @@ def rebuild_stats(spark: SparkSession, index_dir: str, *,
                 "field": np.repeat(pdf["field"].values.astype(np.int64), nd),
                 "docid": docids,
                 "dl": dls,
+                "gen_seq": np.repeat(
+                    pdf["gen_seq"].values.astype(np.int64), nd),
             })
 
     decoded = seg.mapInPandas(
-        gen, "termid long, field long, docid long, dl long"
+        gen, "termid long, field long, docid long, dl long, gen_seq long"
     )
     # FIELD_LINKTEXT postings are anchor text from OTHER documents
     # (operators/linktext.py) and by design contribute neither df nor
@@ -1516,6 +1533,25 @@ def rebuild_stats(spark: SparkSession, index_dir: str, *,
     from .. import FIELD_LINKTEXT as _FLT
 
     decoded = decoded.filter(F.col("field") != _FLT)
+    # LIVE view: drop tombstoned docids and non-newest generations of
+    # superseded docids — pre-compaction their postings are physically
+    # present in the serving segments, and counting them would leave df
+    # inflated and avgdl inconsistent with the live n_docs below (the
+    # strict verify compares against the live view, so a rebuild must
+    # compute the same thing). NOTE: needs gen_seq in the decode when
+    # superseded rows exist.
+    tomb0 = load_tombstones(spark, index_dir)
+    if tomb0 is not None:
+        decoded = decoded.join(tomb0, "docid", "left_anti")
+    sup0 = load_superseded(spark, index_dir)
+    if sup0 is not None:
+        sup_b0 = F.broadcast(sup0.withColumnRenamed("gen_seq", "_newest"))
+        decoded = (
+            decoded.join(sup_b0, "docid", "left")
+            .filter(F.col("_newest").isNull()
+                    | (F.col("gen_seq") == F.col("_newest")))
+            .drop("_newest")
+        )
     decoded = decoded.persist(StorageLevel.DISK_ONLY)
     term_stats = (
         decoded.select("termid", "docid").distinct()

@@ -42,11 +42,13 @@ termlist-size guess that would include link text; our gates pin the
 exact-df definition instead). ``rebuild_stats`` excludes FIELD_LINKTEXT
 for the same reason.
 
-Newest-wins interaction: the linktext generation (``gen=s2000000``) is
-filtered per-doc by the M7 equality rule, so a doc reindexed AFTER
-append_linktext serves without its anchor postings until the next
-``append_linktext`` run (which atomically replaces the generation) —
-the reference has the same refresh-lag for Msg25 link info.
+Newest-wins interaction: FIELD_LINKTEXT postings are EXEMPT from the M7
+newest-generation equality filter everywhere it is applied (declarative
+decode, WAND cell filter, gigablast, compaction annihilation) — anchor
+text comes from OTHER documents, not from any generation of the doc's
+own content, so a reindexed doc keeps serving its anchors. Anchors still
+drop with tombstones (a deleted doc loses everything) and refresh on the
+next ``append_linktext`` run (the reference's Msg25 refresh cadence).
 """
 
 from __future__ import annotations

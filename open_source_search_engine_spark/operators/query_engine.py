@@ -713,14 +713,21 @@ def topk(
     # newest-generation-wins (M7): a re-ingested docid serves ONLY its newest
     # generation's postings — the fork's global docid index consulted at
     # query time (/root/reference/PosdbTable.cpp:3653); `superseded` is small
-    # (re-added docids only) and broadcast
+    # (re-added docids only) and broadcast. FIELD_LINKTEXT is EXEMPT: anchor
+    # postings come from OTHER documents' text (operators/linktext.py), not
+    # from any generation of the doc's own content, so a re-ingested doc
+    # must keep serving its anchors (they only refresh at append_linktext /
+    # drop at tombstone)
+    from .. import FIELD_LINKTEXT as _FLT
+
     sup = load_superseded(spark, h.index_dir)
     if sup is not None:
         sup_b = sup.withColumnRenamed("gen_seq", "_newest")
         decoded = (
             decoded.join(sup_b, "docid", "left")
             .filter(F.col("_newest").isNull()
-                    | (F.col("gen_seq") == F.col("_newest")))
+                    | (F.col("gen_seq") == F.col("_newest"))
+                    | (F.col("field") == _FLT))
             .drop("_newest")
         )
 

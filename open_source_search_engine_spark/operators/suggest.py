@@ -55,12 +55,17 @@ def bigram_counts(docs: DataFrame, text: str = "text") -> DataFrame:
     popularity table is the corpus's own adjacency counts. One JVM-side
     aggregation; size = distinct adjacent pairs."""
     toks = F.filter(F.split(F.lower(F.col(text)), r"\s+"), lambda x: x != "")
-    pairs = docs.select(toks.alias("t")).select(
-        F.explode(F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))),
+    # docs with < 2 tokens have no pairs — and MUST be filtered out rather
+    # than clamped: F.sequence(1, 0) yields the DESCENDING [1, 0] and would
+    # emit phantom NULL-keyed pairs
+    pairs = (
+        docs.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
             lambda i: F.struct(F.col("t")[i - 1].alias("tok1"),
                                F.col("t")[i].alias("tok2")),
-        )).alias("p")
+        )).alias("p"))
     )
     return (
         pairs.select("p.tok1", "p.tok2")

@@ -379,7 +379,8 @@ class _Run:
     second read."""
 
     __slots__ = ("mind", "maxd", "max_tf", "min_dl", "bufs", "nd", "npst",
-                 "gen_seq", "decoded", "want_pos", "want_rank", "rankbufs")
+                 "gen_seq", "field", "decoded", "want_pos", "want_rank",
+                 "rankbufs")
 
     def __init__(self, pdf: pd.DataFrame, want_pos: bool = False,
                  want_rank: bool = False):
@@ -400,6 +401,7 @@ class _Run:
         else:
             self.rankbufs = None
         self.gen_seq = int(pdf["gen_seq"].values[0])
+        self.field = int(pdf["field"].values[0])
         self.decoded: dict = {}
 
     def covering(self, docids: np.ndarray):
@@ -429,7 +431,7 @@ class _Run:
                     [self.rankbufs[bi]]))
                 wtf = (np.add.reduceat(w, np.cumsum(tf) - tf)
                        if len(tf) else np.empty(0, dtype=np.float64))
-            keep = filt_mask(d, self.gen_seq)
+            keep = filt_mask(d, self.gen_seq, self.field)
             if keep is not None:
                 if self.want_pos and len(pos):
                     pos = pos[np.repeat(keep, tf)]
@@ -523,9 +525,12 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
     # wtf ≤ tf ≤ max_tf and tfnorm is monotone in tf
     want_rank = meta.get("ranker") == "bm25_ranks"
 
-    def filt(d, gen_seq):
+    def filt(d, gen_seq, field=None):
         """Whitelist + tombstone + newest-generation keep MASK for one
-        decoded run (None = keep all)."""
+        decoded run (None = keep all). FIELD_LINKTEXT runs are exempt
+        from the newest-generation clause only — anchor postings are not
+        content generations (operators/linktext.py); tombstones and
+        whitelists still apply."""
         allowed, blocked = cur["allowed"], cur["blocked"]
         if (tomb is None and sup_d is None and allowed is None
                 and blocked is None) or not len(d):
@@ -542,7 +547,7 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
             keep &= blocked[ix] != d
         if tomb is not None:
             keep &= ~np.isin(d, tomb)
-        if sup_d is not None:
+        if sup_d is not None and field != FIELD_LINKTEXT:
             ix = np.searchsorted(sup_d, d)
             ixc = np.minimum(ix, len(sup_d) - 1)
             is_sup = sup_d[ixc] == d

@@ -147,6 +147,38 @@ def test_rerun_and_compaction_idempotent(spark, lt):
     assert _run(spark, idx, "zzmagnet") == before
 
 
+def test_reindexed_doc_keeps_anchors(spark, lt):
+    """A doc re-ingested AFTER append_linktext must keep serving its
+    anchor postings: FIELD_LINKTEXT is exempt from the newest-generation
+    equality filter (anchors come from OTHER docs, not from the doc's own
+    content generations) — on both physical paths and across compaction."""
+    idx, _, rows = lt
+    from open_source_search_engine_spark.corpus import CORPUS_SCHEMA_DDL
+    from open_source_search_engine_spark.functions.hashing import docid_for_url
+    from open_source_search_engine_spark.operators.index_build import (
+        compact_segments,
+    )
+    from open_source_search_engine_spark.streaming.incremental import (
+        append_generation,
+    )
+
+    quiet = {docid_for_url(f"org9/quiet/src/q{i}.py") for i in range(3)}
+    before = {d for d, _ in _run(spark, idx, "linktext:zzmagnet")}
+    assert before == quiet
+    # re-ingest one quiet doc with CHANGED content (superseded row appears)
+    readd = [{"repo": "org9/quiet", "path": "src/q0.py", "commit": "c2",
+              "lang": "py", "content": "silent body words only\nnew revision"}]
+    append_generation(spark, spark.createDataFrame(readd, CORPUS_SCHEMA_DDL),
+                      idx, batch_id=77)
+    for prune in (True, False):
+        got = {d for d, _ in _run(spark, idx, "linktext:zzmagnet",
+                                  prune=prune)}
+        assert got == quiet, f"anchors lost after reindex (prune={prune})"
+    # and they survive the compaction that annihilates the old generation
+    compact_segments(spark, idx)
+    assert {d for d, _ in _run(spark, idx, "linktext:zzmagnet")} == quiet
+
+
 def test_siterank_in_spam_nibble(spark, lt):
     """With a siterank table, anchor postings carry the max linker rank in
     the word-spam nibble (Posdb.h:38-39) — verified through the decoded
