@@ -2447,6 +2447,55 @@ def _q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL media decode gate (no fake codec anywhere): per doc,
+    synthesize deterministic pixels/PCM from doc_id arithmetic, encode them
+    as real BMP (24-bit BI_RGB, padded bottom-up rows) and RIFF/WAVE PCM16
+    bytes, then decode through ``multimodal.decode_media_stats`` and report
+    dimensions + a position-weighted checksum. The oracle computes the same
+    checksum directly from the doc_id formula — any decode error (row order,
+    padding, BGR/RGB, chunk walk, channel interleave) changes the value.
+    Image widths 3..7 exercise the non-multiple-of-4 BMP padding rows;
+    audio alternates mono/stereo."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from open_source_search_engine_spark.operators import multimodal
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for did in pdf["doc_id"].values:
+                seed = int(did) % 100_000
+                h, w = 3 + seed % 3, 3 + seed % 5
+                p = np.arange(h * w * 3, dtype=np.int64)
+                pixels = ((seed * 2654435761 + p * 97) % 256).astype(np.uint8)
+                ids.append(int(did) * 2)
+                kinds.append("image")
+                payloads.append(multimodal.encode_bmp(pixels.reshape(h, w, 3)))
+                n, ch = 32 + seed % 17, 1 + seed % 2
+                i = np.arange(n * ch, dtype=np.int64)
+                pcm = (((seed * 31 + i * 7) % 65536) - 32768).astype(np.int16)
+                ids.append(int(did) * 2 + 1)
+                kinds.append("audio")
+                payloads.append(multimodal.encode_wav(pcm.reshape(n, ch), 16000))
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "payload": payloads})
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(synth, media_schema)
+    return multimodal.decode_media_stats(media)
+
+
 def _q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     # sums accumulate in DECIMAL (exact, order-independent) then convert to
@@ -3325,6 +3374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_termcheck": _q_text_termcheck,
         # --- multimodal plumbing ---
         "multimodal_bytes": _q_multimodal_bytes,
+        "multimodal_decode": _q_multimodal_decode,
         # --- relational analytics ---
         "tpch_pricing": _q_tpch_pricing,
         "join_orders_by_segment": _q_join_orders_by_segment,
@@ -4013,6 +4063,25 @@ SELECT doc_id AS media_id,
        octet_length(encode(text))::BIGINT AS n_bytes,
        sha256(text) AS payload_sha256
 FROM documents
+""",
+        # replays the synthesized-pixel/PCM formulas directly (no media
+        # bytes): the Spark side must round-trip through REAL BMP/WAV
+        # encode+decode to reproduce these position-weighted checksums
+        "multimodal_decode": """
+WITH d AS (SELECT doc_id, doc_id % 100000 AS seed FROM documents)
+SELECT doc_id * 2 AS media_id, 'image' AS kind,
+       (3 + seed % 5)::INT AS width, (3 + seed % 3)::INT AS height,
+       NULL::INT AS n_samples, NULL::INT AS channels,
+       list_sum(list_transform(range(0, (3 + seed % 3) * (3 + seed % 5) * 3),
+           p -> ((seed * 2654435761 + p * 97) % 256) * (p + 1)))::BIGINT AS checksum
+FROM d
+UNION ALL
+SELECT doc_id * 2 + 1 AS media_id, 'audio' AS kind,
+       NULL::INT AS width, NULL::INT AS height,
+       (32 + seed % 17)::INT AS n_samples, (1 + seed % 2)::INT AS channels,
+       list_sum(list_transform(range(0, (32 + seed % 17) * (1 + seed % 2)),
+           i -> ((seed * 31 + i * 7) % 65536) * (i + 1)))::BIGINT AS checksum
+FROM d
 """,
         "tpch_pricing": """
 SELECT l_returnflag, l_linestatus,

@@ -2,12 +2,14 @@
 
 A 100 TB training-data pipeline carries media as opaque ``binary`` columns
 with typed metadata, and runs decode / feature-extract / resize /
-frame-sample as Arrow-batched UDFs. The decode kernels themselves need
-media libraries that are NOT in this environment, so they are STUBBED —
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless the
-deterministic fake codec is requested — but all the Spark-side plumbing
-(schemas, ``mapInPandas`` batch shape, partition sizing, metadata columns)
-is real and tested.
+frame-sample as Arrow-batched UDFs. One honest format per modality is
+decoded end-to-end with pure numpy — BMP (24-bit BI_RGB) and PPM (P6) for
+images, RIFF/WAVE PCM for audio — so ``decode_image``/``decode_audio``
+run on real bytes in this container; formats that need real media
+libraries (JPEG/PNG/MP3/MP4, absent here) still raise
+``NotImplementedError`` loudly. All the Spark-side plumbing (schemas,
+``mapInPandas`` batch shape, partition sizing, metadata columns) is real
+and tested.
 
 Design notes (scale):
 - media bytes travel in their own column so Parquet column pruning keeps
@@ -22,6 +24,7 @@ Design notes (scale):
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -68,23 +71,165 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (raw.astype(np.float32) / 32768.0) - 1.0
 
 
+# ---------------------------------------------------------------------------
+# Real codecs (pure numpy): BMP 24-bit BI_RGB, PPM P6, RIFF/WAVE PCM16.
+# One honest format per modality so the decode path runs end-to-end on real
+# bytes; anything else raises loudly (real libs absent from this container).
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, rows padded to 4 bytes — the format's own rules)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 RGB array, got shape {arr.shape}")
+    h, w, _ = arr.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    # RGB → BGR, bottom-up row order
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → HxWx3 uint8 RGB. Handles bottom-up
+    (positive height) and top-down (negative height) row order and the
+    4-byte row padding. Raises ValueError on anything else."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={compression})")
+    h = abs(h_signed)
+    row_size = (w * 3 + 3) & ~3
+    need = data_off + row_size * h
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: need {need} bytes, have {len(payload)}")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=data_off)
+    rows = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → binary PPM (P6, maxval 255)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 RGB array, got shape {arr.shape}")
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes → HxWx3 uint8 RGB. Handles whitespace runs and
+    ``#`` comments in the header per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    need = pos + w * h * 3
+    if len(payload) < need:
+        raise ValueError(f"truncated PPM: need {need} bytes, have {len(payload)}")
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3).copy()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 PCM samples (1-D mono or (n, channels)) → RIFF/WAVE bytes."""
+    samples = np.asarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 bytes → ((n, channels) int16 array, sample_rate).
+    Walks the chunk list (skipping LIST/INFO etc.); raises ValueError on
+    non-PCM or non-16-bit encodings."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only PCM16 WAV supported (fmt={audio_fmt}, bits={bits})")
+    n = len(data) // (ch * 2)
+    return np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch).copy(), rate
+
+
 def decode_image(payload: bytes, *, codec: str = "real"):
-    """Decode image bytes → HxWx3 array. Real decode needs PIL/cv2 (absent
-    here); ``codec='fake'`` returns a deterministic 4x4 gradient derived
-    from the payload hash so downstream plumbing is testable."""
+    """Decode image bytes → HxWx3 uint8 RGB array. Real decode supports BMP
+    (24-bit BI_RGB) and PPM (P6) via pure numpy; JPEG/PNG need PIL/cv2
+    (absent here) and raise. ``codec='fake'`` returns a deterministic 4x4
+    gradient derived from the payload hash."""
     if codec == "fake":
         d = hashlib.sha256(payload).digest()
         base = np.frombuffer(d[:16], dtype=np.uint8).reshape(4, 4)
         return np.stack([base, base // 2, base // 3], axis=-1)
-    raise NotImplementedError("image decoding requires PIL/cv2 (not in this container)")
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        f"unsupported image format {payload[:4]!r}: JPEG/PNG decode requires "
+        "PIL/cv2 (not in this container); BMP and PPM decode natively"
+    )
 
 
 def decode_audio(payload: bytes, *, codec: str = "real"):
-    """Decode audio bytes → float32 PCM. Real decode needs soundfile/ffmpeg."""
+    """Decode audio bytes → float32 PCM in [-1, 1), shape (n, channels).
+    Real decode supports RIFF/WAVE PCM16 via pure numpy; MP3/OGG/FLAC need
+    soundfile/ffmpeg (absent here) and raise."""
     if codec == "fake":
         d = hashlib.sha256(payload).digest()
         return (np.frombuffer((d * 64)[:2048], dtype=np.int16).astype(np.float32) / 32768.0)
-    raise NotImplementedError("audio decoding requires soundfile/ffmpeg (not in this container)")
+    if payload[:4] == b"RIFF":
+        samples, _rate = decode_wav(payload)
+        return samples.astype(np.float32) / 32768.0
+    raise NotImplementedError(
+        f"unsupported audio format {payload[:4]!r}: MP3/OGG/FLAC decode requires "
+        "soundfile/ffmpeg (not in this container); WAV PCM16 decodes natively"
+    )
 
 
 def extract_features(media: DataFrame, *, codec: str = "fake") -> DataFrame:
@@ -138,6 +283,55 @@ def sample_frames(media: DataFrame, *, every_ms: int = 1000, codec: str = "fake"
             )
 
     return media.filter(F.col("kind") == "video").select(cols).mapInPandas(gen, FRAMES_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),      # images
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),  # audio
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("checksum", T.LongType(), False),
+    ]
+)
+
+
+def decode_media_stats(media: DataFrame) -> DataFrame:
+    """Decode each media row end-to-end (real codecs, not the fake tier) and
+    emit verifiable stats: image → (width, height), audio → (n_samples,
+    channels), plus a position-weighted checksum ``sum(v[p] * (p+1))`` over
+    the decoded values (pixels row-major RGB; audio samples biased +32768 so
+    the sum is non-negative). The position weighting makes row-order /
+    padding / channel-order decode bugs change the value — a plain sum would
+    not. Arrow-batched ``mapInPandas``; the per-row loop IS the decode
+    kernel (the model-forward-pass slot)."""
+    cols = ["media_id", "kind", "payload"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in DECODED_SCHEMA.fields}
+            for mid, kind, payload in zip(
+                pdf["media_id"].values, pdf["kind"].values, pdf["payload"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                if kind == "image":
+                    arr = decode_image(payload)
+                    flat = arr.reshape(-1).astype(np.int64)
+                    w, h, n, ch = arr.shape[1], arr.shape[0], None, None
+                elif kind == "audio":
+                    samples, _rate = decode_wav(payload)
+                    flat = samples.reshape(-1).astype(np.int64) + 32768
+                    w, h, n, ch = None, None, samples.shape[0], samples.shape[1]
+                else:
+                    raise ValueError(f"decode_media_stats: unsupported kind {kind!r}")
+                ck = int((flat * (np.arange(flat.size, dtype=np.int64) + 1)).sum())
+                for key, val in zip(out, (mid, kind, w, h, n, ch, ck)):
+                    out[key].append(val)
+            yield pd.DataFrame(out)
+
+    return media.select(cols).mapInPandas(gen, DECODED_SCHEMA)
 
 
 def media_metadata(media: DataFrame, *, include_size: bool = False) -> DataFrame:

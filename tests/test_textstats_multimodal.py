@@ -2,6 +2,7 @@
 
 import hashlib
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -623,3 +624,110 @@ def test_gopher_repetition_property_vs_naive(spark):
         want = naive(t)
         for m in _REP_METRICS:
             assert got[m][i] == want[m], (i, m, t)
+
+
+# --- real pure-numpy codecs (BMP / PPM / WAV) ---
+
+
+def _rng_img(seed, h, w):
+    rs = np.random.RandomState(seed)
+    return rs.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_bmp_roundtrip_padding_widths():
+    # widths 1..8 exercise every 4-byte row-padding remainder
+    for w in range(1, 9):
+        img = _rng_img(w, 5, w)
+        assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(img)), img)
+
+
+def test_bmp_topdown_negative_height():
+    img = _rng_img(7, 3, 4)
+    payload = bytearray(multimodal.encode_bmp(img))
+    # flip to top-down: negate height, un-reverse the row order
+    import struct
+    h = struct.unpack_from("<i", payload, 22)[0]
+    struct.pack_into("<i", payload, 22, -h)
+    row_size = (4 * 3 + 3) & ~3
+    rows = [bytes(payload[54 + i * row_size: 54 + (i + 1) * row_size]) for i in range(h)]
+    payload[54:] = b"".join(reversed(rows))
+    assert np.array_equal(multimodal.decode_bmp(bytes(payload)), img)
+
+
+def test_bmp_rejects_truncated_and_wrong_bpp():
+    img = _rng_img(1, 4, 4)
+    payload = multimodal.encode_bmp(img)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_bmp(payload[:-5])
+    bad = bytearray(payload)
+    bad[28] = 32  # bpp
+    with pytest.raises(ValueError, match="24-bit"):
+        multimodal.decode_bmp(bytes(bad))
+
+
+def test_ppm_roundtrip_and_comments():
+    img = _rng_img(3, 6, 5)
+    payload = multimodal.encode_ppm(img)
+    assert np.array_equal(multimodal.decode_ppm(payload), img)
+    # header comments per netpbm spec
+    commented = payload.replace(b"P6\n", b"P6\n# a comment line\n", 1)
+    assert np.array_equal(multimodal.decode_ppm(commented), img)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_ppm(payload[:-1])
+
+
+def test_wav_roundtrip_mono_stereo_and_extra_chunks():
+    rs = np.random.RandomState(11)
+    for ch in (1, 2):
+        pcm = rs.randint(-32768, 32768, size=(37, ch)).astype(np.int16)
+        payload = multimodal.encode_wav(pcm, 8000)
+        got, rate = multimodal.decode_wav(payload)
+        assert rate == 8000 and np.array_equal(got, pcm)
+    # chunk walk: a LIST chunk (odd size → word-aligned) before data
+    pcm = rs.randint(-32768, 32768, size=(5, 1)).astype(np.int16)
+    payload = multimodal.encode_wav(pcm, 16000)
+    fmt_and_rest = payload[12:]
+    inject = b"LIST" + (7).to_bytes(4, "little") + b"INFOxyz" + b"\x00"
+    patched = b"RIFF" + (4 + len(inject) + len(fmt_and_rest)).to_bytes(4, "little") + b"WAVE" + inject + fmt_and_rest
+    got, rate = multimodal.decode_wav(patched)
+    assert np.array_equal(got, pcm)
+
+
+def test_wav_rejects_nonpcm():
+    pcm = np.zeros((4, 1), dtype=np.int16)
+    payload = bytearray(multimodal.encode_wav(pcm, 16000))
+    payload[20] = 3  # IEEE float fmt tag
+    with pytest.raises(ValueError, match="PCM16"):
+        multimodal.decode_wav(bytes(payload))
+
+
+def test_decode_image_audio_real_dispatch():
+    img = _rng_img(5, 4, 3)
+    assert np.array_equal(multimodal.decode_image(multimodal.encode_bmp(img)), img)
+    assert np.array_equal(multimodal.decode_image(multimodal.encode_ppm(img)), img)
+    pcm = np.arange(-8, 8, dtype=np.int16).reshape(8, 2)
+    f32 = multimodal.decode_audio(multimodal.encode_wav(pcm, 44100))
+    assert f32.dtype == np.float32 and f32.shape == (8, 2)
+    assert np.allclose(f32, pcm.astype(np.float32) / 32768.0)
+    # unknown magic still raises loudly
+    with pytest.raises(NotImplementedError, match="JPEG/PNG"):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError, match="MP3"):
+        multimodal.decode_audio(b"ID3\x04rest")
+
+
+def test_decode_media_stats_distributed(spark):
+    img = _rng_img(9, 2, 3)
+    pcm = np.array([[-32768, 32767], [100, -100]], dtype=np.int16)
+    rows = [
+        (1, "image", multimodal.encode_bmp(img)),
+        (2, "audio", multimodal.encode_wav(pcm, 16000)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in multimodal.decode_media_stats(df).collect()}
+    flat = img.reshape(-1).astype(np.int64)
+    assert got[1]["width"] == 3 and got[1]["height"] == 2
+    assert got[1]["checksum"] == int((flat * (np.arange(flat.size) + 1)).sum())
+    aflat = pcm.reshape(-1).astype(np.int64) + 32768
+    assert got[2]["n_samples"] == 2 and got[2]["channels"] == 2
+    assert got[2]["checksum"] == int((aflat * (np.arange(aflat.size) + 1)).sum())
