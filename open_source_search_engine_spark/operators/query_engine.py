@@ -1118,11 +1118,6 @@ def _docmap_num_col(name: str) -> F.Column:
         # compaction rewrites docmap keeping each doc's newest row, so the
         # value survives as the doc's last index epoch
         return F.col("gen_seq")
-    # NOTE: every docmap numeric column today (size, gen_seq) is always
-    # populated. If a NULLABLE numeric column is ever added, negated num
-    # filters must become null-safe — the strict complement of `c >= v` is
-    # `(c < v) | c.isNull()`, and the DuckDB oracles must change with it
-    # (fieldmatch excludes already use eqNullSafe for this reason).
     return F.col(name)
 
 
@@ -1154,12 +1149,18 @@ def docmap_filter_cond(plan: QueryPlan) -> F.Column:
         cond = cond & ~F.col("content_sha256").isin(list(plan.sha_excludes))
     for col, op, v in plan.num_filters:
         # gbmin:/gbmax: (/root/reference/Query.cpp:1713-1720 value form);
-        # parquet min/max stats push these down to the docmap scan; the
-        # strict ops are the minus-signed complements (NOT(x>=v) == x<v)
+        # parquet min/max stats push these down to the docmap scan. The
+        # strict ops exist ONLY as the minus-signed complements (the parser
+        # rewrites -gbmin: ">=" → "<"), so they must be the EXACT complement
+        # of the positive filter: a NULL value fails `c >= v`, so it must
+        # PASS the negation — `(c < v) | isNull` (same reason fieldmatch
+        # excludes use eqNullSafe). Today's docmap numeric columns
+        # (size, gen_seq) are always populated, so this is latent defense.
         c = _docmap_num_col(col)
         cond = cond & {
             ">=": c >= F.lit(v), "<=": c <= F.lit(v),
-            ">": c > F.lit(v), "<": c < F.lit(v),
+            ">": (c > F.lit(v)) | c.isNull(),
+            "<": (c < F.lit(v)) | c.isNull(),
         }[op]
     for col, v in plan.fieldmatch_filters:
         # gbfieldmatch: exact CASE-SENSITIVE whole-value equality

@@ -93,3 +93,81 @@ def test_append_generation_serving_cache_sees_new_docs(spark, small_index):
     h2 = cached_handle(spark, small_index)
     after = h2.docmap_df(spark).count()
     assert after == before + n_extra
+
+
+def test_read_during_publish_never_caches_partial(spark, small_index, monkeypatch):
+    """Adversarial read-DURING-publish (the ADVICE follow-up): a reader that
+    queries while a multi-table append_generation is mid-flight must
+
+    * never observe a partial single-table listing under a version key that
+      could collide with the committed state (key equality ⇒ listing
+      equality — the durable-staleness property), and
+    * serve a complete page on BOTH physical paths (WAND and declarative)
+      whose docid set sits between the old and new committed states
+      (transient staleness fine, corruption/partial pages not).
+
+    The publish is intercepted at every ``os.rename`` gen-dir swap — the
+    exact moments a concurrent reader could land between table publications.
+    """
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.operators.query_engine import (
+        IndexHandle, topk,
+    )
+    from open_source_search_engine_spark.streaming.incremental import (
+        append_generation,
+    )
+
+    serving_tables = ("compacted", "segments", "docmap", "docstore")
+
+    def listing(table):
+        p = os.path.join(small_index, table)
+        out = []
+        for root, _dirs, files in os.walk(p):
+            out.extend(os.path.join(os.path.relpath(root, p), f)
+                       for f in files if not f.startswith("."))
+        return tuple(sorted(out))
+
+    def page_docids(prune):
+        h = IndexHandle.open(spark, small_index)  # fresh reader, no memoized state
+        return {r["docid"] for r in topk(spark, small_index, "binary search",
+                                         1000, prune=prune,
+                                         handle=h).collect()}
+
+    old_ids = page_docids(True)
+    assert old_ids == page_docids(False) and old_ids
+
+    mid_snapshots = []   # (table, version_key, listing) at each rename point
+    mid_pages = []       # docid sets queried mid-publish, both paths
+    real_rename = os.rename
+
+    def spying_rename(src, dst):
+        if os.sep + "gen=" in dst and dst.startswith(small_index):
+            probe = IndexHandle.open(spark, small_index)
+            for t in serving_tables:
+                mid_snapshots.append((t, probe._table_version((t,)), listing(t)))
+            if len(mid_pages) < 2:  # bound test wall-time: probe 2 windows
+                mid_pages.append(page_docids(True))
+                mid_pages.append(page_docids(False))
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", spying_rename)
+    extra = corpus_df(spark, 60, partitions=2)
+    append_generation(spark, extra, small_index, batch_id=41)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    assert mid_snapshots, "no gen-dir publications were intercepted"
+    final = {t: (IndexHandle.open(spark, small_index)._table_version((t,)),
+                 listing(t)) for t in serving_tables}
+    # the window existed: some table was observed pre-publication
+    assert any(key != final[t][0] for t, key, _lst in mid_snapshots)
+    # durable-staleness: a mid-publish version key may only equal the final
+    # key if its listing IS the final listing (nothing partial is cacheable
+    # under the committed key)
+    for t, key, lst in mid_snapshots:
+        if key == final[t][0]:
+            assert lst == final[t][1], f"partial {t} listing under final key"
+    new_ids = page_docids(True)
+    assert new_ids == page_docids(False)
+    assert old_ids <= new_ids and len(new_ids) > len(old_ids)
+    for ids in mid_pages:
+        assert old_ids <= ids <= new_ids

@@ -146,3 +146,27 @@ def test_batch_gbmin_matches_single(spark, index_dir, corpus_rows):
     got = sorted(((r["rank"], r["docid"], r["score"])
                   for r in b if r["qid"] == "q0"))
     assert [(d, s) for _, d, s in got] == single
+
+
+def test_negated_num_filter_nullsafe_complement(spark):
+    """-gbmin:/-gbmax: must be the EXACT complement of the positive filter
+    even for NULL column values: a NULL fails `size >= v`, so it must PASS
+    the negation. Today's docmap numeric columns are never NULL; this pins
+    the contract before any nullable column joins the family."""
+    from open_source_search_engine_spark.operators.query_engine import (
+        docmap_filter_cond,
+    )
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    rows = [(1, "r", "a", "h1", 10), (2, "r", "b", "h2", 99),
+            (3, "r", "c", "h3", None)]
+    dm = spark.createDataFrame(
+        rows, "docid long, repo string, path string, content_sha256 string,"
+              " size long")
+    pos = parse_query("gbmin:size:50 x")
+    neg = parse_query("-gbmin:size:50 x")
+    kept_pos = {r["docid"] for r in dm.filter(docmap_filter_cond(pos)).collect()}
+    kept_neg = {r["docid"] for r in dm.filter(docmap_filter_cond(neg)).collect()}
+    assert kept_pos == {2}
+    assert kept_neg == {1, 3}                       # NULL passes the negation
+    assert kept_pos | kept_neg == {1, 2, 3} and not kept_pos & kept_neg
