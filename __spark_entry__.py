@@ -1149,6 +1149,33 @@ def _siterank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_engine_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC6 page-temperature prior (/root/reference/PageTemperatureRegistry.h:
+    9-30, applied /root/reference/PosdbTable.cpp:3924-3941): a deterministic
+    docid-keyed prior — doc_id%3==0 → 1.5, ==1 → 0.25, else absent (implicit
+    1.0) — multiplied into the BM25 score before top-k. WAND-served since
+    round 5 (prior max folds into block bounds; prune on/off bit-equality is
+    pytest-gated in tests/test_wand.py; this gate checks the multiplier's
+    values over the full match set on the declarative path)."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path, ensure_index,
+    )
+
+    idx = ensure_index(spark, sf_dir)
+    dm = doc_id_from_path(spark.read.parquet(f"{idx}/docmap"))
+    temp = dm.filter(F.col("doc_id") % 3 != 2).select(
+        "docid",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(1.5))
+        .otherwise(F.lit(0.25)).alias("temperature"),
+    )
+    res = topk(spark, idx, "hash lang:en table", k=1_000_000,
+               temperature=temp)
+    return doc_id_from_path(res).select(
+        "doc_id", F.round("score", 4).alias("score_r"), "content_sha256"
+    )
+
+
 def _q_engine_siterank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SC5 siterank prior (operators/linkrank.py): getSiteRank bucket of
     distinct-importer counts, highest-inlink adjustment
@@ -3324,6 +3351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_pagination": _q_engine_pagination,
         "engine_batch": _q_engine_batch,
         "engine_siterank": _q_engine_siterank,
+        "engine_temperature": _q_engine_temperature,
         "engine_linktext": _q_engine_linktext,
         "engine_gigablast": _q_engine_gigablast,
         # --- tokenize/stats primitives ---
@@ -3480,6 +3508,12 @@ ORDER BY length(d.text) DESC
 LIMIT 10
 """,
         "engine_siterank": _siterank_sql(),
+        # page-temperature prior folded into the same BM25 oracle: the
+        # multiplier is a pure doc_id expression, so no extra CTE is needed
+        "engine_temperature": _bm25_sql(
+            ["hash", "table"], lang="en",
+            mult_expr="CASE WHEN d.doc_id % 3 = 0 THEN 1.5 "
+                      "WHEN d.doc_id % 3 = 1 THEN 0.25 ELSE 1.0 END"),
         "engine_linktext": _linktext_sql(),
         "engine_gigablast": _gigablast_sql(),
         "engine_boolean_nested": _NESTED_OR_SQL,

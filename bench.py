@@ -394,14 +394,19 @@ def main() -> None:
             sample_default=0.5, budget_tokens=256).count())
 
     from open_source_search_engine_spark.operators.suggest import (
-        materialize_suggest, suggest_from_index,
+        materialize_suggest, materialize_suggest_bigrams, suggest_from_index,
     )
 
     # offline materialization (DailyMerge cadence) — timed separately from
-    # the pruned serving lookup it enables
+    # the pruned serving lookup it enables; the unigram delete-neighbourhood
+    # index and the bigram adjacency table are separate items so a delta in
+    # either is attributable (round-4 lumped them and read as a regression)
     t0 = time.time()
-    materialize_suggest(spark, idx, docs)
+    materialize_suggest(spark, idx, docs, bigrams=False)
     queries["suggest_index_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    materialize_suggest_bigrams(spark, idx, docs)
+    queries["suggest_bigrams_build"] = round(time.time() - t0, 3)
     queries["q_suggest"] = best_of(
         2, lambda: suggest_from_index(spark, idx, "vectr", 5).collect())
 

@@ -596,13 +596,16 @@ def topk(
     - ``temperature``: optional (docid, temperature) prior multiplied into
       the score before ranking (page-temperature analog,
       /root/reference/PageTemperatureRegistry.h:9-30,
-      /root/reference/PosdbTable.cpp:3924-3941); forces the declarative
-      path (a score multiplier would invalidate WAND's upper bounds);
+      /root/reference/PosdbTable.cpp:3924-3941). WAND-served since round
+      5: the prior's max folds into the block bounds (true upper bounds —
+      pruning stays lossless) and surviving candidates pay the exact
+      per-doc multiplier from the cogrouped prior rows;
     - ``repo_rank``: optional (repo, adj_rank) siterank prior
       (operators/linkrank.py): score *= (adj_rank*m + 1)/(15m + 1) — the
       reference's score = minScore*(adjustedSiteRank*multiplier + 1),
       /root/reference/PosdbTable.cpp:3901-3909, normalized ≤ 1; repos
-      absent rank 0. Forces the declarative path like ``temperature``;
+      absent rank 0. Forces the declarative path (its multiplier keys on
+      ``repo``, which the cells don't carry);
     - ``ranker="bm25_proximity"``: multiplies BM25 by a proximity factor
       from the minimal window covering all required terms (SC4
       sliding-window analog). WAND-served since round 4: the ≤
@@ -660,12 +663,22 @@ def topk(
 
     prox_members, prox_ideal, prox_ampl = proximity_config(plan, ranker)
 
-    if (prune and not _match_set and not _explain and temperature is None
+    if (prune and not _match_set and not _explain
             and repo_rank is None
             and ranker in ("bm25", "bm25_ranks", "bm25_proximity")
             and wand_eligible(plan, k, cursor)):
         from .wand import SideTableTooLarge
 
+        # SC6 page temperature rides WAND (round 5): the prior folds into
+        # the block bounds as its max (one tiny agg over the prior table —
+        # a broadcast-sized registry by contract) and candidates pay the
+        # exact per-doc multiplier from the cogrouped prior rows
+        wand_temp = None
+        if temperature is not None:
+            tmax = temperature.agg(
+                F.max("temperature").alias("m")).first()["m"]
+            wand_temp = (temperature, float(tmax) if tmax is not None
+                         else 1.0)
         try:
             top = (
                 wand_topk(spark, seg, plan, dfs, h.n_docs, h.avgdl,
@@ -674,7 +687,8 @@ def topk(
                           ranker="bm25" if ranker == "bm25_proximity"
                           else ranker,
                           prox=((prox_members, prox_ideal, prox_ampl)
-                                if len(prox_members) >= 2 else None))
+                                if len(prox_members) >= 2 else None),
+                          temp=wand_temp)
                 .orderBy(F.desc("score"), F.asc("docid")).limit(k)
             )
             sup = load_superseded(spark, h.index_dir)

@@ -98,7 +98,7 @@ def pair_counts(spark, index_dir: str, lefts: list[str],
 
 
 def materialize_suggest(spark, index_dir: str, docs: DataFrame,
-                        text: str = "text") -> None:
+                        text: str = "text", *, bigrams: bool = True) -> None:
     """OFFLINE (build/DailyMerge cadence): write the delete-neighbourhood
     index as a ``suggest_index`` table under the index dir, partitioned by
     the delete_key's 2-char prefix — serving reads only the partitions the
@@ -116,8 +116,18 @@ def materialize_suggest(spark, index_dir: str, docs: DataFrame,
         "pfx", F.when(F.length("delete_key") == 0, F.lit("~"))
                 .otherwise(F.substring("delete_key", 1, 2)))
     catalog.write_table(idx, index_dir, "suggest_index", partition_by=["pfx"])
-    # adjacency counts for context-aware (phrase-scored) corrections —
-    # partitioned by tok1 prefix for the same pruned-lookup shape
+    if bigrams:
+        materialize_suggest_bigrams(spark, index_dir, docs, text=text)
+
+
+def materialize_suggest_bigrams(spark, index_dir: str, docs: DataFrame,
+                                text: str = "text") -> None:
+    """OFFLINE: adjacency counts for context-aware (phrase-scored)
+    corrections — partitioned by tok1 prefix for the same pruned-lookup
+    shape. Split from :func:`materialize_suggest` so the two table builds
+    are separately timeable (and skippable for a unigram-only speller)."""
+    from ..sources import catalog
+
     catalog.write_table(
         bigram_counts(docs, text=text).withColumn(
             "pfx", F.substring("tok1", 1, 2)),

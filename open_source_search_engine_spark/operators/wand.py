@@ -519,6 +519,13 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
                      for fld in (FIELD_BODY, FIELD_TITLE, FIELD_URL)}
     else:
         bound_mult = 1.0
+    # SC6 page temperature (round-5 WAND eligibility): a docid-keyed prior
+    # folds into the block bounds as the prior's max (≥1.0 since absent
+    # docs pay 1.0) — still TRUE upper bounds, lossless; surviving
+    # candidates pay their exact multiplier from the cogrouped prior rows,
+    # applied LAST like the declarative path's post-aggregation join
+    has_temp = bool(meta.get("has_temp"))
+    bound_mult *= float(meta.get("temp_max", 1.0))
     # bm25_ranks: score from the rank-weighted tf (SC2 occurrence weights)
     # decoded from each block's rank sidecar; the block upper bounds stay
     # valid unchanged because every occurrence weight is ≤ 1, so
@@ -846,6 +853,15 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
                         factor = f
                 if factor != 1.0:
                     s = s * factor
+            if has_temp:
+                td, tv = cur.get("temp_d"), cur.get("temp_v")
+                if td is not None and len(td):
+                    j = int(np.searchsorted(td, d))
+                    if j < len(td) and td[j] == d:
+                        # same float op as the declarative
+                        # `score * coalesce(temp, 1.0)` join — absent docs
+                        # skip the multiply (× exact 1.0 is the identity)
+                        s = s * float(tv[j])
             item = (s, -d)
             if cursor_item is not None and not (item < cursor_item):
                 continue
@@ -868,23 +884,37 @@ def _cell_scorer(meta: dict, k: int, n_cells: int, counters):
                 yield pd.DataFrame(rows, columns=["docid", "score"])
 
     def cogen(pdf: pd.DataFrame, mask: pd.DataFrame) -> pd.DataFrame:
-        """Cogrouped variant: one (posting-blocks, mask-docids) pair per
-        cell. The docmap-filter mask arrives co-partitioned by the SAME
-        cell id (filter_mask_df — executor-side, never on the driver);
-        the tiny driver-held pin/exclude arrays compose on top."""
+        """Cogrouped variant: one (posting-blocks, side-rows) pair per
+        cell. The side rows — docmap-filter mask docids (``mask`` column
+        = 1) and/or page-temperature prior values (``temp``) — arrive
+        co-partitioned by the SAME cell id (assembled in
+        :func:`wand_topk` — executor-side, never on the driver); the tiny
+        driver-held pin/exclude arrays compose on top."""
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         if not len(pdf):
             return empty
-        m = (np.unique(mask["docid"].values.astype(np.int64))
-             if len(mask) else np.empty(0, dtype=np.int64))
+        d_all = (mask["docid"].values.astype(np.int64)
+                 if len(mask) else np.empty(0, dtype=np.int64))
+        is_mask = (mask["mask"].values.astype(bool)
+                   if len(mask) else np.empty(0, dtype=bool))
+        m = np.unique(d_all[is_mask])
         pin = meta.get("pin")
         if meta.get("mask_kind") == "allow":
             cur["allowed"] = m if pin is None else np.intersect1d(m, pin)
             cur["blocked"] = None
-        else:
+        elif meta.get("mask_kind") == "block":
             cur["allowed"] = pin
             cur["blocked"] = m if len(m) else None
+        # else: temperature-only side table — allowed/blocked stay as the
+        # factory initialized them from the driver-trivial meta arrays
+        if has_temp:
+            tvals = (mask["temp"].values.astype(np.float64)
+                     if len(mask) else np.empty(0, dtype=np.float64))
+            tk = ~np.isnan(tvals) if len(tvals) else np.empty(0, dtype=bool)
+            td, tv = d_all[tk], tvals[tk]
+            order = np.argsort(td, kind="stable")
+            cur["temp_d"], cur["temp_v"] = td[order], tv[order]
         cell = int(pdf["cell"].iloc[0])
         lo = cell * cell_w
         hi = lo + cell_w
@@ -910,6 +940,7 @@ def wand_topk(
     cursor: tuple[float, int] | None = None,
     ranker: str = "bm25",
     prox: tuple | None = None,
+    temp: tuple | None = None,
 ) -> DataFrame:
     """Block-max WAND plan: cell-assign → shuffle → per-cell DAAT top-k →
     (docid, score) rows for the global merge. ``decode_counters`` may be a
@@ -937,6 +968,12 @@ def wand_topk(
     # SC4 proximity: (members, ideal, amplitude) — bounds inflate by
     # (1+amplitude) and surviving candidates pay the exact window factor
     meta["prox"] = prox
+    # SC6 page temperature: (prior DataFrame(docid, temperature), max prior
+    # value) — bounds inflate by max(1, max) and surviving candidates pay
+    # the exact per-doc multiplier from the cogrouped prior rows
+    meta["has_temp"] = temp is not None
+    meta["temp_max"] = (max(1.0, float(temp[1])) if temp is not None
+                        else 1.0)
     _idir = index_dir if isinstance(index_dir, str) else index_dir.index_dir
     tomb, sup_d, sup_g = load_delete_state(_idir)
     meta["tomb"], meta["sup_d"], meta["sup_g"] = tomb, sup_d, sup_g
@@ -958,6 +995,24 @@ def wand_topk(
             if plan.docid_excludes else None)
     else:
         meta["allowed"] = meta["blocked"] = None
+    # one side DataFrame carries mask docids and/or temperature rows to the
+    # cells (cogrouped): (docid, mask ∈ {0,1}, temp double-or-null)
+    side_df = None
+    if mask_df is not None and temp is not None:
+        t = temp[0].select("docid", F.col("temperature").alias("temp"))
+        side_df = (
+            mask_df.select("docid").withColumn("mask", F.lit(1))
+            .join(t, "docid", "full")
+            .select("docid", F.coalesce("mask", F.lit(0)).alias("mask"),
+                    "temp"))
+    elif mask_df is not None:
+        side_df = mask_df.select(
+            "docid", F.lit(1).alias("mask"),
+            F.lit(None).cast("double").alias("temp"))
+    elif temp is not None:
+        side_df = temp[0].select(
+            "docid", F.lit(0).alias("mask"),
+            F.col("temperature").alias("temp"))
 
     cell_w = (DOCID_MASK + n_cells) // n_cells
     cells = F.sequence(
@@ -972,12 +1027,12 @@ def wand_topk(
         .repartition(n_cells, "cell")
     )
     scorer = _cell_scorer(meta, k, n_cells, decode_counters)
-    if mask_df is None:
+    if side_df is None:
         return part.mapInPandas(scorer, "docid long, score double")
-    mask_cells = mask_df.withColumn(
+    side_cells = side_df.withColumn(
         "cell", (F.col("docid") / F.lit(cell_w)).cast("long"))
     return (
         part.groupBy("cell")
-        .cogroup(mask_cells.groupBy("cell"))
+        .cogroup(side_cells.groupBy("cell"))
         .applyInPandas(scorer.cogroup, "docid long, score double")
     )

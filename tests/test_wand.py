@@ -355,3 +355,76 @@ def test_proximity_ranker_still_skips_hot_blocks(spark, fine_index):
     total = _block_count(spark, fine_index, hot)
     frac = counters[hot].value / total
     assert frac < 0.5, f"decoded {counters[hot].value}/{total} = {frac:.0%}"
+
+
+def _temp_df(spark, idx, mult_for=lambda d: None):
+    """(docid, temperature) prior over a deterministic subset of the index's
+    docids: docid % 3 == 0 → 1.5, % 3 == 1 → 0.25, % 3 == 2 absent."""
+    dm = spark.read.parquet(f"{idx}/docmap").select("docid").collect()
+    rows = []
+    for r in dm:
+        d = int(r["docid"])
+        if d % 3 == 0:
+            rows.append((d, 1.5))
+        elif d % 3 == 1:
+            rows.append((d, 0.25))
+    return spark.createDataFrame(rows, "docid long, temperature double")
+
+
+def test_temperature_takes_wand_path_and_stays_exact(spark, fine_index):
+    """r5: the page-temperature prior rides WAND — its max folds into the
+    block bounds, candidates pay the exact per-doc multiplier from the
+    cogrouped prior rows. Bit-equal to the declarative path, and the prior
+    provably rescales (the pages differ from the unweighted ones)."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    temp = _temp_df(spark, fine_index)
+    rescaled = 0
+    for q in ["scan if", "if table", "binsearch_rare7 if", "scan site:org1"]:
+        a = [(r["docid"], r["score"]) for r in
+             topk(spark, fine_index, q, 10, prune=True,
+                  temperature=temp).collect()]
+        b = [(r["docid"], r["score"]) for r in
+             topk(spark, fine_index, q, 10, prune=False,
+                  temperature=temp).collect()]
+        assert a == b, f"prune on/off diverged for {q!r} under temperature"
+        plain = [(r["docid"], r["score"]) for r in
+                 topk(spark, fine_index, q, 10, prune=True).collect()]
+        if a != plain:
+            rescaled += 1
+    # a query whose whole page happens to miss the prior (or whose page
+    # order survives the rescale) is legitimately unchanged; the prior must
+    # provably rescale across the set though
+    assert rescaled >= 2, rescaled
+
+
+def test_temperature_still_skips_hot_blocks(spark, fine_index):
+    """Bound inflation by the prior's max must not collapse pruning: the
+    hot term's decoded-block fraction stays bounded on a temperature-
+    weighted hot-term query."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    temp = _temp_df(spark, fine_index)
+    counters = {_tid("if"): spark.sparkContext.accumulator(0)}
+    rows = topk(spark, fine_index, "scan if", 10, wand_cells=1,
+                wand_counters=counters, temperature=temp).collect()
+    assert rows
+    decoded = counters[_tid("if")].value
+    total = _block_count(spark, fine_index, _tid("if"))
+    assert decoded / total < 0.35, (decoded, total)
+
+
+def test_temperature_below_one_only_is_free_bound(spark, fine_index):
+    """A prior whose max ≤ 1 must not inflate bounds at all (temp_max
+    clamps at 1.0) and still rescales candidates exactly."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    dm = spark.read.parquet(f"{fine_index}/docmap").select("docid").limit(5)
+    temp = dm.selectExpr("docid", "cast(0.5 as double) as temperature")
+    a = [(r["docid"], r["score"]) for r in
+         topk(spark, fine_index, "scan if", 10, prune=True,
+              temperature=temp).collect()]
+    b = [(r["docid"], r["score"]) for r in
+         topk(spark, fine_index, "scan if", 10, prune=False,
+              temperature=temp).collect()]
+    assert a == b
