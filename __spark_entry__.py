@@ -2785,10 +2785,13 @@ def _q_engine_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     default pct 90 /root/reference/Parms.cpp:6915): the full 'vector merge'
     match set post-processed by the greedy Dice pass over title+summary word
     vectors. The oracle replays the same greedy chain with a recursive CTE
-    over rows ranked by the exact BM25(+bigram) score; kept-set equality is
-    well-defined because no two EQUAL-score rows are >=90 similar at sf0.01
-    (verified: the kept set is invariant to order within score ties when no
-    tied pair is similar)."""
+    over rows ranked by the exact BM25(+bigram) score (linear per step —
+    the pair table is MATERIALIZED, see _dedup_summary_sql); kept-set
+    equality is well-defined because no two EQUAL-score rows are >=90
+    similar (verified: the kept set is invariant to order within score ties
+    when no tied pair is similar). Green at all three scales since round 5
+    (the former sf0.1 exception was the oracle's recursive-CTE
+    re-evaluation, not the engine)."""
     from open_source_search_engine_spark.operators.query_engine import topk
     from open_source_search_engine_spark.sources.testdata import (
         doc_id_from_path, documents_corpus, ensure_index,
@@ -2876,7 +2879,12 @@ sims AS (
     AND floor(200.0 * len(list_intersect(a.vec, b.vec))
               / (len(a.vec) + len(b.vec)))::INT >= {pct}
   GROUP BY b.rnk),
-ranked2 AS (
+ranked2 AS MATERIALIZED (
+  -- MATERIALIZED is the whole sf0.1 fix: without it DuckDB inlines this
+  -- CTE (and the O(n^2) sims join above it) into the recursive member and
+  -- re-evaluates it EVERY iteration -- n iterations x n^2 pairs ground for
+  -- >20 min at sf0.1's ~3000-row page; materialized, the recursion joins a
+  -- 3000-row table per step and the whole oracle runs in ~17 s
   SELECT r.rnk, coalesce(s.dups, []) AS dups
   FROM ranked r LEFT JOIN sims s ON s.rnk = r.rnk),
 keep AS (
