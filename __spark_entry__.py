@@ -1257,6 +1257,136 @@ def _linktext_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _utf8_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived multilingual corpus for the unicode-token gate: per doc_id%4
+    an appended Cyrillic sentence, a second Cyrillic sentence, or an
+    UNSPACED CJK run + an accented Latin word — deterministic, so DuckDB
+    replays the same derivation (incl. the engine's CJK per-char
+    singling, via regexp_replace in the oracle)."""
+    docs = _docs(spark, sf_dir)
+    inj = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("\nпривет мир общий"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("\nпривет поиск общий текст"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("\n世界検索 naïve"))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.concat(F.col("text"), inj).alias("content"),
+    )
+
+
+def _ensure_utf8_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+    from open_source_search_engine_spark.sources.testdata import (
+        index_cache_dir,
+    )
+
+    idx = index_cache_dir(sf_dir) + "_u8"
+    marker = os.path.join(idx, "_u8_done")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        build_index(spark, _utf8_corpus(spark, sf_dir), idx, n_chunks=1,
+                    unicode_tokens=True)
+        open(marker, "w").close()
+    return idx
+
+
+def _q_engine_bm25_utf8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-token index gate (round-5 ``unicode_tokens`` flag): BM25 over
+    the derived multilingual corpus, two legs —
+
+    - ``cyr``: conjunctive Cyrillic query ``привет общий`` (+ the parser's
+      optional adjacency bigram, which matches nothing — the words are
+      never adjacent in the injections);
+    - ``cjk``: the unspaced query ``検索`` — the unicode tokenizer singles
+      it into the conjunction 検 ∧ 索 AND attaches the (検,索) bigram,
+      which IS adjacent in the injected run, so the bigram term scores.
+
+    The oracle replays normalization (lower + CJK per-char singling) and
+    both scores in SQL. The query side picks up the tokenizer mode from the
+    index's persisted layout — the gate passes plain query strings."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path,
+    )
+
+    idx = _ensure_utf8_index(spark, sf_dir)
+    a = doc_id_from_path(topk(spark, idx, "привет общий", 1_000_000)).select(
+        F.lit("cyr").alias("leg"), "doc_id",
+        F.round("score", 4).alias("score_r"))
+    b = doc_id_from_path(topk(spark, idx, "検索", 1_000_000)).select(
+        F.lit("cjk").alias("leg"), "doc_id",
+        F.round("score", 4).alias("score_r"))
+    return a.unionByName(b)
+
+
+def _utf8_sql() -> str:
+    idf0 = _IDF.format(n="b.n", df="x0.df")
+    idf1 = _IDF.format(n="b.n", df="x1.df")
+    tfn0 = _TFNORM.format(tf="f0.tf", dl="d.dl", avgdl="b.avgdl")
+    tfn1 = _TFNORM.format(tf="f1.tf", dl="d.dl", avgdl="b.avgdl")
+    idfb = _IDF.format(n="b.n", df="bd.df")
+    tfnb = _TFNORM.format(tf="bg.tf", dl="d.dl", avgdl="b.avgdl")
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN chr(10) || 'привет мир общий'
+           WHEN 1 THEN chr(10) || 'привет поиск общий текст'
+           WHEN 2 THEN chr(10) || '世界検索 naïve'
+           ELSE '' END AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             regexp_replace(lower(text), '([一-鿿぀-ヿ㐀-䶿豈-﫿])',
+                            ' \\1 ', 'g'),
+             '\\s+'), x -> x <> '') AS t
+  FROM inj),
+base AS (SELECT count(*) AS n, sum(len(t))::DOUBLE / count(*) AS avgdl FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ
+       WHERE tok IN ('привет', 'общий', '検', '索') GROUP BY 1, 2),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+big AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(t)), i -> t[i] = '検' AND t[i+1] = '索')) AS tf
+  FROM toks
+  WHERE len(list_filter(range(1, len(t)), i -> t[i] = '検' AND t[i+1] = '索')) > 0),
+bigdf AS (SELECT count(*) AS df FROM big)
+SELECT 'cyr' AS leg, d.doc_id,
+       round(({idf0} * {tfn0}) + ({idf1} * {tfn1}), 4) AS score_r
+FROM dl d CROSS JOIN base b
+JOIN tf f0 ON f0.doc_id = d.doc_id AND f0.tok = 'привет'
+JOIN tf f1 ON f1.doc_id = d.doc_id AND f1.tok = 'общий'
+CROSS JOIN (SELECT df FROM dfs WHERE tok = 'привет') x0
+CROSS JOIN (SELECT df FROM dfs WHERE tok = 'общий') x1
+UNION ALL
+SELECT 'cjk' AS leg, d.doc_id,
+       round(({idf0} * {tfn0}) + ({idf1} * {tfn1})
+             + (CASE WHEN bg.tf IS NOT NULL
+                THEN (5.0 * {idfb}) * {tfnb} ELSE 0.0 END), 4) AS score_r
+FROM dl d CROSS JOIN base b
+JOIN tf f0 ON f0.doc_id = d.doc_id AND f0.tok = '検'
+JOIN tf f1 ON f1.doc_id = d.doc_id AND f1.tok = '索'
+CROSS JOIN (SELECT df FROM dfs WHERE tok = '検') x0
+CROSS JOIN (SELECT df FROM dfs WHERE tok = '索') x1
+LEFT JOIN big bg ON bg.doc_id = d.doc_id
+CROSS JOIN bigdf bd
+"""
+
+
 def _ensure_linktext_index(spark: SparkSession, sf_dir: str) -> str:
     import os
 
@@ -3361,6 +3491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_siterank": _q_engine_siterank,
         "engine_temperature": _q_engine_temperature,
         "engine_linktext": _q_engine_linktext,
+        "engine_bm25_utf8": _q_engine_bm25_utf8,
         "engine_gigablast": _q_engine_gigablast,
         # --- tokenize/stats primitives ---
         "doc_term_df": _q_doc_term_df,
@@ -3516,6 +3647,7 @@ ORDER BY length(d.text) DESC
 LIMIT 10
 """,
         "engine_siterank": _siterank_sql(),
+        "engine_bm25_utf8": _utf8_sql(),
         # page-temperature prior folded into the same BM25 oracle: the
         # multiplier is a pure doc_id expression, so no extra CTE is needed
         "engine_temperature": _bm25_sql(

@@ -70,6 +70,79 @@ _TOKEN_RE = re.compile(r"[a-z_][a-z0-9_]*(?:\+\+|\+|#)?(?:'s)?|[0-9]+(?:[.,][0-9
 _LINE_BREAK_RE = re.compile(r"[\n;]")
 _NON_SPACE_PUNCT_RE = re.compile(r"[^\sa-z0-9_]")
 
+# ---------------------------------------------------------------------------
+# UTF-8 token characters (index-time option, SURVEY §10 / round-5 item).
+#
+# The reference tokenizes non-ASCII scripts as words
+# (/root/reference/Words.cpp:288-358 script handling over UTF-8,
+# /root/reference/utf8_fast.cpp); this engine's default stays the ASCII
+# byte-domain scan (the corpus is source code and ASCII classes are the
+# fast path), but with ``unicode_tokens=True`` the pipeline first runs
+# :func:`normalize_unicode` and then treats EVERY remaining non-ASCII
+# codepoint as a token letter:
+#
+# 1. ``str.lower()`` (the reference's case fold, hash.h:125-163 analog);
+# 2. per-codepoint translate: non-ASCII whitespace → ' ', non-ASCII
+#    non-alphanumeric (punctuation/symbols/marks) → '\x02' (an ASCII punct
+#    byte, so the cursor's punctuation-gap rule fires exactly as for ASCII
+#    punctuation); letters/digits of every script pass through;
+# 3. CJK ideographs and kana become SINGLE-character tokens by inserting
+#    spaces around them (the standard unigram fallback for unsegmented
+#    scripts — the reference likewise special-cases script runs); Hangul,
+#    Cyrillic, Greek, Arabic, ... keep whitespace-delimited runs.
+#
+# After normalization the invariant the batch byte-scanner relies on holds:
+# every byte ≥ 0x80 belongs to a token letter, so the 256-entry class
+# tables stay exact (tokenizer_batch._IDENTC_UNI) and the two paths remain
+# multiset-identical (property-tested over CJK/Cyrillic/mixed text).
+# ---------------------------------------------------------------------------
+
+
+class _UniTransTable(dict):
+    """codepoint → replacement for ``str.translate``: computed lazily per
+    codepoint (covers all planes), cached. ASCII handled by explicit
+    seeds; missing = identity for translate, so every non-ASCII codepoint
+    must resolve here."""
+
+    def __missing__(self, cp: int):
+        ch = chr(cp)
+        if ch.isspace():
+            v = 0x20
+        elif ch.isalnum():
+            v = None  # keep: a token letter/digit
+        else:
+            v = 0x02  # punctuation/symbol/mark → ASCII punct marker
+        # cache; translate treats None as "delete", so keep = map to self
+        out = cp if v is None else v
+        self[cp] = out
+        return out
+
+
+_UNI_TRANS = _UniTransTable({0x00: 0x01})
+# CJK unigram classes: Han (incl. ext A + compat), Hiragana, Katakana
+_CJK_RE = re.compile(
+    "([぀-ヿ㐀-䶿一-鿿豈-﫿])")
+
+# unicode token scanner over NORMALIZED text: all surviving non-ASCII
+# codepoints are letters (step 2 above), so the class extension is exact
+_TOKEN_RE_UNI = re.compile(
+    r"[a-z_-\U0010ffff][a-z0-9_-\U0010ffff]*(?:\+\+|\+|#)?(?:'s)?"
+    r"|[0-9]+(?:[.,][0-9]+)*")
+
+
+def normalize_unicode(text: str) -> str:
+    """Lower + fold non-ASCII whitespace/punctuation into their ASCII class
+    markers + single out CJK chars (see module-section comment).
+    Token-idempotent (re-normalizing only widens space runs, which neither
+    tokens nor the position cursor see); pure-ASCII text comes back
+    ``lower()``-ed and otherwise unchanged, so a unicode-flagged index over
+    ASCII text is byte-identical to the default."""
+    text = text.lower()
+    if text.isascii():
+        return text if "\x00" not in text else text.replace("\x00", "\x01")
+    text = text.translate(_UNI_TRANS)
+    return _CJK_RE.sub(r" \1 ", text)
+
 
 @dataclass
 class TokenizedField:
@@ -88,17 +161,29 @@ class TokenizedField:
     end_cursor: int = 0
 
 
-def tokenize_text(text: str, start_cursor: int = 0, per_line_density: bool = True) -> TokenizedField:
-    """Scan one field string into tokens/positions/densities/bigrams."""
+def tokenize_text(text: str, start_cursor: int = 0,
+                  per_line_density: bool = True,
+                  unicode_tokens: bool = False) -> TokenizedField:
+    """Scan one field string into tokens/positions/densities/bigrams.
+
+    ``unicode_tokens=True``: normalize first (:func:`normalize_unicode`) and
+    scan with the unicode letter class — non-ASCII words become terms, CJK
+    chars become single-char terms. Identical to the default on pure-ASCII
+    text (standing test)."""
     out = TokenizedField()
-    low = text.lower()
+    if unicode_tokens:
+        low = normalize_unicode(text)
+        token_re = _TOKEN_RE_UNI
+    else:
+        low = text.lower()
+        token_re = _TOKEN_RE
     cursor = start_cursor
     prev_end = 0
     prev_tok: str | None = None
     line_no = 0
     line_of_token: list[int] = []
 
-    for m in _TOKEN_RE.finditer(low):
+    for m in token_re.finditer(low):
         gap = low[prev_end:m.start()]
         if gap:
             n_breaks = len(_LINE_BREAK_RE.findall(gap))
@@ -156,9 +241,11 @@ def tokenize_text(text: str, start_cursor: int = 0, per_line_density: bool = Tru
     return out
 
 
-def code_tokens(text: str) -> list[str]:
+def code_tokens(text: str, unicode_tokens: bool = False) -> list[str]:
     """Plain lowercase token list (no positions) — shared by dedup/minhash
-    ops and the oracle."""
+    ops, the query parser and the oracle."""
+    if unicode_tokens:
+        return _TOKEN_RE_UNI.findall(normalize_unicode(text))
     return _TOKEN_RE.findall(text.lower())
 
 
@@ -191,6 +278,7 @@ def index_document(
     lang: str,
     content: str,
     hasher: TokenHasher,
+    unicode_tokens: bool = False,
 ) -> dict[str, np.ndarray]:
     """Tokenize all fields of one document into flat posting arrays.
 
@@ -231,7 +319,9 @@ def index_document(
 
     cursor = 0
     for fcode, text, per_line in fields:
-        tf = tokenize_text(text, start_cursor=cursor, per_line_density=per_line)
+        tf = tokenize_text(text, start_cursor=cursor,
+                           per_line_density=per_line,
+                           unicode_tokens=unicode_tokens)
         cursor = min(tf.end_cursor + FIELD_GAP, MAX_WORDPOS)
         if fcode in dl:
             dl[fcode] = tf.n_words

@@ -70,6 +70,20 @@ for _c in b" \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f":
 _PUNCT = ~_SPACE & ~_IDENTC
 _PUNCT[0] = False  # padding byte, never counted
 
+# unicode-token variants (index-time ``unicode_tokens=True``): after
+# :func:`..functions.tokenizer.normalize_unicode`, EVERY byte ≥ 0x80 in the
+# UTF-8 buffer belongs to a token letter (non-ASCII whitespace folded to
+# ' ', non-ASCII punctuation to '\x02', CJK chars space-singled), so the
+# 256-entry class tables stay exact: high bytes join the identifier AND
+# alpha classes (a token led by one is an identifier, never a number) and
+# leave the punctuation class
+_IDENTC_UNI = _IDENTC.copy()
+_IDENTC_UNI[0x80:] = True
+_ALPHA_UNI = _ALPHA.copy()
+_ALPHA_UNI[0x80:] = True
+_PUNCT_UNI = ~_SPACE & ~_IDENTC_UNI
+_PUNCT_UNI[0] = False
+
 # str-side normalization closing the only str-vs-byte class divergence:
 # the 19 non-ASCII Unicode whitespace chars (NBSP, U+2000-200A, U+2028/29,
 # U+3000, ...; all ≤ U+3000) are \s for the scalar tokenizer but their
@@ -104,11 +118,12 @@ _EMPTY = {
 }
 
 
-def _token_spans(b: np.ndarray):
+def _token_spans(b: np.ndarray, uni: bool = False):
     """Byte buffer → (starts, ends) of tokens, replicating the scanning
-    order/consumption of the reference regex."""
+    order/consumption of the reference regex (``uni``: the unicode-token
+    class tables — high bytes are letters, see _IDENTC_UNI)."""
     n = len(b)
-    identc = _IDENTC[b]
+    identc = (_IDENTC_UNI if uni else _IDENTC)[b]
     if not identc.any():
         z = np.empty(0, dtype=np.int64)
         return z, z
@@ -122,8 +137,9 @@ def _token_spans(b: np.ndarray):
     edge2[-1] = identc[-1]
     re_ = np.nonzero(edge2)[0] + 1
 
-    alpha_first = _ALPHA[b[rs]]
-    alpha_pos = np.nonzero(_ALPHA[b])[0]
+    alpha = _ALPHA_UNI if uni else _ALPHA
+    alpha_first = alpha[b[rs]]
+    alpha_pos = np.nonzero(alpha[b])[0]
 
     starts_l = [rs[alpha_first]]
     ends_l = [re_[alpha_first]]
@@ -188,18 +204,30 @@ def _token_spans(b: np.ndarray):
         # the "'s" swallows the start of the following identifier run — fix
         # the (rare) overlapped tokens scalar-side
         e2 = np.where(poss, e + 2, e)
-        starts, e2 = _fix_possessive_overlaps(b, starts, e2, poss)
+        starts, e2 = _fix_possessive_overlaps(b, starts, e2, poss, uni)
         return starts, e2
     return starts, e
 
 
-def _fix_possessive_overlaps(b, starts, ends, poss):
+_TOKEN_RE_LATIN1_UNI = None  # lazily-compiled byte-domain unicode scanner
+
+
+def _fix_possessive_overlaps(b, starts, ends, poss, uni: bool = False):
     """After extending token T by "'s", any token that started AT that 's'
     must drop its first byte and (if it began with a digit after the shift)
-    be re-split — delegate the rare cases to the reference regex."""
+    be re-split — delegate the rare cases to the reference regex. In
+    unicode mode the byte slice decodes latin1 (byte-preserving) and the
+    scanner's letter class adds \x80-\xff, so match offsets stay BYTE
+    offsets (a utf-8 decode would return codepoint offsets)."""
     import re as _re
 
     from .tokenizer import _TOKEN_RE
+
+    global _TOKEN_RE_LATIN1_UNI
+    if uni and _TOKEN_RE_LATIN1_UNI is None:
+        _TOKEN_RE_LATIN1_UNI = _re.compile(
+            "[a-z_\x80-\xff][a-z0-9_\x80-\xff]*"
+            "(?:\+\+|\+|#)?(?:'s)?|[0-9]+(?:[.,][0-9]+)*")
 
     s_pos = ends[poss] - 1  # position of the consumed 's'
     affected = np.nonzero(np.isin(starts, s_pos))[0]
@@ -210,7 +238,7 @@ def _fix_possessive_overlaps(b, starts, ends, poss):
     for i in affected.tolist():
         seg = b[int(starts[i]) + 1: int(ends[i])].tobytes().decode("latin1")
         base = int(starts[i]) + 1
-        for m in _TOKEN_RE.finditer(seg):
+        for m in (_TOKEN_RE_LATIN1_UNI if uni else _TOKEN_RE).finditer(seg):
             add.append((base + m.start(), base + m.end()))
     s_l = [int(x) for i, x in enumerate(starts) if i not in kill]
     e_l = [int(x) for i, x in enumerate(ends) if i not in kill]
@@ -243,19 +271,28 @@ def _hash_spans(b: np.ndarray, starts: np.ndarray, ends: np.ndarray,
     return out
 
 
-def index_batch(repos, paths, langs, contents, docids) -> dict:
+def index_batch(repos, paths, langs, contents, docids,
+                unicode_tokens: bool = False) -> dict:
     """Tokenize + hash a whole batch of documents into flat posting arrays
     (termid, docid, field, wordpos, kind, dl) plus per-(doc, field) length
-    stats ``seg_doc/seg_field/seg_dl`` for the additive avgdl partials."""
+    stats ``seg_doc/seg_field/seg_dl`` for the additive avgdl partials.
+    ``unicode_tokens``: normalize via the tokenizer's unicode fold and scan
+    with the extended letter classes (multiset-identical to the scalar
+    ``index_document(..., unicode_tokens=True)``; property-tested)."""
+    if unicode_tokens:
+        from .tokenizer import normalize_unicode as _norm
+    else:
+        def _norm(t):
+            return _norm_for_bytes(t.lower())
     seg_texts: list[bytes] = []
     seg_field: list[int] = []
     seg_doc: list[int] = []
     link_docs: list[tuple[int, list[str]]] = []  # LINK-field terms
     for i in range(len(repos)):
-        body = _norm_for_bytes(contents[i].lower())
-        title = _norm_for_bytes(_basename(paths[i]).lower())
-        url = _norm_for_bytes((repos[i] + "/" + paths[i]).lower())
-        lang = _norm_for_bytes(langs[i].lower())
+        body = _norm(contents[i])
+        title = _norm(_basename(paths[i]))
+        url = _norm(repos[i] + "/" + paths[i])
+        lang = _norm(langs[i])
         for fcode, txt in ((FIELD_BODY, body), (FIELD_TITLE, title),
                            (FIELD_URL, url), (FIELD_LANG, lang)):
             seg_texts.append(txt.encode("utf-8"))
@@ -296,7 +333,8 @@ def index_batch(repos, paths, langs, contents, docids) -> dict:
     stats = []
     if seg_texts:
         outs.append(_index_segments(seg_texts, np.asarray(seg_field),
-                                    np.asarray(seg_doc, dtype=np.int64), stats))
+                                    np.asarray(seg_doc, dtype=np.int64),
+                                    stats, uni=unicode_tokens))
     if not outs:
         res = dict(_EMPTY)
     else:
@@ -308,7 +346,8 @@ def index_batch(repos, paths, langs, contents, docids) -> dict:
     return res
 
 
-def _index_segments(seg_texts, seg_field, seg_doc, stats) -> dict:
+def _index_segments(seg_texts, seg_field, seg_doc, stats,
+                    uni: bool = False) -> dict:
     nseg = len(seg_texts)
     lens = np.array([len(t) for t in seg_texts], dtype=np.int64)
     seg_start = np.zeros(nseg, dtype=np.int64)
@@ -317,14 +356,14 @@ def _index_segments(seg_texts, seg_field, seg_doc, stats) -> dict:
     buf = b"\n".join(seg_texts)
     b = np.frombuffer(buf, dtype=np.uint8)
 
-    starts, ends = _token_spans(b)
+    starts, ends = _token_spans(b, uni)
     ntok = len(starts)
 
     # prefix counts for the cursor math
     brk = np.zeros(len(b) + 1, dtype=np.int64)
     np.cumsum(_BREAK[b], out=brk[1:])
     pnc = np.zeros(len(b) + 1, dtype=np.int64)
-    np.cumsum(_PUNCT[b], out=pnc[1:])
+    np.cumsum((_PUNCT_UNI if uni else _PUNCT)[b], out=pnc[1:])
 
     seg_of = np.searchsorted(seg_start, starts, side="right") - 1
     # previous token end within the same segment (else the segment start)

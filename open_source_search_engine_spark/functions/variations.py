@@ -246,17 +246,53 @@ def base_candidates(token: str) -> list[str]:
     return out
 
 
-def variants_for(token: str) -> list[str]:
+def danish_spelling_variants(token: str) -> list[str]:
+    """Danish lexicon-free spelling-variation rules, re-expressed from the
+    reference generator's transliteration tiers
+    (/root/reference/word_variations/WordVariationsGenerator_danish.cpp:
+    206-323): the 1948 bolle-a transliteration both ways (aa <-> U+00E5 --
+    names and place names legitimately use either), the always-optional
+    acute accent (U+00E9 -> e), the street-name suffix -alle -> -all\u00e9
+    and the name rene -> ren\u00e9. Byte-length gates mirror the
+    reference's (it tests std::string::length over UTF-8).
+
+    Round 3 REJECTED this tier while the tokenizer was ASCII-only -- every
+    variant contains a non-ASCII letter, so none could ever match an
+    indexed term (SURVEY \u00a710). With round 5's ``unicode_tokens``
+    indexes the variants are reachable terms, so the tier ships (the proof
+    the flag is real). The imperative -er -> -\u00e9r rule needs the STO
+    lexicon's verb-mood attributes and stays out of scope with disclosure,
+    like the definiteness/number chains."""
+    out: list[str] = []
+    nb = len(token.encode("utf-8"))
+    if "\u00e5" in token and nb >= 3:
+        out.append(token.replace("\u00e5", "aa"))
+    if "aa" in token and nb >= 4:
+        out.append(token.replace("aa", "\u00e5"))
+    if "\u00e9" in token:
+        out.append(token.replace("\u00e9", "e"))
+    if len(token) >= 4 and token.endswith("alle"):
+        out.append(token[:-4] + "all\u00e9")
+    if token == "rene":
+        out.append("ren\u00e9")
+    return [v for v in dict.fromkeys(out) if v != token]
+
+
+def variants_for(token: str, unicode_tokens: bool = False) -> list[str]:
     """All variation terms attached when ``token`` is queried: its
     irregular group members (lexicon hop) plus its rule inflections plus
     its candidate base forms (and THEIR sibling inflections would
     over-expand — the reference attaches one hop only, Synonyms.cpp
     getSynonyms does not recurse). Bounded by :data:`MAX_VARIANTS`,
     deterministic order; irregulars first (lexicon entries are exact,
-    rules over-generate)."""
+    rules over-generate). ``unicode_tokens`` additionally attaches the
+    Danish spelling tier (only reachable on unicode-token indexes)."""
     out, seen = [], {token}
-    for v in (irregular_variants(token) + inflections_of(token)
-              + base_candidates(token)):
+    tiers = irregular_variants(token) + inflections_of(token) \
+        + base_candidates(token)
+    if unicode_tokens:
+        tiers = danish_spelling_variants(token) + tiers
+    for v in tiers:
         if v not in seen:
             seen.add(v)
             out.append(v)

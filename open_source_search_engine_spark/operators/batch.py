@@ -73,7 +73,10 @@ def batch_topk(
     pass. Returns (qid, rank, docid, score, repo, path, content_sha256);
     ``qid`` is ``labels[i]`` (default ``"q{i}"``). Scores are bit-identical
     to ``topk`` on each query individually (the standing A/B test)."""
-    plans = [parse_query(q) if isinstance(q, str) else q for q in queries]
+    from ..sources import catalog as _cat
+    _uni = bool(_cat.index_layout(index_dir).get("unicode_tokens", False))
+    plans = [parse_query(q, unicode_tokens=_uni) if isinstance(q, str) else q
+             for q in queries]
     labels = list(labels) if labels is not None else [
         f"q{i}" for i in range(len(plans))]
     if len(labels) != len(plans):

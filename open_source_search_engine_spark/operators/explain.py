@@ -45,7 +45,11 @@ def explain_scores(
     one ulp (the 1.0 and 0.5 weights stay exact — powers of two)."""
     from .query_engine import topk
 
-    plan = parse_query(query) if isinstance(query, str) else query
+    if isinstance(query, str):
+        from ..sources import catalog as _cat
+        query = parse_query(query, unicode_tokens=bool(
+            _cat.index_layout(index_dir).get("unicode_tokens", False)))
+    plan = query
     _PAGE_SCHEMA = ("rank int, docid long, score double, repo string, "
                     "path string")
     _EMPTY = (

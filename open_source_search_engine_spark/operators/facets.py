@@ -41,7 +41,11 @@ def facet_counts(
     (repo, lang, and numeric ones like size render as strings)."""
     from .query_engine import topk
 
-    plan = parse_query(query) if isinstance(query, str) else query
+    if isinstance(query, str):
+        from ..sources import catalog as _cat
+        query = parse_query(query, unicode_tokens=bool(
+            _cat.index_layout(index_dir).get("unicode_tokens", False)))
+    plan = query
     if not plan.required or plan.expr is None:
         return spark.createDataFrame([], FACET_SCHEMA)
 

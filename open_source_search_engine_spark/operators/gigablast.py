@@ -86,7 +86,11 @@ def gigablast_topk(spark: SparkSession, index_dir: str, query,
     from .index_build import load_superseded, load_tombstones
     from .query_engine import _join_docmap, cached_handle
 
-    plan = parse_query(query) if isinstance(query, str) else query
+    if isinstance(query, str):
+        from ..sources import catalog as _cat
+        query = parse_query(query, unicode_tokens=bool(
+            _cat.index_layout(index_dir).get("unicode_tokens", False)))
+    plan = query
     terms = [t for t in plan.required if not t.is_bigram
              and t.weight == 1.0]
     if not terms:

@@ -143,6 +143,7 @@ def map_encode(
     hot_threshold: int = 20_000,
     n_salts: int = 16,
     n_buckets: int = catalog.N_BUCKETS_DEFAULT,
+    unicode_tokens: bool = False,
 ) -> DataFrame:
     """Corpus partition → delta+varint PARTIAL posting blocks + inline stats,
     in ONE Arrow pass (tokenize and encode fused).
@@ -195,6 +196,7 @@ def map_encode(
             arrs = index_batch(
                 pdf["repo"].values, pdf["path"].values, pdf["lang"].values,
                 pdf["content"].values, pdf["docid"].values,
+                unicode_tokens=unicode_tokens,
             )
             for d_, f_, l_ in zip(arrs["seg_doc"].tolist(),
                                   arrs["seg_field"].tolist(),
@@ -726,6 +728,7 @@ def build_index(
     target_group_rows: int = 50_000,  # retained for API compat (v1 encode path)
     stop_after_chunks: int | None = None,
     store_content: bool = True,
+    unicode_tokens: bool = False,
 ) -> dict:
     """Full build: chunked, resumable, metric-recording.
 
@@ -741,8 +744,12 @@ def build_index(
     # persist the physical layout so every later consumer (bucket pruning,
     # generation appends, compaction, shortcut extraction) agrees with the
     # writer; a resumed build keeps the original record's parameters
-    n_buckets = int(catalog.ensure_layout(
-        index_dir, n_buckets=n_buckets, block_docs=block_docs)["n_buckets"])
+    lay = catalog.ensure_layout(
+        index_dir, n_buckets=n_buckets, block_docs=block_docs,
+        unicode_tokens=bool(unicode_tokens))
+    n_buckets = int(lay["n_buckets"])
+    # a resumed/appended build keeps the original record's tokenizer mode
+    unicode_tokens = bool(lay.get("unicode_tokens", False))
     corpus_id = with_doc_identity(corpus)
     done = _done_chunks(spark, index_dir)
     metrics: dict = {"chunks": [], "docs": 0, "postings": 0, "bytes": 0, "elapsed": 0.0}
@@ -805,7 +812,7 @@ def build_index(
         # intermediate — far smaller than raw posting rows
         mapped = map_encode(
             part, block_docs=block_docs, hot_threshold=hot_threshold,
-            n_buckets=n_buckets,
+            n_buckets=n_buckets, unicode_tokens=unicode_tokens,
         ).persist(StorageLevel.DISK_ONLY)
         mapped.count()
         mark("tokenize", tp)

@@ -630,7 +630,15 @@ def topk(
             adult_flags=adult_flags,
             doc_text=doc_text, summary_width=summary_width,
             temperature=temperature, repo_rank=repo_rank, ranker=ranker)
-    plan = parse_query(query) if isinstance(query, str) else query
+    if isinstance(query, str):
+        # a unicode-token index tokenizes query words with the same unicode
+        # letter classes it was built with (persisted _layout.json flag)
+        plan = parse_query(query, unicode_tokens=bool(
+            catalog.index_layout(
+                index_dir if isinstance(index_dir, str)
+                else index_dir.index_dir).get("unicode_tokens", False)))
+    else:
+        plan = query
     if not plan.required or plan.expr is None:
         return spark.createDataFrame(
             [], "rank int, docid long, score double, repo string, path string, "
@@ -954,7 +962,13 @@ def _topk_postprocessed(
     URL dedup with the reference's recall loop: fetch 2× headroom, filter,
     and re-query deeper (doubling, ≤3 rounds) if fewer than k survive while
     deeper results may exist."""
-    plan = parse_query(query) if isinstance(query, str) else query
+    if isinstance(query, str):
+        plan = parse_query(query, unicode_tokens=bool(
+            catalog.index_layout(
+                index_dir if isinstance(index_dir, str)
+                else index_dir.index_dir).get("unicode_tokens", False)))
+    else:
+        plan = query
     if dedup_summary_pct and doc_text is None:
         raise ValueError("dedup_summary_pct needs doc_text (the doc store "
                          "DataFrame with repo, path, content) to build "

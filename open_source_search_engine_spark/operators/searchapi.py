@@ -284,7 +284,9 @@ def search(
         do_site_clustering = False  # SearchInput.cpp:206-208
     if include_cached_copy:
         percent_similar_summary = 0  # icc=1 turns dedup off, Msg40.cpp:1325
-    plan = parse_query(q, query_lang=qlang, sites=sites)
+    plan = parse_query(q, query_lang=qlang, sites=sites,
+                       unicode_tokens=bool(catalog.index_layout(
+                           index_dir).get("unicode_tokens", False)))
     if tags is not None:
         # tagdb manualban (/root/reference/PageResults.cpp:1574 admin ban
         # link; Parms.cpp:11508 tag:manualban==1): banned sites leave the

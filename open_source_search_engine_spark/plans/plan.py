@@ -536,10 +536,14 @@ def _looks_like_domain(q: str) -> bool:
 class _PlanBuilder:
     def __init__(self, plan: QueryPlan, expand_synonyms: bool,
                  expand_variations: bool = False,
-                 synonyms: dict | None = None):
+                 synonyms: dict | None = None,
+                 unicode_tokens: bool = False):
         self.plan = plan
         self.expand_synonyms = expand_synonyms
         self.expand_variations = expand_variations
+        # unicode-token index: query words tokenize with the same unicode
+        # letter classes the index was built with (index_layout flag)
+        self.unicode_tokens = unicode_tokens
         # dictionary override (the reference's dictionary is a swappable
         # data file); None = the committed functions.synonyms table
         self._synonyms = synonyms
@@ -576,7 +580,7 @@ class _PlanBuilder:
         word like ``foo.bar()`` requires ALL its tokens — the API-like rule
         and plain AND semantics; negation De-Morgans to an OR of negated
         leaves)."""
-        toks = code_tokens(atom.value)
+        toks = code_tokens(atom.value, unicode_tokens=self.unicode_tokens)
         if not toks:
             return None
         leaves = []
@@ -627,7 +631,8 @@ class _PlanBuilder:
                 # same-group semantics for generated word forms
                 # (/root/reference/Query.cpp:1008-1035 attach,
                 # /root/reference/word_variations/ generators)
-                for v in variants_for(t):
+                for v in variants_for(
+                        t, unicode_tokens=self.unicode_tokens):
                     vid = int(_hasher.termids([v])[0])
                     vix = self.spec(vid, v, atom.field, VARIATION_WEIGHT,
                                     required=True, excluded=False)
@@ -642,7 +647,8 @@ class _PlanBuilder:
     def phrase_leaves(self, atom: _Atom, negated: bool):
         # run the indexer's own cursor over the quote so punctuation inside
         # it produces the same position deltas the index stores
-        tf_q = tokenize_text(atom.value, per_line_density=False)
+        tf_q = tokenize_text(atom.value, per_line_density=False,
+                             unicode_tokens=self.unicode_tokens)
         toks = [t for t, k in zip(tf_q.tokens, tf_q.kinds) if k == KIND_UNIGRAM]
         poss = [p for p, k in zip(tf_q.positions, tf_q.kinds) if k == KIND_UNIGRAM]
         if not toks:
@@ -803,7 +809,8 @@ def parse_query(q: str, *, expand_synonyms: bool = False,
                 soft_stops: bool = False, lang: str | None = None,
                 query_lang: str | None = None,
                 sites: "list[str] | str | None" = None,
-                wiki_phrases=None) -> QueryPlan:
+                wiki_phrases=None,
+                unicode_tokens: bool = False) -> QueryPlan:
     """``sites`` is the &sites= whitelist (SearchInput::m_sites →
     Msg39Request ptr_whiteList, /root/reference/Msg40.cpp:344-345; consulted
     per candidate inside the intersection, PosdbTable.cpp:5067): a list (or
@@ -813,7 +820,10 @@ def parse_query(q: str, *, expand_synonyms: bool = False,
     whitelist mask — at any site-list size."""
     plan = QueryPlan(raw=q)
     b = _PlanBuilder(plan, expand_synonyms, expand_variations,
-                     synonyms=synonyms)
+                     synonyms=synonyms, unicode_tokens=unicode_tokens)
+
+    def _ct(text):
+        return code_tokens(text, unicode_tokens=unicode_tokens)
 
     # modifyQuery heuristic: domain-like single-token query also scores
     # its tokens against the URL field at 10x (Query.cpp:2473+ analog)
@@ -823,7 +833,7 @@ def parse_query(q: str, *, expand_synonyms: bool = False,
     plan.expr = b.build(tree)
 
     if domain_boost:
-        for t in code_tokens(q):
+        for t in _ct(q):
             b.attach_optional(t, FIELD_URL, DOMAIN_URL_WEIGHT)
 
     # bigram attach: adjacent POSITIVE bare word atoms in one top-level AND
@@ -846,7 +856,7 @@ def parse_query(q: str, *, expand_synonyms: bool = False,
             skip_next = False
             bare_seq.append("\x00")
             continue
-        toks = code_tokens(lx.lstrip("+"))
+        toks = _ct(lx.lstrip("+"))
         bare_seq.extend(toks if toks else ["\x00"])
     for a, bb in zip(bare_seq, bare_seq[1:]):
         if a != "\x00" and bb != "\x00":
@@ -889,7 +899,7 @@ def parse_query(q: str, *, expand_synonyms: bool = False,
                 if ":" not in lx and lx not in ("(", ")", "|", "OR", "AND",
                                                 "NOT")
                 and not lx.startswith(("-", '"', '+"'))
-                for t in code_tokens(lx.lstrip("+"))]
+                for t in _ct(lx.lstrip("+"))]
         query_lang = detect_language(bare)
 
     if query_lang is not None:

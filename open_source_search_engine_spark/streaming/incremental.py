@@ -226,7 +226,9 @@ def append_generation(
     # so a content-less index stays content-less across streaming appends
     if catalog.table_exists(index_dir, "docstore"):
         write_docstore(part, index_dir, gen)
-    mapped = map_encode(part, n_buckets=n_buckets).persist()
+    mapped = map_encode(
+        part, n_buckets=n_buckets,
+        unicode_tokens=bool(lay.get("unicode_tokens", False))).persist()
     mapped.count()
     catalog.write_gen(
         sum_count_slabs(mapped.filter(F.col("kind") == SLAB_TERM_DF),

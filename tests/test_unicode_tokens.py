@@ -1,0 +1,161 @@
+"""UTF-8 token characters (index-time ``unicode_tokens`` flag): scalar/batch
+parity over non-ASCII scripts, ASCII invariance, end-to-end multilingual
+serving, and the Danish variation tier the flag makes reachable
+(un-rejecting SURVEY §10's round-3 rejection)."""
+
+import shutil
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from open_source_search_engine_spark.functions.hashing import TokenHasher
+from open_source_search_engine_spark.functions.tokenizer import (
+    code_tokens, index_document, normalize_unicode, tokenize_text,
+)
+from open_source_search_engine_spark.functions.tokenizer_batch import (
+    index_batch,
+)
+
+
+def _posting_multiset(arrs):
+    return sorted(zip(arrs["termid"].tolist(), arrs["wordpos"].tolist(),
+                      arrs["field"].tolist(), arrs["kind"].tolist(),
+                      arrs["dl"].tolist(), arrs["rank"].tolist()))
+
+
+def _batch_vs_scalar(docs, uni):
+    h = TokenHasher()
+    batch = index_batch(
+        np.array([d[0] for d in docs]), np.array([d[1] for d in docs]),
+        np.array([d[2] for d in docs]), np.array([d[3] for d in docs]),
+        np.arange(100, 100 + len(docs), dtype=np.int64),
+        unicode_tokens=uni)
+    for i, (repo, path, lang, content) in enumerate(docs):
+        sc = index_document(repo, path, lang, content, h, unicode_tokens=uni)
+        m = batch["docid"] == 100 + i
+        sub = {k: batch[k][m] for k in
+               ("termid", "wordpos", "field", "kind", "dl", "rank")}
+        assert _posting_multiset(sub) == _posting_multiset(sc), (uni, i)
+
+
+def test_normalize_unicode_classes():
+    # CJK chars single out; non-ASCII punct folds to \x02; NBSP to ' '
+    assert normalize_unicode("a世界b") == "a 世  界 b"
+    assert normalize_unicode("x«y»—z") == "x\x02y\x02\x02z"
+    assert normalize_unicode("a b") == "a b"
+    assert normalize_unicode("Mixed ASCII 1,000") == "mixed ascii 1,000"
+    # token-idempotent: re-normalizing only widens space runs
+    t = normalize_unicode("Привет — мир 世界")
+    ta = tokenize_text(t, unicode_tokens=True)
+    tb = tokenize_text(normalize_unicode(t), unicode_tokens=True)
+    assert ta.tokens == tb.tokens and ta.positions == tb.positions
+
+
+def test_unicode_scalar_tokens():
+    t = tokenize_text("Привет мир; 世界 hello", unicode_tokens=True)
+    assert t.tokens == ["привет", "мир", "世", "界", "hello"]
+    # CJK chars are adjacent tokens separated by plain spaces: +1 cursor
+    assert t.positions == [0, 1, 4, 5, 6]
+    assert code_tokens("naïve café", unicode_tokens=True) == ["naïve", "café"]
+    # default mode drops non-ASCII (splits at every non-ASCII char)
+    assert code_tokens("naïve") == ["na", "ve"]
+
+
+def test_ascii_text_identical_between_modes():
+    text = "plain ascii; c++ bob's 1,000 lines\nwith if and hash_table"
+    a = tokenize_text(text, unicode_tokens=False)
+    b = tokenize_text(text, unicode_tokens=True)
+    assert a.tokens == b.tokens and a.positions == b.positions
+    assert a.densities == b.densities and a.bigram_pairs == b.bigram_pairs
+
+
+_SCRIPT_CHARS = (
+    "abcdefghij_0123456789",           # ASCII identifiers/numbers
+    "привеммиртекс",                   # Cyrillic
+    "日本語検索引擎世界",               # CJK
+    "αβγδε",                           # Greek
+    "åæøé",                            # Danish / accents
+    " \t\n;.,(){}«»—、。 　",  # ASCII + unicode punct/space
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.text(alphabet="".join(_SCRIPT_CHARS), min_size=0, max_size=120),
+    min_size=1, max_size=5))
+def test_batch_scalar_parity_property_multilingual(texts):
+    docs = [(f"org{i}/r", f"d{i}.txt", "xx", t) for i, t in enumerate(texts)]
+    _batch_vs_scalar(docs, uni=True)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.text(alphabet="".join(_SCRIPT_CHARS), min_size=0, max_size=200))
+def test_batch_scalar_parity_default_mode_still_holds(text):
+    _batch_vs_scalar([("o/r", "p.txt", "en", text)], uni=False)
+
+
+@pytest.fixture(scope="module")
+def uni_index(spark, tmp_path_factory):
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+
+    rows = [
+        (f"org{i % 3}/r", f"d{i}.txt", "ru",
+         f"привет мир номер {i} общий текст hash"
+         + (" редкий гåde gaade" if i == 7 else ""))
+        for i in range(20)
+    ] + [("org9/r", f"j{i}.txt", "ja",
+          f"日本語 の テキスト 検索 エンジン hash {i}") for i in range(5)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, lang string, content string")
+    d = str(tmp_path_factory.mktemp("uniidx") / "idx")
+    shutil.rmtree(d, ignore_errors=True)
+    build_index(spark, corpus, d, n_chunks=1, unicode_tokens=True)
+    return d
+
+
+def test_unicode_index_serves_multilingual_queries(spark, uni_index):
+    from open_source_search_engine_spark.operators.query_engine import topk
+
+    got = topk(spark, uni_index, "привет мир", 30).collect()
+    assert len(got) == 20
+    a = topk(spark, uni_index, "привет hash", 10, prune=True).collect()
+    b = topk(spark, uni_index, "привет hash", 10, prune=False).collect()
+    assert a == b and a
+    # CJK: per-char unigram terms; the two-char query is a conjunction
+    cjk = topk(spark, uni_index, "検索", 10).collect()
+    assert len(cjk) == 5
+    # layout flag persists → the QUERY side tokenizes unicode automatically
+    from open_source_search_engine_spark.sources import catalog
+    assert catalog.index_layout(uni_index)["unicode_tokens"] is True
+
+
+def test_unicode_flag_resume_keeps_mode(spark, uni_index):
+    """A resumed/appended build keeps the original record's tokenizer mode
+    even when the caller passes the other flag."""
+    from open_source_search_engine_spark.sources import catalog
+
+    lay = catalog.ensure_layout(uni_index, n_buckets=128, block_docs=128,
+                                unicode_tokens=False)
+    assert lay["unicode_tokens"] is True
+
+
+def test_danish_variation_tier_reachable(spark, uni_index):
+    """The SURVEY §10 un-reject proof: a doc spelling a word with bolle-å
+    is found by the double-a query (and vice versa) through the Danish
+    spelling-variation tier — only possible on a unicode-token index."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.plans.plan import parse_query
+
+    plan = parse_query("gaade", expand_variations=True, unicode_tokens=True)
+    got = topk(spark, uni_index, plan, 10).collect()
+    assert len(got) == 1 and got[0]["path"] == "d7.txt"
+    plan2 = parse_query("гåde", expand_variations=True, unicode_tokens=True)
+    got2 = topk(spark, uni_index, plan2, 10).collect()
+    assert len(got2) == 1
+    # without the variation expansion the cross-spelling query misses
+    assert topk(spark, uni_index, "gaade", 10).count() == 1  # exact present
+    plan3 = parse_query("gåde", expand_variations=True, unicode_tokens=True)
+    assert topk(spark, uni_index, plan3, 10).count() == 1
