@@ -1489,7 +1489,11 @@ def _q_engine_gigablast(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the per-doc quadratic of clamp(31-(dl-1)), spam weight the 5-gram
     repeat-window linear curve (the engine_ranks machinery), tfw the
     scale_linear(df/N, 0, 0.5, 1.0, 0.5) term-frequency weight, and the
-    body pair distance is max(|Δpos|,2)-2 in order / -1 out of order."""
+    body pair distance is max(|Δpos|,2)-2 in order / -1 out of order.
+    Round 5: the pair pass is restricted to the winning sliding window
+    (the oracle replays it as the max over WINDOW pairs — see the
+    pairbest CTE comment) and 'hash table', being a wiki phrase, weights
+    its pair sum by WIKI_WEIGHT = 0.1."""
     from open_source_search_engine_spark.operators.gigablast import (
         gigablast_topk,
     )
@@ -1539,13 +1543,28 @@ sw AS (SELECT o.doc_id, o.i, o.tok,
 dfs AS (SELECT tok, count(DISTINCT doc_id) AS df FROM qocc GROUP BY 1),
 sbest AS (SELECT doc_id, tok, max(ws) AS wsmax FROM sw GROUP BY 1, 2),
 pairbest AS (
+  -- round 5: the final pair pass is RESTRICTED to the winning sliding
+  -- window (PosdbTable.cpp:3285-3441). For a 2-term body-only corpus the
+  -- window-restricted pair max equals the max over WINDOW pairs, where
+  -- (a, b) is a window iff no '{w1}' occurrence lies in [b.i, a.i) and no
+  -- '{w2}' occurrence lies in [a.i, b.i) (the per-group successor pair of
+  -- some prefix of the sorted global position multiset — property-pinned
+  -- against doc_score in tests/test_gigablast.py). '{w1} {w2}' is a wiki
+  -- phrase, so the pair sum is x WIKI_WEIGHT = 0.1 (PosdbTable.cpp:1202;
+  -- its query spacing 1 floors to qdist 2 in our position units)
   SELECT a.doc_id,
-         max((a.ws * b.ws) /
+         max(0.1 * (a.ws * b.ws) /
              ((CASE WHEN b.i > a.i THEN greatest(b.i - a.i, 2) - 2
                     ELSE greatest(a.i - b.i, 2) - 1 END) + 1.0)) AS pb
   FROM sw a
   JOIN sw b ON b.doc_id = a.doc_id AND b.tok = '{w2}'
   WHERE a.tok = '{w1}'
+    AND NOT EXISTS (SELECT 1 FROM sw x
+                    WHERE x.doc_id = a.doc_id AND x.tok = '{w1}'
+                      AND x.i >= b.i AND x.i < a.i)
+    AND NOT EXISTS (SELECT 1 FROM sw y
+                    WHERE y.doc_id = a.doc_id AND y.tok = '{w2}'
+                      AND y.i >= a.i AND y.i < b.i)
   GROUP BY 1)
 SELECT d.doc_id,
        round(least(

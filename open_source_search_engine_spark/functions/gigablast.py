@@ -33,19 +33,29 @@ inmetatag 0.1 (→ our LANG field), inlist 0.3 (→ LINK field), linktext 16;
 termFreqWeight = scale_linear(df/N, 0, 0.5, 1.0, 0.5)
 (/root/reference/Msg3a.cpp:967-997).
 
-DOCUMENTED DEVIATIONS (each a consequence of index/shape differences, not
-shortcuts in the arithmetic):
+Round 5 closed the round-4 deviations: body placements in the final pair
+pass are now RESTRICTED to the winning sliding window
+(/root/reference/PosdbTable.cpp:3285-3441 — the window search with the
+three FIXED_DISTANCE sub-outs and the non-body score matrix is
+implemented in :func:`_sliding_window`); same-wiki-phrase pairs weight
+their pair sum by WIKI_WEIGHT = 0.10 with qdist = the pair's query
+spacing (PosdbTable.cpp:816-842, floored at 2 — our position units are 1
+per token where the reference's are ~2, and the dist←2 clamp makes
+sub-2 targets unreachable); half-stop-wiki-bigram sublists
+(Query.cpp:1182-1219) weight ×1.4 per pair side and ×1.4² on single
+slots (PosdbTable.cpp:430-441,970-977).
 
-1. body placements are NOT restricted to the single winning sliding
-   window (/root/reference/PosdbTable.cpp:3285-3441): every placement
-   competes for the top-10 merged-hashgroup pair slots. A monotone
-   relaxation that coincides with the reference whenever the best
-   placement per slot lies in the winning window — the case the window
-   search exists to find;
-2. no wiki-half-stop-bigram bit exists in our posting keys, so the
-   WIKI_BIGRAM_WEIGHT boosts are identity; pair qdist is the default 2
-   (the wiki/quote qdist targeting hooks exist on doc_score but the
-   serving operator does not wire plan phrase groups into them yet);
+REMAINING DOCUMENTED DEVIATIONS:
+
+1. the serving operator drops expanded-plan alternates (attached
+   bigrams / synonyms / variations), so no serving placement carries the
+   whsb flag yet — the kernel applies it (fixture-tested) when callers
+   supply flagged sublists;
+2. the final pair pass enumerates ALL placement pairs greedily by
+   descending score under the reference's mhg-slot-conflict rule, where
+   the reference zig-zag-walks the two lists in buffer order — an
+   order-independent reformulation (same slots whenever slot winners are
+   distinct-scored);
 3. diversity weights are flat 1.0 — exactly the reference's default
    (diversityWeightMin = diversityWeightMax = 1.0, and its own scorer
    comments the diversity multiply out, PosdbTable.cpp:309-311).
@@ -127,107 +137,383 @@ def _occ_weights(field: int, dens: np.ndarray, spam: np.ndarray):
     return denw, spamw
 
 
-def single_term_sum(occs: list, tfw: float, term_w: float,
-                    user_w: float = 1.0) -> float:
-    """SC2: best occurrence score per merged hashgroup (INLINKTEXT keeps
-    every slot), top MAX_TOP summed. ``occs``: [(field, dens, spam)] with
-    numpy rank arrays."""
-    slot_best: dict[int, float] = {}
-    link_scores: list[float] = []
-    base = 100.0 * user_w * tfw * tfw * term_w * term_w
-    for field, dens, spam in occs:
-        hgw = HASHGROUP_WEIGHTS.get(int(field), 1.0)
-        denw, spamw = _occ_weights(int(field), dens, spam)
-        sc = base * hgw * hgw * denw * denw * spamw * spamw
+class SubList:
+    """One (sub)termlist's placements for a doc: the mini-merge run of a
+    base term, an attached bigram, or a synonym (the reference's
+    QueryTermInfo sublists, /root/reference/PosdbTable.cpp:1374-1845).
+    ``whsb``: half-stop wiki bigram (/root/reference/Query.cpp:1182-1219
+    query-side; key bit /root/reference/Posdb.h:297) — x1.4 per side in
+    pair scores, x1.4^2 on single slots."""
+
+    __slots__ = ("field", "positions", "dens", "spam", "tfw", "term_w",
+                 "whsb")
+
+    def __init__(self, field, positions, dens, spam, tfw, term_w,
+                 whsb=False):
+        self.field = int(field)
+        self.positions = np.asarray(positions, dtype=np.int64)
+        self.dens = np.asarray(dens, dtype=np.int64)
+        self.spam = np.asarray(spam, dtype=np.int64)
+        self.tfw = float(tfw)
+        self.term_w = float(term_w)
+        self.whsb = bool(whsb)
+
+
+# our index's in-body fields (s_inBody analog, PosdbTable.cpp:5467-5473;
+# FIELD_LINK maps to INLIST which the reference counts as body, but our
+# LINK positions are field-local synthetic 0..n — not doc positions — so
+# they stay non-body here, a documented index-shape deviation)
+IN_BODY_FIELDS = frozenset({FIELD_BODY})
+WIKI_BIGRAM_WEIGHT = 1.40   # /root/reference/PosdbTable.h:22
+
+
+def _single_scores(sub: SubList, user_w: float = 1.0) -> np.ndarray:
+    """Per-placement single score: 100·hgw²·denw²·spamw²·tfw²·termw²·userW
+    (/root/reference/PosdbTable.cpp:305-334)."""
+    hgw = HASHGROUP_WEIGHTS.get(sub.field, 1.0)
+    denw, spamw = _occ_weights(sub.field, sub.dens, sub.spam)
+    return (100.0 * user_w * sub.tfw * sub.tfw * sub.term_w * sub.term_w
+            * hgw * hgw * denw * denw * spamw * spamw)
+
+
+def single_term_sum(group: list, user_w: float = 1.0) -> float:
+    """SC2 over a term GROUP: best placement per merged hashgroup
+    (INLINKTEXT keeps every slot), top MAX_TOP summed; whsb-flagged
+    winners add ×WIKI_BIGRAM_WEIGHT² (PosdbTable.cpp:430-441)."""
+    slot_best: dict[int, tuple] = {}
+    link_scores: list[tuple] = []
+    for sub in group:
+        sc = _single_scores(sub, user_w)
         if not len(sc):
             continue
-        if int(field) == FIELD_LINKTEXT:
-            link_scores.extend(sc.tolist())
+        if sub.field == FIELD_LINKTEXT:
+            link_scores.extend((float(v), sub.whsb) for v in sc)
         else:
-            mhg = MERGED_GROUP.get(int(field), int(field))
+            mhg = MERGED_GROUP.get(sub.field, sub.field)
             top = float(sc.max())
-            if top > slot_best.get(mhg, -1.0):
-                slot_best[mhg] = top
+            if mhg not in slot_best or top > slot_best[mhg][0]:
+                slot_best[mhg] = (top, sub.whsb)
     scores = sorted(list(slot_best.values()) + link_scores, reverse=True)
-    return float(sum(scores[:MAX_TOP]))
+    w2 = WIKI_BIGRAM_WEIGHT * WIKI_BIGRAM_WEIGHT
+    return float(sum(v * (w2 if whsb else 1.0)
+                     for v, whsb in scores[:MAX_TOP]))
 
 
-def pair_sum(occs_i: list, occs_j: list, tfw_i: float, tfw_j: float,
-             term_w_i: float, term_w_j: float, qdist: int = 2,
-             user_w: float = 1.0) -> float:
-    """SC3/SC4 pair pass: best pair score per merged-hashgroup pairing
-    (INLINKTEXT exempt from the one-slot rule), top MAX_TOP summed.
-    Every placement competes (deviation #1 in the module doc)."""
-    base = (100.0 * user_w * user_w * tfw_i * tfw_j * term_w_i * term_w_j)
-    slot_best: dict[tuple, float] = {}
-    link_scores: list[float] = []
-    for fi, pi, di, si in occs_i:
-        hgw_i = HASHGROUP_WEIGHTS.get(int(fi), 1.0)
-        denw_i, spamw_i = _occ_weights(int(fi), di, si)
-        for fj, pj, dj, sj in occs_j:
-            hgw_j = HASHGROUP_WEIGHTS.get(int(fj), 1.0)
-            denw_j, spamw_j = _occ_weights(int(fj), dj, sj)
-            # all position pairs of this field pair (vectorized outer)
-            dist = (pj[None, :] - pi[:, None]).astype(np.float64)
-            out_of_order = dist < 0
-            dist = np.abs(dist)
+def _nonbody_best(group: list, user_w: float = 1.0):
+    """Highest-single-scoring NON-body placement of the group (the
+    highestScoringNonBodyPos sub-out source, PosdbTable.cpp:410-416).
+    Returns (denw, spamw, hgw, term_w) or None."""
+    best, best_v = None, -1.0
+    for sub in group:
+        if sub.field in IN_BODY_FIELDS or not len(sub.positions):
+            continue
+        sc = _single_scores(sub, user_w)
+        k = int(np.argmax(sc))
+        if float(sc[k]) > best_v:
+            best_v = float(sc[k])
+            hgw = HASHGROUP_WEIGHTS.get(sub.field, 1.0)
+            denw, spamw = _occ_weights(sub.field, sub.dens, sub.spam)
+            best = (float(denw[k]), float(spamw[k]), hgw, sub.term_w)
+    return best
+
+
+def _pair_score_scalar(pi, pj, fixed: bool, qdist: int,
+                       user_w: float = 1.0) -> float:
+    """getScoreForTermPair (PosdbTable.cpp:733-800): one placement pair,
+    NO tfw, NO whsb. pl = (pos, denw, spamw, hgw, term_w); pos is None
+    for the FIXED_DISTANCE sub-out form."""
+    if pi is None or pj is None:
+        return -1.0
+    p1, denw1, spamw1, hgw1, tw1 = pi
+    p2, denw2, spamw2, hgw2, tw2 = pj
+    if fixed:
+        dist = FIXED_DISTANCE
+    else:
+        dist = abs(float(p2) - float(p1))
+        if dist < 2.0:
+            dist = 2.0
+        if dist >= qdist:
+            dist -= qdist
+        if p2 < p1:
+            dist += 1.0
+    return (100.0 * denw1 * denw2 * hgw1 * hgw2 * user_w * user_w
+            * tw1 * tw2 * spamw1 * spamw2 / (dist + 1.0))
+
+
+def _matrix_max(group_i: list, group_j: list, qdist: int,
+                user_w: float = 1.0) -> float:
+    """SC3 non-body pair matrix (getMaxScoreForNonBodyTermPair,
+    PosdbTable.cpp:551-732): max pair score over COMPATIBLE (both
+    non-body) placements; dist <2→2, >50→FIXED, −qdist; no tfw, no
+    out-of-order penalty (the scan visits pairs in doc order)."""
+    best = -1.0
+    for si in group_i:
+        if si.field in IN_BODY_FIELDS or not len(si.positions):
+            continue
+        hgw_i = HASHGROUP_WEIGHTS.get(si.field, 1.0)
+        denw_i, spamw_i = _occ_weights(si.field, si.dens, si.spam)
+        for sj in group_j:
+            if sj.field in IN_BODY_FIELDS or not len(sj.positions):
+                continue
+            hgw_j = HASHGROUP_WEIGHTS.get(sj.field, 1.0)
+            denw_j, spamw_j = _occ_weights(sj.field, sj.dens, sj.spam)
+            dist = np.abs(sj.positions[None, :]
+                          - si.positions[:, None]).astype(np.float64)
             np.maximum(dist, 2.0, out=dist)
-            cross = (int(fi) != int(fj)) or (int(fi) == FIELD_LINKTEXT)
-            if cross:
-                dist = np.where(dist > 50.0, FIXED_DISTANCE, dist)
-            # qdist subtraction + out-of-order penalty
-            # (PosdbTable.cpp:663-678: in-order dist-qdist; out-of-order
-            # dist-qdist+qdist-1 = dist-1 when ≥ qdist, else dist+1)
-            ge = dist >= float(qdist)
-            dist = np.where(
-                out_of_order,
-                np.where(ge, dist - 1.0, dist + 1.0),
-                np.where(ge, dist - float(qdist), dist),
-            )
-            sc = (base * hgw_i * hgw_j
+            dist = np.where(dist > 50.0, FIXED_DISTANCE, dist)
+            dist = np.where(dist >= float(qdist), dist - float(qdist), dist)
+            sc = (100.0 * user_w * user_w * si.term_w * sj.term_w
+                  * hgw_i * hgw_j
                   * (denw_i[:, None] * denw_j[None, :])
                   * (spamw_i[:, None] * spamw_j[None, :])
                   / (dist + 1.0))
-            if not sc.size:
-                continue
-            if int(fi) == FIELD_LINKTEXT or int(fj) == FIELD_LINKTEXT:
-                link_scores.append(float(sc.max()))
-            else:
-                key = (MERGED_GROUP.get(int(fi), int(fi)),
-                       MERGED_GROUP.get(int(fj), int(fj)))
-                top = float(sc.max())
-                if top > slot_best.get(key, -1.0):
-                    slot_best[key] = top
-    scores = sorted(list(slot_best.values()) + link_scores, reverse=True)
-    return float(sum(scores[:MAX_TOP]))
+            if sc.size:
+                best = max(best, float(sc.max()))
+    return best
 
 
-def doc_score(terms: list, qdists: dict | None = None) -> float:
-    """Final Gigablast-mode doc score.
+def _body_placements(group: list):
+    """Merged position-sorted body placements of a group:
+    (pos, denw, spamw, hgw, term_w, tfw) arrays."""
+    ps, dws, sws, hs, tws, fws = [], [], [], [], [], []
+    for sub in group:
+        if sub.field not in IN_BODY_FIELDS or not len(sub.positions):
+            continue
+        hgw = HASHGROUP_WEIGHTS.get(sub.field, 1.0)
+        denw, spamw = _occ_weights(sub.field, sub.dens, sub.spam)
+        ps.append(sub.positions)
+        dws.append(denw)
+        sws.append(spamw)
+        hs.append(np.full(len(sub.positions), hgw))
+        tws.append(np.full(len(sub.positions), sub.term_w))
+        fws.append(np.full(len(sub.positions), sub.tfw))
+    if not ps:
+        return None
+    p = np.concatenate(ps)
+    order = np.argsort(p, kind="stable")
+    return (p[order], np.concatenate(dws)[order], np.concatenate(sws)[order],
+            np.concatenate(hs)[order], np.concatenate(tws)[order],
+            np.concatenate(fws)[order])
 
-    ``terms``: one entry per REQUIRED query term:
-      (occs, tfw, term_w) with occs = [(field, positions, dens, spam)].
-    ``qdists``: optional {(i, j): qdist} query-position distances for
-    wiki/quote phrase targeting (default 2 — PosdbTable.cpp:833-837).
 
-    score = min(min over terms of single sums,
-                min over pairs of pair sums)  [PosdbTable.cpp:3868-3875]
-    """
-    singles = []
-    for occs, tfw, term_w in terms:
-        s_occs = [(f, d, s) for f, _p, d, s in occs]
-        singles.append(single_term_sum(s_occs, tfw, term_w))
-    best = min(singles) if singles else 0.0
-    n = len(terms)
-    if n >= 2:
-        pair_min = None
+def _sliding_window(groups: list, qd, wiki_w, nonbody, matrix,
+                    user_w: float = 1.0):
+    """SC4 window search (getMinTermPairScoreSlidingWindow,
+    PosdbTable.cpp:3285-3441): slide per-group body pointers through the
+    merged body lists in global position order; per window the score is
+    the MIN over group pairs of max(body-body, the three FIXED sub-outs,
+    the non-body matrix) × wikiWeight × the BODY pointers' tfw; keep the
+    window with the LARGEST min (strictly-greater wins — first best kept,
+    PosdbTable.cpp:3243-3245). Returns per-group winning body index (into
+    the _body_placements arrays) or None."""
+    n = len(groups)
+    bodies = [_body_placements(g) for g in groups]
+    xpos = [0 if b is not None and len(b[0]) else None for b in bodies]
+    win = [None] * n
+    if not any(x is not None for x in xpos):
+        return win, bodies
+    best = -2.0
+    while any(x is not None for x in xpos):
+        # window score
+        wmin, scored = 999999999.0, False
         for i in range(n):
+            if xpos[i] is None:
+                continue
+            bi = bodies[i]
+            pli = (float(bi[0][xpos[i]]), float(bi[1][xpos[i]]),
+                   float(bi[2][xpos[i]]), float(bi[3][xpos[i]]),
+                   float(bi[4][xpos[i]]))
             for j in range(i + 1, n):
-                qd = (qdists or {}).get((i, j), 2)
-                ps = pair_sum(terms[i][0], terms[j][0],
-                              terms[i][1], terms[j][1],
-                              terms[i][2], terms[j][2], qdist=qd)
-                pair_min = ps if pair_min is None else min(pair_min, ps)
-        if pair_min is not None:
-            best = min(best, pair_min)
+                if xpos[j] is None:
+                    continue
+                bj = bodies[j]
+                plj = (float(bj[0][xpos[j]]), float(bj[1][xpos[j]]),
+                       float(bj[2][xpos[j]]), float(bj[3][xpos[j]]),
+                       float(bj[4][xpos[j]]))
+                qdist = qd(i, j)
+                m = _pair_score_scalar(pli, plj, False, qdist, user_w)
+                nbi, nbj = nonbody[i], nonbody[j]
+                sub_i = ((None, nbi[0], nbi[1], nbi[2], nbi[3])
+                         if nbi is not None else None)
+                sub_j = ((None, nbj[0], nbj[1], nbj[2], nbj[3])
+                         if nbj is not None else None)
+                for a, b in ((sub_i, plj), (sub_i, sub_j), (pli, sub_j)):
+                    v = (_pair_score_scalar(
+                            (0.0,) + a[1:] if a is not None else None,
+                            (0.0,) + b[1:] if b is not None else None,
+                            True, qdist, user_w)
+                         if (a is not None and b is not None) else -1.0)
+                    m = max(m, v)
+                ww = wiki_w(i, j)
+                if ww != 1.0:
+                    m *= ww
+                # tfw of the BODY pointers' sublists (the reference takes
+                # getTermIndexForBufferPos(wpi/wpj) — the body ptrs — even
+                # when a sub-out won, PosdbTable.cpp:3178-3184)
+                m *= float(bi[5][xpos[i]])
+                m *= float(bj[5][xpos[j]])
+                m = max(m, matrix[i][j])
+                scored = True
+                wmin = min(wmin, m)
+        if not scored:
+            wmin = -1.0
+        if wmin > best:
+            best = wmin
+            for i in range(n):
+                if xpos[i] is not None:
+                    win[i] = xpos[i]
+        # advance the pointer at the globally smallest position
+        while True:
+            mi, mp = -1, None
+            for i in range(n):
+                if xpos[i] is not None:
+                    p = int(bodies[i][0][xpos[i]])
+                    if mp is None or p < mp:
+                        mi, mp = i, p
+            if mi < 0:
+                break
+            xpos[mi] += 1
+            if xpos[mi] >= len(bodies[mi][0]):
+                xpos[mi] = None
+                if any(x is not None for x in xpos):
+                    continue  # advance the next list too (reference quirk:
+                              # it only re-advances after an exhaustion)
+            break
+        if all(x is None for x in xpos):
+            break
+    return win, bodies
+
+
+def pair_sum(group_i: list, group_j: list, *, qdist: int = 2,
+             wiki_weight: float = 1.0, win_i=None, win_j=None,
+             bodies_i=None, bodies_j=None, user_w: float = 1.0) -> float:
+    """SC3/SC4 final pair pass (getTermPairScoreForAny,
+    PosdbTable.cpp:810-1206): body placements are RESTRICTED to the
+    winning sliding-window pointer of each group; every non-body
+    placement competes. Slot rule: a new pair must beat any slot sharing
+    its mhg on EITHER side (INLINKTEXT exempt) — realized here as a
+    descending-score greedy (order-independent reformulation of the
+    reference's walk-order slot replacement). whsb placements get ×1.4
+    per side; the final sum is ×wiki_weight (PosdbTable.cpp:1202)."""
+    cand: list[tuple] = []   # (score, mhg_i, mhg_j, lt_i, lt_j)
+
+    def placements(group, win, bodies):
+        out = []
+        for sub in group:
+            if not len(sub.positions):
+                continue
+            if sub.field in IN_BODY_FIELDS:
+                continue  # body handled from the winning pointer below
+            hgw = HASHGROUP_WEIGHTS.get(sub.field, 1.0)
+            denw, spamw = _occ_weights(sub.field, sub.dens, sub.spam)
+            mhg = MERGED_GROUP.get(sub.field, sub.field)
+            for k in range(len(sub.positions)):
+                out.append((float(sub.positions[k]), float(denw[k]),
+                            float(spamw[k]), hgw, sub.term_w, sub.tfw,
+                            sub.whsb, sub.field, mhg))
+        if win is not None and bodies is not None:
+            p, dw, sw, hg, tw, fw = bodies
+            k = win
+            # winning body pointer: whsb rides the sublist — recover it by
+            # matching the placement back to its sublist
+            whsb = False
+            for sub in group:
+                if (sub.field in IN_BODY_FIELDS and sub.whsb
+                        and np.any(sub.positions == p[k])):
+                    whsb = True
+                    break
+            out.append((float(p[k]), float(dw[k]), float(sw[k]),
+                        float(hg[k]), float(tw[k]), float(fw[k]), whsb,
+                        FIELD_BODY, MERGED_GROUP.get(FIELD_BODY,
+                                                     FIELD_BODY)))
+        return out
+
+    pls_i = placements(group_i, win_i, bodies_i)
+    pls_j = placements(group_j, win_j, bodies_j)
+    for (p1, dw1, sw1, hg1, tw1, fw1, wb1, f1, m1) in pls_i:
+        for (p2, dw2, sw2, hg2, tw2, fw2, wb2, f2, m2) in pls_j:
+            dist = abs(p2 - p1)
+            out_of_order = p2 < p1
+            if dist < 2.0:
+                dist = 2.0
+            if dist >= 50.0 and (m1 != m2 or f1 == FIELD_LINKTEXT
+                                 or f2 == FIELD_LINKTEXT):
+                dist = FIXED_DISTANCE
+            if dist >= float(qdist):
+                dist -= float(qdist)
+                if out_of_order:
+                    dist += 1.0
+            elif out_of_order:
+                dist += 1.0
+            sc = (100.0 * user_w * user_w * dw1 * dw2 * hg1 * hg2
+                  * fw1 * fw2 * tw1 * tw2 * sw1 * sw2 / (dist + 1.0))
+            if wb1:
+                sc *= WIKI_BIGRAM_WEIGHT
+            if wb2:
+                sc *= WIKI_BIGRAM_WEIGHT
+            cand.append((sc, m1, m2, f1 == FIELD_LINKTEXT,
+                         f2 == FIELD_LINKTEXT))
+    cand.sort(key=lambda c: -c[0])
+    taken_i: set = set()
+    taken_j: set = set()
+    total, n_top = 0.0, 0
+    for sc, m1, m2, lt1, lt2 in cand:
+        if n_top >= MAX_TOP:
+            break
+        if (not lt1 and m1 in taken_i) or (not lt2 and m2 in taken_j):
+            continue
+        if not lt1:
+            taken_i.add(m1)
+        if not lt2:
+            taken_j.add(m2)
+        total += sc
+        n_top += 1
+    return float(total * wiki_weight)
+
+
+def doc_score(groups: list, *, qdists: dict | None = None,
+              wiki_pairs: set | None = None, user_w: float = 1.0) -> float:
+    """Final Gigablast-mode doc score (PosdbTable.cpp:3868-3875):
+    min(min over groups of single sums, min over pairs of window-restricted
+    pair sums).
+
+    ``groups``: list of term groups; each group = [SubList, ...].
+    ``qdists``: {(i, j): qdist} — the query-position distance for pairs in
+    the same wiki/quoted phrase (default 2, PosdbTable.cpp:833-837).
+    ``wiki_pairs``: {(i, j)} pairs sharing a wikiPhraseId — their pair sum
+    is ×WIKI_WEIGHT (0.10) and their qdist comes from ``qdists``.
+    """
+    from .wikiphrases import WIKI_WEIGHT
+
+    singles = [single_term_sum(g, user_w) for g in groups]
+    best = min(singles) if singles else 0.0
+    n = len(groups)
+    if n < 2:
+        return best
+
+    def qd(i, j):
+        return int((qdists or {}).get((i, j), 2))
+
+    def wiki_w(i, j):
+        return WIKI_WEIGHT if (wiki_pairs and (i, j) in wiki_pairs) else 1.0
+
+    nonbody = [_nonbody_best(g, user_w) for g in groups]
+    matrix = [[-1.0] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            matrix[i][j] = _matrix_max(groups[i], groups[j], qd(i, j),
+                                       user_w)
+    win, bodies = _sliding_window(groups, qd, wiki_w, nonbody, matrix,
+                                  user_w)
+    pair_min = None
+    for i in range(n):
+        for j in range(i + 1, n):
+            ps = pair_sum(groups[i], groups[j], qdist=qd(i, j),
+                          wiki_weight=wiki_w(i, j),
+                          win_i=win[i], win_j=win[j],
+                          bodies_i=bodies[i], bodies_j=bodies[j],
+                          user_w=user_w)
+            pair_min = ps if pair_min is None else min(pair_min, ps)
+    if pair_min is not None:
+        best = min(best, pair_min)
     return best

@@ -81,7 +81,7 @@ def gigablast_topk(spark: SparkSession, index_dir: str, query,
     required would demand every inflected form in every candidate and
     empty the result; the reference's scorer walks its termlist GROUPS
     instead, which this ranker does not model. tfw from exact df."""
-    from ..functions.gigablast import doc_score, term_freq_weight
+    from ..functions.gigablast import SubList, doc_score, term_freq_weight
     from ..plans.plan import parse_query
     from .index_build import load_superseded, load_tombstones
     from .query_engine import _join_docmap, cached_handle
@@ -98,13 +98,35 @@ def gigablast_topk(spark: SparkSession, index_dir: str, query,
             [], "rank int, docid long, score double, repo string, "
                 "path string, content_sha256 string")
     h = handle or cached_handle(spark, index_dir)
-    tids = sorted({int(t.termid) for t in terms})
+    # groups in QUERY order (pair (i, j) qdist/wiki flags are directional,
+    # /root/reference/PosdbTable.cpp:828-837 qdist = m_qpos[j] - m_qpos[i])
+    tid_order_q: list[int] = []
+    for t in terms:
+        if int(t.termid) not in tid_order_q:
+            tid_order_q.append(int(t.termid))
+    tids = sorted(tid_order_q)
     dfs = h.term_dfs(spark, tids)
     tfw = {int(t.termid): float(term_freq_weight(dfs.get(int(t.termid), 0),
                                                  h.n_docs))
            for t in terms}
     term_w = {int(t.termid): float(t.weight) for t in terms}
-    n_req = len({int(t.termid) for t in terms})
+    n_req = len(tid_order_q)
+
+    # same-wiki-phrase pairs (plan.wiki_groups, the wikiPhraseId analog):
+    # their pair sums are ×WIKI_WEIGHT and their qdist is the pair's
+    # query spacing — floored at 2 because our position units are 1 per
+    # token where the reference's are ~2 (word+space), and the dist←2
+    # clamp makes sub-2 targets unreachable (PosdbTable.cpp:920,943)
+    wiki_pairs: set = set()
+    qdists: dict = {}
+    for wg in getattr(plan, "wiki_groups", []):
+        pos_of = {int(t): int(o) for t, o in zip(wg.termids, wg.offsets)}
+        for ii in range(len(tid_order_q)):
+            for jj in range(ii + 1, len(tid_order_q)):
+                ta, tb = tid_order_q[ii], tid_order_q[jj]
+                if ta in pos_of and tb in pos_of:
+                    wiki_pairs.add((ii, jj))
+                    qdists[(ii, jj)] = max(abs(pos_of[tb] - pos_of[ta]), 2)
 
     seg = h.serving_segments_df(spark)
     n_buckets = int(catalog.index_layout(h.index_dir)["n_buckets"])
@@ -139,7 +161,7 @@ def gigablast_topk(spark: SparkSession, index_dir: str, query,
         .filter(F.col("_nt") == n_req)  # conjunctive candidates (J3)
     )
 
-    tid_order = tids
+    tid_order = tid_order_q
 
     def score_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -150,16 +172,17 @@ def gigablast_topk(spark: SparkSession, index_dir: str, query,
                 per_term: dict[int, list] = {t: [] for t in tid_order}
                 for row in occ:
                     t = int(row["termid"])
-                    per_term[t].append((
+                    per_term[t].append(SubList(
                         int(row["field"]),
                         np.asarray(row["positions"], dtype=np.int64),
                         np.asarray(row["dens"], dtype=np.int64),
                         np.asarray(row["spam"], dtype=np.int64),
+                        tfw[t], term_w[t],
                     ))
-                entries = [(per_term[t], tfw[t], term_w[t])
-                           for t in tid_order]
+                groups = [per_term[t] for t in tid_order]
                 out_d.append(int(docid))
-                out_s.append(doc_score(entries))
+                out_s.append(doc_score(groups, qdists=qdists,
+                                       wiki_pairs=wiki_pairs))
             yield pd.DataFrame({"docid": out_d, "score": out_s})
 
     top = (

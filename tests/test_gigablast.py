@@ -1,9 +1,13 @@
 """Gigablast-mode scorer (functions/gigablast.py + operators/gigablast.py):
 the reference's SC2/SC3/SC4 formula with its default weight tables
 (/root/reference/PosdbTable.cpp:273-1374, ScoringWeights.cpp:6-57,
-Parms.cpp:3734-3905). Kernel arithmetic is hand-verified on fixtures; the
-serving operator is exercised end-to-end (DuckDB parity is the
-engine_gigablast gate)."""
+Parms.cpp:3734-3905), including the round-5 closed deviations: the
+winning-sliding-window restriction on the final pair pass
+(PosdbTable.cpp:3285-3441), same-wiki-phrase pair weighting x0.1 with the
+pair's query spacing as qdist (PosdbTable.cpp:816-842), and the half-stop
+wiki-bigram x1.4 weighting (PosdbTable.cpp:430-441,970-977). Kernel
+arithmetic is hand-verified on fixtures; the serving operator is exercised
+end-to-end (DuckDB parity is the engine_gigablast gate)."""
 
 import numpy as np
 import pytest
@@ -12,14 +16,17 @@ from open_source_search_engine_spark import (
     FIELD_BODY, FIELD_LINKTEXT, FIELD_TITLE,
 )
 from open_source_search_engine_spark.functions.gigablast import (
-    DENSITY_W, FIXED_DISTANCE, LINKER_W, SPAM_W, doc_score, pair_sum,
-    single_term_sum, term_freq_weight,
+    DENSITY_W, FIXED_DISTANCE, LINKER_W, SPAM_W, WIKI_BIGRAM_WEIGHT,
+    SubList, doc_score, single_term_sum, term_freq_weight,
 )
+from open_source_search_engine_spark.functions.wikiphrases import WIKI_WEIGHT
 
 
-def _occ(field, positions, dens, spam):
-    return (field, np.asarray(positions, np.int64),
-            np.asarray(dens, np.int64), np.asarray(spam, np.int64))
+def _sub(field, positions, dens, spam, tfw=1.0, term_w=1.0, whsb=False):
+    n = len(positions)
+    dens = dens if len(dens) == n else list(dens) * n
+    spam = spam if len(spam) == n else list(spam) * n
+    return SubList(field, positions, dens, spam, tfw, term_w, whsb)
 
 
 def test_weight_tables():
@@ -38,11 +45,11 @@ def test_weight_tables():
 def test_single_term_best_per_hashgroup():
     """One slot per merged hashgroup: two BODY occurrences keep only the
     best; a TITLE occurrence adds its own slot (hgw 8 squared)."""
-    occs = [
-        (FIELD_BODY, np.array([31, 20]), np.array([15, 15])),
-        (FIELD_TITLE, np.array([31]), np.array([15])),
+    group = [
+        _sub(FIELD_BODY, [1, 2], [31, 20], [15, 15]),
+        _sub(FIELD_TITLE, [0], [31], [15]),
     ]
-    s = single_term_sum(occs, tfw=1.0, term_w=1.0)
+    s = single_term_sum(group)
     body_best = 100.0 * 1.0 * DENSITY_W[31] ** 2 * 1.0
     title = 100.0 * 64.0 * DENSITY_W[31] ** 2 * 1.0
     assert s == pytest.approx(body_best + title, rel=1e-12)
@@ -51,45 +58,51 @@ def test_single_term_best_per_hashgroup():
 def test_single_term_linktext_multi_slot():
     """INLINKTEXT occurrences each keep a slot (PosdbTable.cpp:356-360) —
     two anchor occurrences both count, body still one slot."""
-    occs = [
-        (FIELD_LINKTEXT, np.array([31, 31]), np.array([4, 2])),
-        (FIELD_BODY, np.array([31]), np.array([15])),
+    group = [
+        _sub(FIELD_LINKTEXT, [0, 1], [31, 31], [4, 2]),
+        _sub(FIELD_BODY, [5], [31], [15]),
     ]
-    s = single_term_sum(occs, tfw=1.0, term_w=1.0)
+    s = single_term_sum(group)
     lt = 100.0 * 256.0 * DENSITY_W[31] ** 2
-    expect = lt * LINKER_W[4] ** 2 + lt * LINKER_W[2] ** 2 + 100.0 * DENSITY_W[31] ** 2
+    expect = (lt * LINKER_W[4] ** 2 + lt * LINKER_W[2] ** 2
+              + 100.0 * DENSITY_W[31] ** 2)
     assert s == pytest.approx(expect, rel=1e-12)
 
 
+def test_single_term_whsb_boost():
+    """A half-stop-wiki-bigram sublist's winning slot adds x1.4^2
+    (PosdbTable.cpp:430-441)."""
+    plain = [_sub(FIELD_BODY, [1], [31], [15])]
+    flagged = [_sub(FIELD_BODY, [1], [31], [15], whsb=True)]
+    assert single_term_sum(flagged) == pytest.approx(
+        single_term_sum(plain) * WIKI_BIGRAM_WEIGHT ** 2, rel=1e-12)
+
+
+def _pair_doc(p1, p2, d1=31, d2=31, **kw):
+    g1 = [_sub(FIELD_BODY, [p1], [d1], [15])]
+    g2 = [_sub(FIELD_BODY, [p2], [d2], [15])]
+    return doc_score([g1, g2], **kw)
+
+
 def test_pair_distance_rules():
-    """Body pair: dist = max(|Δ|,2) - qdist in order, -1 out of order;
-    same positions clamp at 2."""
-    clean = ([31], [15])
+    """Body pair: dist = max(|Δ|,2) - qdist in order, +1 out of order;
+    same positions clamp at 2. (Single-placement groups: the winning
+    window IS the placement pair, so doc_score exposes the pair rule.)"""
     base = 100.0 * DENSITY_W[31] ** 2  # spamw=1, hgw=1, tfw=1
-
-    def pair_at(p1, p2):
-        return pair_sum([_occ(FIELD_BODY, [p1], *clean)],
-                        [_occ(FIELD_BODY, [p2], *clean)],
-                        1.0, 1.0, 1.0, 1.0)
-
-    # adjacent in order: dist=max(1,2)-2=0 -> /1
-    assert pair_at(10, 11) == pytest.approx(base, rel=1e-12)
+    # adjacent in order: dist=max(1,2)-2=0 -> /1; equals the singles
+    assert _pair_doc(10, 11) == pytest.approx(base, rel=1e-12)
     # gap 5 in order: dist=5-2=3 -> /4
-    assert pair_at(10, 15) == pytest.approx(base / 4.0, rel=1e-12)
-    # adjacent out of order: dist=max(1,2)-1=1 -> /2
-    assert pair_at(11, 10) == pytest.approx(base / 2.0, rel=1e-12)
+    assert _pair_doc(10, 15) == pytest.approx(base / 4.0, rel=1e-12)
+    # adjacent out of order: dist=max(1,2)-2+1=1 -> /2
+    assert _pair_doc(11, 10) == pytest.approx(base / 2.0, rel=1e-12)
 
 
 def test_pair_fixed_distance_cross_group():
     """Cross-hashgroup pairs beyond 50 units collapse to FIXED_DISTANCE
     (PosdbTable.cpp:925-940); within 50 the real distance survives."""
-    clean = ([31], [15])
-    near = pair_sum([_occ(FIELD_BODY, [10], *clean)],
-                    [_occ(FIELD_TITLE, [40], *clean)],
-                    1.0, 1.0, 1.0, 1.0)
-    far = pair_sum([_occ(FIELD_BODY, [10], *clean)],
-                   [_occ(FIELD_TITLE, [500], *clean)],
-                   1.0, 1.0, 1.0, 1.0)
+    g1 = [_sub(FIELD_BODY, [10], [31], [15])]
+    near = doc_score([g1, [_sub(FIELD_TITLE, [40], [31], [15])]])
+    far = doc_score([g1, [_sub(FIELD_TITLE, [500], [31], [15])]])
     hg = 8.0
     assert near == pytest.approx(100.0 * hg * DENSITY_W[31] ** 2 / 29.0,
                                  rel=1e-12)
@@ -99,15 +112,99 @@ def test_pair_fixed_distance_cross_group():
 
 
 def test_doc_score_is_min_of_singles_and_pairs():
-    t1 = ([_occ(FIELD_BODY, [10], [31], [15])], 1.0, 1.0)
-    t2 = ([_occ(FIELD_BODY, [11], [31], [15])], 0.5, 1.0)
-    s = doc_score([t1, t2])
+    g1 = [_sub(FIELD_BODY, [10], [31], [15], tfw=1.0)]
+    g2 = [_sub(FIELD_BODY, [11], [31], [15], tfw=0.5)]
+    s = doc_score([g1, g2])
     s1 = 100.0 * DENSITY_W[31] ** 2
     s2 = s1 * 0.25          # tfw^2
     pair = s1 * 0.5         # tfw1*tfw2, dist 0
     assert s == pytest.approx(min(s1, s2, pair), rel=1e-12)
     # single-term doc score: just that term's sum
-    assert doc_score([t1]) == pytest.approx(s1, rel=1e-12)
+    assert doc_score([g1]) == pytest.approx(s1, rel=1e-12)
+
+
+def test_winning_window_restricts_pair_pass():
+    """The round-5 closed deviation: body placements outside the winning
+    sliding window must NOT compete in the final pair pass
+    (PosdbTable.cpp:885-894). Fixture where the best UNRESTRICTED pair
+    (10,13) is not a window pair (12 in B blocks it): with the
+    restriction the pair score is the best WINDOW pair (10,12)."""
+    g1 = [_sub(FIELD_BODY, [10, 11], [31, 0], [15, 15])]
+    g2 = [_sub(FIELD_BODY, [12, 13], [0, 31], [15, 15])]
+    got = doc_score([g1, g2])
+    dw0, dw31 = DENSITY_W[0], DENSITY_W[31]
+    window_best = 100.0 * dw31 * dw0          # (10,12): dist 2-2=0 -> /1
+    unrestricted = 100.0 * dw31 * dw31 / 2.0  # (10,13): dist 3-2=1 -> /2
+    assert unrestricted > window_best         # fixture geometry holds
+    assert got == pytest.approx(window_best, rel=1e-12)
+
+
+def test_wiki_pair_weight_and_qdist():
+    """Same-wiki-phrase pairs: sum x WIKI_WEIGHT (0.10) and qdist = the
+    pair's query spacing (PosdbTable.cpp:816-842). qdist=4: a doc spacing
+    of 4 now scores best (dist-qdist=0), adjacent spacing is penalized
+    (clamped dist 2 < qdist stays 2 -> /3)."""
+    base = 100.0 * DENSITY_W[31] ** 2
+    plain = _pair_doc(10, 14)
+    assert plain == pytest.approx(base / 3.0, rel=1e-12)  # 4-2=2 -> /3
+    wiki = _pair_doc(10, 14, wiki_pairs={(0, 1)}, qdists={(0, 1): 4})
+    assert wiki == pytest.approx(base * WIKI_WEIGHT, rel=1e-12)
+    # adjacent doc spacing under qdist=4: dist=max(1,2)=2 < 4 -> /3, x0.1
+    wiki_adj = _pair_doc(10, 11, wiki_pairs={(0, 1)}, qdists={(0, 1): 4})
+    assert wiki_adj == pytest.approx(base / 3.0 * WIKI_WEIGHT, rel=1e-12)
+    assert wiki > wiki_adj  # the query's own spacing is the ideal
+
+
+def test_whsb_pair_side_boost():
+    """x1.4 per flagged SIDE in pair scores (PosdbTable.cpp:970-977)."""
+    g1 = [_sub(FIELD_BODY, [10], [31], [15], whsb=True)]
+    g2 = [_sub(FIELD_BODY, [14], [31], [15])]
+    base = 100.0 * DENSITY_W[31] ** 2 / 3.0
+    # pair = base*1.4 < singles (single whsb slot = 100*1.4^2)
+    assert doc_score([g1, g2]) == pytest.approx(
+        base * WIKI_BIGRAM_WEIGHT, rel=1e-12)
+
+
+def test_window_vs_bruteforce_replay():
+    """Randomized: doc_score's window choice equals a brute-force replay
+    that enumerates every window (per-group successor lists over the
+    sorted global position multiset) and takes the max window pair score
+    — the SQL oracle's characterization."""
+    rs = np.random.RandomState(7)
+    dw = DENSITY_W
+
+    for _ in range(40):
+        n1, n2 = rs.randint(1, 5), rs.randint(1, 5)
+        p_all = rs.choice(np.arange(1, 40), size=n1 + n2, replace=False)
+        p1, p2 = np.sort(p_all[:n1]), np.sort(p_all[n1:])
+        d1 = rs.randint(0, 32, n1)
+        d2 = rs.randint(0, 32, n2)
+        g1 = [_sub(FIELD_BODY, p1, d1, [15] * n1)]
+        g2 = [_sub(FIELD_BODY, p2, d2, [15] * n2)]
+        got = doc_score([g1, g2])
+
+        def pscore(a, da, b, db):
+            dist = max(abs(b - a), 2.0)
+            if dist >= 2:
+                dist -= 2
+            if b < a:
+                dist += 1
+            return 100.0 * dw[da] * dw[db] / (dist + 1.0)
+
+        # window pairs: (a, b) with no p1-elem in [b, a) and no p2-elem
+        # in [a, b)
+        best_pair = 0.0
+        for i, a in enumerate(p1):
+            for j, b in enumerate(p2):
+                if any(b <= x < a for x in p1):
+                    continue
+                if any(a <= y < b for y in p2):
+                    continue
+                best_pair = max(best_pair, pscore(a, d1[i], b, d2[j]))
+        s1 = 100.0 * max(dw[x] ** 2 for x in d1)
+        s2 = 100.0 * max(dw[x] ** 2 for x in d2)
+        assert got == pytest.approx(min(s1, s2, best_pair), rel=1e-9), (
+            p1.tolist(), p2.tolist(), d1.tolist(), d2.tolist())
 
 
 def test_gigablast_topk_end_to_end(spark, tmp_path):
@@ -133,3 +230,32 @@ def test_gigablast_topk_end_to_end(spark, tmp_path):
     assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
     assert gigablast_topk(spark, idx, "zzznope", 10).count() == 0
     assert gigablast_topk(spark, idx, "search", 5).count() == 5
+
+
+def test_gigablast_topk_wiki_pair_weight_applies(spark, tmp_path):
+    """'binary search' is a committed wiki phrase: pair-dominated docs
+    score x0.1 vs the same query with wiki detection disabled."""
+    import shutil
+
+    from open_source_search_engine_spark.operators.gigablast import (
+        gigablast_topk,
+    )
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+    from open_source_search_engine_spark.plans.plan import parse_query
+    from open_source_search_engine_spark.corpus import corpus_df
+
+    idx = str(tmp_path / "gbw")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(spark, corpus_df(spark, 120, partitions=4), idx, n_chunks=1)
+    wiki = {r["docid"]: r["score"] for r in
+            gigablast_topk(spark, idx, "binary search", 50).collect()}
+    plain_plan = parse_query("binary search", wiki_phrases=())
+    plain = {r["docid"]: r["score"] for r in
+             gigablast_topk(spark, idx, plain_plan, 50).collect()}
+    assert wiki and set(wiki) & set(plain)
+    # every common doc scores <= its no-wiki score; pair-dominated ones 10x
+    ratios = [wiki[d] / plain[d] for d in set(wiki) & set(plain)]
+    assert all(r <= 1.0 + 1e-12 for r in ratios)
+    assert any(abs(r - WIKI_WEIGHT) < 1e-9 for r in ratios)
