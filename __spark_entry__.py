@@ -1257,6 +1257,122 @@ def _linktext_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived HTML corpus for the field-semantics gate: each document is
+    wrapped in fixture-shaped HTML (the reference's own system-test
+    fixtures are title+body pages, /root/reference/test/system/data/html),
+    with the marker token ``zzhtml`` planted per doc_id%4 in exactly one
+    region — <title>, <h1>, body, or a <ul><li><a> menu — and the BODY
+    occurrence spelled ``zz&#104;tml`` so the match exists ONLY if entity
+    decoding ran (/root/reference/Entities.cpp)."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    title = F.concat(F.lit("page "),
+                     F.when(did % 4 == 0, F.lit("zzhtml ")).otherwise(F.lit("")),
+                     did.cast("string"))
+    heading = F.concat(F.lit("heading "),
+                       F.when(did % 4 == 1, F.lit("zzhtml ")).otherwise(F.lit("")),
+                       F.lit("here"))
+    menu = F.concat(F.lit("nav "),
+                    F.when(did % 4 == 3, F.lit("zzhtml ")).otherwise(F.lit("")),
+                    F.lit("item"))
+    body = F.concat(F.col("text"),
+                    F.when(did % 4 == 2, F.lit(" zz&#104;tml"))
+                    .otherwise(F.lit("")))
+    html = F.concat(
+        F.lit("<html><head><title>"), title,
+        F.lit("</title><style>p{color:red}</style></head><body><h1>"),
+        heading,
+        F.lit('</h1><ul><li><a href="/x">'), menu,
+        F.lit("</a></li></ul><p>"), body,
+        F.lit("</p><!-- comment --></body></html>"))
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(did.cast("string"), F.lit(".html")).alias("path"),
+        F.lit("0").alias("commit"), F.col("lang"), html.alias("html"))
+
+
+def _ensure_html_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from open_source_search_engine_spark.operators.html import html_corpus
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+    from open_source_search_engine_spark.sources.testdata import (
+        index_cache_dir,
+    )
+
+    idx = index_cache_dir(sf_dir) + "_html"
+    marker = os.path.join(idx, "_html_done")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        build_index(spark, html_corpus(_html_docs(spark, sf_dir)), idx,
+                    n_chunks=1)
+        open(marker, "w").close()
+    return idx
+
+
+def _q_engine_html_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML field semantics (operators/html.py — the SEC_IN_TITLE/HEADER/
+    MENU hashgroup overrides of /root/reference/XmlDoc_Indexing.cpp:
+    1854-1873 at the Parms.cpp:3734-3905 weights title=8, heading=1.5,
+    body=1, inmenu=0.2): the full 'zzhtml' match set over the derived HTML
+    corpus. A title-only match outranks a heading-only match outranks a
+    body-only match outranks a menu-only match; the body matches prove the
+    entity decoder (their occurrence is spelled zz&#104;tml in the HTML).
+    The oracle regenerates the per-region field texts from doc_id and
+    replays per-field BM25 with real heading/menu avgdl."""
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.sources.testdata import (
+        doc_id_from_path,
+    )
+
+    idx = _ensure_html_index(spark, sf_dir)
+    res = topk(spark, idx, "zzhtml", 1_000_000)
+    res = res.withColumn("doc_id",
+                         F.regexp_replace("path", r"\.html$", "")
+                         .cast("long"))
+    return res.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+def _html_fields_sql() -> str:
+    idf = _IDF.format(n="b.n", df="b.n")  # zzhtml is in EVERY derived doc
+    tfn_t = _TFNORM.format(tf="1", dl="3", avgdl="b.avt")
+    tfn_h = _TFNORM.format(tf="1", dl="3", avgdl="b.avh")
+    tfn_b = _TFNORM.format(tf="1", dl="d.dlb", avgdl="b.avb")
+    tfn_m = _TFNORM.format(tf="1", dl="3", avgdl="b.avm")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+d AS (SELECT doc_id,
+             len(t) + (CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END) AS dlb
+      FROM toks),
+base AS (
+  SELECT count(*) AS n,
+         sum(dlb)::DOUBLE / count(*) AS avb,
+         sum(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END)::DOUBLE
+             / count(*) AS avt,
+         sum(CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 2 END)::DOUBLE
+             / count(*) AS avh,
+         sum(CASE WHEN doc_id % 4 = 3 THEN 3 ELSE 2 END)::DOUBLE
+             / count(*) AS avm
+  FROM d)
+SELECT d.doc_id,
+       round({idf} * CASE d.doc_id % 4
+         WHEN 0 THEN 8.0 * {tfn_t}
+         WHEN 1 THEN 1.5 * {tfn_h}
+         WHEN 2 THEN 1.0 * {tfn_b}
+         ELSE 0.2 * {tfn_m} END, 4) AS score_r
+FROM d CROSS JOIN base b
+"""
+
+
 def _utf8_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived multilingual corpus for the unicode-token gate: per doc_id%4
     an appended Cyrillic sentence, a second Cyrillic sentence, or an
@@ -3511,6 +3627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_temperature": _q_engine_temperature,
         "engine_linktext": _q_engine_linktext,
         "engine_bm25_utf8": _q_engine_bm25_utf8,
+        "engine_html_fields": _q_engine_html_fields,
         "engine_gigablast": _q_engine_gigablast,
         # --- tokenize/stats primitives ---
         "doc_term_df": _q_doc_term_df,
@@ -3667,6 +3784,7 @@ LIMIT 10
 """,
         "engine_siterank": _siterank_sql(),
         "engine_bm25_utf8": _utf8_sql(),
+        "engine_html_fields": _html_fields_sql(),
         # page-temperature prior folded into the same BM25 oracle: the
         # multiplier is a pure doc_id expression, so no extra CTE is needed
         "engine_temperature": _bm25_sql(

@@ -50,6 +50,13 @@ FIELD_LINK = 5
 # the INLINKTEXT hashgroup (weight 16, /root/reference/Posdb.h:75-88,
 # Parms.cpp:3734-3905); produced by operators/linktext.py
 FIELD_LINKTEXT = 6
+# HTML section hashgroups (operators/html.py): <h1>-<h3> text ->
+# HASHGROUP_HEADING (weight 1.5), nav/list link text -> HASHGROUP_INMENU
+# (weight 0.2) — the SEC_IN_TITLE/HEADER/MENU overrides of
+# /root/reference/XmlDoc_Indexing.cpp:1854-1873, weights
+# /root/reference/Parms.cpp:3734-3905
+FIELD_HEADING = 2
+FIELD_MENU = 3
 
 FIELD_NAMES = {
     FIELD_BODY: "body",
@@ -58,6 +65,8 @@ FIELD_NAMES = {
     FIELD_LANG: "lang",
     FIELD_LINK: "link",
     FIELD_LINKTEXT: "linktext",
+    FIELD_HEADING: "heading",
+    FIELD_MENU: "menu",
 }
 
 # BM25 parameters (the rebuild's ranking function per BASELINE.json north_rule;

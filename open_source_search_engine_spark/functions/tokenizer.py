@@ -33,7 +33,10 @@ from dataclasses import dataclass, field as dc_field
 
 import numpy as np
 
-from .. import FIELD_BODY, FIELD_LANG, FIELD_LINK, FIELD_TITLE, FIELD_URL
+from .. import (
+    FIELD_BODY, FIELD_HEADING, FIELD_LANG, FIELD_LINK, FIELD_MENU,
+    FIELD_TITLE, FIELD_URL,
+)
 from .hashing import TokenHasher
 
 # Position-cursor constants (XmlDoc.cpp:20055-20142 analog).
@@ -279,6 +282,9 @@ def index_document(
     content: str,
     hasher: TokenHasher,
     unicode_tokens: bool = False,
+    title: str | None = None,
+    heading: str | None = None,
+    menu: str | None = None,
 ) -> dict[str, np.ndarray]:
     """Tokenize all fields of one document into flat posting arrays.
 
@@ -302,12 +308,23 @@ def index_document(
     from .ranks import (
         CLEAN_DIV, CLEAN_SPAM, diversity_ranks, pack_rank, spam_ranks,
     )
+    # HTML corpora (operators/html.py) override the TITLE text with the
+    # extracted <title> and add HEADING/MENU fields (the hashgroup
+    # overrides of /root/reference/XmlDoc_Indexing.cpp:1854-1873); heading
+    # density is per source line like body (per-sentence in the
+    # reference), menu whole-string like title. A present-but-empty field
+    # still chains the +FIELD_GAP cursor so scalar/batch stay aligned.
     fields = [
         (FIELD_BODY, content, True),
-        (FIELD_TITLE, _basename(path), False),
+        (FIELD_TITLE, title if title is not None else _basename(path),
+         False),
         (FIELD_URL, repo + "/" + path, False),
         (FIELD_LANG, lang, False),
     ]
+    if heading is not None:
+        fields.append((FIELD_HEADING, heading, True))
+    if menu is not None:
+        fields.append((FIELD_MENU, menu, False))
     termids: list[np.ndarray] = []
     positions: list[np.ndarray] = []
     fcodes: list[np.ndarray] = []

@@ -40,7 +40,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from .. import FIELD_BODY, FIELD_LANG, FIELD_LINK, FIELD_TITLE, FIELD_URL
+from .. import (
+    FIELD_BODY, FIELD_HEADING, FIELD_LANG, FIELD_LINK, FIELD_MENU,
+    FIELD_TITLE, FIELD_URL,
+)
 from .hashing import HASHTAB, STOPWORD_BIGRAM_SALT, _START_HASH, termid_for_token
 from ..import TERMID_MASK
 from .tokenizer import (
@@ -272,7 +275,8 @@ def _hash_spans(b: np.ndarray, starts: np.ndarray, ends: np.ndarray,
 
 
 def index_batch(repos, paths, langs, contents, docids,
-                unicode_tokens: bool = False) -> dict:
+                unicode_tokens: bool = False,
+                titles=None, headings=None, menus=None) -> dict:
     """Tokenize + hash a whole batch of documents into flat posting arrays
     (termid, docid, field, wordpos, kind, dl) plus per-(doc, field) length
     stats ``seg_doc/seg_field/seg_dl`` for the additive avgdl partials.
@@ -288,13 +292,23 @@ def index_batch(repos, paths, langs, contents, docids,
     seg_field: list[int] = []
     seg_doc: list[int] = []
     link_docs: list[tuple[int, list[str]]] = []  # LINK-field terms
+    # optional HTML fields (operators/html.py): per-doc TITLE override +
+    # HEADING/MENU segments; the per-doc field list length (nf) is fixed
+    # per batch so the cursor-chaining reshape stays rectangular
+    nf = 4 + (headings is not None) + (menus is not None)
     for i in range(len(repos)):
         body = _norm(contents[i])
-        title = _norm(_basename(paths[i]))
+        title = _norm(titles[i] if titles is not None
+                      else _basename(paths[i]))
         url = _norm(repos[i] + "/" + paths[i])
         lang = _norm(langs[i])
-        for fcode, txt in ((FIELD_BODY, body), (FIELD_TITLE, title),
-                           (FIELD_URL, url), (FIELD_LANG, lang)):
+        segs = [(FIELD_BODY, body), (FIELD_TITLE, title),
+                (FIELD_URL, url), (FIELD_LANG, lang)]
+        if headings is not None:
+            segs.append((FIELD_HEADING, _norm(headings[i] or "")))
+        if menus is not None:
+            segs.append((FIELD_MENU, _norm(menus[i] or "")))
+        for fcode, txt in segs:
             seg_texts.append(txt.encode("utf-8"))
             seg_field.append(fcode)
             seg_doc.append(int(docids[i]))
@@ -334,7 +348,7 @@ def index_batch(repos, paths, langs, contents, docids,
     if seg_texts:
         outs.append(_index_segments(seg_texts, np.asarray(seg_field),
                                     np.asarray(seg_doc, dtype=np.int64),
-                                    stats, uni=unicode_tokens))
+                                    stats, uni=unicode_tokens, nf=nf))
     if not outs:
         res = dict(_EMPTY)
     else:
@@ -347,7 +361,7 @@ def index_batch(repos, paths, langs, contents, docids,
 
 
 def _index_segments(seg_texts, seg_field, seg_doc, stats,
-                    uni: bool = False) -> dict:
+                    uni: bool = False, nf: int = 4) -> dict:
     nseg = len(seg_texts)
     lens = np.array([len(t) for t in seg_texts], dtype=np.int64)
     seg_start = np.zeros(nseg, dtype=np.int64)
@@ -389,12 +403,12 @@ def _index_segments(seg_texts, seg_field, seg_doc, stats,
     # field chaining per doc: segments come in (BODY, TITLE, URL, LANG)
     # groups of 4 → vectorized across docs, sequential over the 4 fields
     start_cursor = np.zeros(nseg, dtype=np.int64)
-    assert nseg % 4 == 0
-    ndocs = nseg // 4
-    view = total_units.reshape(ndocs, 4)
+    assert nseg % nf == 0
+    ndocs = nseg // nf
+    view = total_units.reshape(ndocs, nf)
     sc = np.zeros(ndocs, dtype=np.int64)
-    for f in range(4):
-        start_cursor[f::4] = np.minimum(sc, MAX_WORDPOS)
+    for f in range(nf):
+        start_cursor[f::nf] = np.minimum(sc, MAX_WORDPOS)
         end_c = np.minimum(np.minimum(sc, MAX_WORDPOS) + view[:, f], MAX_WORDPOS)
         sc = np.minimum(end_c + FIELD_GAP, MAX_WORDPOS)
 
@@ -449,7 +463,8 @@ def _index_segments(seg_texts, seg_field, seg_doc, stats,
     # dl per segment = unigram token count
     dl_seg = tok_seg_counts
     for d, f, l in zip(seg_doc.tolist(), seg_field.tolist(), dl_seg.tolist()):
-        if f in (FIELD_BODY, FIELD_TITLE, FIELD_URL):
+        if f in (FIELD_BODY, FIELD_TITLE, FIELD_URL, FIELD_HEADING,
+                 FIELD_MENU):
             stats.append((d, f, l))
 
     # posting ranks (functions/ranks.py): density per source line for body /
@@ -464,9 +479,13 @@ def _index_segments(seg_texts, seg_field, seg_doc, stats,
         ln = brk[starts] - brk[seg_start[seg_of]]
         fld_tok = seg_field[seg_of]
         body_tok = fld_tok == FIELD_BODY
+        # per-line density for body AND heading (the reference computes
+        # per-sentence density for both, XmlDoc.cpp:20144-20206); other
+        # fields are whole-string
+        perline_tok = body_tok | (fld_tok == FIELD_HEADING)
         key_line = seg_of * (int(ln.max()) + 1) + ln
         cnt_line = np.bincount(key_line)[key_line]
-        cnt = np.where(body_tok, cnt_line, tok_seg_counts[seg_of])
+        cnt = np.where(perline_tok, cnt_line, tok_seg_counts[seg_of])
         dens = np.clip(MAX_DENSITY - (cnt - 1), 1, MAX_DENSITY).astype(np.int64)
         spam = np.full(ntok, CLEAN_SPAM, dtype=np.int64)
         div = np.full(ntok, CLEAN_DIV, dtype=np.int64)

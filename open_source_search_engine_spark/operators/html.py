@@ -1,0 +1,207 @@
+"""HTML document pipeline: field extraction + entity decode — the slice of
+the reference's HTML input domain the engine previously disclosed as
+out-of-scope (SURVEY §2.3 R5).
+
+The reference parses HTML into a section tree (/root/reference/Xml.cpp,
+/root/reference/Sections.cpp) whose flags override the hashgroup of body
+occurrences at indexing time (/root/reference/XmlDoc_Indexing.cpp:1854-1873:
+SEC_IN_TITLE text is hashed separately by hashTitle, SEC_IN_HEADER →
+HASHGROUP_HEADING, SEC_MENU* → HASHGROUP_INMENU — menu wins over header),
+with hashgroup weights title=8, heading=1.5, inmenu=0.2, body=1
+(/root/reference/Parms.cpp:3734-3905) and entity decoding
+(/root/reference/Entities.cpp).
+
+This module re-expresses that as a REGION PARTITION instead of a section
+tree (a documented simplification — the corpus here is fixture-shaped HTML,
+not arbitrary web soup):
+
+- ``<title>…</title>``        → the TITLE field text (replaces the code
+                                 corpus's path-basename title);
+- ``<h1>``–``<h3>`` contents  → the HEADING field (per-line density, like
+                                 the reference's per-sentence rule);
+- ``<a>`` text inside ``<nav>``/``<ul>``/``<ol>`` → the MENU field (the
+                                 SEC_MENU link-text heuristic; menu beats
+                                 heading, mirroring the override order);
+- everything else, tags stripped → BODY;
+- ``<script>``/``<style>`` contents are dropped entirely.
+
+Entities decode before tokenization: the five XML predefined entities, a
+public named subset (nbsp/copy/reg/trade/dashes/quotes/laquo/raquo/...)
+and all numeric forms (``&#123;`` / ``&#x1F;``).
+
+Spark shape: extraction is per-document string work (like the reference's
+per-doc Xml parse), run inside Arrow batches via ``mapInPandas`` — one
+shuffle-free map stage producing the (content, title_text, heading_text,
+menu_text) columns the build's fused tokenize pass consumes
+(operators/index_build.map_encode). At 100 TB this stage is embarrassingly
+parallel and column-pruned: only the html column is read.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+# public named-entity subset (Entities.cpp analog; numeric forms cover the
+# rest — unknown named entities pass through verbatim, as the reference
+# leaves unknown entities undecoded)
+_NAMED_ENTITIES = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+    "nbsp": " ", "copy": "©", "reg": "®",
+    "trade": "™", "mdash": "—", "ndash": "–",
+    "hellip": "…", "laquo": "«", "raquo": "»",
+    "ldquo": "“", "rdquo": "”", "lsquo": "‘",
+    "rsquo": "’", "middot": "·", "bull": "•",
+    "deg": "°", "plusmn": "±", "times": "×",
+    "divide": "÷", "szlig": "ß", "auml": "ä",
+    "ouml": "ö", "uuml": "ü", "aring": "å",
+    "aelig": "æ", "oslash": "ø", "eacute": "é",
+    "egrave": "è", "agrave": "à", "ccedil": "ç",
+}
+
+_ENTITY_RE = re.compile(r"&(#[xX]?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);")
+
+
+def decode_entities(s: str) -> str:
+    """Decode numeric + known named HTML entities; unknown named entities
+    stay verbatim (the reference's behavior for entities outside its
+    table)."""
+
+    def sub(m: re.Match) -> str:
+        body = m.group(1)
+        if body.startswith("#"):
+            try:
+                cp = (int(body[2:], 16) if body[1] in "xX"
+                      else int(body[1:]))
+                if 0 < cp <= 0x10FFFF:
+                    return chr(cp)
+            except ValueError:
+                pass
+            return m.group(0)
+        return _NAMED_ENTITIES.get(body.lower(), m.group(0))
+
+    return _ENTITY_RE.sub(sub, s)
+
+
+_SCRIPT_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>",
+                        re.I | re.S)
+_TITLE_RE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>", re.I | re.S)
+_HEADING_RE = re.compile(r"<(h[1-3])\b[^>]*>(.*?)</\1\s*>", re.I | re.S)
+# menu container: <nav>/<ul>/<ol> — anchor TEXT inside one is menu text
+_MENU_BLOCK_RE = re.compile(r"<(nav|ul|ol)\b[^>]*>(.*?)</\1\s*>",
+                            re.I | re.S)
+_ANCHOR_RE = re.compile(r"<a\b[^>]*?href\s*=\s*([\"'])(.*?)\1[^>]*>(.*?)"
+                        r"</a\s*>", re.I | re.S)
+_TAG_RE = re.compile(r"<[^>]*>")
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+
+
+def _clean(fragment: str) -> str:
+    """Tags stripped (replaced by a space so adjacency never crosses a tag
+    boundary), entities decoded, whitespace collapsed."""
+    txt = _TAG_RE.sub(" ", fragment)
+    return re.sub(r"[ \t]+", " ", decode_entities(txt)).strip()
+
+
+def extract_html_fields(html: str) -> dict:
+    """One HTML document → the engine's field texts + out-links.
+
+    Returns ``{"title", "heading", "menu", "body", "anchors"}`` with
+    ``anchors`` = [(href, anchor_text), ...] for every link (menu or not —
+    the link-graph edge source). Region precedence mirrors the reference's
+    override order: title text never reaches the body pass; menu beats
+    heading (XmlDoc_Indexing.cpp:1854-1873)."""
+    html = _COMMENT_RE.sub(" ", html)
+    html = _SCRIPT_RE.sub(" ", html)
+
+    anchors = [(m.group(2).strip(), _clean(m.group(3)))
+               for m in _ANCHOR_RE.finditer(html)]
+
+    title_parts = [m.group(1) for m in _TITLE_RE.finditer(html)]
+    rest = _TITLE_RE.sub(" ", html)
+
+    # menu first (it wins over heading): remove whole menu blocks, keep
+    # only their anchor texts as the MENU field
+    menu_parts: list[str] = []
+
+    def grab_menu(m: re.Match) -> str:
+        menu_parts.extend(a.group(3) for a in _ANCHOR_RE.finditer(m.group(2)))
+        return " "
+
+    rest = _MENU_BLOCK_RE.sub(grab_menu, rest)
+
+    heading_parts: list[str] = []
+
+    def grab_heading(m: re.Match) -> str:
+        heading_parts.append(m.group(2))
+        return " "
+
+    rest = _HEADING_RE.sub(grab_heading, rest)
+
+    return {
+        "title": _clean(" ".join(title_parts)),
+        # newline-joined: each heading is its own density line (the
+        # reference's per-sentence heading density)
+        "heading": _clean("\n".join(heading_parts)).replace(" \n", "\n"),
+        "menu": _clean(" ".join(menu_parts)),
+        "body": _clean(rest),
+        "anchors": anchors,
+    }
+
+
+_HTML_FIELDS_SCHEMA = T.StructType([
+    T.StructField("title_text", T.StringType(), False),
+    T.StructField("heading_text", T.StringType(), False),
+    T.StructField("menu_text", T.StringType(), False),
+    T.StructField("content", T.StringType(), False),
+])
+
+
+def html_corpus(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """HTML documents → a build-ready corpus: BODY = tag-stripped body
+    text, plus the ``title_text``/``heading_text``/``menu_text`` columns
+    ``build_index`` feeds into the TITLE/HEADING/MENU hashgroups. Keeps
+    every other column (repo/path/lang/...) untouched."""
+    import pyspark.sql.functions as F
+
+    other = [c for c in df.columns if c != html_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fields = [extract_html_fields(h or "") for h in pdf[html_col]]
+            out = pdf[other].copy()
+            out["title_text"] = [f["title"] for f in fields]
+            out["heading_text"] = [f["heading"] for f in fields]
+            out["menu_text"] = [f["menu"] for f in fields]
+            out["content"] = [f["body"] for f in fields]
+            yield out
+
+    schema = T.StructType(
+        [df.schema[c] for c in other] + list(_HTML_FIELDS_SCHEMA.fields))
+    return df.mapInPandas(gen, schema)
+
+
+def html_anchor_edges(df: DataFrame, html_col: str = "html",
+                      url_col: str = "url") -> DataFrame:
+    """(linker url, href, anchor_text) edge rows for every ``<a href>`` —
+    the link-graph / INLINKTEXT feed (the reference indexes referring
+    pages' anchor text into the linked doc at hashgroup weight 16;
+    operators/linktext.py is the import-line analog of the same
+    machinery)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src, href, text = [], [], []
+            for u, h in zip(pdf[url_col], pdf[html_col]):
+                for a_href, a_text in extract_html_fields(h or "")["anchors"]:
+                    src.append(u)
+                    href.append(a_href)
+                    text.append(a_text)
+            yield pd.DataFrame(
+                {"linker_url": src, "href": href, "anchor_text": text})
+
+    return df.select(url_col, html_col).mapInPandas(
+        gen, "linker_url string, href string, anchor_text string")

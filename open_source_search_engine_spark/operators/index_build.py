@@ -47,7 +47,7 @@ import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .. import FIELD_BODY, FIELD_TITLE, FIELD_URL
+from .. import FIELD_BODY, FIELD_HEADING, FIELD_MENU, FIELD_TITLE, FIELD_URL
 from ..functions.hashing import docid_for_url
 from ..functions.varint import (
     decode_blocks_concat, decode_rank_streams, encode_rank_streams,
@@ -179,6 +179,11 @@ def map_encode(
       additive avgdl inputs.
     """
     cols = ["docid", "repo", "path", "lang", "content"]
+    # HTML corpora (operators/html.py) carry extracted per-field texts:
+    # TITLE override + HEADING/MENU segments ride the same fused pass
+    html_cols = [c for c in ("title_text", "heading_text", "menu_text")
+                 if c in corpus_with_id.columns]
+    cols += html_cols
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -197,6 +202,12 @@ def map_encode(
                 pdf["repo"].values, pdf["path"].values, pdf["lang"].values,
                 pdf["content"].values, pdf["docid"].values,
                 unicode_tokens=unicode_tokens,
+                titles=(pdf["title_text"].values
+                        if "title_text" in html_cols else None),
+                headings=(pdf["heading_text"].values
+                          if "heading_text" in html_cols else None),
+                menus=(pdf["menu_text"].values
+                       if "menu_text" in html_cols else None),
             )
             for d_, f_, l_ in zip(arrs["seg_doc"].tolist(),
                                   arrs["seg_field"].tolist(),
@@ -929,8 +940,10 @@ def finalize_stats(spark: SparkSession, index_dir: str) -> None:
         return sums.get(field, 0) / max(n_docs, 1)
 
     globals_df = spark.createDataFrame(
-        [(n_docs, avgdl(FIELD_BODY), avgdl(FIELD_TITLE), avgdl(FIELD_URL))],
-        "n_docs long, avgdl_body double, avgdl_title double, avgdl_url double",
+        [(n_docs, avgdl(FIELD_BODY), avgdl(FIELD_TITLE), avgdl(FIELD_URL),
+          avgdl(FIELD_HEADING), avgdl(FIELD_MENU))],
+        "n_docs long, avgdl_body double, avgdl_title double,"
+        " avgdl_url double, avgdl_heading double, avgdl_menu double",
     )
     catalog.write_table(globals_df, index_dir, "globals")
 
@@ -1033,7 +1046,8 @@ def write_negative_stats_partials(spark: SparkSession, index_dir: str,
         catalog.write_gen(df_neg, index_dir, "term_stats_partial", gen_label)
         fs_neg = (
             rows.filter(F.col("field").isin(
-                [FIELD_BODY, FIELD_TITLE, FIELD_URL]))
+                [FIELD_BODY, FIELD_TITLE, FIELD_URL, FIELD_HEADING,
+                 FIELD_MENU]))
             .select("field", "docid", "dl").distinct()
             .groupBy("field").agg((-F.count(F.lit(1))).alias("n_docs"),
                                   (-F.sum("dl")).alias("sum_dl"))
@@ -1592,8 +1606,10 @@ def rebuild_stats(spark: SparkSession, index_dir: str, *,
         return sums.get(field, 0) / max(n_docs, 1)
 
     globals_df = spark.createDataFrame(
-        [(n_docs, avgdl(FIELD_BODY), avgdl(FIELD_TITLE), avgdl(FIELD_URL))],
-        "n_docs long, avgdl_body double, avgdl_title double, avgdl_url double",
+        [(n_docs, avgdl(FIELD_BODY), avgdl(FIELD_TITLE), avgdl(FIELD_URL),
+          avgdl(FIELD_HEADING), avgdl(FIELD_MENU))],
+        "n_docs long, avgdl_body double, avgdl_title double,"
+        " avgdl_url double, avgdl_heading double, avgdl_menu double",
     )
     catalog.write_table(globals_df, index_dir, "globals")
 

@@ -172,12 +172,21 @@ class IndexHandle:
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "IndexHandle":
+        from .. import FIELD_HEADING, FIELD_MENU
+
         g = catalog.read_table(spark, index_dir, "globals").collect()[0]
+        gd = g.asDict()
+        avgdl = {FIELD_BODY: g["avgdl_body"], FIELD_TITLE: g["avgdl_title"],
+                 FIELD_URL: g["avgdl_url"]}
+        # HTML-field stats (round 5): older indexes lack the columns and
+        # never hold heading/menu postings — the 1.0 fallback never fires
+        if "avgdl_heading" in gd:
+            avgdl[FIELD_HEADING] = gd["avgdl_heading"]
+            avgdl[FIELD_MENU] = gd["avgdl_menu"]
         return cls(
             index_dir=index_dir,
             n_docs=int(g["n_docs"]),
-            avgdl={FIELD_BODY: g["avgdl_body"], FIELD_TITLE: g["avgdl_title"],
-                   FIELD_URL: g["avgdl_url"]},
+            avgdl=avgdl,
         )
 
     def term_dfs(self, spark: SparkSession, termids: list[int]) -> dict[int, int]:
@@ -283,14 +292,14 @@ def _spec_rows(plan: QueryPlan, dfs: dict[int, int], n_docs: int) -> list[tuple]
     """One row per (spec, concrete field) with the driver-precomputed
     weight*idf product — identical floats to the oracle. ``spec_id`` = index
     into ``plan.terms``; the membership expression references these ids."""
-    from .. import FIELD_LANG, FIELD_LINKTEXT
+    from .. import FIELD_HEADING, FIELD_LANG, FIELD_LINKTEXT, FIELD_MENU
 
     rows = []
     for spec_id, t in enumerate(plan.terms):
         idf = float(bm25_idf(dfs.get(t.termid, 0), n_docs))
         fields = ([t.field] if t.field is not None
                   else [FIELD_BODY, FIELD_TITLE, FIELD_LANG, FIELD_URL,
-                        FIELD_LINKTEXT])
+                        FIELD_LINKTEXT, FIELD_HEADING, FIELD_MENU])
         w_term = 0.0 if t.excluded else t.weight
         for f in fields:
             w = w_term * FIELD_WEIGHTS.get(f, 0.0)

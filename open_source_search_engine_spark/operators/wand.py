@@ -47,8 +47,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import (
-    DOCID_MASK, FIELD_BODY, FIELD_LANG, FIELD_LINKTEXT, FIELD_TITLE,
-    FIELD_URL,
+    DOCID_MASK, FIELD_BODY, FIELD_HEADING, FIELD_LANG, FIELD_LINKTEXT,
+    FIELD_MENU, FIELD_TITLE, FIELD_URL,
 )
 from ..functions.bm25 import bm25_idf, bm25_tfnorm
 from ..plans.plan import FIELD_WEIGHTS, QueryPlan
@@ -321,7 +321,7 @@ def _build_query_meta(plan: QueryPlan, dfs: dict[int, int], n_docs: int,
     - ``excluded``: excluded specs' (termid, field) keys.
     """
     all_fields = [FIELD_BODY, FIELD_TITLE, FIELD_LANG, FIELD_URL,
-                  FIELD_LINKTEXT]
+                  FIELD_LINKTEXT, FIELD_HEADING, FIELD_MENU]
     lists: dict = {}
     spec_lists: list[list] = []
     for t in plan.terms:

@@ -47,8 +47,8 @@ import re
 from dataclasses import dataclass, field as dc_field
 
 from .. import (
-    FIELD_BODY, FIELD_LANG, FIELD_LINK, FIELD_LINKTEXT, FIELD_TITLE,
-    FIELD_URL,
+    FIELD_BODY, FIELD_HEADING, FIELD_LANG, FIELD_LINK, FIELD_LINKTEXT,
+    FIELD_MENU, FIELD_TITLE, FIELD_URL,
 )
 from ..functions.hashing import TokenHasher
 from ..functions.synonyms import SYNONYM_WEIGHT, synonyms_for
@@ -65,7 +65,10 @@ FIELD_WEIGHTS = {FIELD_BODY: 1.0, FIELD_TITLE: 8.0, FIELD_URL: 1.0,
                  FIELD_LANG: 0.0, FIELD_LINK: 0.0,
                  # INLINKTEXT hashgroup weight (Parms.cpp:3734-3905:
                  # linktext=16 — the reference's strongest field)
-                 FIELD_LINKTEXT: 16.0}
+                 FIELD_LINKTEXT: 16.0,
+                 # HTML section hashgroups (heading 1.5, inmenu 0.2 —
+                 # Parms.cpp:3734-3905; operators/html.py)
+                 FIELD_HEADING: 1.5, FIELD_MENU: 0.2}
 BIGRAM_WEIGHT = 5.0
 DOMAIN_URL_WEIGHT = 10.0  # looksLikeADomain INURL boost, Query.cpp:2473+
 

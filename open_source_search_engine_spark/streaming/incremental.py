@@ -183,7 +183,8 @@ def append_generation(
     from ..sources import catalog
 
     nparts = partitions or spark.sparkContext.defaultParallelism
-    n_buckets = int(catalog.index_layout(index_dir)["n_buckets"])
+    lay = catalog.index_layout(index_dir)
+    n_buckets = int(lay["n_buckets"])
     gen = f"s{batch_id}"
     part = with_doc_identity(batch_df).persist()
     n_docs = part.count()
