@@ -3687,27 +3687,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "events_sessions_stateful": _q_events_sessions_stateful,
     }
-    # Driver rounds 1-3 each sampled ~50 entries; the entries below have
-    # never appeared in any driver CORRECTNESS file (they rest on the
-    # in-repo tools/check_oracle.py gate, which runs the same DuckDB
-    # compare). Surface them FIRST so a prefix-sampling driver sweep
-    # covers the tail of the set this round; no entry is renamed.
-    never_driver_checked = [
-        "engine_linktext", "engine_spell_context",  # new this round
-        "engine_gigablast",
-        "dedup_clusters", "dedup_apply", "semdedup_pairs_exact",
-        "semdedup_apply", "matchlist_block", "pii_redact", "lm_perplexity",
-        "engine_result_override", "text_chunking", "text_gopher_rep",
-        "text_c4", "text_c4_spandedup", "training_order",
-        "lm_quality_classifier", "dsir_select", "text_gopher",
-        "dedup_incremental", "dedup_streaming_exact", "snapshot_diff",
-        "dedup_decontaminate", "dedup_substring", "embedding_ivf_exact",
-        "embedding_ann_exhaustive", "text_pack_shards",
-        "text_sample_mixture", "text_boilerplate", "text_export_shards",
-        "text_curate", "text_termcheck",
+    # Least-recently-driver-checked-first ordering (round-5 "do this"
+    # #10): the driver samples a ~50-entry prefix each round, so the
+    # prefix must hold (a) this round's NEW gates (never checked), (b)
+    # entries whose ORACLE changed this round (engine_gigablast's window/
+    # wiki semantics, engine_dedup_summary's materialized pair CTE), then
+    # (c) the stalest entries — last checked in CORRECTNESS_r02 — then (d)
+    # the r3-checked block. Everything checked in r4 forms the tail, so
+    # r5's sample ∪ r4 covers all entries with staleness ≤ 1 round (a few
+    # r3 entries may slip to 2 if the sample is exactly 50 — the in-repo
+    # tools/check_oracle.py full sweep covers them regardless).
+    first = [
+        # (a) new this round
+        "multimodal_decode", "engine_temperature", "engine_bm25_utf8",
+        "engine_html_fields",
+        # (b) oracle changed this round
+        "engine_gigablast", "engine_dedup_summary",
+        # (c) last checked in r2
+        "dedup_ngram_jaccard", "dedup_simhash", "embedding_cosine_all",
+        "embedding_neardup_bf", "embedding_topk", "events_hourly",
+        "events_sessions", "events_sessions_stateful",
+        "events_streaming_hourly", "join_nation_region",
+        "join_orders_by_segment", "multimodal_bytes", "text_fingerprint",
+        "text_langid", "text_quality", "text_repetition",
+        "text_token_count", "tpch_pricing",
+        # (d) last checked in r3
+        "dedup_exact", "dedup_minhash_lsh", "doc_term_df", "engine_batch",
+        "engine_contenthash", "engine_familyfilter", "engine_field_title",
+        "engine_fieldmatch", "engine_gbmin", "engine_gbsortby",
+        "engine_gbtermid", "engine_getdoc", "engine_lang_weight",
+        "engine_pagination", "engine_proximity", "engine_ranks",
+        "engine_rebuild", "engine_shortcuts", "engine_site_clustering",
+        "engine_siterank", "engine_sites", "engine_snippets",
+        "engine_snippets_multi", "engine_soft_stops", "engine_spell",
+        "engine_suggest", "engine_synonyms", "engine_term_df",
+        "engine_total_hits", "engine_variations",
+        "engine_variations_irregular", "engine_wikiphrase",
     ]
-    head = [k for k in never_driver_checked if k in q]
-    tail = [k for k in q if k not in set(never_driver_checked)]
+    head = [k for k in first if k in q]
+    tail = [k for k in q if k not in set(first)]
     return {k: q[k] for k in head + tail}
 
 

@@ -448,6 +448,21 @@ def main() -> None:
     cm_del = compact_segments(spark, idx, partitions=cpus)
     queries["bulk_delete_compaction"] = round(time.time() - t0, 3)
 
+    # ---- warm p50 at ≥8 generations (round-5 verdict #1's bench op): the
+    # serving cost under generation fan-out, measured AFTER the mutation
+    # tier so nothing downstream depends on the appended index ------------
+    from open_source_search_engine_spark.corpus import corpus_df
+    from open_source_search_engine_spark.streaming.incremental import (
+        append_generation,
+    )
+
+    for b in range(8):
+        append_generation(
+            spark, corpus_df(spark, 64, seed=7000 + b, partitions=4),
+            idx, batch_id=900 + b)
+    queries["q_bm25_topk_8gen"] = best_of(
+        3, lambda: topk(spark, idx, "hash table", 10).collect())
+
     # headline = one steady-state pass over the suite (sum of the reported
     # per-item numbers) — comparable across rounds; the harness itself runs
     # warm-ups and repeats, so its own wall-clock is a methodology artifact

@@ -284,8 +284,10 @@ def search(
         do_site_clustering = False  # SearchInput.cpp:206-208
     if include_cached_copy:
         percent_similar_summary = 0  # icc=1 turns dedup off, Msg40.cpp:1325
+    from ..sources import catalog as _cat_layout
+
     plan = parse_query(q, query_lang=qlang, sites=sites,
-                       unicode_tokens=bool(catalog.index_layout(
+                       unicode_tokens=bool(_cat_layout.index_layout(
                            index_dir).get("unicode_tokens", False)))
     if tags is not None:
         # tagdb manualban (/root/reference/PageResults.cpp:1574 admin ban

@@ -1,0 +1,191 @@
+"""Scale-step 2 — the INCREMENTAL story at ~10M docs (round-5 verdict #1).
+
+The 1.31M-doc scale step (tools/scale_step.py) proved the serving/build
+constants once, on a pristine single-generation index. This run proves the
+day-in-the-life under CHURN at another order of magnitude:
+
+  1. base build (~10M docs, one generation) + strict verify;
+  2. N streaming appends (append_generation, one generation each) with the
+     WARM p50 measured after each — p50 drift vs generation count;
+  3. bulk delete of DELETE_PCT of the corpus (tombstones + the round-4
+     incremental exact-stats negative partials) — p50 with live delete
+     state, strict_stats STILL green (the live view);
+  4. query-based reindex of a ranked slice (one more generation);
+  5. compaction (annihilation + generation merge) — fan-in + phases;
+  6. post-compaction warm p50 + strict verify.
+
+Reports ONE JSON line with per-phase timings, p50-vs-generation-count
+series, and the three strict-verify verdicts. Methodology matches bench.py
+(untimed warm-up build, per-query warm + median of 3).
+
+Usage: python tools/scale_step2.py [n_base] [n_appends] [append_docs] [cpus]
+defaults: 9_200_000 8 100_000 32
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+QUERIES = {
+    "q_bm25_topk": "hash table",
+    "q_bm25_and3": "hash lang:en table",
+    "q_bm25_phrase": '"hash table"',
+    "q_bm25_not": "hash -merge",
+    "q_bm25_site": "site:org0/repo0 hash table",
+    "q_bm25_hot": "scan if",
+}
+
+
+def _warm_p50(spark, topk, idx) -> tuple[float, dict]:
+    out_q, lat = {}, []
+    for name, q in QUERIES.items():
+        topk(spark, idx, q, 10).collect()  # per-query warm
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            topk(spark, idx, q, 10).collect()
+            ts.append(time.time() - t0)
+        med = statistics.median(ts)
+        out_q[name] = round(med, 3)
+        lat.append(med * 1000)
+    return round(statistics.median(lat), 1), out_q
+
+
+def main() -> None:
+    n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 9_200_000
+    n_appends = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    append_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
+    cpus = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .appName("osse-scale-step2").getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from open_source_search_engine_spark.corpus import (
+        corpus_df, corpus_df_distributed,
+    )
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index, compact_segments, delete_docs,
+    )
+    from open_source_search_engine_spark.operators.inspect import verify_index
+    from open_source_search_engine_spark.operators.query_engine import topk
+    from open_source_search_engine_spark.operators.reindex import reindex_query
+    from open_source_search_engine_spark.streaming.incremental import (
+        append_generation,
+    )
+
+    out: dict = {"metric": "scale_step2_churn", "cpus": cpus,
+                 "n_base": n_base, "n_appends": n_appends,
+                 "append_docs": append_docs}
+
+    # steady-state warm-up (python worker pool, JVM JIT)
+    warm = tempfile.mkdtemp(prefix="osse_step2_warm_")
+    shutil.rmtree(warm, ignore_errors=True)
+    build_index(spark, corpus_df(spark, 640, partitions=cpus), warm,
+                n_chunks=1, partitions=cpus)
+    shutil.rmtree(warm, ignore_errors=True)
+
+    idx = tempfile.mkdtemp(prefix="osse_step2_idx_")
+    shutil.rmtree(idx, ignore_errors=True)
+
+    # ---- 1. base build --------------------------------------------------
+    corpus = corpus_df_distributed(spark, n_base, partitions=cpus * 4)
+    t0 = time.time()
+    m = build_index(spark, corpus, idx, n_chunks=1, partitions=cpus)
+    build_s = time.time() - t0
+    out["build"] = {
+        "elapsed_s": round(build_s, 2),
+        "docs_per_sec": round(m["docs"] / build_s, 1),
+        "postings": int(m["postings"]),
+        "postings_per_sec": round(m["postings"] / build_s, 1),
+        "bytes": int(m["bytes"]),
+        "phases": m["chunks"][0]["phases"] if m.get("chunks") else {},
+    }
+    v0 = verify_index(spark, idx, strict_stats=True)
+    out["verify_after_build"] = {"ok": v0["ok"],
+                                 "violations": v0.get("violations", {})}
+    p50, q = _warm_p50(spark, topk, idx)
+    out["p50_vs_generations"] = [{"generations": 1, "p50_ms": p50,
+                                  "queries": q}]
+
+    # ---- 2. streaming appends: p50 drift vs generation count ------------
+    appends = []
+    for b in range(n_appends):
+        extra = corpus_df_distributed(
+            spark, append_docs, seed=1000 + b, partitions=cpus)
+        t0 = time.time()
+        append_generation(spark, extra, idx, batch_id=100 + b)
+        appends.append(round(time.time() - t0, 2))
+        p50, q = _warm_p50(spark, topk, idx)
+        out["p50_vs_generations"].append(
+            {"generations": 2 + b, "p50_ms": p50, "queries": q})
+    out["append_elapsed_s"] = appends
+
+    # ---- 3. bulk delete (5%) with live incremental exact stats ----------
+    import pyspark.sql.functions as F
+
+    victims_df = (spark.read.parquet(f"{idx}/docmap")
+                  .filter(F.pmod(F.col("docid"), F.lit(20)) == 0)
+                  .select("docid").distinct())
+    n_victims = victims_df.count()
+    victims = [r["docid"] for r in victims_df.collect()]
+    t0 = time.time()
+    delete_docs(spark, idx, victims)
+    out["bulk_delete"] = {"docs": n_victims,
+                          "elapsed_s": round(time.time() - t0, 2)}
+    v1 = verify_index(spark, idx, strict_stats=True)
+    out["verify_after_churn"] = {"ok": v1["ok"],
+                                 "violations": v1.get("violations", {})}
+    p50, q = _warm_p50(spark, topk, idx)
+    out["p50_with_delete_state"] = {"p50_ms": p50, "queries": q}
+
+    # ---- 4. query-based reindex of a ranked slice -----------------------
+    t0 = time.time()
+    rr = reindex_query(spark, idx, "hash vector", start=0, end=2000,
+                       update_stats=True)
+    out["reindex_query"] = {"elapsed_s": round(time.time() - t0, 2),
+                            "docs": rr.get("docs") if isinstance(rr, dict)
+                            else None}
+
+    # ---- 5. compaction under real churn ---------------------------------
+    t0 = time.time()
+    cm = compact_segments(spark, idx, partitions=cpus)
+    out["compaction"] = {
+        "elapsed_s": round(time.time() - t0, 2),
+        "avg_fanin": cm.get("avg_fanin"),
+        "docs_dropped": cm.get("docs_dropped"),
+        "tier": cm.get("annihilation_tier"),
+        "phases": cm.get("phases", {}),
+    }
+
+    # ---- 6. post-compaction serve + verify -------------------------------
+    p50, q = _warm_p50(spark, topk, idx)
+    out["p50_post_compaction"] = {"p50_ms": p50, "queries": q}
+    v2 = verify_index(spark, idx, strict_stats=True)
+    out["verify_post_compaction"] = {"ok": v2["ok"],
+                                     "violations": v2.get("violations", {})}
+
+    shutil.rmtree(idx, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
