@@ -66,8 +66,8 @@ from __future__ import annotations
 import numpy as np
 
 from .. import (
-    FIELD_BODY, FIELD_LANG, FIELD_LINK, FIELD_LINKTEXT, FIELD_TITLE,
-    FIELD_URL,
+    FIELD_BODY, FIELD_HEADING, FIELD_LANG, FIELD_LINK, FIELD_LINKTEXT,
+    FIELD_MENU, FIELD_TITLE, FIELD_URL,
 )
 
 MAX_TOP = 10
@@ -81,6 +81,8 @@ HASHGROUP_WEIGHTS = {
     FIELD_LANG: 0.1,       # hashGroupWeightInMetaTag (lang is a meta tag)
     FIELD_LINK: 0.3,       # hashGroupWeightInlist (link refs are list-ish)
     FIELD_LINKTEXT: 16.0,  # hashGroupWeightInLinkText
+    FIELD_HEADING: 1.5,    # hashGroupWeightHeading (operators/html.py)
+    FIELD_MENU: 0.2,       # hashGroupWeightInMenu
 }
 
 # merged hashgroup (PosdbDecodeHelper: s_inBody groups fold to BODY; our
@@ -159,11 +161,14 @@ class SubList:
         self.whsb = bool(whsb)
 
 
-# our index's in-body fields (s_inBody analog, PosdbTable.cpp:5467-5473;
+# our index's in-body fields (s_inBody analog, PosdbTable.cpp:5467-5473:
+# BODY, HEADING, INLIST, INMENU). HEADING/MENU positions chain on the doc
+# cursor (operators/html.py fields ride the same +FIELD_GAP chain), so
+# they are body for the window algorithm exactly like the reference;
 # FIELD_LINK maps to INLIST which the reference counts as body, but our
 # LINK positions are field-local synthetic 0..n — not doc positions — so
-# they stay non-body here, a documented index-shape deviation)
-IN_BODY_FIELDS = frozenset({FIELD_BODY})
+# it stays non-body here, a documented index-shape deviation
+IN_BODY_FIELDS = frozenset({FIELD_BODY, FIELD_HEADING, FIELD_MENU})
 WIKI_BIGRAM_WEIGHT = 1.40   # /root/reference/PosdbTable.h:22
 
 
@@ -257,11 +262,19 @@ def _matrix_max(group_i: list, group_j: list, qdist: int,
                 continue
             hgw_j = HASHGROUP_WEIGHTS.get(sj.field, 1.0)
             denw_j, spamw_j = _occ_weights(sj.field, sj.dens, sj.spam)
-            dist = np.abs(sj.positions[None, :]
-                          - si.positions[:, None]).astype(np.float64)
+            raw = (sj.positions[None, :]
+                   - si.positions[:, None]).astype(np.float64)
+            out_of_order = raw < 0
+            dist = np.abs(raw)
             np.maximum(dist, 2.0, out=dist)
             dist = np.where(dist > 50.0, FIXED_DISTANCE, dist)
-            dist = np.where(dist >= float(qdist), dist - float(qdist), dist)
+            # out-of-order pairs net dist-1 when >= qdist, else dist+1 —
+            # the matrix's own else branch (PosdbTable.cpp:655-700)
+            ge = dist >= float(qdist)
+            dist = np.where(
+                out_of_order,
+                np.where(ge, dist - 1.0, dist + 1.0),
+                np.where(ge, dist - float(qdist), dist))
             sc = (100.0 * user_w * user_w * si.term_w * sj.term_w
                   * hgw_i * hgw_j
                   * (denw_i[:, None] * denw_j[None, :])
@@ -275,25 +288,29 @@ def _matrix_max(group_i: list, group_j: list, qdist: int,
 def _body_placements(group: list):
     """Merged position-sorted body placements of a group:
     (pos, denw, spamw, hgw, term_w, tfw) arrays."""
-    ps, dws, sws, hs, tws, fws = [], [], [], [], [], []
+    ps, dws, sws, hs, tws, fws, wbs, flds = [], [], [], [], [], [], [], []
     for sub in group:
         if sub.field not in IN_BODY_FIELDS or not len(sub.positions):
             continue
         hgw = HASHGROUP_WEIGHTS.get(sub.field, 1.0)
         denw, spamw = _occ_weights(sub.field, sub.dens, sub.spam)
+        n = len(sub.positions)
         ps.append(sub.positions)
         dws.append(denw)
         sws.append(spamw)
-        hs.append(np.full(len(sub.positions), hgw))
-        tws.append(np.full(len(sub.positions), sub.term_w))
-        fws.append(np.full(len(sub.positions), sub.tfw))
+        hs.append(np.full(n, hgw))
+        tws.append(np.full(n, sub.term_w))
+        fws.append(np.full(n, sub.tfw))
+        wbs.append(np.full(n, sub.whsb, dtype=bool))
+        flds.append(np.full(n, sub.field, dtype=np.int64))
     if not ps:
         return None
     p = np.concatenate(ps)
     order = np.argsort(p, kind="stable")
     return (p[order], np.concatenate(dws)[order], np.concatenate(sws)[order],
             np.concatenate(hs)[order], np.concatenate(tws)[order],
-            np.concatenate(fws)[order])
+            np.concatenate(fws)[order], np.concatenate(wbs)[order],
+            np.concatenate(flds)[order])
 
 
 def _sliding_window(groups: list, qd, wiki_w, nonbody, matrix,
@@ -412,20 +429,12 @@ def pair_sum(group_i: list, group_j: list, *, qdist: int = 2,
                             float(spamw[k]), hgw, sub.term_w, sub.tfw,
                             sub.whsb, sub.field, mhg))
         if win is not None and bodies is not None:
-            p, dw, sw, hg, tw, fw = bodies
+            p, dw, sw, hg, tw, fw, wb, fld = bodies
             k = win
-            # winning body pointer: whsb rides the sublist — recover it by
-            # matching the placement back to its sublist
-            whsb = False
-            for sub in group:
-                if (sub.field in IN_BODY_FIELDS and sub.whsb
-                        and np.any(sub.positions == p[k])):
-                    whsb = True
-                    break
+            f = int(fld[k])
             out.append((float(p[k]), float(dw[k]), float(sw[k]),
-                        float(hg[k]), float(tw[k]), float(fw[k]), whsb,
-                        FIELD_BODY, MERGED_GROUP.get(FIELD_BODY,
-                                                     FIELD_BODY)))
+                        float(hg[k]), float(tw[k]), float(fw[k]),
+                        bool(wb[k]), f, MERGED_GROUP.get(f, f)))
         return out
 
     pls_i = placements(group_i, win_i, bodies_i)
@@ -439,10 +448,11 @@ def pair_sum(group_i: list, group_j: list, *, qdist: int = 2,
             if dist >= 50.0 and (m1 != m2 or f1 == FIELD_LINKTEXT
                                  or f2 == FIELD_LINKTEXT):
                 dist = FIXED_DISTANCE
+            # out-of-order nets dist-1 when >= qdist (dist - qdist +
+            # (qdist-1), PosdbTable.cpp:1080-1090 — NOT -qdist+1, which
+            # only coincides at the default qdist 2), else dist+1
             if dist >= float(qdist):
-                dist -= float(qdist)
-                if out_of_order:
-                    dist += 1.0
+                dist -= 1.0 if out_of_order else float(qdist)
             elif out_of_order:
                 dist += 1.0
             sc = (100.0 * user_w * user_w * dw1 * dw2 * hg1 * hg2

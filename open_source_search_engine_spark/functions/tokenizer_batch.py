@@ -229,8 +229,8 @@ def _fix_possessive_overlaps(b, starts, ends, poss, uni: bool = False):
     global _TOKEN_RE_LATIN1_UNI
     if uni and _TOKEN_RE_LATIN1_UNI is None:
         _TOKEN_RE_LATIN1_UNI = _re.compile(
-            "[a-z_\x80-\xff][a-z0-9_\x80-\xff]*"
-            "(?:\+\+|\+|#)?(?:'s)?|[0-9]+(?:[.,][0-9]+)*")
+            r"[a-z_\x80-\xff][a-z0-9_\x80-\xff]*"
+            r"(?:\+\+|\+|#)?(?:'s)?|[0-9]+(?:[.,][0-9]+)*")
 
     s_pos = ends[poss] - 1  # position of the consumed 's'
     affected = np.nonzero(np.isin(starts, s_pos))[0]

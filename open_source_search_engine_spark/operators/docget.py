@@ -87,9 +87,11 @@ def get_doc(
         ds = ds.filter(F.col("gen_seq") == int(gen))
     if query:
         from ..functions.tokenizer import code_tokens
+        from ..sources import catalog as _cat
         from .snippets import highlight
 
-        terms = code_tokens(query)
+        terms = code_tokens(query, unicode_tokens=bool(
+            _cat.index_layout(index_dir).get("unicode_tokens", False)))
         if terms:
             ds = ds.withColumn("highlighted",
                                highlight(F.col("content"), terms))

@@ -76,7 +76,10 @@ def decode_entities(s: str) -> str:
             try:
                 cp = (int(body[2:], 16) if body[1] in "xX"
                       else int(body[1:]))
-                if 0 < cp <= 0x10FFFF:
+                # surrogates are valid-looking codepoints that CANNOT be
+                # UTF-8/Arrow encoded — one adversarial &#xD800; must not
+                # kill the whole build stage
+                if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
                     return chr(cp)
             except ValueError:
                 pass

@@ -1100,7 +1100,8 @@ def _dedup_summaries(spark: SparkSession, kept, plan: QueryPlan,
     )
     vec = {}
     for r in joined:
-        vec[r["docid"]] = frozenset(code_tokens(r["summary"] or ""))
+        vec[r["docid"]] = frozenset(code_tokens(
+            r["summary"] or "", unicode_tokens=plan.unicode_tokens))
     dropped: set = set()
     for i in range(len(kept)):
         di = kept[i]["docid"]

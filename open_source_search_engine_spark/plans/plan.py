@@ -183,6 +183,10 @@ class WikiGroup:
 @dataclass
 class QueryPlan:
     raw: str
+    # tokenizer mode this plan was parsed with (the index layout flag);
+    # consumers that re-tokenize text against the plan's terms (summary
+    # dedup vectors, highlight) must use the same mode
+    unicode_tokens: bool = False
     terms: list[TermSpec] = dc_field(default_factory=list)
     expr: Leaf | Node | None = None
     phrases: list[Phrase] = dc_field(default_factory=list)
@@ -821,7 +825,7 @@ def parse_query(q: str, *, expand_synonyms: bool = False,
     joins the plan's site_filters, so it rides the same J6 whitelist
     machinery as ``site:`` — declarative semi-join, batch path, or the WAND
     whitelist mask — at any site-list size."""
-    plan = QueryPlan(raw=q)
+    plan = QueryPlan(raw=q, unicode_tokens=bool(unicode_tokens))
     b = _PlanBuilder(plan, expand_synonyms, expand_variations,
                      synonyms=synonyms, unicode_tokens=unicode_tokens)
 
