@@ -58,7 +58,15 @@ REMAINING DOCUMENTED DEVIATIONS:
    distinct-scored);
 3. diversity weights are flat 1.0 — exactly the reference's default
    (diversityWeightMin = diversityWeightMax = 1.0, and its own scorer
-   comments the diversity multiply out, PosdbTable.cpp:309-311).
+   comments the diversity multiply out, PosdbTable.cpp:309-311);
+4. cost note: the window search is a per-candidate Python loop over body
+   placements (one window per merged body position, O(pairs) scalar
+   scores per window) — same asymptotics as the reference's per-docid
+   scan, but interpreted. Candidate volume is already bounded by the
+   conjunctive intersection; if this opt-in ranker ever becomes a hot
+   path, the 2-group case vectorizes over the window-pair
+   characterization tests/test_gigablast.py pins (see the oracle's
+   NOT-EXISTS form).
 """
 
 from __future__ import annotations
