@@ -71,7 +71,12 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", "32g")
+        # fresh python worker per task: the fused tokenize+encode tasks
+        # peak ~2 GB and reused workers keep that RSS as a high-water mark
+        # across their whole task sequence — 24 of them plus the JVM
+        # OOM-killed this host twice; per-task workers return the memory
+        .config("spark.python.worker.reuse", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .appName("osse-scale-step2").getOrCreate()
@@ -106,9 +111,14 @@ def main() -> None:
     shutil.rmtree(idx, ignore_errors=True)
 
     # ---- 1. base build --------------------------------------------------
-    corpus = corpus_df_distributed(spark, n_base, partitions=cpus * 4)
+    # per-task footprint, not core count, sizes the map stage: each
+    # map_encode task holds its partition's postings until slab-packing,
+    # so cap ~30k docs/task (the 1.31M run's footprint) — at 32 partitions
+    # a 7.9M-doc corpus OOM-killed the host (32 workers x ~250k docs)
+    parts = max(cpus, (n_base + 14_999) // 15_000)
+    corpus = corpus_df_distributed(spark, n_base, partitions=parts)
     t0 = time.time()
-    m = build_index(spark, corpus, idx, n_chunks=1, partitions=cpus)
+    m = build_index(spark, corpus, idx, n_chunks=1, partitions=parts)
     build_s = time.time() - t0
     out["build"] = {
         "elapsed_s": round(build_s, 2),
